@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Readers for the driver test tables (TESTDATA.md) plus shared
+  * determinism helpers used by every verify query.
+  *
+  * Determinism rules (SURVEY.md §7): the driver hash-compares our parquet
+  * dump against DuckDB, so every query must (a) end in a full-key ORDER BY,
+  * (b) aggregate doubles through exact decimal arithmetic (summation order
+  * independent), and (c) emit timestamps as epoch micros or canonical
+  * strings, never raw sub-second timestamps.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact-arithmetic sum of a double column: cast each value to
+    * DECIMAL(18,2) first so the fold is order-independent, then return
+    * DOUBLE (matches DuckDB `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`).
+    */
+  def sumDec(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Order-independent average: exact decimal sum / count, evaluated as one
+    * double division (identical in DuckDB).
+    */
+  def avgDec(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1))
+
+  /** Decimal cast shorthand for exact products, e.g. price * (1 - disc). */
+  def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
+}
