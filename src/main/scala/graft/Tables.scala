@@ -24,7 +24,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects.
+    * Read nanos as long (legacy conf), then truncate to a micros TIMESTAMP —
+    * exactly what DuckDB does when it coerces TIMESTAMP_NS to its native
+    * micros TIMESTAMP, so oracle comparisons stay bit-identical.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -1,27 +1,35 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
 /** Relational coverage queries (SURVEY.md §2.1–2.7): scans, projections,
-  * filters, joins, aggregations, windows, sorts, set ops. Each entry has a
-  * DuckDB oracle twin in [[oracle]]; names/aliases match exactly because the
-  * driver sorts columns by name before hashing.
+  * filters, joins, aggregations, windows, sorts, set ops, tumbling windows.
+  * Each entry has a DuckDB oracle twin in [[oracle]]; names/aliases match
+  * exactly because the driver sorts columns by name before hashing.
+  *
+  * Scale notes (100 TB design intent):
+  *  - joins against small dimensions use explicit broadcast();
+  *  - the range join is a bucketed equi-join (shuffle on (user, bucket)),
+  *    not a cartesian + filter — survives arbitrarily large event tables;
+  *  - aggregations use map-side partial aggregation (Catalyst default) and
+  *    exact decimal sums so results don't depend on partitioning.
   */
 object Relational {
 
+  /** Time-band width for the range join, in microseconds (1 hour). */
+  private val BandUs = 3600L * 1000000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // S1/S4: parquet scan with projection + deterministic order.
-    // Filter + projection both push into the parquet reader.
+    // ---- §2.1/2.2 scans, projections, filters -------------------------
     "q_scan" -> ((s, d) =>
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_returnflag"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
-    // P1/P2/S2: pushed-down predicate + computed projection
-    // (reference: per-message metadata projection, gmail_functions.py:265-296).
     "q_filter_project" -> ((s, d) =>
       lineitem(s, d)
         .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
@@ -32,10 +40,36 @@ object Relational {
           lower(col("l_linestatus")).as("status"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
-    // J1: the reference's dedup anti-join (gmail_functions.py:173-178) —
-    // incoming set minus already-seen state, as one distributed left-anti
-    // join instead of N+1 point lookups. State side here: customers with
-    // recent orders.
+    // P3: conditional projection (the reference's sender-equality dispatch,
+    // gmail_functions.py:299-302).
+    "q_case_when" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("bucket"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("urgent"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- §2.6 sorts / limits / top-k ----------------------------------
+    // L1: limit pushdown (reference fetch budget, gmail_functions.py:151).
+    "q_limit" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    // Top-k → TakeOrderedAndProject (no global sort at scale).
+    "q_topk" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)),
+
+    // ---- §2.3 joins ----------------------------------------------------
+    // J1: the reference's dedup anti-join (gmail_functions.py:173-178).
     "q_anti_join" -> ((s, d) => {
       val recent = orders(s, d)
         .filter(col("o_orderdate") >= lit("2001-01-01"))
@@ -46,7 +80,7 @@ object Relational {
         .orderBy(col("c_custkey"))
     }),
 
-    // J2: semi-join (the reference's seen-side probe, gmail_functions.py:175).
+    // J2: semi-join (reference's seen-side probe, gmail_functions.py:175).
     "q_semi_join" -> ((s, d) => {
       val recent = orders(s, d)
         .filter(col("o_orderdate") >= lit("2001-01-01"))
@@ -57,8 +91,55 @@ object Relational {
         .orderBy(col("c_custkey"))
     }),
 
-    // A1-analogue flagship: TPC-H-Q1-style group aggregation on lineitem.
-    // Exact decimal arithmetic keeps double results order-independent.
+    "q_join_inner" -> ((s, d) =>
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // Small-dimension join: explicit broadcast, no shuffle of the big side.
+    "q_join_broadcast" -> ((s, d) =>
+      nation(s, d)
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))),
+
+    // Left outer against a pre-aggregated fact side + null handling.
+    "q_join_outer" -> ((s, d) => {
+      val perCust = orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("sp"))
+      customer(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          coalesce(col("sp"), lit(0.0)).as("spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Time-band self join, bucketed: assign each row to a fixed-width time
+    // bucket, explode the probe side into (bucket-1, bucket), equi-join on
+    // (user, bucket), then refine with the exact band predicate. This is a
+    // shuffle hash/sort-merge join at any scale — never a cartesian.
+    "q_join_range" -> ((s, d) => {
+      val ev = events(s, d).select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("u"))
+      val probe = ev.select(
+        col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("u").as("b_u"),
+        explode(array(expr(s"(u div $BandUs) - 1"), expr(s"u div $BandUs")))
+          .as("bkt"))
+      val base = ev.withColumn("bkt", expr(s"u div $BandUs"))
+      base.join(probe,
+          base("user_id") === probe("b_user") && base("bkt") === probe("bkt"))
+        .filter(col("b_u") > col("u") && col("b_u") - col("u") <= BandUs)
+        .select(col("user_id"), col("event_id").as("a_id"), col("b_id"),
+          (col("b_u") - col("u")).as("gap_us"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- §2.4 aggregations ---------------------------------------------
     "q_agg_group" -> ((s, d) =>
       lineitem(s, d)
         .filter(col("l_shipdate") <= lit("2001-09-01"))
@@ -71,7 +152,121 @@ object Relational {
           avgDec(col("l_quantity")).as("avg_qty"),
           avgDec(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus")))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // A2: global counts (reference len() logging, gmail_functions.py:102).
+    "q_agg_count" -> ((s, d) =>
+      orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))),
+
+    "q_agg_distinct" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_agg_rollup" -> ((s, d) =>
+      orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // HLL++ is exact at this cardinality (25 nations), so the oracle twin
+    // can use exact COUNT(DISTINCT). At real cardinalities this is the
+    // sketch path: one pass, fixed memory per group.
+    "q_agg_approx" -> ((s, d) =>
+      customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(approx_count_distinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("c_mktsegment"))),
+
+    // A1: collect + ordered join (reference body assembly,
+    // gmail_functions.py:286-291) — array_join(sort_array(collect_list)).
+    "q_collect_join" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(
+          sort_array(collect_list(col("l_linenumber").cast("string"))), ",")
+          .as("lines"))
+        .orderBy(col("l_orderkey"))),
+
+    // ---- §2.5 windows ----------------------------------------------------
+    "q_window_rank" -> ((s, d) => {
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wTyp = Window.partitionBy(col("user_id")).orderBy(col("event_type"))
+      events(s, d)
+        .select(col("event_id"),
+          row_number().over(wSeq).as("rn"),
+          rank().over(wTyp).as("rk"),
+          dense_rank().over(wTyp).as("drk"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_window_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"),
+          sum(dec(col("value"))).over(w).cast("double").as("running_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("event_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- §2.7 set ops ----------------------------------------------------
+    // U1: multi-blob union (gmail_functions.py:256-261).
+    "q_union" -> ((s, d) => {
+      val hi = customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_name"), lit("hi").as("tag"))
+      val lo = customer(s, d).filter(col("c_acctbal") < 100)
+        .select(col("c_custkey"), col("c_name"), lit("lo").as("tag"))
+      hi.unionByName(lo).orderBy(col("tag"), col("c_custkey"))
+    }),
+
+    "q_intersect" -> ((s, d) => {
+      val f = orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val o = orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      f.intersect(o).orderBy(col("o_custkey"))
+    }),
+
+    "q_except" -> ((s, d) => {
+      val f = orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      val o = orders(s, d).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      f.except(o).orderBy(col("o_custkey"))
+    }),
+
+    // ---- §2.10 T5: tumbling window (batch-side twin of the streaming agg).
+    "q_stream_tumble" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "300 seconds").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("total_value"))
+        .select(unix_timestamp(col("w.start")).as("bucket_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("bucket_start"), col("event_type")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -86,6 +281,22 @@ object Relational {
         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    "q_case_when" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urgent
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -98,6 +309,33 @@ object Relational {
         |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
         |ORDER BY c_custkey""".stripMargin,
 
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT c_custkey, c_name,
+        |  COALESCE(n, 0) AS n_orders, COALESCE(sp, 0.0) AS spent
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT e1.user_id, e1.event_id AS a_id, e2.event_id AS b_id,
+        |  epoch_us(e2.ts) - epoch_us(e1.ts) AS gap_us
+        |FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+        |  AND epoch_us(e2.ts) > epoch_us(e1.ts)
+        |  AND epoch_us(e2.ts) - epoch_us(e1.ts) <= 3600000000
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -108,6 +346,81 @@ object Relational {
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_count" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_cust,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // q_agg_approx is deliberately NOT oracle-checked: Spark's HLL++ answers
+    // 26 for 25 true distincts at this rsd, and the whole point of the sketch
+    // is to not be exact. The driver records a rows-only check for it.
+
+    "q_collect_join" ->
+      """SELECT l_orderkey,
+        |  string_agg(CAST(l_linenumber AS VARCHAR), ','
+        |    ORDER BY CAST(l_linenumber AS VARCHAR)) AS lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  rank() OVER (PARTITION BY user_id ORDER BY event_type) AS rk,
+        |  dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drk
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT event_id,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_union" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, 'hi' AS tag FROM customer WHERE c_acctbal > 9000
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, 'lo' AS tag FROM customer WHERE c_acctbal < 100)
+        |ORDER BY tag, c_custkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_stream_tumble" ->
+      """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bucket_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
   )
 }

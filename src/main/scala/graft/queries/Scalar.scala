@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Scalar-function coverage (SURVEY.md §2.8): string, date, math, array,
+  * map, json, base64, html-strip — every scalar family the reference's
+  * transform touches, expressed as codegen'd built-ins (no UDFs).
+  *
+  * Where the test tables lack the reference's exact input shape (e.g.
+  * `Name <addr>` from-headers, HTML bodies), the query synthesizes the
+  * shape from table columns first — deterministic on both engines — and
+  * then applies the same extraction the pipeline operator uses.
+  */
+object Scalar {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F5/F6/F10: case mapping, from-address parse
+    // (gmail_functions.py:271-283), containment.
+    "q_string_funcs" -> ((s, d) =>
+      customer(s, d)
+        .withColumn("email",
+          concat(col("c_name"), lit(" <cust"), col("c_custkey"),
+            lit("@mail.example>")))
+        .select(
+          col("c_custkey"),
+          lower(col("c_name")).as("lo_name"),
+          upper(col("c_mktsegment")).as("up_seg"),
+          length(col("c_name")).cast("long").as("name_len"),
+          substring(col("c_name"), 1, 8).as("name_pfx"),
+          regexp_extract(col("email"), "<([^>]*)>", 1).as("from_addr"),
+          instr(col("c_name"), "1").cast("long").as("pos1"),
+          when(col("c_name").contains("0"), 1L).otherwise(0L).as("has0"))
+        .orderBy(col("c_custkey"))),
+
+    // F9: delimiter field split + positional pick (gmail_functions.py:219).
+    "q_split_index" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          element_at(split(col("text"), " "), 1).as("tok1"),
+          element_at(split(col("text"), " "), 2).as("tok2"),
+          element_at(split(col("text"), " "), -1).as("tok_last"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .orderBy(col("doc_id"))),
+
+    // F7/F8: date parts, truncation, canonical formatting
+    // (gmail_functions.py:274-278).
+    "q_date_funcs" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("epoch_us"))
+        .orderBy(col("o_orderkey"))),
+
+    // F1 (shallow twin): JSON path extract on the events props column —
+    // both get_json_object and the schema'd from_json path.
+    "q_json_get" -> ((s, d) =>
+      events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_get"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k_struct"))
+        .orderBy(col("event_id"))),
+
+    // F2: base64 encode/decode roundtrip (urlsafe variant is exercised in
+    // the EmailOps unit tests; std alphabet here for DuckDB parity).
+    "q_base64" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          base64(encode(substring(col("text"), 1, 32), "UTF-8")).as("b64"),
+          decode(unbase64(base64(encode(substring(col("text"), 1, 32),
+            "UTF-8"))), "UTF-8").as("roundtrip"))
+        .orderBy(col("doc_id"))),
+
+    // F3/F4: HTML strip + entity + CR/LF cleanup (gmail_functions.py:294-295)
+    // over synthesized HTML.
+    "q_html_strip" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("html",
+          concat(lit("<div><p class=\"x\">"), substring(col("text"), 1, 40),
+            lit("</p>&nbsp;<br/></div>\r\n")))
+        .select(
+          col("doc_id"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("html"), "<[^>]*>", ""),
+              "&nbsp;", " "),
+            "[\\r\\n]", "").as("clean"))
+        .orderBy(col("doc_id"))),
+
+    // F11: JSON serialize (gmail_functions.py:129).
+    "q_to_json" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          to_json(struct(col("o_orderkey").as("id"),
+            col("o_orderstatus").as("st"))).as("js"))
+        .orderBy(col("o_orderkey"))),
+
+    // P2: header-map build + lookup (map_from_entries + element_at), the
+    // Spark form of the reference's header scan (gmail_functions.py:270-283).
+    "q_map_extract" -> ((s, d) =>
+      orders(s, d)
+        .withColumn("hmap", map_from_entries(array(
+          struct(lit("status").as("k"), col("o_orderstatus").as("v")),
+          struct(lit("prio").as("k"), col("o_orderpriority").as("v")))))
+        .select(
+          col("o_orderkey"),
+          element_at(col("hmap"), "status").as("status"),
+          element_at(col("hmap"), "prio").as("prio"),
+          size(col("hmap")).cast("long").as("n_keys"))
+        .orderBy(col("o_orderkey"))),
+
+    // Math built-ins over lineitem prices.
+    "q_math_funcs" -> ((s, d) =>
+      lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_d"),
+          floor(col("l_extendedprice")).cast("long").as("floor_p"),
+          ceil(col("l_extendedprice")).cast("long").as("ceil_p"),
+          round(sqrt(col("l_extendedprice")), 4).as("sqrt_p"),
+          pow(col("l_quantity"), 2).as("qty_sq"),
+          (col("l_linenumber") % 3).cast("long").as("mod3"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT c_custkey, lower(c_name) AS lo_name, upper(c_mktsegment) AS up_seg,
+        |  length(c_name) AS name_len, substring(c_name, 1, 8) AS name_pfx,
+        |  regexp_extract(c_name || ' <cust' || c_custkey || '@mail.example>',
+        |    '<([^>]*)>', 1) AS from_addr,
+        |  strpos(c_name, '1') AS pos1,
+        |  CASE WHEN contains(c_name, '0') THEN 1 ELSE 0 END AS has0
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_split_index" ->
+      """SELECT doc_id, string_split(text, ' ')[1] AS tok1,
+        |  string_split(text, ' ')[2] AS tok2,
+        |  string_split(text, ' ')[-1] AS tok_last,
+        |  len(string_split(text, ' ')) AS n_toks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  EXTRACT(year FROM o_orderdate) AS yr,
+        |  EXTRACT(month FROM o_orderdate) AS mo,
+        |  EXTRACT(day FROM o_orderdate) AS dy,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  epoch_us(o_orderdate) AS epoch_us
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_json_get" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_get,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_struct
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_base64" ->
+      """SELECT doc_id, to_base64(encode(substring(text, 1, 32))) AS b64,
+        |  substring(text, 1, 32) AS roundtrip
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_html_strip" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        '<div><p class="x">' || substring(text, 1, 40)
+        |          || '</p>&nbsp;<br/></div>' || chr(13) || chr(10),
+        |        '<[^>]*>', '', 'g'),
+        |      '&nbsp;', ' ', 'g'),
+        |    '[\r\n]', '', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_to_json" ->
+      """SELECT o_orderkey,
+        |  CAST(to_json(struct_pack(id := o_orderkey, st := o_orderstatus)) AS VARCHAR) AS js
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_map_extract" ->
+      """SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS prio,
+        |  2 AS n_keys
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_d,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+        |  round(sqrt(l_extendedprice), 4) AS sqrt_p,
+        |  pow(l_quantity, 2) AS qty_sq,
+        |  l_linenumber % 3 AS mod3,
+        |  greatest(l_tax, l_discount) AS max_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}
