@@ -1,0 +1,366 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ext.{TextOps, VectorOps}
+
+/** Extension operators for large-scale training-data pipelines
+  * (SURVEY.md §2.11, BASELINE.json north star): deduplication (exact,
+  * fingerprint, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine),
+  * similarity search (brute-force cosine top-k + LSH-bucketed ANN),
+  * text analysis (language-ID, quality scores, token stats), and
+  * multimodal binary-column plumbing.
+  *
+  * Every signature here is a pure per-row Column expression built on a
+  * portable hash (md5), so the DuckDB oracle recomputes each one exactly
+  * (oracle SQL for the hash-heavy queries is GENERATED from the same
+  * constants — seeds, band geometry, marker word lists — that the Spark
+  * side uses, so the two can never drift).
+  *
+  * Scale notes (100 TB design intent):
+  *  - signatures/fingerprints are shuffle-free map work;
+  *  - dedup groupBys shuffle only (key, doc_id) pairs, never full text;
+  *  - LSH turns near-dup candidate generation and ANN into equi-joins;
+  *  - brute-force cosine broadcasts the small query batch, the candidate
+  *    scan never shuffles; top-k per query is a bounded-state window.
+  */
+object Ext {
+
+  private val K = 3            // shingle width (tokens)
+  private val NumHashes = 16   // minhash signature length
+  private val Bands = 4        // LSH bands (rows-per-band = 16/4 = 4)
+  private val RowsPerBand = NumHashes / Bands
+  private val AnnBits = 4      // sign-bucket bits -> 16 buckets
+  private val TopK = 10
+  private val AnnK = 5
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- E1: exact dedup (hash-groupBy keep-first) ----------------------
+    "q_dedup_exact" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))),
+
+    // Bag-of-words fingerprint dedup: md5 of the sorted distinct token
+    // set; docs with equal fingerprints are permutation-duplicates.
+    "q_dedup_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .select(col("keep_id"), col("fp"), col("n_docs"))
+        .orderBy(col("keep_id"))),
+
+    // ---- E2: MinHash + LSH near-dup ------------------------------------
+    // Per-doc 16-element minhash signature over 3-token shingles, plus the
+    // 4 LSH band keys. Equality of any band key => near-dup candidate.
+    "q_dedup_minhash" -> ((s, d) => {
+      val sig = TextOps.minhashSignature(
+        TextOps.distinctShingles(col("text"), K), NumHashes)
+      documents(s, d)
+        .select(col("doc_id"),
+          md5(array_join(sig, "")).as("sig_digest"),
+          array_join(TextOps.lshBands(sig, Bands, RowsPerBand), ",")
+            .as("bands"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LSH bucket-size histogram: explode band keys, group into buckets,
+    // histogram the bucket sizes. At scale this groupBy(band_key) IS the
+    // near-dup candidate join; only (key, doc_id) pairs shuffle.
+    "q_dedup_lsh_buckets" -> ((s, d) => {
+      val sig = TextOps.minhashSignature(
+        TextOps.distinctShingles(col("text"), K), NumHashes)
+      documents(s, d)
+        .select(explode(TextOps.lshBands(sig, Bands, RowsPerBand))
+          .as("band_key"))
+        .groupBy(col("band_key")).agg(count(lit(1)).as("bucket_size"))
+        .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+        .orderBy(col("bucket_size"))
+    }),
+
+    // SimHash: 16-bit frequency-weighted signature; equal-or-close
+    // signatures (hamming) are near-dups. Output per doc for exactness.
+    "q_dedup_simhash" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextOps.simhash16(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // n-gram Jaccard over a deterministic linear pair set (doc i vs i+1):
+    // the resemblance measure LSH approximates, computed exactly.
+    "q_dedup_jaccard" -> ((s, d) => {
+      val sh = documents(s, d).select(col("doc_id"),
+        TextOps.distinctShingles(col("text"), K).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("id_a"))
+    }),
+
+    // Embedding-cosine near-dup over the same linear pair set: exact
+    // double cosine, near_dup flag at 0.8.
+    "q_dedup_cosine" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(VectorOps.cosine(col("v_a"), col("v_b")), 6).as("cos"),
+          (VectorOps.cosine(col("v_a"), col("v_b")) > 0.8).as("near_dup"))
+        .orderBy(col("id_a"))
+    }),
+
+    // ---- E3: similarity search -----------------------------------------
+    // Brute-force cosine top-k: broadcast the small query batch against
+    // the candidate scan (no shuffle of the big side), bounded-state
+    // top-k per query.
+    "q_sim_topk" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("score"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK)
+        .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // LSH-bucketed ANN (the scale path): candidates come from an
+    // equi-join on the sign-bucket key instead of a full cross product.
+    "q_ann_lsh" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+        .withColumn("bkt", VectorOps.signBucket(col("v"), AnnBits))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bkt").as("q_bkt"))
+      val scored = e.join(broadcast(q),
+          col("bkt") === col("q_bkt") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("score"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= AnnK)
+        .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // ---- E5: text analysis ---------------------------------------------
+    "q_text_stats" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"),
+          round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(TextOps.meanTokenLen(col("text")), 6).as("mean_tok_len"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextOps.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))),
+
+    // Corpus token frequencies (explode -> groupBy; the classic
+    // vocabulary-count shuffle, partial-aggregated map-side).
+    "q_text_tokens" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("tok"))),
+
+    // ---- E4: multimodal binary-column plumbing --------------------------
+    // Opaque binary payload + typed metadata: byte length, content hash,
+    // header bytes ("magic number" sniff), base64 transport encoding.
+    // The decode step itself is the stubbed module (graft.ext.Multimodal).
+    "q_multimodal_meta" -> ((s, d) => {
+      val bin = encode(col("text"), "UTF-8")
+      documents(s, d)
+        .select(col("doc_id"),
+          length(bin).cast("long").as("n_bytes"),
+          sha2(bin, 256).as("content_sha"),
+          hex(encode(substring(col("text"), 1, 16), "UTF-8")).as("head_hex"),
+          base64(encode(substring(col("text"), 1, 24), "UTF-8")).as("head_b64"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ---- oracle twins ------------------------------------------------------
+  // The hash-heavy SQL is generated from the SAME constants as the Spark
+  // side (seeds, bands, marker lists) so the two cannot drift.
+
+  /** DuckDB expression: lowercased whitespace tokens of `c`. */
+  private def sqlTokens(c: String) = s"string_split(lower($c), ' ')"
+
+  /** DuckDB expression: distinct K-token shingles of token-list column t
+    * (whole-doc shingle for short docs), matching TextOps.shingles.
+    */
+  private val sqlShingles =
+    s"""CASE WHEN len(t) >= $K
+       | THEN list_distinct([array_to_string(t[i:i+${K - 1}], ' ')
+       |                     for i in range(1, len(t) - ${K - 2})])
+       | ELSE [array_to_string(t, ' ')] END""".stripMargin
+
+  /** DuckDB expression: minhash signature of shingle-list column sh. */
+  private val sqlSig = {
+    val seeds = (0 until NumHashes).map(i => s"'$i'").mkString(", ")
+    s"[list_min(list_transform(sh, x -> md5(s || ':' || x))) for s in [$seeds]]"
+  }
+
+  /** DuckDB expression: LSH band keys of signature-list column sig. */
+  private val sqlBands = (0 until Bands).map(b =>
+    s"md5('$b' || '|' || array_to_string(sig[${b * RowsPerBand + 1}:${(b + 1) * RowsPerBand}], ''))")
+
+  /** DuckDB expression: language-ID over token-list column t, matching
+    * TextOps.langId (argmax marker hits, list-order priority on ties).
+    */
+  private val sqlLangId = {
+    def score(markers: Seq[String]) =
+      s"len(list_filter(list_distinct(t), x -> x IN (${markers.map("'" + _ + "'").mkString(", ")})))"
+    val scores = TextOps.langMarkers.map { case (l, m) => l -> score(m) }
+    val best = scores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+    val whens = scores.map { case (l, s) =>
+      s"WHEN $s > 0 AND $s = $best THEN '$l'" }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  private val enStops =
+    TextOps.langMarkers.toMap.apply("en").map("'" + _ + "'").mkString(", ")
+
+  /** DuckDB expression: 16-bit simhash over token-list column t. */
+  private val sqlSimhash =
+    s"""array_to_string([
+       |  CASE WHEN list_sum(list_transform(t, tok ->
+       |    CASE WHEN strpos('0123456789abcdef', substring(md5(tok), i + 1, 1)) >= 9
+       |         THEN 1 ELSE -1 END)) > 0
+       |  THEN '1' ELSE '0' END
+       |  for i in range(0, 16)], '')""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_fingerprint" ->
+      s"""SELECT min(doc_id) AS keep_id, fp, count(*) AS n_docs
+         |FROM (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(${sqlTokens("text")})), ' ')) AS fp
+         |  FROM documents)
+         |GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
+         |sg AS (SELECT doc_id, $sqlSig AS sig FROM sh)
+         |SELECT doc_id, md5(array_to_string(sig, '')) AS sig_digest,
+         |  array_to_string([${sqlBands.mkString(", ")}], ',') AS bands
+         |FROM sg ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_lsh_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
+         |sg AS (SELECT doc_id, $sqlSig AS sig FROM sh),
+         |bk AS (SELECT unnest([${sqlBands.mkString(", ")}]) AS band_key FROM sg),
+         |bs AS (SELECT band_key, count(*) AS bucket_size FROM bk GROUP BY band_key)
+         |SELECT bucket_size, count(*) AS n_buckets FROM bs
+         |GROUP BY bucket_size ORDER BY bucket_size""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""SELECT doc_id, $sqlSimhash AS simhash
+         |FROM (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $sqlShingles AS sh
+         |  FROM (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         |ORDER BY id_a""".stripMargin,
+
+    "q_dedup_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos,
+        |  (list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.8) AS near_dup
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        |ORDER BY id_a""".stripMargin,
+
+    "q_sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS score
+         |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id != q.vec_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, round(score, 6) AS score FROM r
+         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+         |    array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END
+         |                     for i in range(1, ${AnnBits + 1})], '') AS bkt
+         |  FROM embeddings),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS score
+         |  FROM e q JOIN e c ON q.vec_id < 5 AND c.bkt = q.bkt AND c.vec_id != q.vec_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, round(score, 6) AS score FROM r
+         |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  $sqlLangId AS lang_pred,
+         |  round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+         |  round(CAST(len(list_filter(t, x -> x IN ($enStops))) AS DOUBLE)
+         |    / CAST(len(t) AS DOUBLE), 6) AS stop_ratio,
+         |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |    / CAST(len(t) AS DOUBLE), 6) AS mean_tok_len,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe
+         |FROM (SELECT doc_id, text, ${sqlTokens("text")} AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      s"""SELECT tok, count(*) AS n FROM (
+         |  SELECT unnest(${sqlTokens("text")}) AS tok FROM documents)
+         |GROUP BY tok ORDER BY tok""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS content_sha,
+        |  hex(encode(substring(text, 1, 16))) AS head_hex,
+        |  to_base64(encode(substring(text, 1, 24))) AS head_b64
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
