@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Let-binding for column expressions: evaluates `value` ONCE per row
+    * and passes the bound result to `body` as a lambda variable.
+    *
+    * Spark has no let in its expression language, so a subtree referenced
+    * N times in one projection is evaluated N times — catastrophic when
+    * the reference sits inside a higher-order-function lambda (an
+    * unbound `split` inside a per-shingle lambda re-tokenizes the
+    * document once per shingle). Wrapping the value in a 1-element array
+    * and binding it through transform's lambda variable is the standard
+    * encoding; the optimizer cannot inline through a lambda binding.
+    */
+  def let(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Whitespace tokenization, lowercased. */
   def tokens(c: Column): Column = split(lower(c), " ")
 
@@ -23,54 +37,84 @@ object TextOps {
 
   /** k-gram shingles over the token stream (near-dup canonical form).
     * Docs shorter than k tokens collapse to one whole-doc shingle.
+    * The token array is let-bound: one tokenize per row, not one per
+    * shingle.
     */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val t = tokens(c)
-    when(size(t) >= k,
-      transform(sequence(lit(1), size(t) - (k - 1)),
-        i => array_join(slice(t, i, lit(k)), " ")))
-      .otherwise(array(array_join(t, " ")))
-  }
+  def shingles(c: Column, k: Int = 3): Column =
+    let(tokens(c)) { t =>
+      when(size(t) >= k,
+        transform(sequence(lit(1), size(t) - (k - 1)),
+          i => array_join(slice(t, i, lit(k)), " ")))
+        .otherwise(array(array_join(t, " ")))
+    }
 
   def distinctShingles(c: Column, k: Int = 3): Column =
     array_distinct(shingles(c, k))
 
-  /** MinHash signature: element s is min over items of md5("s:" + item).
-    * One array expression per row — no shuffle, no UDF; min of md5 hex
-    * strings is a valid uniform min-hash (lexicographic order on a
-    * uniformly distributed hex digest).
+  /** Universal-hash family for minhash: h_s(x) = (A(s)*v(x) + B(s)) mod
+    * MersennePrime, over a 31-bit value v(x) derived from ONE md5 of the
+    * item. One digest per item (not one per item per seed), 16x fewer
+    * md5 calls than hashing per-seed — and every step (md5, hex-prefix
+    * to int, modular arithmetic) is reproducible in any engine, so the
+    * DuckDB oracle recomputes signatures exactly.
     */
-  def minhashSignature(items: Column, numHashes: Int = 16): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(items,
-        t => md5(concat(s.cast("string"), lit(":"), t)))))
+  val MersennePrime = 2147483647L // 2^31 - 1
+  val MaxHashes = 64
+  val (hashA, hashB): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(42)
+    (Seq.fill(MaxHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong),
+      Seq.fill(MaxHashes)(rnd.nextInt(Int.MaxValue).toLong))
+  }
 
-  /** LSH band keys: band i is md5(i + "|" + concat of its r signature
+  /** 31-bit integer hash of a string item: top 60 bits of md5, masked. */
+  def hash31(item: Column): Column =
+    conv(substring(md5(item), 1, 15), 16, 10).cast("long")
+      .bitwiseAND(MersennePrime)
+
+  /** MinHash signature: element s is min over items of
+    * (A(s) * hash31(item) + B(s)) mod MersennePrime. The per-item hashes
+    * are let-bound so each item is digested once, then each of the
+    * numHashes seeds applies only cheap modular arithmetic.
+    */
+  def minhashSignature(items: Column, numHashes: Int = 16): Column = {
+    require(numHashes <= MaxHashes)
+    val a = lit(hashA.take(numHashes).toArray)
+    val b = lit(hashB.take(numHashes).toArray)
+    let(transform(items, x => hash31(x))) { vs =>
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        s => array_min(transform(vs,
+          v => (element_at(a, s + 1) * v + element_at(b, s + 1))
+            % MersennePrime)))
+    }
+  }
+
+  /** LSH band keys: band i is md5(i + "|" + csv of its r signature
     * rows). Docs sharing ANY band key are near-dup candidates. The band
     * index is baked into the key so a single equi-join on the key suffices.
     */
   def lshBands(sig: Column, bands: Int = 4, rowsPerBand: Int = 4): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       i => md5(concat(i.cast("string"), lit("|"),
-        array_join(slice(sig, i * rowsPerBand + 1, lit(rowsPerBand)), ""))))
+        array_join(transform(
+          slice(sig, i * rowsPerBand + 1, lit(rowsPerBand)),
+          _.cast("string")), ","))))
 
   /** 16-bit SimHash over the (frequency-weighted) token stream: bit i is
     * the sign of sum over tokens of ±1, where +1 iff the i-th hex nibble
     * of md5(token) has its high bit set. Returned as a '0'/'1' string so
     * any engine can reproduce it.
     */
-  def simhash16(c: Column): Column = {
-    val t = tokens(c)
-    array_join(
-      transform(sequence(lit(0), lit(15)), i => {
-        val votes = aggregate(t, lit(0), (acc, tok) => {
-          val nibble = instr(lit("0123456789abcdef"),
-            md5(tok).substr(i + 1, lit(1)))
-          acc + when(nibble >= 9, 1).otherwise(-1)
-        })
-        when(votes > 0, lit("1")).otherwise(lit("0"))
-      }), "")
-  }
+  def simhash16(c: Column): Column =
+    let(transform(tokens(c), tok => md5(tok))) { hs =>
+      array_join(
+        transform(sequence(lit(0), lit(15)), i => {
+          val votes = aggregate(hs, lit(0), (acc, h) => {
+            val nibble = instr(lit("0123456789abcdef"), h.substr(i + 1, lit(1)))
+            acc + when(nibble >= 9, 1).otherwise(-1)
+          })
+          when(votes > 0, lit("1")).otherwise(lit("0"))
+        }), "")
+    }
 
   /** Canonical-form document fingerprint: md5 of the sorted distinct
     * token set — equal iff two docs are bag-of-words identical.
@@ -92,15 +136,25 @@ object TextOps {
   }
 
   /** Language-ID heuristic: argmax marker count, fixed priority order on
-    * ties, "und" (undetermined) when nothing matches.
+    * ties, "und" (undetermined) when nothing matches. The per-language
+    * scores are let-bound (computed once each), since the argmax CASE
+    * references every score several times.
     */
-  def langId(c: Column): Column = {
-    val scores = langMarkers.map { case (l, _) => l -> langScore(c, l) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
-      when(s > 0 && s === best, lit(l)).otherwise(acc)
+  def langId(c: Column): Column =
+    let(distinctTokens(c)) { dt =>
+      val rawScores = langMarkers.map { case (_, markers) =>
+        size(filter(dt, t => t.isin(markers.map(x => x: Any): _*)))
+      }
+      let(array(rawScores: _*)) { ss =>
+        val scores = langMarkers.zipWithIndex.map { case ((l, _), i) =>
+          l -> element_at(ss, i + 1)
+        }
+        val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+        scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+          when(s > 0 && s === best, lit(l)).otherwise(acc)
+        }
+      }
     }
-  }
 
   /** Quality metrics: alpha ratio, stopword ratio, mean token length —
     * the length/punct/stopword heuristics of LLM-corpus filtering.
@@ -111,8 +165,10 @@ object TextOps {
 
   def stopwordRatio(c: Column): Column = {
     val stops = langMarkers.toMap.apply("en")
-    size(filter(tokens(c), t => t.isin(stops.map(x => x: Any): _*)))
-      .cast("double") / size(tokens(c)).cast("double")
+    let(tokens(c)) { t =>
+      size(filter(t, x => x.isin(stops.map(s => s: Any): _*)))
+        .cast("double") / size(t).cast("double")
+    }
   }
 
   def meanTokenLen(c: Column): Column =

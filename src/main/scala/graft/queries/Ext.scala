@@ -36,6 +36,36 @@ object Ext {
   private val TopK = 10
   private val AnnK = 5
 
+  /** Per-doc minhash signature, aggregation-shaped: explode shingles,
+    * digest each shingle ONCE (codegen'd md5 -> 31-bit int), derive the
+    * numHashes seed values with cheap modular arithmetic, then map-side
+    * min-aggregate per seed. Same signature values as the per-row
+    * [[TextOps.minhashSignature]] (same oracle); the partial aggregation
+    * collapses each doc to one row before any shuffle, so per-doc shuffle
+    * volume is just the 16-element signature.
+    */
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    val hashes = (0 until NumHashes).map(i =>
+      ((lit(TextOps.hashA(i)) * col("v") + lit(TextOps.hashB(i)))
+        % TextOps.MersennePrime).as(s"h$i"))
+    val mins = (0 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i"))
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(TextOps.distinctShingles(col("text"), K)).as("sh"))
+      .select(col("doc_id"), TextOps.hash31(col("sh")).as("v"))
+      .select(col("doc_id") +: hashes: _*)
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Signature array rendered as the canonical csv string (shared by the
+    * digest and the oracle; Spark long and DuckDB BIGINT stringify
+    * identically).
+    */
+  private def sigCsv(sig: org.apache.spark.sql.Column) =
+    array_join(transform(sig, _.cast("string")), ",")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- E1: exact dedup (hash-groupBy keep-first) ----------------------
     "q_dedup_exact" -> ((s, d) =>
@@ -58,37 +88,42 @@ object Ext {
     // ---- E2: MinHash + LSH near-dup ------------------------------------
     // Per-doc 16-element minhash signature over 3-token shingles, plus the
     // 4 LSH band keys. Equality of any band key => near-dup candidate.
-    "q_dedup_minhash" -> ((s, d) => {
-      val sig = TextOps.minhashSignature(
-        TextOps.distinctShingles(col("text"), K), NumHashes)
-      documents(s, d)
+    "q_dedup_minhash" -> ((s, d) =>
+      minhashSig(s, d)
         .select(col("doc_id"),
-          md5(array_join(sig, "")).as("sig_digest"),
-          array_join(TextOps.lshBands(sig, Bands, RowsPerBand), ",")
+          md5(sigCsv(col("sig"))).as("sig_digest"),
+          array_join(TextOps.lshBands(col("sig"), Bands, RowsPerBand), ",")
             .as("bands"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // LSH bucket-size histogram: explode band keys, group into buckets,
     // histogram the bucket sizes. At scale this groupBy(band_key) IS the
     // near-dup candidate join; only (key, doc_id) pairs shuffle.
-    "q_dedup_lsh_buckets" -> ((s, d) => {
-      val sig = TextOps.minhashSignature(
-        TextOps.distinctShingles(col("text"), K), NumHashes)
-      documents(s, d)
-        .select(explode(TextOps.lshBands(sig, Bands, RowsPerBand))
+    "q_dedup_lsh_buckets" -> ((s, d) =>
+      minhashSig(s, d)
+        .select(explode(TextOps.lshBands(col("sig"), Bands, RowsPerBand))
           .as("band_key"))
         .groupBy(col("band_key")).agg(count(lit(1)).as("bucket_size"))
         .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
-        .orderBy(col("bucket_size"))
-    }),
+        .orderBy(col("bucket_size"))),
 
     // SimHash: 16-bit frequency-weighted signature; equal-or-close
-    // signatures (hamming) are near-dups. Output per doc for exactness.
-    "q_dedup_simhash" -> ((s, d) =>
+    // signatures (hamming) are near-dups. Aggregation-shaped like
+    // minhashSig: one codegen'd md5 per token, then 16 map-side-partial
+    // vote sums per doc (same values as the per-row TextOps.simhash16).
+    "q_dedup_simhash" -> ((s, d) => {
+      val votes = (0 until 16).map(i =>
+        sum(when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(-1))
+          .as(s"s$i"))
+      val bits = (0 until 16).map(i =>
+        when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
       documents(s, d)
-        .select(col("doc_id"), TextOps.simhash16(col("text")).as("simhash"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), md5(col("tok")).as("h"))
+        .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), concat(bits: _*).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
 
     // n-gram Jaccard over a deterministic linear pair set (doc i vs i+1):
     // the resemblance measure LSH approximates, computed exactly.
@@ -220,15 +255,21 @@ object Ext {
        |                     for i in range(1, len(t) - ${K - 2})])
        | ELSE [array_to_string(t, ' ')] END""".stripMargin
 
-  /** DuckDB expression: minhash signature of shingle-list column sh. */
-  private val sqlSig = {
-    val seeds = (0 until NumHashes).map(i => s"'$i'").mkString(", ")
-    s"[list_min(list_transform(sh, x -> md5(s || ':' || x))) for s in [$seeds]]"
-  }
+  /** DuckDB expression: 31-bit item hash of element x (TextOps.hash31). */
+  private val sqlHash31 =
+    "(('0x' || substring(md5(x), 1, 15))::BIGINT & 2147483647)"
+
+  /** DuckDB expression: minhash signature over pre-hashed item list vs,
+    * same universal-hash constants as TextOps.minhashSignature.
+    */
+  private val sqlSig =
+    (0 until NumHashes).map(i =>
+      s"list_min(list_transform(vs, v -> (${TextOps.hashA(i)} * v + ${TextOps.hashB(i)}) % 2147483647))")
+      .mkString("[", ", ", "]")
 
   /** DuckDB expression: LSH band keys of signature-list column sig. */
   private val sqlBands = (0 until Bands).map(b =>
-    s"md5('$b' || '|' || array_to_string(sig[${b * RowsPerBand + 1}:${(b + 1) * RowsPerBand}], ''))")
+    s"md5('$b' || '|' || array_to_string(sig[${b * RowsPerBand + 1}:${(b + 1) * RowsPerBand}], ','))")
 
   /** DuckDB expression: language-ID over token-list column t, matching
     * TextOps.langId (argmax marker hits, list-order priority on ties).
@@ -270,15 +311,17 @@ object Ext {
     "q_dedup_minhash" ->
       s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
          |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
-         |sg AS (SELECT doc_id, $sqlSig AS sig FROM sh)
-         |SELECT doc_id, md5(array_to_string(sig, '')) AS sig_digest,
+         |hv AS (SELECT doc_id, list_transform(sh, x -> $sqlHash31) AS vs FROM sh),
+         |sg AS (SELECT doc_id, $sqlSig AS sig FROM hv)
+         |SELECT doc_id, md5(array_to_string(sig, ',')) AS sig_digest,
          |  array_to_string([${sqlBands.mkString(", ")}], ',') AS bands
          |FROM sg ORDER BY doc_id""".stripMargin,
 
     "q_dedup_lsh_buckets" ->
       s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
          |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
-         |sg AS (SELECT doc_id, $sqlSig AS sig FROM sh),
+         |hv AS (SELECT doc_id, list_transform(sh, x -> $sqlHash31) AS vs FROM sh),
+         |sg AS (SELECT doc_id, $sqlSig AS sig FROM hv),
          |bk AS (SELECT unnest([${sqlBands.mkString(", ")}]) AS band_key FROM sg),
          |bs AS (SELECT band_key, count(*) AS bucket_size FROM bk GROUP BY band_key)
          |SELECT bucket_size, count(*) AS n_buckets FROM bs
