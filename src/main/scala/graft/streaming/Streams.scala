@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.pipeline.GmailPipeline
+import graft.schema.GmailSchema
+
+/** Streaming semantics (SURVEY.md §2.10), Structured-Streaming-first.
+  *
+  * The reference is an `@daily` Airflow batch (gmail_dag.py:5) whose only
+  * state is the infinite-retention dedup table (init.sql:25-28). In
+  * Spark terms that is a file-source stream with `Trigger.AvailableNow`
+  * (one catch-up micro-batch per scheduled run, T1), `dropDuplicates` on
+  * id for exact parity with the never-expiring state table (T2), and
+  * checkpoint-based recovery giving the same at-least-once + idempotent
+  * commit the reference gets from its write-then-commit protocol (T3).
+  *
+  * Beyond parity, the module carries the windowed/stateful operators any
+  * 100 TB event pipeline needs: watermarked tumbling aggregation (T5)
+  * and arbitrary per-key state (running profiles, sessionization) via
+  * mapGroupsWithState / flatMapGroupsWithState. State stores shard by
+  * groupBy key, so every operator here scales horizontally with
+  * executors; watermarks bound state for unbounded streams.
+  */
+object Streams {
+
+  /** Raw-zone stream (T1/T6): line-delimited JSON message resources.
+    * `maxFilesPerTrigger` is the streaming twin of the reference's
+    * 300-new-messages budget (gmail_functions.py:151); `cleanSource =
+    * archive` is the streaming twin of its post-commit blob move to
+    * processed/ (gmail_functions.py:312-315) — both handled by the
+    * engine, not hand-rolled code.
+    */
+  def rawStream(spark: SparkSession, rawDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      archiveDir: Option[String] = None): DataFrame = {
+    var r = spark.readStream.schema(GmailSchema.messageType)
+    maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
+    archiveDir.foreach { a =>
+      r = r.option("cleanSource", "archive").option("sourceArchiveDir", a)
+    }
+    r.json(rawDir)
+  }
+
+  /** T2: streaming exact dedup. `withinWatermark = None` matches the
+    * reference's never-expiring state table exactly (state grows with
+    * distinct ids — fine for 300 ids/day, documented); at real volume
+    * pass a watermark so the store stays bounded.
+    */
+  def dedup(messages: DataFrame, idCol: String = "id",
+      withinWatermark: Option[(String, String)] = None): DataFrame =
+    withinWatermark match {
+      case Some((tsCol, delay)) =>
+        messages.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark(idCol)
+      case None => messages.dropDuplicates(idCol)
+    }
+
+  /** EP2 as a stream: the same formatMessages lineage the batch path
+    * uses — one definition of the transform, two execution modes.
+    */
+  def formattedStream(raw: DataFrame, linkedinEnabled: Boolean = false): DataFrame =
+    GmailPipeline.formatMessages(raw, linkedinEnabled)
+      .filter(col("id").isNotNull)
+
+  /** T5: watermarked tumbling-window aggregation over an event stream
+    * (schema of the `events` test table). Late rows beyond `lateness`
+    * are dropped and their window state evicted — bounded state at any
+    * scale. Batch twin: q_stream_tumble.
+    */
+  def tumblingCounts(events: DataFrame, width: String = "300 seconds",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  // ---- arbitrary stateful processing ------------------------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
+      last_seen: java.sql.Timestamp)
+
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Running per-user profile via mapGroupsWithState (Update mode):
+    * the "current state of every key" operator (counters, feature
+    * aggregates, fraud scores). State is one small record per user,
+    * sharded by key across the cluster.
+    */
+  def userProfiles(events: Dataset[Event]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserProfile]) =>
+          val prev = state.getOption
+            .getOrElse(UserProfile(user, 0L, 0.0, new java.sql.Timestamp(0)))
+          val next = batch.foldLeft(prev) { (p, e) =>
+            UserProfile(user, p.n_events + 1, p.total_value + e.value,
+              if (e.ts.after(p.last_seen)) e.ts else p.last_seen)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Gap-based sessionization via flatMapGroupsWithState (Append mode,
+    * event-time timeout): a session closes when no event arrives within
+    * `gapSeconds` of its last event (emitted once the watermark passes
+    * the gap). The canonical "operator Spark lacks as a built-in,
+    * expressed with the engine's own state machinery" — no custom
+    * SparkPlan needed.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+      lateness: String = "10 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed += Session(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** T1+T3: one scheduled catch-up run — AvailableNow trigger, exactly
+    * the reference's @daily batch but with checkpointed source offsets
+    * replacing the hand-rolled id-table commit protocol. Parquet sink
+    * commits are idempotent per micro-batch (T3 exactly-once files).
+    */
+  def runAvailableNow(df: DataFrame, outDir: String, checkpoint: String):
+      StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, Session, UserProfile}
+
+/** Structured Streaming coverage (SURVEY.md §2.10): tumbling windows,
+  * streaming dedup, arbitrary state (profiles, sessions), and the
+  * AvailableNow file pipeline with checkpoint recovery.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private def ev(id: Long, t: Long, user: Long, typ: String = "click",
+      v: Double = 1.0) = Event(id, ts(t), user, typ, v)
+
+  test("tumblingCounts: watermarked window aggregation") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.tumblingCounts(in.toDF(), "300 seconds", "10 minutes")
+      .writeStream.format("memory").queryName("tumble")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two full buckets, then an event far ahead to advance the watermark
+      in.addData(ev(1, 10, 1), ev(2, 20, 1), ev(3, 310, 2, "buy", 5.0))
+      q.processAllAvailable()
+      in.addData(ev(4, 7200, 1))
+      q.processAllAvailable()
+      val rows = spark.table("tumble")
+        .select($"bucket_start".cast("long"), $"event_type", $"n",
+          $"total_value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(rows.contains((0L, "click", 2L, 2.0)))
+      assert(rows.contains((300L, "buy", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("dedup: duplicate ids collapse across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.dedup(in.toDF().toDF("id", "v"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(("a", 1L), ("a", 2L), ("b", 3L))
+      q.processAllAvailable()
+      in.addData(("a", 4L), ("c", 5L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select($"id").as[String]
+        .collect().sorted
+      assert(ids.toSeq == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
+  test("userProfiles: running per-key state via mapGroupsWithState") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.userProfiles(in.toDS())
+      .writeStream.format("memory").queryName("profiles")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(ev(1, 10, 1, v = 2.0), ev(2, 20, 1, v = 3.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 30, 1, v = 5.0), ev(4, 5, 2, v = 7.0))
+      q.processAllAvailable()
+      val last = spark.table("profiles").as[UserProfile].collect()
+        .groupBy(_.user_id).map { case (u, ps) =>
+          u -> ps.maxBy(_.n_events)
+        }
+      assert(last(1L).n_events == 3 && last(1L).total_value == 10.0)
+      assert(last(1L).last_seen == ts(30))
+      assert(last(2L).n_events == 1 && last(2L).total_value == 7.0)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-based sessions close via event-time timeout") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS(), gapSeconds = 60,
+        lateness = "5 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // session 1: user 1, events at 1000/1030/1059s (offset from epoch:
+      // the initial watermark is 0 and rows at/before it are late);
+      // then silence
+      in.addData(ev(1, 1000, 1), ev(2, 1030, 1), ev(3, 1059, 1))
+      q.processAllAvailable()
+      // a much later event advances the watermark past 1059s + 60s gap,
+      // timing out user 1's session; it also opens session 2
+      in.addData(ev(4, 2000, 1))
+      q.processAllAvailable()
+      in.addData(ev(5, 4000, 2))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Session].collect()
+      val s1 = sessions.find(s => s.user_id == 1 &&
+        s.session_start == ts(1000))
+      assert(s1.isDefined, s"got ${sessions.toSeq}")
+      assert(s1.get.session_end == ts(1059) && s1.get.n_events == 3)
+    } finally q.stop()
+  }
+
+  test("availableNow pipeline: file source -> parquet, checkpointed") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val raw = s"$dir/raw"; val out = s"$dir/out"; val ck = s"$dir/ck"
+    new java.io.File(raw).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$raw/b1.json"),
+      Fixtures.message("m1").replaceAll("\n", " ") + "\n" +
+        Fixtures.message("m2").replaceAll("\n", " ") + "\n")
+    val q = Streams.runAvailableNow(
+      Streams.formattedStream(Streams.rawStream(spark, raw)), out, ck)
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+    // second run with no new files: checkpoint prevents re-processing
+    val q2 = Streams.runAvailableNow(
+      Streams.formattedStream(Streams.rawStream(spark, raw)), out, ck)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+  }
+}
