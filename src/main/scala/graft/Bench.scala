@@ -7,6 +7,7 @@ object Bench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       // test tables are single parquet files; split them so scans use
       // every core (at cluster scale files are already multi-block)

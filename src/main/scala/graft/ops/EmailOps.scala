@@ -121,10 +121,10 @@ object EmailOps {
     array_join(transform(bodyChunks(payload), c => decodeB64Utf8(c)), " ")
 
   /** F3: deterministic HTML→text (spec'd bs4 get_text(strip=True) — see
-    * [[HtmlText.clean]]).
+    * [[HtmlText.clean]]), as the native codegen'd expression
+    * [[graft.functions.HtmlToText]] rather than a UDF black box.
     */
-  val htmlToText: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((html: String) => HtmlText.clean(html))
+  def htmlToText(html: Column): Column = graft.functions.HtmlToText(html)
 
   /** F3+F4 composed: the reference's full body cleanup chain. */
   def cleanedBodyText(payload: Column): Column =
