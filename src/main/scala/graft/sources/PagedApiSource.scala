@@ -1,0 +1,218 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 source for a paginated message API — the reference's
+  * Gmail scan (S1/S2, resources/gmail_functions.py:162-185) as a real
+  * Spark connector instead of a driver-side loop.
+  *
+  * Execution shape (the 100 TB design):
+  *  - LIST pagination is inherently sequential (each page carries the
+  *    next token), so it runs once on the driver and is CHEAP — ids only.
+  *  - The expensive per-message GET (the reference's N+1 HTTP loop) is
+  *    distributed: listed ids are chunked into input partitions and each
+  *    executor task fetches its own chunk in parallel.
+  *  - LIMIT PUSHDOWN ([[SupportsPushDownLimit]]) stops the driver-side
+  *    listing as soon as enough ids are seen — `df.limit(300)` never
+  *    lists page 4 (the reference's `limit=300` budget, :151, as an
+  *    optimizer contract instead of a hand-rolled counter).
+  *  - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): a query that
+  *    only touches `id` (e.g. the state anti-join probe) never calls GET
+  *    at all — the reference's manual "probe state before fetching body"
+  *    optimization (:173-181), derived automatically from the plan.
+  *
+  * Schema is `(id STRING, json STRING)`: the source stays a scan
+  * operator; structural parsing is Catalyst's job downstream via
+  * `from_json(json, GmailSchema.messageType)`.
+  *
+  * The API itself is pluggable ([[PagedApiClient]]) and re-instantiated
+  * from (class name, options) inside each task — clients need not be
+  * serializable, exactly how JDBC connections work in Spark's own
+  * sources. No network exists in this environment, so the shipped client
+  * is file-backed ([[FixtureApiClient]]); an HTTP client is the same
+  * interface plus auth options.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.PagedApiSource")
+  *     .option("client", classOf[FixtureApiClient].getName)
+  *     .option("path", dir).load()
+  * }}}
+  */
+class PagedApiSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedApiSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PagedApiTable(properties.asScala.toMap)
+}
+
+object PagedApiSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("json", StringType, nullable = true)))
+}
+
+/** One page of listed message ids plus the continuation token. */
+case class PageResult(ids: Seq[String], nextToken: Option[String])
+
+/** Pluggable API client. Implementations need a no-arg constructor;
+  * `init(options)` is called before use (driver for listing, executor
+  * for fetching).
+  */
+trait PagedApiClient {
+  def init(options: Map[String, String]): Unit
+  def listPage(pageToken: Option[String]): PageResult
+  def get(id: String): String
+}
+
+object PagedApiClient {
+  def instantiate(options: Map[String, String]): PagedApiClient = {
+    val cls = options.getOrElse("client", classOf[FixtureApiClient].getName)
+    val c = Class.forName(cls).getDeclaredConstructor()
+      .newInstance().asInstanceOf[PagedApiClient]
+    c.init(options)
+    c
+  }
+}
+
+private[sources] class PagedApiTable(options: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"paged_api(${options.getOrElse("path", "?")})"
+  override def schema(): StructType = PagedApiSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap):
+      ScanBuilder = new PagedApiScanBuilder(options)
+}
+
+private[sources] class PagedApiScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownLimit
+    with SupportsPushDownRequiredColumns {
+
+  private var limit: Option[Int] = None
+  private var schema: StructType = PagedApiSource.schema
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  override def pruneColumns(required: StructType): Unit = {
+    // always keep id (it is free — listing yields it); json is the one
+    // worth dropping, since absent json means no GET calls at all
+    schema = StructType(PagedApiSource.schema.fields
+      .filter(f => f.name == "id" || required.fieldNames.contains(f.name)))
+  }
+
+  override def build(): Scan = new PagedApiScan(options, limit, schema)
+}
+
+private[sources] class PagedApiScan(options: Map[String, String],
+    limit: Option[Int], prunedSchema: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = prunedSchema
+  override def toBatch: Batch = this
+
+  // memoized: Spark may call planInputPartitions more than once per scan
+  // (planning and execution); the listing must run exactly once
+  private lazy val partitions: Array[InputPartition] = listAndChunk()
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
+
+  private def listAndChunk(): Array[InputPartition] = {
+    // driver-side sequential listing — ids only, stops at the pushed limit
+    val client = PagedApiClient.instantiate(options)
+    val ids = Seq.newBuilder[String]
+    var n = 0
+    var token: Option[String] = None
+    var done = false
+    while (!done) {
+      val page = client.listPage(token)
+      val take = limit.map(l => math.min(l - n, page.ids.size))
+        .getOrElse(page.ids.size)
+      ids ++= page.ids.take(take)
+      n += take
+      token = page.nextToken
+      done = token.isEmpty || limit.exists(n >= _)
+    }
+    val all = ids.result()
+    val chunk = options.getOrElse("idsPerPartition", "512").toInt
+    val parts = all.grouped(chunk).map(g =>
+      PagedApiPartition(g.toArray, options): InputPartition).toArray
+    if (parts.isEmpty) Array(PagedApiPartition(Array.empty, options))
+    else parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedApiReaderFactory(prunedSchema.fieldNames.contains("json"))
+}
+
+private[sources] case class PagedApiPartition(ids: Array[String],
+    options: Map[String, String]) extends InputPartition
+
+private[sources] class PagedApiReaderFactory(fetchJson: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition):
+      PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagedApiPartition]
+    new PartitionReader[InternalRow] {
+      // client rebuilt inside the task — the executor-side GET path
+      private lazy val client = PagedApiClient.instantiate(p.options)
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < p.ids.length }
+      override def get(): InternalRow = {
+        val id = p.ids(i)
+        if (fetchJson)
+          InternalRow(UTF8String.fromString(id),
+            UTF8String.fromString(client.get(id)))
+        else
+          InternalRow(UTF8String.fromString(id))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** File-backed client: serves pages and messages from a JSONL file
+  * (`<path>/messages.jsonl`, one message resource per line, each with a
+  * top-level "id"). Options: `path` (required), `pageSize` (default 100).
+  */
+class FixtureApiClient extends PagedApiClient {
+  private var lines: Vector[String] = Vector.empty
+  private var byId: Map[String, String] = Map.empty
+  private var pageSize: Int = 100
+
+  private val idRe = """"id"\s*:\s*"([^"]+)"""".r
+
+  override def init(options: Map[String, String]): Unit = {
+    val path = options.getOrElse("path",
+      throw new IllegalArgumentException("paged-api: 'path' option required"))
+    pageSize = options.getOrElse("pageSize", "100").toInt
+    val f = java.nio.file.Paths.get(path, "messages.jsonl")
+    lines = java.nio.file.Files.readAllLines(f).asScala.toVector
+      .filter(_.trim.nonEmpty)
+    byId = lines.map(l => idOf(l) -> l).toMap
+  }
+
+  private def idOf(line: String): String =
+    idRe.findFirstMatchIn(line).map(_.group(1)).getOrElse(
+      throw new IllegalArgumentException(s"no id in: ${line.take(80)}"))
+
+  override def listPage(pageToken: Option[String]): PageResult = {
+    val start = pageToken.map(_.toInt).getOrElse(0)
+    val page = lines.slice(start, start + pageSize)
+    val next = if (start + pageSize < lines.size)
+      Some((start + pageSize).toString) else None
+    PageResult(page.map(idOf), next)
+  }
+
+  override def get(id: String): String = byId(id)
+}
