@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan regression tests: the scale properties the queries
+  * claim (pushdown, pruning, broadcast, top-k, no cartesian joins) are
+  * asserted on the actual executed plans, so a refactor that silently
+  * turns a broadcast join into a cartesian product fails CI, not a
+  * 1000-executor run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** (executed physical plan, formatted explain) after materialization,
+    * so AQE has finalized its runtime re-plan. Codegen spans show as
+    * `*(n)` prefixes in the executed plan; the formatted explain carries
+    * untruncated PushedFilters/ReadSchema.
+    */
+  private def planOf(name: String): (String, String) = {
+    val df = SparkEntry.queries(name)(spark, d)
+    df.collect() // materialize so AQE finalizes its plan
+    val executed = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p: SparkPlan => p
+    }
+    (executed.toString,
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val (_, f) = planOf("q_filter_project")
+    assert(f.contains("EqualTo(l_returnflag,R)"), f.take(3000))
+    assert(f.contains("GreaterThan(l_quantity,30.0)"), f.take(3000))
+    // column pruning: the scan never reads l_tax
+    val readSchema = f.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.nonEmpty && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("small-dimension join broadcasts, big side does not shuffle") {
+    val (p, _) = planOf("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val (p, _) = planOf("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("no query plans a cartesian product or nested-loop join") {
+    // the broadcast query batch in the sim/ann queries is the one sanctioned
+    // nested-loop (5-row build side); everything else must be hash/merge
+    val exempt = Set("q_sim_topk", "q_ann_lsh", "q_dedup_cosine",
+      "q_dedup_jaccard")
+    for (name <- SparkEntry.queries.keys if !exempt(name)) {
+      val (p, _) = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+    }
+  }
+
+  test("range join is a bucketed equi-join, never a cartesian") {
+    val (p, _) = planOf("q_join_range")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("Join") && p.contains("bkt"), p.take(3000))
+  }
+
+  test("aggregations partial-aggregate map-side before the shuffle") {
+    val (p, _) = planOf("q_agg_group")
+    // two HashAggregate levels around one Exchange = map-side combine
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("whole-stage codegen covers the hot path of the flagship query") {
+    val (p, _) = planOf("q_agg_group")
+    // codegen'd stages carry the `*(n)` prefix in the executed plan
+    assert(p.contains("*("), p.take(2000))
+  }
+
+  test("dedup signature queries shuffle signatures, not documents") {
+    val (p, _) = planOf("q_dedup_minhash")
+    // the shuffle input is the map-side partial min aggregate — its
+    // output must be (doc_id, per-seed mins), never the document text
+    val partial = p.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("partial_min"))
+      .mkString
+    assert(partial.nonEmpty && !partial.contains("text#"), partial.take(1000))
+  }
+}
