@@ -71,4 +71,71 @@ class PropertySpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got == cases.map(_._2))
   }
+
+  // ---- extension-op properties (SURVEY.md §2.11) ------------------------
+
+  private val tokenSetGen: Gen[Seq[String]] =
+    Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.identifier.map(_.take(6)).suchThat(_.nonEmpty)))
+
+  test("minhash union law: sig(A ∪ B) == elementwise min(sig(A), sig(B))") {
+    import graft.ext.TextOps
+    import spark.implicits._
+    val pairs = Gen.listOfN(40, Gen.zip(tokenSetGen, tokenSetGen)).sample.get
+    val df = pairs.toDF("a", "b")
+      .select(
+        TextOps.minhashSignature(col("a"), 8).as("sa"),
+        TextOps.minhashSignature(col("b"), 8).as("sb"),
+        TextOps.minhashSignature(array_union(col("a"), col("b")), 8)
+          .as("su"))
+      .select(zip_with(col("sa"), col("sb"), (x, y) => least(x, y)).as("mn"),
+        col("su"))
+    assert(df.collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("fingerprint is permutation- and duplication-invariant") {
+    import graft.ext.TextOps
+    import spark.implicits._
+    val sets = Gen.listOfN(40, tokenSetGen).sample.get
+    val texts = sets.map(_.mkString(" "))
+    val permuted = sets.map(s => (scala.util.Random.shuffle(s) ++ s.take(1))
+      .mkString(" "))
+    val fp = texts.zip(permuted).toDF("a", "b")
+      .select(TextOps.fingerprint(lower(col("a"))).as("fa"),
+        TextOps.fingerprint(lower(col("b"))).as("fb"))
+    assert(fp.collect().forall(r => r.getString(0) == r.getString(1)))
+  }
+
+  test("cosine: reflexive 1, symmetric, bounded") {
+    import graft.ext.VectorOps
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16,
+      Gen.chooseNum(-100, 100).map(_.toFloat / 10f))
+      .suchThat(_.exists(_ != 0f)).map(_.toArray)
+    val pairs = Gen.listOfN(40, Gen.zip(vecGen, vecGen)).sample.get
+    val df = pairs.toDF("a", "b")
+      .select(VectorOps.toDouble(col("a")).as("a"),
+        VectorOps.toDouble(col("b")).as("b"))
+      .select(
+        VectorOps.cosine(col("a"), col("a")).as("aa"),
+        VectorOps.cosine(col("a"), col("b")).as("ab"),
+        VectorOps.cosine(col("b"), col("a")).as("ba"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(r.getDouble(1) == r.getDouble(2)) // exact: same fold order
+      assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-12)
+    }
+  }
+
+  test("jaccard of shingle sets: bounded, reflexive 1") {
+    import graft.ext.TextOps
+    import spark.implicits._
+    val texts = Gen.listOfN(30, tokenSetGen).sample.get.map(_.mkString(" "))
+    val df = texts.toDF("t")
+      .select(TextOps.distinctShingles(lower(col("t")), 3).as("sh"))
+      .select(
+        (size(array_intersect(col("sh"), col("sh"))).cast("double") /
+          size(array_union(col("sh"), col("sh"))).cast("double")).as("self"))
+    assert(df.collect().forall(_.getDouble(0) == 1.0))
+  }
 }
