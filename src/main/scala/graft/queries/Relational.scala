@@ -178,6 +178,44 @@ object Relational {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    "q_agg_cube" -> ((s, d) =>
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumDec(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Second-moment statistics from EXACT decimal sums (S1, S2), so the
+    // derived mean/variance/stddev are order-independent doubles — the
+    // built-in one-pass stddev/var aggregates are partitioning-dependent
+    // in their low bits and cannot be hash-compared across engines.
+    "q_agg_stats" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("s1"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity")))
+            .cast("double").as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("s1") / col("n"), 6).as("mean_qty"),
+          round((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1), 6).as("var_qty"),
+          round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1)), 6).as("std_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // Pivot: one output column per status value (explicit value list, so
+    // the plan is a single pass of conditional aggregates — no second
+    // distinct-scan at 100 TB).
+    "q_pivot" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))),
+
     // HLL++ is exact at this cardinality (25 nations), so the oracle twin
     // can use exact COUNT(DISTINCT). At real cardinalities this is the
     // sketch path: one pass, fixed memory per group.
@@ -230,6 +268,18 @@ object Relational {
           lead(col("value"), 1).over(w).as("next_value"),
           (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
             .as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Distribution windows: exact rational doubles in both engines.
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("event_id"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
         .orderBy(col("event_id"))
     }),
 
@@ -363,6 +413,39 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag, n, round(s1 / n, 6) AS mean_qty,
+        |  round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_qty,
+        |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS std_qty
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT event_id,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     // q_agg_approx is deliberately NOT oracle-checked: Spark's HLL++ answers
     // 26 for 25 true distincts at this rsd, and the whole point of the sketch
