@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins (SURVEY.md §4 scale toolkit).
+  *
+  * First-line defense is AQE's runtime skew-join splitting
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default) — prefer it.
+  * Salting is the explicit fallback for when skew is known up front or
+  * AQE can't help (e.g. the skewed side feeds an aggregation, or the
+  * join is a broadcast candidate that doesn't fit memory): the hot key's
+  * rows scatter across `numSalts` reducers instead of serializing
+  * through one.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `key`, salted: the big side gets a
+    * deterministic salt derived from its whole row (identical-key rows
+    * spread across salts), the small side is replicated once per salt,
+    * and the join key becomes (key, salt). Result equals the plain
+    * inner equi-join; the shuffle spreads each hot key over `numSalts`
+    * partitions at the cost of a `numSalts`x replication of the small
+    * side — same trade Spark's own skew hints make.
+    */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
+      numSalts: Int): DataFrame = {
+    require(numSalts > 0)
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(numSalts)))
+    val saltedSmall = small.withColumn("_salt",
+      explode(array((0 until numSalts).map(s => lit(s.toLong)): _*)))
+    saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Per-key frequency above a threshold — the cheap pre-pass that
+    * decides whether to salt at all (run on a sample at scale).
+    */
+  def hotKeys(df: DataFrame, key: String, minCount: Long): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+}

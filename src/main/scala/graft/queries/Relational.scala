@@ -226,6 +226,15 @@ object Relational {
           count(lit(1)).as("n_rows"))
         .orderBy(col("c_mktsegment"))),
 
+    // Custom typed Aggregator (bounded top-k state per group — the
+    // collect_list-free shape that survives skewed groups at scale).
+    "q_agg_topk_group" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(graft.ops.Aggregators.topKByScore(3)(
+          col("o_totalprice"), col("o_orderkey")).as("top_orders"))
+        .orderBy(col("o_custkey"))),
+
     // A1: collect + ordered join (reference body assembly,
     // gmail_functions.py:286-291) — array_join(sort_array(collect_list)).
     "q_collect_join" -> ((s, d) =>
@@ -450,6 +459,18 @@ object Relational {
     // q_agg_approx is deliberately NOT oracle-checked: Spark's HLL++ answers
     // 26 for 25 true distincts at this rsd, and the whole point of the sketch
     // is to not be exact. The driver records a rows-only check for it.
+
+    "q_agg_topk_group" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, row_number() OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn)
+        |    AS top_orders
+        |FROM r WHERE rn <= 3 GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_collect_join" ->
       """SELECT l_orderkey,
