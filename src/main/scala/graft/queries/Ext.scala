@@ -44,12 +44,12 @@ object Ext {
     * collapses each doc to one row before any shuffle, so per-doc shuffle
     * volume is just the 16-element signature.
     */
-  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+  private def minhashSigOf(docs: DataFrame): DataFrame = {
     val hashes = (0 until NumHashes).map(i =>
       ((lit(TextOps.hashA(i)) * col("v") + lit(TextOps.hashB(i)))
         % TextOps.MersennePrime).as(s"h$i"))
     val mins = (0 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i"))
-    documents(s, d)
+    docs
       .select(col("doc_id"),
         explode(TextOps.distinctShingles(col("text"), K)).as("sh"))
       .select(col("doc_id"), TextOps.hash31(col("sh")).as("v"))
@@ -57,6 +57,24 @@ object Ext {
       .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    minhashSigOf(documents(s, d).select(col("doc_id"), col("text")))
+
+  /** documents plus truncated copies (last 2 tokens dropped) of the
+    * first 20 docs at doc_id+100000 — synthetic near-dups so the LSH
+    * candidate-pair pipeline has something to find, identically
+    * constructed on the oracle side.
+    */
+  private def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val mutated = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        TextOps.let(TextOps.tokens(col("text"))) { t =>
+          array_join(slice(t, lit(1), size(t) - 2), " ")
+        }.as("text"))
+    base.unionByName(mutated)
   }
 
   /** Signature array rendered as the canonical csv string (shared by the
@@ -106,6 +124,39 @@ object Ext {
         .groupBy(col("band_key")).agg(count(lit(1)).as("bucket_size"))
         .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
         .orderBy(col("bucket_size"))),
+
+    // The COMPLETE near-dup pipeline in one query: shingle -> minhash ->
+    // band -> bucket-join producing candidate pairs -> exact-Jaccard
+    // verification. Candidate generation is an equi-join on band_key
+    // (shuffle on the key, never all-pairs); exact Jaccard runs only on
+    // candidates. Synthetic near-dups (truncated copies) make the result
+    // non-empty on this corpus.
+    "q_dedup_pairs" -> ((s, d) => {
+      val docs = docsWithNearDups(s, d)
+      val bands = minhashSigOf(docs).select(col("doc_id"),
+        explode(TextOps.lshBands(col("sig"), Bands, RowsPerBand))
+          .as("band_key"))
+      val pairs = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val sh = docs.select(col("doc_id"),
+        TextOps.distinctShingles(col("text"), K).as("sh"))
+      pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+          Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // SimHash: 16-bit frequency-weighted signature; equal-or-close
     // signatures (hamming) are near-dups. Aggregation-shaped like
@@ -326,6 +377,29 @@ object Ext {
          |bs AS (SELECT band_key, count(*) AS bucket_size FROM bk GROUP BY band_key)
          |SELECT bucket_size, count(*) AS n_buckets FROM bs
          |GROUP BY bucket_size ORDER BY bucket_size""".stripMargin,
+
+    "q_dedup_pairs" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |    array_to_string(
+         |      (${sqlTokens("text")})[1:len(${sqlTokens("text")}) - 2], ' ') AS text
+         |  FROM documents WHERE doc_id < 20),
+         |tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM docs),
+         |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
+         |hv AS (SELECT doc_id, list_transform(sh, x -> $sqlHash31) AS vs FROM sh),
+         |sg AS (SELECT doc_id, $sqlSig AS sig FROM hv),
+         |bk AS (SELECT doc_id, unnest([${sqlBands.mkString(", ")}]) AS band_key FROM sg),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT * FROM (
+         |  SELECT id_a, id_b,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |          CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE), 6)
+         |      AS jaccard
+         |  FROM pairs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""SELECT doc_id, $sqlSimhash AS simhash
