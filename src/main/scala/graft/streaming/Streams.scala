@@ -159,6 +159,15 @@ object Streams {
       }
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension. The static side is broadcast per micro-batch (re-read
+    * each trigger, so slowly-changing dims stay fresh) — the streaming
+    * twin of `q_join_broadcast`; the stream never shuffles.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key),
+      "left")
+
   /** T1+T3: one scheduled catch-up run — AvailableNow trigger, exactly
     * the reference's @daily batch but with checkpointed source offsets
     * replacing the hand-rolled id-table commit protocol. Parquet sink
@@ -171,6 +180,23 @@ object Streams {
       .option("path", outDir)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** T3 generalized: transactional multi-sink commit via foreachBatch.
+    * The reference's protocol — write raw, then commit state only on
+    * success (gmail_functions.py:131-137) — becomes a per-micro-batch
+    * function of (batchDf, batchId). Re-delivered batches carry the SAME
+    * batchId after a crash, so a commit function that records batchId
+    * (or writes idempotently, as parquet jobs do) yields effective
+    * exactly-once across BOTH sinks, with no hand-rolled id probing.
+    */
+  def runWithBatchCommit(df: DataFrame, checkpoint: String)
+      (commit: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .foreachBatch(commit)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .start()
 }

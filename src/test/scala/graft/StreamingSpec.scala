@@ -108,6 +108,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich: stream-static broadcast join per micro-batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = Streams.enrich(in.toDF(), dim, "user_id")
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, 10, 1), ev(2, 20, 2), ev(3, 30, 9))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows == Map(1L -> "gold", 2L -> "basic", 3L -> null))
+    } finally q.stop()
+  }
+
+  test("runWithBatchCommit: batch ids stable, both sinks commit together") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-commit").toString
+    val in = MemoryStream[Event]
+    val seenBatches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def commit(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      // "raw sink first, state second" — both keyed by batch id so a
+      // re-delivered batch overwrites instead of duplicating
+      batch.write.mode("overwrite").parquet(s"$dir/raw/batch=$id")
+      batch.select($"event_id").write.mode("overwrite")
+        .parquet(s"$dir/state/batch=$id")
+      seenBatches.synchronized { seenBatches += id }
+    }
+    in.addData(ev(1, 10, 1), ev(2, 20, 1))
+    Streams.runWithBatchCommit(in.toDF(), s"$dir/ck")(commit)
+      .awaitTermination()
+    in.addData(ev(3, 30, 2))
+    Streams.runWithBatchCommit(in.toDF(), s"$dir/ck")(commit)
+      .awaitTermination()
+    assert(seenBatches.toSeq == Seq(0L, 1L))
+    assert(spark.read.parquet(s"$dir/raw").count() == 3)
+    assert(spark.read.parquet(s"$dir/state").count() == 3)
+  }
+
   test("availableNow pipeline: file source -> parquet, checkpointed") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val raw = s"$dir/raw"; val out = s"$dir/out"; val ck = s"$dir/ck"
