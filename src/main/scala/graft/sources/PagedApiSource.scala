@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -74,6 +75,11 @@ trait PagedApiClient {
   def init(options: Map[String, String]): Unit
   def listPage(pageToken: Option[String]): PageResult
   def get(id: String): String
+  /** Existence-safe fetch, used by keyed lookups where the id came from
+    * a pushed predicate rather than the listing.
+    */
+  def getIfExists(id: String): Option[String] =
+    try Some(get(id)) catch { case _: NoSuchElementException => None }
 }
 
 object PagedApiClient {
@@ -98,10 +104,12 @@ private[sources] class PagedApiTable(options: Map[String, String])
 
 private[sources] class PagedApiScanBuilder(options: Map[String, String])
     extends ScanBuilder with SupportsPushDownLimit
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var limit: Option[Int] = None
   private var schema: StructType = PagedApiSource.schema
+  private var keyedIds: Option[Seq[String]] = None
+  private var pushed: Array[sources.Filter] = Array.empty
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
@@ -112,11 +120,38 @@ private[sources] class PagedApiScanBuilder(options: Map[String, String])
       .filter(f => f.name == "id" || required.fieldNames.contains(f.name)))
   }
 
-  override def build(): Scan = new PagedApiScan(options, limit, schema)
+  /** `id = x` / `id IN (...)` become keyed lookups: the scan skips
+    * pagination entirely and fetches exactly those ids — the
+    * reference's direct messages.get (S2) derived from the plan.
+    */
+  override def pushFilters(filters: Array[sources.Filter]):
+      Array[sources.Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case sources.EqualTo("id", _: String) => true
+      case sources.In("id", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    keyedIds = accepted.foldLeft(Option.empty[Seq[String]]) { (acc, f) =>
+      val ids = f match {
+        case sources.EqualTo(_, v: String) => Seq(v)
+        case sources.In(_, vs) => vs.toSeq.map(_.asInstanceOf[String])
+        case _ => Seq.empty
+      }
+      Some(acc.map(_.intersect(ids)).getOrElse(ids))
+    }
+    pushed = accepted
+    rejected // Spark re-applies anything we do not fully handle
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = new PagedApiScan(options, limit, schema,
+    keyedIds)
 }
 
 private[sources] class PagedApiScan(options: Map[String, String],
-    limit: Option[Int], prunedSchema: StructType) extends Scan with Batch {
+    limit: Option[Int], prunedSchema: StructType,
+    keyedIds: Option[Seq[String]] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
@@ -128,7 +163,20 @@ private[sources] class PagedApiScan(options: Map[String, String],
   override def planInputPartitions(): Array[InputPartition] = partitions
 
   private def listAndChunk(): Array[InputPartition] = {
-    // driver-side sequential listing — ids only, stops at the pushed limit
+    // keyed lookup: pushed id predicates skip the listing entirely
+    val all = keyedIds.map(ids => limit.fold(ids.sorted)(ids.sorted.take))
+      .getOrElse(listIds())
+    val chunk = options.getOrElse("idsPerPartition", "512").toInt
+    val parts = all.grouped(chunk).map(g =>
+      PagedApiPartition(g.toArray, options): InputPartition).toArray
+    if (parts.isEmpty) Array(PagedApiPartition(Array.empty, options))
+    else parts
+  }
+
+  /** Driver-side sequential listing — ids only, stops at the pushed
+    * limit.
+    */
+  private def listIds(): Seq[String] = {
     val client = PagedApiClient.instantiate(options)
     val ids = Seq.newBuilder[String]
     var n = 0
@@ -143,39 +191,44 @@ private[sources] class PagedApiScan(options: Map[String, String],
       token = page.nextToken
       done = token.isEmpty || limit.exists(n >= _)
     }
-    val all = ids.result()
-    val chunk = options.getOrElse("idsPerPartition", "512").toInt
-    val parts = all.grouped(chunk).map(g =>
-      PagedApiPartition(g.toArray, options): InputPartition).toArray
-    if (parts.isEmpty) Array(PagedApiPartition(Array.empty, options))
-    else parts
+    ids.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedApiReaderFactory(prunedSchema.fieldNames.contains("json"))
+    new PagedApiReaderFactory(prunedSchema.fieldNames.contains("json"),
+      keyed = keyedIds.isDefined)
 }
 
 private[sources] case class PagedApiPartition(ids: Array[String],
     options: Map[String, String]) extends InputPartition
 
-private[sources] class PagedApiReaderFactory(fetchJson: Boolean)
-    extends PartitionReaderFactory {
+/** Reads one id chunk. Listed ids are known to exist (the API returned
+  * them); keyed ids came from a predicate and must be existence-checked
+  * by the fetch, even when json is pruned away.
+  */
+private[sources] class PagedApiReaderFactory(fetchJson: Boolean,
+    keyed: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition):
       PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagedApiPartition]
     new PartitionReader[InternalRow] {
       // client rebuilt inside the task — the executor-side GET path
       private lazy val client = PagedApiClient.instantiate(p.options)
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < p.ids.length }
-      override def get(): InternalRow = {
-        val id = p.ids(i)
-        if (fetchJson)
-          InternalRow(UTF8String.fromString(id),
-            UTF8String.fromString(client.get(id)))
-        else
-          InternalRow(UTF8String.fromString(id))
-      }
+      private val rows: Iterator[InternalRow] =
+        p.ids.iterator.flatMap { id =>
+          val uid = UTF8String.fromString(id)
+          if (!fetchJson && !keyed) Iterator(InternalRow(uid))
+          else client.getIfExists(id) match {
+            case Some(js) if fetchJson =>
+              Iterator(InternalRow(uid, UTF8String.fromString(js)))
+            case Some(_) => Iterator(InternalRow(uid))
+            case None => Iterator.empty
+          }
+        }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        rows.hasNext && { current = rows.next(); true }
+      override def get(): InternalRow = current
       override def close(): Unit = ()
     }
   }

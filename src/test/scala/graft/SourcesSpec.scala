@@ -84,6 +84,31 @@ class SourcesSpec extends SparkSpec {
     assert(CountingApiClient.getCalls.get() == 0)
   }
 
+  test("id predicate pushdown: keyed lookup skips the listing") {
+    CountingApiClient.reset()
+    val rows = read().where(col("id") === "m007").collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "m007")
+    assert(CountingApiClient.listCalls.get() == 0) // no pagination at all
+    assert(CountingApiClient.getCalls.get() == 1)
+  }
+
+  test("id IN pushdown fetches exactly those ids") {
+    CountingApiClient.reset()
+    val rows = read()
+      .where(col("id").isin("m003", "m011", "m024"))
+      .collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("m003", "m011", "m024"))
+    assert(CountingApiClient.listCalls.get() == 0)
+    assert(CountingApiClient.getCalls.get() == 3)
+  }
+
+  test("keyed lookup of a nonexistent id yields zero rows, not an error") {
+    assert(read().where(col("id") === "nope").count() == 0)
+    // id-only projection must still existence-check pushed ids
+    assert(read().select("id").where(col("id") === "nope").count() == 0)
+  }
+
   test("source composes with the dedup anti-join without fetching seen ids") {
     import spark.implicits._
     CountingApiClient.reset()
