@@ -40,12 +40,25 @@ case class HtmlToText(child: Expression) extends UnaryExpression {
 }
 
 object HtmlToText {
+  private[functions] val info =
+    new ExpressionInfo(classOf[HtmlToText].getName, "html_to_text")
+
   /** Column-API entry point. Resolves through the session's function
     * registry (the Column-from-Expression constructors are private[sql]
-    * in Spark 4), so the session must be built with [[GraftExtensions]]
-    * — as Verify, Bench, ProfileQuery and the test harness all are.
+    * in Spark 4); if the active session was not built with
+    * [[GraftExtensions]], the function is registered on first use so
+    * the Column API works in any session.
     */
-  def apply(c: Column): Column = call_function("html_to_text", c)
+  def apply(c: Column): Column = {
+    val reg = org.apache.spark.sql.classic.SparkSession.active
+      .sessionState.functionRegistry
+    val ident = new FunctionIdentifier("html_to_text")
+    if (!reg.functionExists(ident)) {
+      reg.registerFunction(ident, info,
+        (children: Seq[Expression]) => HtmlToText(children.head))
+    }
+    call_function("html_to_text", c)
+  }
 }
 
 /** Session extensions: registers the engine's native functions in the
@@ -57,7 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("html_to_text"),
-      new ExpressionInfo(classOf[HtmlToText].getName, "html_to_text"),
+      HtmlToText.info,
       (children: Seq[Expression]) => HtmlToText(children.head)))
   }
 }
