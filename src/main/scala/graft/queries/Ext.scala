@@ -254,6 +254,49 @@ object Ext {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // IVF-style ANN (the other scale path): a coarse quantizer assigns
+    // every vector to its nearest cell center; search scans only the
+    // query's cell. Cell centers here are deterministic medoids (the
+    // min-vec_id vector per label) so the oracle reproduces the index
+    // exactly — a k-means quantizer drops in without changing the shape.
+    // Centers broadcast (they are few); assignment is one map-side
+    // argmax per vector; search is an equi-join on cell id.
+    "q_ann_ivf" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+      val reps = e.groupBy(col("label")).agg(min(col("vec_id")).as("rep_id"))
+        .join(e.select(col("vec_id").as("rep_id"), col("v").as("rv"),
+          col("nrm").as("rn_")), Seq("rep_id"))
+        .select(col("rep_id"), col("rv"), col("rn_"))
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("rep_score").desc, col("rep_id"))
+      val assigned = e.join(broadcast(reps))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("rep_id"),
+          (VectorOps.dot(col("v"), col("rv")) / (col("nrm") * col("rn_")))
+            .as("rep_score"))
+        .withColumn("cell_rn", row_number().over(wCell))
+        .filter(col("cell_rn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("rep_id").as("cell"))
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell").as("q_cell"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      assigned.join(broadcast(q),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= AnnK)
+        .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // ---- E5: text analysis ---------------------------------------------
     "q_text_stats" -> ((s, d) =>
       documents(s, d)
@@ -448,6 +491,30 @@ object Ext {
          |p AS (SELECT q.vec_id AS q_id, c.vec_id,
          |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS score
          |  FROM e q JOIN e c ON q.vec_id < 5 AND c.bkt = q.bkt AND c.vec_id != q.vec_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, round(score, 6) AS score FROM r
+         |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |reps AS (SELECT r.rep_id, e.v AS rv, e.nrm AS rn_
+         |  FROM (SELECT label, min(vec_id) AS rep_id FROM e GROUP BY label) r
+         |  JOIN e ON e.vec_id = r.rep_id),
+         |scored_cells AS (SELECT e.vec_id, e.v, e.nrm, reps.rep_id,
+         |    list_dot_product(e.v, reps.rv) / (e.nrm * reps.rn_) AS rep_score
+         |  FROM e CROSS JOIN reps),
+         |assigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY rep_score DESC, rep_id) AS cell_rn FROM scored_cells)
+         |  WHERE cell_rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS q_cell
+         |  FROM assigned WHERE vec_id < 5),
+         |p AS (SELECT q.q_id, a.vec_id,
+         |    list_dot_product(q.qv, a.v) / (q.qn * a.nrm) AS score
+         |  FROM assigned a JOIN q ON a.cell = q.q_cell AND a.vec_id != q.q_id),
          |r AS (SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, round(score, 6) AS score FROM r
