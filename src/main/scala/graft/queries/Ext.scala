@@ -309,6 +309,16 @@ object Ext {
           TextOps.bpeTokenCount(col("text")).as("n_bpe"))
         .orderBy(col("doc_id"))),
 
+    // Language-ID evaluation: confusion matrix of predicted vs labeled
+    // language (the corpus text is synthetic English-ish word soup, so
+    // the matrix mostly shows en/und against every label — the point is
+    // the groupBy shape and the deterministic classifier).
+    "q_text_langdist" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
     // Corpus token frequencies (explode -> groupBy; the classic
     // vocabulary-count shuffle, partial-aggregated map-side).
     "q_text_tokens" -> ((s, d) =>
@@ -533,6 +543,11 @@ object Ext {
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe
          |FROM (SELECT doc_id, text, ${sqlTokens("text")} AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_text_langdist" ->
+      s"""SELECT lang, $sqlLangId AS lang_pred, count(*) AS n
+         |FROM (SELECT lang, ${sqlTokens("text")} AS t FROM documents)
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
 
     "q_text_tokens" ->
       s"""SELECT tok, count(*) AS n FROM (
