@@ -327,6 +327,29 @@ object Ext {
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(col("tok"))),
 
+    // Deterministic hash-based sampling: the reproducible "10% of the
+    // corpus" every 100 TB dev loop needs — engine-portable (unlike
+    // TABLESAMPLE/rand), stable across runs, partitioning and engines.
+    "q_sample" -> ((s, d) =>
+      documents(s, d)
+        .filter(TextOps.hash31(col("doc_id").cast("string")) % 100 < 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // Pairwise edit distance over the linear pair set (fuzzy near-dup
+    // measure for short fields; both engines implement unit-cost
+    // Levenshtein).
+    "q_text_editdist" -> ((s, d) => {
+      val t = documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 20).as("head"))
+      val a = t.select(col("doc_id").as("id_a"), col("head").as("h_a"))
+      val b = t.select(col("doc_id").as("id_b"), col("head").as("h_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("h_a"), col("h_b")).cast("long").as("dist"))
+        .orderBy(col("id_a"))
+    }),
+
     // ---- E4: multimodal binary-column plumbing --------------------------
     // Opaque binary payload + typed metadata: byte length, content hash,
     // header bytes ("magic number" sniff), base64 transport encoding.
@@ -553,6 +576,18 @@ object Ext {
       s"""SELECT tok, count(*) AS n FROM (
          |  SELECT unnest(${sqlTokens("text")}) AS tok FROM documents)
          |GROUP BY tok ORDER BY tok""".stripMargin,
+
+    "q_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |       & 2147483647) % 100 < 10
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_editdist" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(substring(a.text, 1, 20), substring(b.text, 1, 20)) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -205,6 +205,20 @@ object Relational {
             (col("n") - 1)), 6).as("std_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // Exact median (full-sort percentile — the exact twin of the
+    // approx-sketch path; both engines midpoint-interpolate sorted
+    // doubles identically).
+    "q_agg_median" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("med_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 6)
+            .as("p25_price"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 6)
+            .as("p75_price"))
+        .orderBy(col("l_returnflag"))),
+
     // Pivot: one output column per status value (explicit value list, so
     // the plan is a single pass of conditional aggregates — no second
     // distinct-scan at 100 TB).
@@ -439,6 +453,13 @@ object Relational {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_median" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,
