@@ -108,6 +108,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: fingerprint + dropDuplicates composes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val withFp = in.toDF().toDF("doc_id", "text")
+      .withColumn("fp", graft.ext.TextOps.fingerprint(col("text")))
+    val q = Streams.dedup(withFp, "fp")
+      .writeStream.format("memory").queryName("fpdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      q.processAllAvailable()
+      // permutation duplicate of doc 1 arrives in a later batch
+      in.addData((3L, "gamma alpha beta"), (4L, "zeta eta"))
+      q.processAllAvailable()
+      val ids = spark.table("fpdedup").select($"doc_id").as[Long]
+        .collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("enrich: stream-static broadcast join per micro-batch") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
