@@ -306,6 +306,32 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // Batch sessionization (gaps-and-islands): the batch twin of
+    // streaming.Streams.sessionize — new session when the gap to the
+    // previous event exceeds 30 min; session id = running count of
+    // session starts. Two window passes, both partitioned by user:
+    // state never leaves the user's partition.
+    "q_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val prev = lag(unix_micros(col("ts")), 1).over(byUser)
+      val newSession =
+        when(prev.isNull ||
+          unix_micros(col("ts")) - prev > 1800L * 1000000L, 1L)
+          .otherwise(0L)
+      events(s, d)
+        .withColumn("new_s", newSession)
+        .withColumn("session_seq",
+          sum(col("new_s")).over(byUser.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          unix_micros(min(col("ts"))).as("session_start_us"),
+          unix_micros(max(col("ts"))).as("session_end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
     // ---- §2.7 set ops ----------------------------------------------------
     // U1: multi-blob union (gmail_functions.py:256-261).
     "q_union" -> ((s, d) => {
@@ -541,6 +567,26 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) AS session_end_us,
+        |  COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "q_stream_tumble" ->
       """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bucket_start,

@@ -16,6 +16,18 @@ import graft.Tables._
 object Scalar {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Native html_to_text expression end-to-end (rows-only check: its
+    // script-drop + entity-decode semantics are spec'd in HtmlText, not
+    // replicable as portable SQL — unit parity lives in FunctionsSpec).
+    "q_html_native" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("html",
+          concat(lit("<html><body><p> "), substring(col("text"), 1, 40),
+            lit(" </p><script>drop()</script>&amp;tail</body></html>")))
+        .select(col("doc_id"),
+          graft.functions.HtmlToText(col("html")).as("clean"))
+        .orderBy(col("doc_id"))),
+
     // F5/F6/F10: case mapping, from-address parse
     // (gmail_functions.py:271-283), containment.
     "q_string_funcs" -> ((s, d) =>
