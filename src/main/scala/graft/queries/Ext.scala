@@ -319,6 +319,24 @@ object Ext {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))),
 
+    // The canonical corpus quality-filter chain: every rule evaluated
+    // per doc, kept flag plus the concatenated reject reasons (keeping
+    // reasons is what makes 100 TB filter sweeps debuggable). Pure
+    // map-side — no shuffle before the final order.
+    "q_text_filter" -> ((s, d) => {
+      val rules = Seq(
+        ("short", size(TextOps.tokens(col("text"))) < 10),
+        ("low_alpha", TextOps.alphaRatio(col("text")) < 0.7),
+        ("no_stopwords", TextOps.stopwordRatio(col("text")) <= 0.0),
+        ("long_tokens", TextOps.meanTokenLen(col("text")) > 12.0))
+      val reasons = concat_ws(",", rules.map { case (name, cond) =>
+        when(cond, name).otherwise(null) }: _*)
+      documents(s, d)
+        .select(col("doc_id"), reasons.as("reject_reasons"))
+        .withColumn("kept", col("reject_reasons") === "")
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus token frequencies (explode -> groupBy; the classic
     // vocabulary-count shuffle, partial-aggregated map-side).
     "q_text_tokens" -> ((s, d) =>
@@ -571,6 +589,21 @@ object Ext {
       s"""SELECT lang, $sqlLangId AS lang_pred, count(*) AS n
          |FROM (SELECT lang, ${sqlTokens("text")} AS t FROM documents)
          |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+
+    "q_text_filter" ->
+      s"""SELECT doc_id, reject_reasons, reject_reasons = '' AS kept
+         |FROM (
+         |  SELECT doc_id, concat_ws(',',
+         |    CASE WHEN len(t) < 10 THEN 'short' END,
+         |    CASE WHEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |           / CAST(length(text) AS DOUBLE) < 0.7 THEN 'low_alpha' END,
+         |    CASE WHEN CAST(len(list_filter(t, x -> x IN ($enStops))) AS DOUBLE)
+         |           / CAST(len(t) AS DOUBLE) <= 0.0 THEN 'no_stopwords' END,
+         |    CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |           / CAST(len(t) AS DOUBLE) > 12.0 THEN 'long_tokens' END)
+         |    AS reject_reasons
+         |  FROM (SELECT doc_id, text, ${sqlTokens("text")} AS t FROM documents))
+         |ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
       s"""SELECT tok, count(*) AS n FROM (
