@@ -139,6 +139,24 @@ object Relational {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Multi-join star query (TPC-H Q9 shape): fact scans once, every
+    // dimension broadcasts, aggregation on top — the join-reorder +
+    // broadcast-selection path Catalyst owns at scale.
+    "q_join_multi" -> ((s, d) =>
+      lineitem(s, d)
+        .join(broadcast(part(s, d).filter(col("p_size") > 30)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"), col("p_brand"))),
+
     // ---- §2.4 aggregations ---------------------------------------------
     "q_agg_group" -> ((s, d) =>
       lineitem(s, d)
@@ -434,6 +452,16 @@ object Relational {
         |  AND epoch_us(e2.ts) > epoch_us(e1.ts)
         |  AND epoch_us(e2.ts) - epoch_us(e1.ts) <= 3600000000
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_join_multi" ->
+      """SELECT n_name, p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_size > 30
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, p_brand ORDER BY n_name, p_brand""".stripMargin,
 
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,

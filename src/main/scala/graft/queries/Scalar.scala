@@ -72,6 +72,20 @@ object Scalar {
           unix_micros(col("o_orderdate").cast("timestamp")).as("epoch_us"))
         .orderBy(col("o_orderkey"))),
 
+    // F7 extension: date arithmetic (month-end-clamping add_months, day
+    // offsets, day diffs — identical calendar semantics both engines).
+    "q_date_arith" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          date_format(add_months(col("o_orderdate").cast("date"), 2),
+            "yyyy-MM-dd").as("plus2m"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30),
+            "yyyy-MM-dd").as("plus30d"),
+          datediff(lit("2024-01-01").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_2024"))
+        .orderBy(col("o_orderkey"))),
+
     // F1 (shallow twin): JSON path extract on the events props column —
     // both get_json_object and the schema'd from_json path.
     "q_json_get" -> ((s, d) =>
@@ -174,6 +188,13 @@ object Scalar {
         |  strftime(o_orderdate, '%Y-%m-%d') AS d_str,
         |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
         |  epoch_us(o_orderdate) AS epoch_us
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30d,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-01-01') AS BIGINT) AS days_to_2024
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_json_get" ->
