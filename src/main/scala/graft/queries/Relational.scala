@@ -22,6 +22,27 @@ object Relational {
   /** Time-band width for the range join, in microseconds (1 hour). */
   private val BandUs = 3600L * 1000000L
 
+  /** TPC-H Q3 in dialect-common ANSI SQL — this ONE string runs
+    * verbatim through BOTH spark.sql (Catalyst's parser/analyzer path,
+    * otherwise untouched by the DataFrame queries) and the DuckDB
+    * oracle. The strongest parity statement in the suite: same text,
+    * two engines, identical hashes.
+    */
+  private val SqlQ3 =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '2000-06-01'
+      |  AND l_shipdate > TIMESTAMP '2000-06-01'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1/2.2 scans, projections, filters -------------------------
     "q_scan" -> ((s, d) =>
@@ -137,6 +158,14 @@ object Relational {
         .select(col("user_id"), col("event_id").as("a_id"), col("b_id"),
           (col("b_u") - col("u")).as("gap_us"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // SQL front-end path: the shared ANSI text (see SqlQ3 above).
+    "q_sql_q3" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer")
+      orders(s, d).createOrReplaceTempView("orders")
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SqlQ3)
     }),
 
     // Multi-join star query (TPC-H Q9 shape): fact scans once, every
@@ -452,6 +481,8 @@ object Relational {
         |  AND epoch_us(e2.ts) > epoch_us(e1.ts)
         |  AND epoch_us(e2.ts) - epoch_us(e1.ts) <= 3600000000
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_sql_q3" -> SqlQ3,
 
     "q_join_multi" ->
       """SELECT n_name, p_brand,
