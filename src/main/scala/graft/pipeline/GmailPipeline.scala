@@ -100,6 +100,35 @@ object GmailPipeline {
     } finally fresh.unpersist()
   }
 
+  /** State compaction: every extract appends one more parquet file to
+    * the state dir (the commit protocol's unit of atomicity), so after N
+    * runs the dedup anti-join reads N small files — the classic
+    * small-files problem. Rewrites the state into `ceil(rows/rowsPerFile)`
+    * files via tmp-dir + atomic swap; run it periodically (the streaming
+    * path does not need it — dropDuplicates state lives in the state
+    * store). Returns the compacted row count.
+    */
+  def compactState(spark: SparkSession, stateDir: String,
+      rowsPerFile: Long = 4000000L): Long = {
+    val state = readState(spark, stateDir)
+    val n = state.count()
+    if (n == 0) return 0L
+    val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(stateDir + ".compact-tmp")
+    val old = new Path(stateDir + ".compact-old")
+    state.repartition(files).write.mode(SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    // swap: current -> old, tmp -> current, drop old. Readers between
+    // the two renames see a missing dir (retry), never partial state.
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(new Path(stateDir), old)
+    fs.rename(tmp, new Path(stateDir))
+    fs.delete(old, true)
+    n
+  }
+
   /** P1…F7/X1: one message row → one formatted stage-1 row. */
   def formatMessages(messages: DataFrame,
       linkedinEnabled: Boolean = false): DataFrame = {

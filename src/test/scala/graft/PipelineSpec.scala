@@ -92,6 +92,33 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(c.stateDir).select("id").distinct().count() == 4)
   }
 
+  test("compactState: many append files -> few, same ids, dedup intact") {
+    val root = tmp(); val c = cfg(root)
+    import spark.implicits._
+    // 5 appended state files (one per "run")
+    for (i <- 1 to 5)
+      Seq((s"id$i", java.sql.Date.valueOf("2022-12-01")))
+        .toDF("id", "date").write.mode("append").parquet(c.stateDir)
+    val filesBefore = new java.io.File(c.stateDir)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesBefore >= 5)
+
+    val n = GmailPipeline.compactState(spark, c.stateDir)
+    assert(n == 5)
+    val filesAfter = new java.io.File(c.stateDir)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter < filesBefore)
+    val ids = spark.read.parquet(c.stateDir).select("id")
+      .as[String].collect().sorted
+    assert(ids.toSeq == (1 to 5).map(i => s"id$i"))
+
+    // the compacted state still drives the anti-join
+    val msgs = GmailPipeline.readRaw(spark,
+      Seq(seedBlob(root, Seq(message("id1"), message("new1")))))
+    assert(GmailPipeline.extract(spark, msgs, c,
+      java.sql.Date.valueOf("2022-12-02")) == 1)
+  }
+
   private def seedBlob(root: Path, msgs: Seq[String]): String = {
     val dir = s"$root/incoming"
     writeBlob(dir, "page.json", msgs)
