@@ -81,6 +81,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*("), p.take(2000))
   }
 
+  test("star join broadcasts every dimension — single fact pass") {
+    val (p, _) = planOf("q_join_multi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("shared-SQL query plans identically to DataFrame idioms") {
+    val (p, _) = planOf("q_sql_q3")
+    // the SQL front end must land on the same physical operators:
+    // broadcast joins below a TakeOrderedAndProject, no cartesian
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("dedup signature queries shuffle signatures, not documents") {
     val (p, _) = planOf("q_dedup_minhash")
     // the shuffle input is the map-side partial min aggregate — its
