@@ -266,6 +266,18 @@ object Relational {
             .as("p75_price"))
         .orderBy(col("l_returnflag"))),
 
+    // Unpivot (wide -> long): the reshaping inverse of q_pivot, a pure
+    // map-side generator (each row fans out to one row per metric).
+    "q_unpivot" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
+
     // Pivot: one output column per status value (explicit value list, so
     // the plan is a single pass of conditional aggregates — no second
     // distinct-scan at 100 TB).
@@ -545,6 +557,15 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
         |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |    l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount' AS metric,
+        |    l_discount AS value FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,

@@ -31,6 +31,10 @@ class PlanAuditSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
   }
 
+  test("driver t1 contract: entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("filters and projections reach the parquet scan") {
     val (_, f) = planOf("q_filter_project")
     assert(f.contains("EqualTo(l_returnflag,R)"), f.take(3000))
