@@ -57,6 +57,23 @@ object Scalar {
           size(split(col("text"), " ")).cast("long").as("n_toks"))
         .orderBy(col("doc_id"))),
 
+    // Array-function family over the token array (portable twins:
+    // array_position is 0-when-missing in Spark, NULL in DuckDB —
+    // coalesced on the oracle side).
+    "q_array_funcs" -> ((s, d) => {
+      val arr = slice(split(col("text"), " "), 1, 6)
+      documents(s, d)
+        .select(col("doc_id"),
+          array_contains(arr, "the").as("has_the"),
+          array_position(arr, "the").cast("long").as("pos_the"),
+          size(array_distinct(arr)).cast("long").as("n_distinct"),
+          array_join(array_sort(arr), ",").as("sorted_csv"),
+          arrays_overlap(arr, array(lit("data"), lit("table")))
+            .as("overlaps"),
+          array_join(array_remove(arr, "the"), ",").as("no_the"))
+        .orderBy(col("doc_id"))
+    }),
+
     // F7/F8: date parts, truncation, canonical formatting
     // (gmail_functions.py:274-278).
     "q_date_funcs" -> ((s, d) =>
@@ -179,6 +196,17 @@ object Scalar {
         |  string_split(text, ' ')[-1] AS tok_last,
         |  len(string_split(text, ' ')) AS n_toks
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |  list_contains(arr, 'the') AS has_the,
+        |  CAST(coalesce(list_position(arr, 'the'), 0) AS BIGINT) AS pos_the,
+        |  CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+        |  array_to_string(list_sort(arr), ',') AS sorted_csv,
+        |  len(list_intersect(arr, ['data', 'table'])) > 0 AS overlaps,
+        |  array_to_string(list_filter(arr, x -> x != 'the'), ',') AS no_the
+        |FROM (SELECT doc_id, string_split(text, ' ')[1:6] AS arr FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_date_funcs" ->
       """SELECT o_orderkey,
