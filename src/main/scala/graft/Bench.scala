@@ -18,20 +18,33 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: full evaluation of every column (count() would let the
     // optimizer prune the very projections being measured), zero I/O cost.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
+    // A failed query must NOT be indistinguishable from a fast one: record
+    // the error and surface it in the JSON line.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case t: Throwable =>
+          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
+        }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     // Warmup pass JITs the scan/shuffle/codegen infrastructure so early
     // queries don't absorb one-time JVM cost; report the steady-state pass.
     SparkEntry.queries.foreach { case (_, fn) => once(fn) }
     val results = SparkEntry.queries.map { case (name, fn) => name -> once(fn) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\r\\n\\t]", " ") + "\""
+    val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, (_, Some(e))) => jstr(k) + ":" + jstr(e) }
+    val errField =
+      if (errors.isEmpty) "" else errors.mkString(",\"errors\":{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    if (errors.nonEmpty)
+      System.err.println(s"BENCH: ${errors.size} queries FAILED (see errors field)")
     spark.stop()
   }
 }

@@ -24,20 +24,33 @@ object Extractors {
   private def innerText(html: String): String =
     HtmlText.clean(html)
 
+  /** All a/p element texts in bs4 document order (pre-order): each outer
+    * element is followed by its nested a/p descendants, like
+    * `find_all(['a','p'])` — an `<a>` inside a `<p>` yields BOTH the
+    * `<p>`'s full text and the `<a>`'s own text, so positional indexing
+    * matches the reference on markup with links inside paragraphs.
+    * (Same-tag nesting — `<p>` in `<p>` — can't occur: html.parser
+    * auto-closes it, and the non-greedy match mirrors that.)
+    */
+  private def aOrPTexts(html: String): Vector[String] =
+    aOrP.findAllMatchIn(html).flatMap { m =>
+      innerText(m.group(2)).trim +: aOrPTexts(m.group(2))
+    }.toVector
+
   /** X1: Indeed application mail (gmail_functions.py:207-221).
     * Reference: `soup.find(attrs={'dir':'rtl'}).find_all(['a','p'])`,
     * elements' text stripped; role=elements[1], org=elements[3],
     * location=elements[2].split(' - ')[1]. Engine spec: descendants are
-    * approximated as the a/p elements appearing after the first dir=rtl
-    * tag (Indeed's rtl container wraps the remainder of the document).
+    * approximated as the a/p elements (document order, including nested
+    * ones — see [[aOrPTexts]]) appearing after the first dir=rtl tag
+    * (Indeed's rtl container wraps the remainder of the document).
     */
   def indeedExtract(body: String): JobMeta = {
     if (body == null) return empty
     try {
       val m = rtlAttr.findFirstMatchIn(body).getOrElse(return empty)
       val scope = body.substring(m.end)
-      val elements = aOrP.findAllMatchIn(scope)
-        .map(x => innerText(x.group(2)).trim).toVector
+      val elements = aOrPTexts(scope)
       JobMeta(
         role = elements(1),
         org = elements(3),

@@ -49,12 +49,24 @@ object GmailPipeline {
     else r.option("multiLine", true).json(paths: _*)
   }
 
-  /** State read (S9): parquet directory with schema `emails(id, date)`. */
+  /** State read (S9): parquet directory with schema `emails(id, date)`.
+    *
+    * A missing `stateDir` is ambiguous: genuinely-fresh state, OR the
+    * window between [[compactState]]'s two renames (or a crash inside
+    * it). Treating the latter as empty would re-ingest every message as
+    * new — so when `stateDir` is absent but the compaction's `.compact-old`
+    * snapshot exists, read the snapshot (identical content to the
+    * pre-compaction state). Only when NEITHER exists is the state truly
+    * empty.
+    */
   def readState(spark: SparkSession, stateDir: String): DataFrame = {
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(stateDir)))
       spark.read.schema(GmailSchema.stateType).parquet(stateDir)
+    else if (fs.exists(new Path(stateDir + ".compact-old")))
+      spark.read.schema(GmailSchema.stateType)
+        .parquet(stateDir + ".compact-old")
     else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -110,22 +122,35 @@ object GmailPipeline {
     */
   def compactState(spark: SparkSession, stateDir: String,
       rowsPerFile: Long = 4000000L): Long = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(stateDir)
+    val tmp = new Path(stateDir + ".compact-tmp")
+    val old = new Path(stateDir + ".compact-old")
+    // Crash recovery: a previous compaction that died between its two
+    // renames leaves cur missing and old holding the full state — restore
+    // it before doing anything else. (tmp may also linger; it is rewritten
+    // below with Overwrite.)
+    if (!fs.exists(cur) && fs.exists(old)) fs.rename(old, cur)
     val state = readState(spark, stateDir)
     val n = state.count()
     if (n == 0) return 0L
     val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
-    val fs = new Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(stateDir + ".compact-tmp")
-    val old = new Path(stateDir + ".compact-old")
     state.repartition(files).write.mode(SaveMode.Overwrite)
       .parquet(tmp.toString)
-    // swap: current -> old, tmp -> current, drop old. Readers between
-    // the two renames see a missing dir (retry), never partial state.
+    // swap: current -> old, tmp -> current. A reader that lands between
+    // the two renames finds cur missing and falls back to the old snapshot
+    // (see readState) — same content, never partial, never empty. The old
+    // snapshot is deliberately kept until the NEXT compaction (deleted
+    // above, when cur provably exists): deleting it here could yank the
+    // fallback out from under a reader that just observed cur missing.
+    // A concurrent EXTRACT (which APPENDS to cur) must still not overlap a
+    // compaction: its append between count() and the swap would be dropped.
+    // Readers are safe; writers need external mutual exclusion (the
+    // reference serializes runs via the daily scheduler; gmail_dag.py:5).
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(new Path(stateDir), old)
-    fs.rename(tmp, new Path(stateDir))
-    fs.delete(old, true)
+    fs.rename(cur, old)
+    fs.rename(tmp, cur)
     n
   }
 

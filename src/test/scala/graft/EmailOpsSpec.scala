@@ -99,6 +99,21 @@ class EmailOpsSpec extends SparkSpec {
     assert(m.location == "Remote")
   }
 
+  test("indeedExtract: nested <a> inside <p> yields bs4 document order") {
+    // find_all(['a','p']) emits the outer <p> AND its nested <a> (pre-order),
+    // so elements = [p, a, a, p] here — role is the nested link's text.
+    val html =
+      """<div dir="rtl">
+        |<p>Hi <a href="#">Data Engineer</a></p>
+        |<a href="#">Austin - Remote</a>
+        |<p>Acme Corp</p>
+        |</div>""".stripMargin
+    val m = Extractors.indeedExtract(html)
+    assert(m.role == "Data Engineer")
+    assert(m.org == "Acme Corp")
+    assert(m.location == "Remote")
+  }
+
   test("indeedExtract: malformed → all-null struct (bare except parity)") {
     val m = Extractors.indeedExtract("<div dir=\"rtl\"><p>one</p></div>")
     assert(m.role == null && m.org == null && m.location == null)
