@@ -22,14 +22,33 @@ object VectorOps {
   /** array<float> -> array<double>, the canonical compute type. */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Dot product: strict sequential fold, same order as the oracle. */
+  /** Dot product — native codegen'd kernel ([[graft.functions.DotProduct]]):
+    * one fused primitive loop inside whole-stage codegen, strict
+    * left-to-right accumulation (bit-identical to the HOF fold it
+    * replaced; [[dotHof]] remains as the executable spec).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dotProduct(a, b)
+
+  /** The original higher-order-function formulation: semantically the
+    * executable specification of [[dot]], but interpreted per element —
+    * kept for property tests (native == HOF) and as documentation.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity of two double arrays. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity of two double arrays — single-pass native kernel
+    * ([[graft.functions.CosineSim]]); same float-op order as
+    * dot/(norm·norm) composed from folds.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
+
+  /** HOF twin of [[cosine]] for property tests. */
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** Random-hyperplane-style LSH bucket for cosine ANN, using the first
     * `bits` axis-aligned hyperplanes (sign of the leading coordinates).

@@ -72,5 +72,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("html_to_text"),
       HtmlToText.info,
       (children: Seq[Expression]) => HtmlToText(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      VectorExprs.dotInfo,
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      VectorExprs.cosInfo,
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
   }
 }

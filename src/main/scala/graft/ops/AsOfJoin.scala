@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Backward as-of join (SURVEY.md §2.11): for each left ("probe") row,
+  * attach the single right ("build") row with the greatest build
+  * timestamp <= the probe timestamp among rows sharing the join key —
+  * the time-series point-in-time lookup the reference's relational
+  * surface lacks (left-outer: probes with no prior build row keep nulls).
+  *
+  * Spark-first design — union + one window pass, NOT a range join:
+  * the naive formulation (equi-join on key, filter r.ts <= l.ts, argmax
+  * per probe) explodes to O(|probe| x |build|) pairs per key before
+  * pruning, which is exactly the shuffle blow-up that kills a 100 TB run.
+  * Instead both sides are tagged and unioned, shuffled ONCE by the join
+  * key, and sorted within each partition by (ts, side); a running
+  * `last(build_payload, ignoreNulls)` then propagates each build row
+  * forward to every later probe row. Linear work, one shuffle, no
+  * intermediate pair set, and the window's sort is the same
+  * sort-within-partition a sort-merge join would have paid anyway.
+  * Skew note: a single hot key serializes into one partition — at scale,
+  * split the window by coarse time-bucket first ((key, bucket) windows,
+  * then stitch buckets with a per-bucket carry-in; see ops.Skew for the
+  * salting pattern).
+  *
+  * Tie semantics: a build row AT the probe timestamp matches (inclusive,
+  * DuckDB `ASOF JOIN ... ON l.ts >= r.ts` semantics). The build side must
+  * be unique per (key, ts) — equal-timestamp build rows have no defined
+  * winner in any as-of engine; pre-aggregate (e.g. max_by) to make the
+  * winner explicit. [[asofBruteForce]] is the executable spec used by the
+  * property tests.
+  */
+object AsOfJoin {
+
+  /** Backward-inclusive as-of join.
+    *
+    * @param left      probe side; ALL its columns are preserved
+    * @param right     build side; must be unique per (keys, rightTs)
+    * @param keys      equi-join key columns (present on both sides)
+    * @param leftTs    probe timestamp column name
+    * @param rightTs   build timestamp column name
+    * @param tolerance max allowed probe-minus-build gap in the timestamp's
+    *                  unit (micros for TimestampType via unix_micros);
+    *                  None = unbounded lookback
+    * @return left.* plus the build side's non-key non-ts columns
+    *         (null when no build row qualifies)
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      tolerance: Option[Column] = None): DataFrame = {
+    val payloadCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
+    val leftType = StructType(left.schema.fields)
+    val payloadType = StructType(
+      right.schema.fields.filter(f => payloadCols.contains(f.name)))
+
+    // Tag and align the two sides: build rows sort BEFORE probe rows at
+    // an equal timestamp so the inclusive (<=) match sees them.
+    val buildSide = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("_asof_t"),
+        lit(0).as("_asof_side"),
+        lit(null).cast(leftType).as("_asof_probe"),
+        struct(payloadCols.map(col): _*).as("_asof_payload")): _*)
+    val probeSide = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("_asof_t"),
+        lit(1).as("_asof_side"),
+        struct(left.columns.map(col): _*).as("_asof_probe"),
+        lit(null).cast(payloadType).as("_asof_payload")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_asof_t"), col("_asof_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = buildSide.unionByName(probeSide)
+      .withColumn("_asof_match", last(col("_asof_payload"), ignoreNulls = true).over(w))
+      .withColumn("_asof_match_t",
+        last(when(col("_asof_side") === 0, col("_asof_t")), ignoreNulls = true)
+          .over(w))
+      .filter(col("_asof_side") === 1)
+
+    val bounded = tolerance match {
+      case Some(tol) =>
+        // Outside the lookback horizon the match is dropped, not the row.
+        val within = col("_asof_match_t").isNotNull &&
+          unix_micros(col("_asof_t")) - unix_micros(col("_asof_match_t")) <= tol
+        carried.withColumn("_asof_match",
+          when(within, col("_asof_match")))
+      case None => carried
+    }
+
+    bounded.select(
+      left.columns.map(c => col("_asof_probe").getField(c).as(c)) ++
+        payloadCols.map(c => col("_asof_match").getField(c).as(c)): _*)
+  }
+
+  /** Executable specification: the O(n·m)-per-key formulation. Correct by
+    * construction, catastrophic at scale — exists ONLY so tests can check
+    * `asof` against it on small data.
+    */
+  def asofBruteForce(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      tolerance: Option[Column] = None): DataFrame = {
+    val l = left.columns.map(c => col(c).as(s"_l_$c"))
+    val r = right.columns.map(c => col(c).as(s"_r_$c"))
+    val keyEq = keys.map(k => col(s"_l_$k") === col(s"_r_$k")).reduce(_ && _)
+    val timeOk = tolerance.foldLeft(
+      col(s"_r_$rightTs") <= col(s"_l_$leftTs"))((acc, tol) =>
+      acc && unix_micros(col(s"_l_$leftTs")) - unix_micros(col(s"_r_$rightTs")) <= tol)
+    val w = Window.partitionBy(keys.map(k => col(s"_l_$k")) :+ col(s"_l_$leftTs")
+        :+ col(s"_l_${left.columns.head}"): _*)
+      .orderBy(col(s"_r_$rightTs").desc)
+    val payloadCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
+    left.select(l: _*).join(right.select(r: _*), keyEq && timeOk, "left")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(
+        left.columns.map(c => col(s"_l_$c").as(c)) ++
+          payloadCols.map(c => col(s"_r_$c").as(c)): _*)
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.ops.AsOfJoin
 
 /** Relational coverage queries (SURVEY.md §2.1–2.7): scans, projections,
   * filters, joins, aggregations, windows, sorts, set ops, tumbling windows.
@@ -158,6 +159,26 @@ object Relational {
         .select(col("user_id"), col("event_id").as("a_id"), col("b_id"),
           (col("b_u") - col("u")).as("gap_us"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Backward as-of join (ops.AsOfJoin): each click picks up the user's
+    // most recent purchase at-or-before it. Union + single window pass —
+    // one shuffle on user_id, linear per partition, no pair explosion
+    // (the brute-force twin exists only as the test oracle). The build
+    // side is pre-aggregated to one row per (user_id, ts) so the
+    // equal-timestamp winner is explicit on both engines.
+    "q_join_asof" -> ((s, d) => {
+      val clicks = events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("p_value"),
+          max(col("event_id")).as("p_event_id"))
+      AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("p_event_id"), round(col("p_value"), 6).as("p_value"))
+        .orderBy(col("event_id"))
     }),
 
     // SQL front-end path: the shared ANSI text (see SqlQ3 above).
@@ -493,6 +514,18 @@ object Relational {
         |  AND epoch_us(e2.ts) > epoch_us(e1.ts)
         |  AND epoch_us(e2.ts) - epoch_us(e1.ts) <= 3600000000
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS p_value,
+        |    max(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |  p.p_event_id, round(p.p_value, 6) AS p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q_sql_q3" -> SqlQ3,
 

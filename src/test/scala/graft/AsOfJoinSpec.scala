@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ops.AsOfJoin
+
+/** ops.AsOfJoin vs its brute-force executable spec, plus edge semantics
+  * (inclusive match, no-match nulls, tolerance horizon) and plan shape
+  * (single shuffle, no pair explosion).
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val quotes = Seq(
+    // key, ts, px
+    ("A", ts("2024-01-01 10:00:00"), 1.0),
+    ("A", ts("2024-01-01 10:05:00"), 2.0),
+    ("A", ts("2024-01-01 10:30:00"), 3.0),
+    ("B", ts("2024-01-01 09:00:00"), 10.0)
+  ).toDF("k", "rts", "px")
+
+  private lazy val trades = Seq(
+    // id, key, ts
+    (1L, "A", ts("2024-01-01 10:00:00")), // == quote ts: inclusive match px=1
+    (2L, "A", ts("2024-01-01 10:07:00")), // between: px=2
+    (3L, "A", ts("2024-01-01 11:00:00")), // after all: px=3
+    (4L, "A", ts("2024-01-01 09:59:59")), // before all: null
+    (5L, "B", ts("2024-01-01 12:00:00")), // stale quote: px=10
+    (6L, "C", ts("2024-01-01 10:00:00")) // no quotes for key: null
+  ).toDF("id", "k", "lts")
+
+  test("asof: backward-inclusive semantics on a hand-checked fixture") {
+    val got = AsOfJoin.asof(trades, quotes, Seq("k"), "lts", "rts")
+      .orderBy("id").select("id", "px").as[(Long, Option[Double])].collect()
+    assert(got.toSeq == Seq(
+      1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(3.0),
+      4L -> None, 5L -> Some(10.0), 6L -> None))
+  }
+
+  test("asof: tolerance drops matches past the lookback horizon") {
+    // 30-minute horizon: trade 3 (gap 30min exactly) keeps its match,
+    // trade 5 (gap 3h) loses it.
+    val tol = Some(lit(30L * 60 * 1000000))
+    val got = AsOfJoin.asof(trades, quotes, Seq("k"), "lts", "rts", tol)
+      .orderBy("id").select("id", "px").as[(Long, Option[Double])].collect()
+    assert(got.toSeq == Seq(
+      1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(3.0),
+      4L -> None, 5L -> None, 6L -> None))
+  }
+
+  test("asof == brute-force spec on random-ish data, with and without tolerance") {
+    // Deterministic pseudo-random fixture: ids are unique (brute-force
+    // spec keys its per-probe argmax on the first left column).
+    val left = spark.range(200).select(
+      col("id"),
+      (col("id") % 7).cast("string").as("k"),
+      timestamp_micros(lit(1700000000000000L) + (col("id") * 12345678L) % 86400000000L)
+        .as("lts"))
+    val right = spark.range(60).select(
+      (col("id") % 7).cast("string").as("k"),
+      timestamp_micros(lit(1700000000000000L) + (col("id") * 98765432L) % 86400000000L)
+        .as("rts"),
+      (col("id") * 31 % 1000).cast("double").as("px"))
+      // enforce the operator's contract: unique per (key, ts)
+      .groupBy("k", "rts").agg(max(col("px")).as("px"))
+
+    for (tol <- Seq(None, Some(lit(3600000000L)))) {
+      val fast = AsOfJoin.asof(left, right, Seq("k"), "lts", "rts", tol)
+        .orderBy("id").collect().toSeq
+      val slow = AsOfJoin.asofBruteForce(left, right, Seq("k"), "lts", "rts", tol)
+        .orderBy("id").collect().toSeq
+      assert(fast == slow, s"tolerance=$tol")
+    }
+  }
+
+  test("asof plan: one shuffle on the key, no join node, no pair explosion") {
+    val df = AsOfJoin.asof(trades, quotes, Seq("k"), "lts", "rts")
+    df.collect()
+    // AQE's toString repeats the tree (Final + Initial) — inspect only
+    // the final plan section.
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // union + window, not a join: the O(n*m) shape never appears
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 key shuffle, got $exchanges:\n$plan")
+  }
+}

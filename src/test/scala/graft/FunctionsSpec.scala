@@ -48,4 +48,90 @@ class FunctionsSpec extends SparkSpec {
       .collect()(0).getString(0)
     assert(got == HtmlText.clean(html))
   }
+
+  // -- native vector kernels (graft.functions.VectorExprs) ----------------
+
+  /** Deterministic pseudo-random double arrays, no Math.random. */
+  private def vecDf = {
+    import graft.ext.VectorOps
+    // +0.7 keeps every vector non-zero (id=0 would make `a` the zero
+    // vector: native cosine returns null there, the HOF Divide throws
+    // under ANSI — covered by its own test below)
+    spark.range(64).select(
+      col("id"),
+      transform(sequence(lit(1), lit(16)),
+        i => sin(col("id") * i + 0.7).cast("double")).as("a"),
+      transform(sequence(lit(1), lit(16)),
+        i => cos(col("id") * i + 1).cast("double")).as("b"))
+      .withColumn("dot_native", VectorOps.dot(col("a"), col("b")))
+      .withColumn("dot_hof", VectorOps.dotHof(col("a"), col("b")))
+      .withColumn("cos_native", VectorOps.cosine(col("a"), col("b")))
+      .withColumn("cos_hof", VectorOps.cosineHof(col("a"), col("b")))
+  }
+
+  test("dot_product / cosine_sim are BIT-identical to the HOF fold") {
+    val rows = vecDf.collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("dot_native")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("dot_hof")))
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("cos_native")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("cos_hof")))
+    }
+  }
+
+  test("vector kernels: null array, length mismatch, null element -> null") {
+    import graft.ext.VectorOps
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))), // ok
+      (None, Some(Seq(1.0))), // null array
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0))), // length mismatch
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0, 2.0))) // ok
+    ).toDF("a", "b")
+      .select(VectorOps.dot(col("a"), col("b")).as("d"),
+        VectorOps.cosine(col("a"), col("b")).as("c"))
+      .collect()
+    assert(!df(0).isNullAt(0) && df(0).getDouble(0) == 11.0)
+    assert(df(1).isNullAt(0) && df(1).isNullAt(1))
+    assert(df(2).isNullAt(0) && df(2).isNullAt(1))
+    assert(!df(3).isNullAt(1))
+    // null ELEMENT inside the array (built via expression to keep the
+    // array type nullable)
+    val withNullElem = spark.range(1).select(
+      array(lit(1.0), lit(null).cast("double")).as("a"),
+      array(lit(1.0), lit(2.0)).as("b"))
+      .select(VectorOps.dot(col("a"), col("b")).as("d"))
+      .collect()(0)
+    assert(withNullElem.isNullAt(0))
+  }
+
+  test("cosine_sim: zero-norm vector -> null, not an ANSI divide-by-zero") {
+    import graft.ext.VectorOps
+    val r = spark.range(1).select(
+      VectorOps.cosine(array(lit(0.0), lit(0.0)),
+        array(lit(1.0), lit(2.0))).as("c")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("vector kernels run inside whole-stage codegen; the HOF shape does not") {
+    import graft.ext.VectorOps
+    def base = spark.range(64).select(
+      transform(sequence(lit(1), lit(16)),
+        i => sin(col("id") * i + 0.7).cast("double")).as("a"),
+      transform(sequence(lit(1), lit(16)),
+        i => cos(col("id") * i + 1).cast("double")).as("b"))
+    val native = base.select(VectorOps.cosine(col("a"), col("b")).as("c"),
+      VectorOps.dot(col("a"), col("b")).as("d"))
+    val nativePlan = native.queryExecution.executedPlan.toString
+    assert(!nativePlan.contains("ScalaUDF"), nativePlan)
+    assert(nativePlan.contains("cosine_sim"), nativePlan)
+    // the native projection stays fused in a WholeStageCodegen stage
+    // ("*(n) Project"); the HOF formulation is a CodegenFallback and
+    // kicks its ENTIRE projection out of codegen — the reason the
+    // native kernel exists.
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(nativePlan).isDefined, nativePlan)
+    val hofPlan = base.select(VectorOps.cosineHof(col("a"), col("b")).as("c"))
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(hofPlan).isEmpty, hofPlan)
+  }
 }
