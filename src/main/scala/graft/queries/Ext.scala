@@ -35,6 +35,12 @@ object Ext {
   private val AnnBits = 4      // sign-bucket bits -> 16 buckets
   private val TopK = 10
   private val AnnK = 5
+  private val NProbe = 2       // IVF cells probed per query
+  private val DecontK = 5      // decontamination n-gram width (tokens)
+  private val EvalMod = 17     // doc_id % EvalMod == 0 -> held-out eval set
+  private val PackTarget = 64L // tokens per packed training sequence
+  private val PackShards = 8   // parallel packing shards
+  private val StratN = 20      // stratified sample size per language
 
   /** Per-doc minhash signature, aggregation-shaped: explode shingles,
     * digest each shingle ONCE (codegen'd md5 -> 31-bit int), derive the
@@ -295,6 +301,148 @@ object Ext {
         .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // IVF with nprobe>1: the recall knob. Database vectors still live in
+    // exactly one cell; each QUERY probes its NProbe nearest cells, so
+    // the search set grows per query without touching the index. The
+    // probe list is a broadcast-side explosion (|queries| x NProbe rows),
+    // the 100 TB side is still one equi-join on cell id.
+    "q_ann_ivf_nprobe" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+      val reps = e.groupBy(col("label")).agg(min(col("vec_id")).as("rep_id"))
+        .join(e.select(col("vec_id").as("rep_id"), col("v").as("rv"),
+          col("nrm").as("rn_")), Seq("rep_id"))
+        .select(col("rep_id"), col("rv"), col("rn_"))
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("rep_score").desc, col("rep_id"))
+      val scoredCells = e.join(broadcast(reps))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("rep_id"),
+          (VectorOps.dot(col("v"), col("rv")) / (col("nrm") * col("rn_")))
+            .as("rep_score"))
+        .withColumn("cell_rn", row_number().over(wCell))
+      val assigned = scoredCells.filter(col("cell_rn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("rep_id").as("cell"))
+      val qProbes = scoredCells
+        .filter(col("vec_id") < 5 && col("cell_rn") <= NProbe)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("rep_id").as("probe_cell"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      assigned.join(broadcast(qProbes),
+          col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= AnnK)
+        .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // ---- benchmark decontamination --------------------------------------
+    // Flag training docs sharing any DecontK-gram with the held-out eval
+    // set (doc_id % EvalMod == 0) — the standard train/test contamination
+    // sweep. Shingles are hashed to 31-bit ints so the join shuffles
+    // 8-byte keys, never text; the eval side (benchmarks are small) is
+    // distinct-collapsed and BROADCAST, so the 100 TB train scan joins
+    // without shuffling at all.
+    "q_decontaminate" -> ((s, d) => {
+      val sh = documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.distinctShingles(col("text"), DecontK)).as("sh"))
+        .select(col("doc_id"), TextOps.hash31(col("sh")).as("h"))
+      val evalSet = sh.filter(col("doc_id") % EvalMod === 0)
+        .select(col("h")).distinct()
+      sh.filter(col("doc_id") % EvalMod =!= 0)
+        .join(broadcast(evalSet), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit_ngrams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition metric: duplicate-2-gram fraction per doc.
+    // Pure per-row map work (shuffle-free); the flag thresholds the
+    // ROUNDED fraction so the comparison is engine-portable.
+    "q_text_repetition" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          TextOps.let(TextOps.shingles(col("text"), 2)) { gs =>
+            struct(
+              size(gs).cast("long").as("n_grams"),
+              size(array_distinct(gs)).cast("long").as("n_distinct"))
+          }.as("g"))
+        .select(col("doc_id"),
+          col("g.n_grams").as("n_grams"),
+          col("g.n_distinct").as("n_distinct"),
+          round(lit(1.0) - col("g.n_distinct").cast("double") /
+            col("g.n_grams"), 6).as("dup_frac"))
+        .withColumn("repetitive", col("dup_frac") > 0.2)
+        .orderBy(col("doc_id"))),
+
+    // PII scrub: count + redact emails and phone-like tokens. The PII is
+    // synthesized deterministically per doc (the corpus has none) so both
+    // engines scrub identical input; patterns are restricted to the
+    // regex-dialect intersection (no lookarounds) of Java and RE2.
+    "q_text_pii" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\d{3}-\\d{4,}"
+      documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com or 555-010"),
+            col("doc_id").cast("string")).as("synth"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("synth"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("synth"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          expr(s"right(regexp_replace(regexp_replace(synth, '$emailRe', " +
+            s"'<EMAIL>'), '$phoneRe', '<PHONE>'), 60)").as("scrub_tail"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified sampling: first StratN docs per language by portable
+    // hash order (md5 of the id — a deterministic uniform shuffle both
+    // engines reproduce). One shuffle on lang; bounded per-group state.
+    "q_sample_stratified" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= StratN)
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // Training-sequence packing (concat-and-chunk): docs are laid out in
+    // portable-hash order within PackShards independent shards; each
+    // doc's running token offset places it in sequence cum/PackTarget at
+    // offset cum%PackTarget. Shards make the layout embarrassingly
+    // parallel — the window never crosses a shard, so packing 100 TB is
+    // PackShards independent linear passes (scale the constant with the
+    // cluster), at the cost of at most one ragged tail sequence per shard.
+    "q_pack_chunks" -> ((s, d) => {
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("ord"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          (TextOps.hash31(col("doc_id").cast("string")) % PackShards)
+            .as("shard"),
+          md5(col("doc_id").cast("string")).as("ord"))
+        .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"),
+          expr(s"cum div $PackTarget").as("seq_id"),
+          (col("cum") % PackTarget).as("offset_in_seq"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- E5: text analysis ---------------------------------------------
