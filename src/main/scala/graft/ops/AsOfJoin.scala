@@ -56,9 +56,20 @@ object AsOfJoin {
     val payloadType = StructType(
       right.schema.fields.filter(f => payloadCols.contains(f.name)))
 
+    // NULL semantics match the brute-force spec (and DuckDB ASOF): an
+    // equality join never matches a NULL key, and ts <= ts is NULL for a
+    // NULL build timestamp — so such build rows can never win and are
+    // dropped on entry. (Without this, partitionBy would group NULL keys
+    // together and a NULL-ts build row would sort first in the window,
+    // leaking its payload into every later probe row.) NULL-key probe
+    // rows land in a partition with no surviving build rows -> no match,
+    // which is the spec'd left-outer behavior.
+    val buildRows = right.filter(
+      (keys.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
+
     // Tag and align the two sides: build rows sort BEFORE probe rows at
     // an equal timestamp so the inclusive (<=) match sees them.
-    val buildSide = right.select(
+    val buildSide = buildRows.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("_asof_t"),
         lit(0).as("_asof_side"),
@@ -110,11 +121,14 @@ object AsOfJoin {
     val timeOk = tolerance.foldLeft(
       col(s"_r_$rightTs") <= col(s"_l_$leftTs"))((acc, tol) =>
       acc && unix_micros(col(s"_l_$leftTs")) - unix_micros(col(s"_r_$rightTs")) <= tol)
-    val w = Window.partitionBy(keys.map(k => col(s"_l_$k")) :+ col(s"_l_$leftTs")
-        :+ col(s"_l_${left.columns.head}"): _*)
-      .orderBy(col(s"_r_$rightTs").desc)
+    // The per-probe argmax partitions by a synthetic row id, so two probe
+    // rows that agree on every key/ts column still yield one output row
+    // EACH (partitioning by the visible columns would collapse them and
+    // silently drop rows from the oracle).
+    val w = Window.partitionBy(col("_l_rowid")).orderBy(col(s"_r_$rightTs").desc)
     val payloadCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
-    left.select(l: _*).join(right.select(r: _*), keyEq && timeOk, "left")
+    left.select(l: _*).withColumn("_l_rowid", monotonically_increasing_id())
+      .join(right.select(r: _*), keyEq && timeOk, "left")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(

@@ -41,6 +41,10 @@ object Ext {
   private val PackTarget = 64L // tokens per packed training sequence
   private val PackShards = 8   // parallel packing shards
   private val StratN = 20      // stratified sample size per language
+  // PII patterns, restricted to the Java/RE2 regex-dialect intersection
+  // (no lookarounds); shared verbatim with the DuckDB oracle.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{4,}"
 
   /** Per-doc minhash signature, aggregation-shaped: explode shingles,
     * digest each shingle ONCE (codegen'd md5 -> 31-bit int), derive the
@@ -389,23 +393,25 @@ object Ext {
     // synthesized deterministically per doc (the corpus has none) so both
     // engines scrub identical input; patterns are restricted to the
     // regex-dialect intersection (no lookarounds) of Java and RE2.
-    "q_text_pii" -> ((s, d) => {
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phoneRe = "\\d{3}-\\d{4,}"
+    "q_text_pii" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"),
           concat(col("text"), lit(" contact user"),
             col("doc_id").cast("string"), lit("@example.com or 555-010"),
             col("doc_id").cast("string")).as("synth"))
         .select(col("doc_id"),
-          size(regexp_extract_all(col("synth"), lit(emailRe), lit(0)))
+          size(regexp_extract_all(col("synth"), lit(EmailRe), lit(0)))
             .cast("long").as("n_emails"),
-          size(regexp_extract_all(col("synth"), lit(phoneRe), lit(0)))
+          size(regexp_extract_all(col("synth"), lit(PhoneRe), lit(0)))
             .cast("long").as("n_phones"),
-          expr(s"right(regexp_replace(regexp_replace(synth, '$emailRe', " +
-            s"'<EMAIL>'), '$phoneRe', '<PHONE>'), 60)").as("scrub_tail"))
-        .orderBy(col("doc_id"))
-    }),
+          // Column API only: routing the pattern through expr()'s SQL
+          // string literal would strip the backslashes ('\d' -> 'd').
+          right(
+            regexp_replace(
+              regexp_replace(col("synth"), lit(EmailRe), lit("<EMAIL>")),
+              lit(PhoneRe), lit("<PHONE>")),
+            lit(60)).as("scrub_tail"))
+        .orderBy(col("doc_id"))),
 
     // Stratified sampling: first StratN docs per language by portable
     // hash order (md5 of the id — a deterministic uniform shuffle both
@@ -539,14 +545,16 @@ object Ext {
   /** DuckDB expression: lowercased whitespace tokens of `c`. */
   private def sqlTokens(c: String) = s"string_split(lower($c), ' ')"
 
-  /** DuckDB expression: distinct K-token shingles of token-list column t
-    * (whole-doc shingle for short docs), matching TextOps.shingles.
+  /** DuckDB expression: distinct k-token shingles of token-list column t
+    * (whole-doc shingle for short docs), matching TextOps.distinctShingles.
     */
-  private val sqlShingles =
-    s"""CASE WHEN len(t) >= $K
-       | THEN list_distinct([array_to_string(t[i:i+${K - 1}], ' ')
-       |                     for i in range(1, len(t) - ${K - 2})])
+  private def sqlShinglesK(k: Int) =
+    s"""CASE WHEN len(t) >= $k
+       | THEN list_distinct([array_to_string(t[i:i+${k - 1}], ' ')
+       |                     for i in range(1, len(t) - ${k - 2})])
        | ELSE [array_to_string(t, ' ')] END""".stripMargin
+
+  private val sqlShingles = sqlShinglesK(K)
 
   /** DuckDB expression: 31-bit item hash of element x (TextOps.hash31). */
   private val sqlHash31 =
@@ -769,6 +777,91 @@ object Ext {
         |  CAST(levenshtein(substring(a.text, 1, 20), substring(b.text, 1, 20)) AS BIGINT) AS dist
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    "q_ann_ivf_nprobe" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |reps AS (SELECT r.rep_id, e.v AS rv, e.nrm AS rn_
+         |  FROM (SELECT label, min(vec_id) AS rep_id FROM e GROUP BY label) r
+         |  JOIN e ON e.vec_id = r.rep_id),
+         |scored_cells AS (SELECT e.vec_id, e.v, e.nrm, reps.rep_id,
+         |    list_dot_product(e.v, reps.rv) / (e.nrm * reps.rn_) AS rep_score
+         |  FROM e CROSS JOIN reps),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY rep_score DESC, rep_id) AS cell_rn FROM scored_cells),
+         |assigned AS (SELECT vec_id, v, nrm, rep_id AS cell
+         |  FROM ranked WHERE cell_rn = 1),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, rep_id AS probe_cell
+         |  FROM ranked WHERE vec_id < 5 AND cell_rn <= $NProbe),
+         |p AS (SELECT q.q_id, a.vec_id,
+         |    list_dot_product(q.qv, a.v) / (q.qn * a.nrm) AS score
+         |  FROM assigned a JOIN probes q
+         |    ON a.cell = q.probe_cell AND a.vec_id != q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, round(score, 6) AS score FROM r
+         |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(${sqlShinglesK(DecontK)}) AS x
+         |  FROM (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents)),
+         |h AS (SELECT doc_id, $sqlHash31 AS h FROM sh),
+         |ev AS (SELECT DISTINCT h FROM h WHERE doc_id % $EvalMod = 0)
+         |SELECT doc_id, count(*) AS n_hit_ngrams
+         |FROM h JOIN ev USING (h)
+         |WHERE doc_id % $EvalMod != 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    CASE WHEN len(t) >= 2
+         |      THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+         |      ELSE [array_to_string(t, ' ')] END AS gs
+         |  FROM (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents))
+         |SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+         |  round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+         |        / CAST(len(gs) AS DOUBLE), 6) AS dup_frac,
+         |  round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+         |        / CAST(len(gs) AS DOUBLE), 6) > 0.2 AS repetitive
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_text_pii" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com or 555-010' || CAST(doc_id AS VARCHAR) AS synth
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(synth, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(synth, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  right(regexp_replace(regexp_replace(synth, '$EmailRe', '<EMAIL>', 'g'),
+         |        '$PhoneRe', '<PHONE>', 'g'), 60) AS scrub_tail
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT lang, doc_id, n_chars, rn FROM (
+         |  SELECT lang, doc_id, n_chars,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+         |  FROM documents)
+         |WHERE rn <= $StratN ORDER BY lang, rn""".stripMargin,
+
+    "q_pack_chunks" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens,
+         |    (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      & 2147483647) % $PackShards AS shard,
+         |    md5(CAST(doc_id AS VARCHAR)) AS ord
+         |  FROM documents),
+         |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY ord, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+         |  FROM b)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |  CAST(cum // $PackTarget AS BIGINT) AS seq_id,
+         |  CAST(cum % $PackTarget AS BIGINT) AS offset_in_seq, n_tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

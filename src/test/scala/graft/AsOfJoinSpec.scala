@@ -77,6 +77,39 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("asof: NULL keys and NULL build timestamps never match") {
+    // NULL-key build rows and NULL-ts build rows must not leak payloads
+    // (equality never matches NULL; ts <= ts is NULL for a NULL build ts);
+    // NULL-key probe rows stay unmatched but are preserved left-outer.
+    val quotesN = Seq(
+      (Option("A"), Option(ts("2024-01-01 10:00:00")), 1.0),
+      (Option.empty[String], Option(ts("2024-01-01 09:00:00")), 66.0),
+      (Option("A"), Option.empty[Timestamp], 77.0)
+    ).toDF("k", "rts", "px")
+    val tradesN = Seq(
+      (1L, Option("A"), ts("2024-01-01 10:30:00")),
+      (2L, Option.empty[String], ts("2024-01-01 10:30:00"))
+    ).toDF("id", "k", "lts")
+    for (tol <- Seq(None, Some(lit(86400000000L)))) {
+      val fast = AsOfJoin.asof(tradesN, quotesN, Seq("k"), "lts", "rts", tol)
+        .orderBy("id").select("id", "px").as[(Long, Option[Double])].collect()
+      assert(fast.toSeq == Seq(1L -> Some(1.0), 2L -> None), s"tolerance=$tol")
+      val slow = AsOfJoin.asofBruteForce(tradesN, quotesN, Seq("k"), "lts", "rts", tol)
+        .orderBy("id").select("id", "px").as[(Long, Option[Double])].collect()
+      assert(fast.toSeq == slow.toSeq, s"spec divergence, tolerance=$tol")
+    }
+  }
+
+  test("asofBruteForce: duplicate probe rows each keep their own output row") {
+    val dupTrades = Seq(
+      (1L, "A", ts("2024-01-01 10:30:00"), "x"),
+      (1L, "A", ts("2024-01-01 10:30:00"), "y") // same id/key/ts, new payload
+    ).toDF("id", "k", "lts", "tag")
+    val got = AsOfJoin.asofBruteForce(dupTrades, quotes, Seq("k"), "lts", "rts")
+    assert(got.count() == 2)
+    assert(AsOfJoin.asof(dupTrades, quotes, Seq("k"), "lts", "rts").count() == 2)
+  }
+
   test("asof plan: one shuffle on the key, no join node, no pair explosion") {
     val df = AsOfJoin.asof(trades, quotes, Seq("k"), "lts", "rts")
     df.collect()
