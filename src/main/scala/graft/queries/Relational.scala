@@ -44,6 +44,26 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Correlated EXISTS / NOT EXISTS in dialect-common ANSI SQL — like
+    * [[SqlQ3]], ONE string through both spark.sql and the DuckDB oracle.
+    */
+  private val SqlExists =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Correlated scalar subquery, same shared-string contract. */
+  private val SqlScalarSub =
+    """SELECT o_orderkey, o_totalprice,
+      |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey)
+      |    AS n_items
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1/2.2 scans, projections, filters -------------------------
     "q_scan" -> ((s, d) =>
@@ -446,6 +466,124 @@ object Relational {
         .select(unix_timestamp(col("w.start")).as("bucket_start"),
           col("event_type"), col("n"), col("total_value"))
         .orderBy(col("bucket_start"), col("event_type")))
+    ,
+
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // one shuffle produces all four grouping combinations; grouping()
+    // flags disambiguate a NULL key from a rolled-up one.
+    "q_grouping_sets" -> ((s, d) =>
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n"),
+          sumDec(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag"), col("l_linestatus"))),
+
+    // Correlated (NOT) EXISTS — ONE ANSI string through both engines
+    // (Catalyst decorrelates to semi/anti joins; no per-row subquery).
+    "q_exists_sub" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer")
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SqlExists)
+    }),
+
+    // Correlated scalar subquery (decorrelates to an outer join + agg).
+    "q_scalar_sub" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders")
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SqlScalarSub)
+    }),
+
+    // Ordered string aggregation (listagg): deterministic via the sorted
+    // collect — never depend on arrival order of a distributed agg.
+    "q_string_agg" -> ((s, d) =>
+      nation(s, d)
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name"))),
+
+    // Correlation/covariance from EXACT decimal moments: the one-pass
+    // builtin corr/covar_samp accumulate doubles in partition order and
+    // are not reproducible across engines; five exact sums are.
+    "q_corr" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sx"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity")))
+            .cast("double").as("sxx"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
+            .cast("double").as("syy"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice")))
+            .cast("double").as("sxy"))
+        .select(col("l_returnflag"),
+          col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qp"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6)
+            .as("covar_pop_qp"))
+        .orderBy(col("l_returnflag"))),
+
+    // Fixed-width histogram: pure map-side bucketing + one agg shuffle.
+    "q_histogram" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(least(floor(col("o_totalprice") / 60000).cast("long"), lit(9L))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sumDec(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("bucket"))),
+
+    // Two-stage event funnel: signup -> first later purchase, per user.
+    // Both stages are per-user aggs sharing the user_id shuffle key.
+    "q_funnel" -> ((s, d) => {
+      val ev = events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+      val conv = ev.select(col("user_id"), col("event_type"), col("ts"))
+        .join(su, Seq("user_id"))
+        .filter(col("event_type") === "purchase" && col("ts") > col("t_signup"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_conv"))
+      su.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(conv.agg(count(lit(1)).as("n_converted")))
+        .select(col("n_signup"), col("n_converted"),
+          round(col("n_converted").cast("double") / col("n_signup"), 6)
+            .as("conv_rate"))
+    }),
+
+    // Weekly cohort retention: cohort = week of a user's first event;
+    // activity re-keyed by weeks-since-cohort. Two shuffles (user, then
+    // cohort-week) — the user-level first-event agg co-partitions with
+    // the activity join so the fact table shuffles once.
+    "q_retention" -> ((s, d) => {
+      val ev = events(s, d)
+      val fe = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"),
+          date_trunc("week", col("first_ts")).cast("date").as("cohort"))
+      ev.select(col("user_id"), col("ts")).join(fe, Seq("user_id"))
+        .select(col("cohort"),
+          floor(datediff(col("ts").cast("date"), col("cohort")) / 7)
+            .cast("long").as("week_n"),
+          col("user_id"))
+        .groupBy(col("cohort"), col("week_n"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("week_n"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -706,6 +844,74 @@ object Relational {
       """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bucket_start,
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_exists_sub" -> SqlExists,
+
+    "q_scalar_sub" -> SqlScalarSub,
+
+    "q_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_corr" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |       * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |       * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qp,
+        |  round((sxy - sx * sy / n) / n, 6) AS covar_pop_qp
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT least(CAST(floor(o_totalprice / 60000) AS BIGINT), 9) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS t_signup FROM events
+        |    WHERE event_type = 'signup' GROUP BY user_id),
+        |  c AS (SELECT e.user_id, min(e.ts) AS t_conv
+        |    FROM events e JOIN s USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND e.ts > s.t_signup
+        |    GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+        |  (SELECT COUNT(*) FROM c) AS n_converted,
+        |  round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM s), 6) AS conv_rate""".stripMargin,
+
+    "q_retention" ->
+      """WITH fe AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id)
+        |SELECT cohort,
+        |  CAST(floor(date_diff('day', cohort, CAST(ts AS DATE)) / 7) AS BIGINT)
+        |    AS week_n,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN fe USING (user_id)
+        |GROUP BY cohort, week_n ORDER BY cohort, week_n""".stripMargin
   )
 }
