@@ -45,6 +45,12 @@ object Ext {
   // (no lookarounds); shared verbatim with the DuckDB oracle.
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\d{3}-\\d{4,}"
+  private val ChunkLen = 50    // tokens per retrieval chunk
+  private val ChunkStride = 40 // chunk stride (=> 10-token overlap)
+  private val TfIdfTopN = 3    // top scored terms kept per doc
+  // URL patterns, Java/RE2 dialect intersection like the PII patterns.
+  private val UrlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./?=_-]*)?"
+  private val HostRe = "https?://([A-Za-z0-9.-]+)"
 
   /** Per-doc minhash signature, aggregation-shaped: explode shingles,
     * digest each shingle ONCE (codegen'd md5 -> 31-bit int), derive the
@@ -535,6 +541,148 @@ object Ext {
           hex(encode(substring(col("text"), 1, 16), "UTF-8")).as("head_hex"),
           base64(encode(substring(col("text"), 1, 24), "UTF-8")).as("head_b64"))
         .orderBy(col("doc_id"))
+    }),
+
+    // TF-IDF top terms per doc, with a LINEAR idf (n_docs/df) instead of
+    // the textbook log: ln() is not correctly-rounded in IEEE 754 (sqrt
+    // and division are), so log-based scores drift between libm
+    // implementations while rational scores are bit-identical in any
+    // engine. Two shuffles: (doc,term) tf and term df; df re-broadcasts.
+    "q_tfidf" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.distinct().groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"),
+          round((col("tf") * col("n_docs")).cast("double") / col("df"), 6)
+            .as("score"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= TfIdfTopN)
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
+    // N-gram novelty (leave-one-out LM coverage): the fraction of a
+    // doc's distinct bigrams that occur in NO other document — a
+    // perplexity proxy with exact integer arithmetic (a real LM score
+    // would sum per-bigram log-probs, whose float summation order and
+    // ln() rounding are not engine-portable). One (doc,gram) explode,
+    // one gram-level doc-frequency agg, one join back.
+    "q_ngram_novelty" -> ((s, d) => {
+      val grams = documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.distinctShingles(col("text"), 2)).as("g"))
+        .select(col("doc_id"), TextOps.hash31(col("g")).as("h"))
+      val gDocs = grams.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_docs_with"))
+      grams.join(gDocs, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs_with") === 1, 1L).otherwise(0L))
+            .as("n_unique"))
+        .select(col("doc_id"), col("n_grams"), col("n_unique"),
+          round(col("n_unique").cast("double") / col("n_grams"), 6)
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sliding-window chunking with overlap (RAG/retrieval prep): chunk
+    // i covers tokens [i*stride+1, i*stride+len]; the last chunk may be
+    // ragged. Pure per-row generator — chunking 100 TB is map-only.
+    "q_chunk_overlap" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          explode(transform(
+            sequence(lit(0),
+              floor((greatest(size(col("t")) - ChunkLen, lit(0))
+                + (ChunkStride - 1)) / lit(ChunkStride)).cast("int")),
+            i => struct(i.cast("long").as("idx"),
+              md5(array_join(slice(col("t"), i * ChunkStride + 1, lit(ChunkLen)),
+                " ")).as("h")))).as("c"))
+        .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+          col("c.h").as("chunk_md5"), col("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // URL extraction + host rollup (crawl-style link analysis). The
+    // corpus has no URLs, so deterministic ones are synthesized per doc
+    // — both engines then extract from identical input.
+    "q_url_extract" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" see https://site"),
+            (col("doc_id") % 7).cast("string"), lit(".example.com/p/"),
+            col("doc_id").cast("string"), lit(" and http://ref"),
+            (col("doc_id") % 3).cast("string"), lit(".org/x?q="),
+            col("doc_id").cast("string")).as("synth"))
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("synth"), lit(UrlRe), lit(0)))
+            .as("url"))
+        .select(col("doc_id"), regexp_extract(col("url"), HostRe, 1).as("host"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("host"))),
+
+    // Composite quality score: weighted blend of the §E5 signals on a
+    // 0..10 scale. Each signal is rounded FIRST (the shared determinism
+    // anchor); the weights are INTEGERS so the true blend value still
+    // has only 6 decimals — fractional weights (0.4*x) would shift mass
+    // into the 7th decimal and land exactly on round-half boundaries,
+    // where Spark (decimal HALF_UP) and DuckDB (scaled-double rounding)
+    // disagree. Map-only at any scale.
+    "q_quality_score" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          round(TextOps.alphaRatio(col("text")), 6).as("alpha"),
+          round(TextOps.stopwordRatio(col("text")), 6).as("stop"),
+          round(TextOps.meanTokenLen(col("text")), 6).as("mtl"),
+          TextOps.let(TextOps.shingles(col("text"), 2)) { gs =>
+            round(lit(1.0) - size(array_distinct(gs)).cast("double") / size(gs), 6)
+          }.as("dup"))
+        .select(col("doc_id"),
+          round(lit(4.0) * col("alpha")
+            + lit(3.0) * least(col("stop") * 5, lit(1.0))
+            + lit(2.0) * when(col("mtl").between(3.0, 10.0), 1.0).otherwise(0.0)
+            + lit(1.0) * (lit(1.0) - col("dup")), 6).as("score"))
+        .withColumn("tier",
+          when(col("score") > 8.0, "high")
+            .when(col("score") > 5.0, "mid").otherwise("low"))
+        .orderBy(col("doc_id"))),
+
+    // MinHash accuracy audit: signature-estimated Jaccard vs exact
+    // shingle Jaccard on the adjacent-pair set — the recall/precision
+    // dial every LSH deployment needs measured before trusting it at
+    // 100 TB (where only the estimate is affordable).
+    "q_minhash_est" -> ((s, d) => {
+      val sig = minhashSig(s, d)
+      val sh = documents(s, d).select(col("doc_id"),
+        TextOps.distinctShingles(col("text"), K).as("sh"))
+      val a = sig.join(sh, Seq("doc_id"))
+        .select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+          col("sh").as("sh_a"))
+      val b = sig.join(sh, Seq("doc_id"))
+        .select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+          col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(aggregate(
+            zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / NumHashes, 6)
+            .as("est_jaccard"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+            / size(array_union(col("sh_a"), col("sh_b"))), 6)
+            .as("exact_jaccard"))
+        .withColumn("abs_err",
+          round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+        .orderBy(col("id_a"))
     })
   )
 
@@ -862,6 +1010,110 @@ object Ext {
          |  CAST(cum // $PackTarget AS BIGINT) AS seq_id,
          |  CAST(cum % $PackTarget AS BIGINT) AS offset_in_seq, n_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+         |    round(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 6) AS score
+         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rn FROM sc)
+         |SELECT doc_id, term, tf, score, CAST(rn AS BIGINT) AS rn FROM r
+         |WHERE rn <= $TfIdfTopN ORDER BY doc_id, rn""".stripMargin,
+
+    "q_ngram_novelty" ->
+      s"""WITH g AS (SELECT doc_id, unnest(${sqlShinglesK(2)}) AS x
+         |  FROM (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents)),
+         |h AS (SELECT doc_id, $sqlHash31 AS h FROM g),
+         |gd AS (SELECT h, count(*) AS n_docs_with FROM h GROUP BY h),
+         |j AS (SELECT doc_id, n_docs_with FROM h JOIN gd USING (h))
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN n_docs_with = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  round(CAST(sum(CASE WHEN n_docs_with = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS novelty
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_overlap" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+         |ch AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    unnest([{'idx': i,
+         |             'h': md5(array_to_string(
+         |               t[i*$ChunkStride+1:i*$ChunkStride+$ChunkLen], ' '))}
+         |            for i in range(0,
+         |              (greatest(len(t) - $ChunkLen, 0) + ${ChunkStride - 1})
+         |                // $ChunkStride + 1)]) AS u
+         |  FROM tok)
+         |SELECT doc_id, CAST(u.idx AS BIGINT) AS chunk_idx,
+         |  u.h AS chunk_md5, n_tokens
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_url_extract" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+         |      || ' and http://ref' || CAST(doc_id % 3 AS VARCHAR)
+         |      || '.org/x?q=' || CAST(doc_id AS VARCHAR) AS synth
+         |  FROM documents),
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(synth, '$UrlRe')) AS url
+         |  FROM s)
+         |SELECT regexp_extract(url, '$HostRe', 1) AS host,
+         |  count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+         |FROM u GROUP BY host ORDER BY host""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH sig AS (SELECT doc_id,
+         |    round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE), 6) AS alpha,
+         |    round(CAST(len(list_filter(t, x -> x IN ($enStops))) AS DOUBLE)
+         |      / CAST(len(t) AS DOUBLE), 6) AS stop,
+         |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |      / CAST(len(t) AS DOUBLE), 6) AS mtl,
+         |    round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+         |      / CAST(len(gs) AS DOUBLE), 6) AS dup
+         |  FROM (SELECT doc_id, text, t,
+         |      CASE WHEN len(t) >= 2
+         |        THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+         |        ELSE [array_to_string(t, ' ')] END AS gs
+         |    FROM (SELECT doc_id, text, ${sqlTokens("text")} AS t
+         |          FROM documents)))
+         |SELECT doc_id, score,
+         |  CASE WHEN score > 8.0 THEN 'high'
+         |       WHEN score > 5.0 THEN 'mid' ELSE 'low' END AS tier
+         |FROM (SELECT doc_id,
+         |    round(4.0 * alpha + 3.0 * least(stop * 5, 1.0)
+         |      + 2.0 * (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+         |      + 1.0 * (1.0 - dup), 6) AS score
+         |  FROM sig)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_est" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
+         |hv AS (SELECT doc_id, list_transform(sh, x -> $sqlHash31) AS vs FROM sh),
+         |sg AS (SELECT doc_id, $sqlSig AS sig FROM hv),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sig AS sig_a, b.sig AS sig_b, x.sh AS sh_a, y.sh AS sh_b
+         |  FROM sg a JOIN sg b ON b.doc_id = a.doc_id + 1
+         |  JOIN sh x ON x.doc_id = a.doc_id
+         |  JOIN sh y ON y.doc_id = b.doc_id),
+         |e AS (SELECT id_a, id_b,
+         |    round(CAST(len(list_filter(range(1, ${NumHashes + 1}),
+         |      i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $NumHashes, 6)
+         |      AS est_jaccard,
+         |    round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE), 6)
+         |      AS exact_jaccard
+         |  FROM j)
+         |SELECT id_a, id_b, est_jaccard, exact_jaccard,
+         |  round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+         |FROM e ORDER BY id_a""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
