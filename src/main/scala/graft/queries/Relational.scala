@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ops.AsOfJoin
+import graft.ops.{AsOfJoin, Skew}
 
 /** Relational coverage queries (SURVEY.md §2.1–2.7): scans, projections,
   * filters, joins, aggregations, windows, sorts, set ops, tumbling windows.
@@ -301,10 +301,14 @@ object Relational {
         .groupBy(col("l_returnflag"))
         .agg(
           round(percentile(col("l_quantity"), lit(0.5)), 6).as("med_qty"),
-          round(percentile(col("l_extendedprice"), lit(0.25)), 6)
-            .as("p25_price"),
-          round(percentile(col("l_extendedprice"), lit(0.75)), 6)
-            .as("p75_price"))
+          // ONE buffered percentile for both price quantiles — each
+          // percentile agg keeps its own value-count map per group, so
+          // asking twice on the same column doubles the state for free.
+          percentile(col("l_extendedprice"), array(lit(0.25), lit(0.75)))
+            .as("pp"))
+        .select(col("l_returnflag"), col("med_qty"),
+          round(col("pp").getItem(0), 6).as("p25_price"),
+          round(col("pp").getItem(1), 6).as("p75_price"))
         .orderBy(col("l_returnflag"))),
 
     // Unpivot (wide -> long): the reshaping inverse of q_pivot, a pure
@@ -467,6 +471,32 @@ object Relational {
           col("event_type"), col("n"), col("total_value"))
         .orderBy(col("bucket_start"), col("event_type")))
     ,
+
+    // Sliding windows (batch twin of the streaming hop): each event
+    // lands in size/slide = 2 buckets — the fan-out is a map-side
+    // generator, then one agg shuffle, same as tumbling.
+    "q_stream_slide" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "600 seconds", "300 seconds").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("total_value"))
+        .select(unix_timestamp(col("w.start")).as("bucket_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("bucket_start"), col("event_type"))),
+
+    // Salted equi-join (ops.Skew), oracle-checked against the PLAIN
+    // join: salting must be a pure physical rewrite — identical result,
+    // hot keys spread over numSalts reducers.
+    "q_join_salted" -> ((s, d) => {
+      val big = orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+      val small = customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedEquiJoin(big, small, "o_custkey", numSalts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumDec(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
 
     // Explicit GROUPING SETS (the general form rollup/cube specialize):
     // one shuffle produces all four grouping combinations; grouping()
@@ -845,6 +875,22 @@ object Relational {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+
+    "q_stream_slide" ->
+      """WITH x AS (SELECT
+        |    unnest([CAST(floor(epoch(ts)/300)*300 - 300 AS BIGINT),
+        |            CAST(floor(epoch(ts)/300)*300 AS BIGINT)]) AS bucket_start,
+        |    event_type, value
+        |  FROM events)
+        |SELECT bucket_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
