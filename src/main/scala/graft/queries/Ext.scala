@@ -656,6 +656,72 @@ object Ext {
             .when(col("score") > 5.0, "mid").otherwise("low"))
         .orderBy(col("doc_id"))),
 
+    // Lateral positional explode (LATERAL VIEW posexplode): the
+    // order-preserving fan-out every sequence-labeling prep needs.
+    "q_posexplode" -> ((s, d) =>
+      documents(s, d).filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("tok"))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // Hash-based train/val/test split (80/10/10): the reproducible
+    // dataset partition — assignment depends only on doc_id, never on
+    // partitioning, sampling state, or engine. Map-side + one agg.
+    "q_dataset_split" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          TextOps.let(TextOps.hash31(col("doc_id").cast("string")) % 100) { b =>
+            when(b < 80, "train").when(b < 90, "val").otherwise("test")
+          }.as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("lang"), col("split"))),
+
+    // Int8 embedding quantization (the storage/bandwidth scale path for
+    // ANN): code_i = floor((x_i - min) * 255 / (max - min)). floor, not
+    // round — floor is exact on doubles in every engine, while
+    // round-to-nearest sits on .5 boundaries where engines disagree.
+    // Codes are audited by exact integer checksum. Map-only.
+    "q_embed_quant" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), col("v"),
+          array_min(col("v")).as("vmin"), array_max(col("v")).as("vmax"))
+        .select(col("vec_id"),
+          round(col("vmin"), 6).as("vmin_r"),
+          round(col("vmax"), 6).as("vmax_r"),
+          TextOps.let(transform(col("v"),
+            x => when(col("vmax") === col("vmin"), 0L)
+              .otherwise(floor((x - col("vmin")) * 255
+                / (col("vmax") - col("vmin")))))) { q =>
+            struct(
+              aggregate(q, lit(0L), (acc, c) => acc + c).as("qsum"),
+              element_at(q, 1).as("q0"),
+              element_at(q, 2).as("q1"))
+          }.as("s"))
+        .select(col("vec_id"), col("vmin_r"), col("vmax_r"),
+          col("s.qsum").as("qsum"), col("s.q0").as("q0"),
+          col("s.q1").as("q1"))
+        .orderBy(col("vec_id"))),
+
+    // K-means M-step (centroid update) with EXACT decimal component
+    // sums: float summation order varies with partitioning, so the
+    // mean is computed from DECIMAL(18,9) sums that cannot drift. The
+    // posexplode re-keys (label, dim) — one shuffle, perfectly
+    // parallel over dims at any scale.
+    "q_kmeans_step" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("label"), posexplode(VectorOps.toDouble(col("embedding"))))
+        .select(col("label"), col("pos").cast("long").as("dim"),
+          col("col").cast(org.apache.spark.sql.types.DecimalType(18, 9))
+            .as("xd"))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(sum(col("xd")).cast("double") / count(lit(1)), 6)
+          .as("mean_x"))
+        .orderBy(col("label"), col("dim"))),
+
     // MinHash accuracy audit: signature-estimated Jaccard vs exact
     // shingle Jaccard on the adjacent-pair set — the recall/precision
     // dial every LSH deployment needs measured before trusting it at
@@ -1092,6 +1158,52 @@ object Ext {
          |      + 1.0 * (1.0 - dup), 6) AS score
          |  FROM sig)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_posexplode" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS t
+         |  FROM documents WHERE doc_id < 20),
+         |u AS (SELECT doc_id,
+         |    unnest([{'p': i - 1, 'tok': t[i]} for i in range(1, len(t) + 1)])
+         |      AS u
+         |  FROM t)
+         |SELECT doc_id, CAST(u.p AS BIGINT) AS pos, u.tok AS tok
+         |FROM u ORDER BY doc_id, pos""".stripMargin,
+
+    "q_dataset_split" ->
+      """SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM (SELECT lang, n_chars,
+        |    CASE WHEN b < 80 THEN 'train'
+        |         WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT lang, n_chars,
+        |      (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        & 2147483647) % 100 AS b
+        |    FROM documents))
+        |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "q_embed_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax
+        |  FROM e),
+        |q AS (SELECT vec_id, vmin, vmax,
+        |    list_transform(v, x -> CASE WHEN vmax = vmin THEN 0
+        |      ELSE CAST(floor((x - vmin) * 255 / (vmax - vmin)) AS BIGINT)
+        |      END) AS q
+        |  FROM m)
+        |SELECT vec_id, round(vmin, 6) AS vmin_r, round(vmax, 6) AS vmax_r,
+        |  CAST(list_sum(q) AS BIGINT) AS qsum, q[1] AS q0, q[2] AS q1
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_kmeans_step" ->
+      """WITH x AS (SELECT label,
+        |    unnest([{'d': i - 1,
+        |             'x': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))}
+        |            for i in range(1, len(embedding) + 1)]) AS u
+        |  FROM embeddings)
+        |SELECT label, CAST(u.d AS BIGINT) AS dim,
+        |  round(CAST(sum(u.x) AS DOUBLE) / count(*), 6) AS mean_x
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "q_minhash_est" ->
       s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),

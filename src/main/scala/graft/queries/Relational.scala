@@ -410,6 +410,22 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // Frame-edge window functions: first/last/nth over the full
+    // partition frame (the default frame would make last_value a
+    // running value — the explicit frame is the semantic everyone
+    // actually wants).
+    "q_window_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d)
+        .select(col("event_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"),
+          nth_value(col("event_type"), 2).over(w).as("second_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // Batch sessionization (gaps-and-islands): the batch twin of
     // streaming.Streams.sessionize — new session when the gap to the
     // previous event exceeds 30 min; session id = running count of
@@ -471,6 +487,13 @@ object Relational {
           col("event_type"), col("n"), col("total_value"))
         .orderBy(col("bucket_start"), col("event_type")))
     ,
+
+    // Explicit cartesian product (tiny x tiny — the one shape where a
+    // cross join is legitimate; anything larger must be an equi-join).
+    "q_cross_join" -> ((s, d) =>
+      region(s, d).select(col("r_name"))
+        .crossJoin(orders(s, d).select(col("o_orderpriority")).distinct())
+        .orderBy(col("r_name"), col("o_orderpriority"))),
 
     // Sliding windows (batch twin of the streaming hop): each event
     // lands in size/slide = 2 buckets — the fan-out is a map-side
@@ -875,6 +898,21 @@ object Relational {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+
+    "q_window_firstlast" ->
+      """SELECT event_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, o_orderpriority
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+        |ORDER BY r_name, o_orderpriority""".stripMargin,
 
     "q_stream_slide" ->
       """WITH x AS (SELECT

@@ -168,6 +168,27 @@ object Streams {
     stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key),
       "left")
 
+  /** Stream-stream inner join with an event-time interval bound: right
+    * rows join left rows whose timestamp falls in
+    * [rightTs, rightTs + windowSeconds]. BOTH sides carry watermarks and
+    * the join predicate bounds event time in BOTH directions — that pair
+    * of constraints is what lets Spark evict join state; without them
+    * state grows forever (the classic unbounded-state footgun at scale).
+    * Columns: left(key, leftTs, ...), right(key, rightTs, ...).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      windowSeconds: Long, watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        l(leftTs) >= r(rightTs) &&
+        l(leftTs) <= r(rightTs) + org.apache.spark.sql.functions
+          .expr(s"INTERVAL $windowSeconds SECONDS"))
+      .drop(r(key))
+  }
+
   /** T1+T3: one scheduled catch-up run — AvailableNow trigger, exactly
     * the reference's @daily batch but with checkpointed source offsets
     * replacing the hand-rolled id-table commit protocol. Parquet sink

@@ -130,6 +130,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream join bounded by event-time interval") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val l = clicks.toDF().toDF("uid", "click_ts")
+    val r = views.toDF().toDF("uid", "view_ts")
+    // click joins a view from the same user within the prior 60 s
+    val q = Streams.intervalJoin(l, r, "uid", "click_ts", "view_ts", 60)
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData((1L, ts(100)), (2L, ts(100)))
+      clicks.addData((1L, ts(130)), // within 60s -> joins
+        (2L, ts(200)), // 100s later -> outside the interval
+        (3L, ts(130))) // no view for user -> dropped (inner)
+      q.processAllAvailable()
+      val rows = spark.table("ivj")
+        .select($"uid", $"click_ts".cast("long"), $"view_ts".cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 130L, 100L)))
+    } finally q.stop()
+  }
+
   test("enrich: stream-static broadcast join per micro-batch") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
