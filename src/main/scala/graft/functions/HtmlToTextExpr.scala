@@ -80,5 +80,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       VectorExprs.cosInfo,
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash16"),
+      SimHash16.info,
+      (children: Seq[Expression]) => SimHash16(children.head)))
   }
 }

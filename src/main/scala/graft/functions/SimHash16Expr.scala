@@ -1,0 +1,99 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `simhash16(text)` — the 16-bit SimHash of the whitespace-tokenized,
+  * lowercased document, as a native Catalyst expression.
+  *
+  * Semantics are EXACTLY [[graft.ext.TextOps.simhash16]] (bit i is the
+  * sign of Σ over tokens of ±1 on the i-th hex nibble of md5(token)),
+  * which the specs assert and the DuckDB oracle recomputes. The HOF
+  * formulation pays an interpreted lambda per (token, bit) — 16 array
+  * traversals per row outside codegen; the previous aggregation-shaped
+  * plan fixed the interpreter cost but needed an explode + 16 vote sums
+  * through an aggregation shuffle. This expression computes the whole
+  * signature in one fused per-row loop (one md5 per token, two nibble
+  * votes per digest byte) inside whole-stage codegen — dedup
+  * signatures for 100 TB become a map-only scan with NO shuffle.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash16.compute(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHash16.compute($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+  private[functions] val info =
+    new ExpressionInfo(classOf[SimHash16].getName, "simhash16")
+
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Tokenization replicates Spark's `split(lower(c), " ")` with limit
+    * -1: single-space separators, empty tokens (including a trailing
+    * one) KEPT and hashed — bit-compatibility with the HOF/oracle
+    * formulations requires it.
+    */
+  def compute(s: String): UTF8String = {
+    val votes = new Array[Int](16)
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val md = mdLocal.get()
+    val n = lower.length
+    var start = 0
+    var done = false
+    while (!done) {
+      val idx = lower.indexOf(' ', start)
+      val end = if (idx < 0) n else idx
+      val digest = md.digest(
+        lower.substring(start, end).getBytes(StandardCharsets.UTF_8))
+      var i = 0
+      while (i < 8) {
+        val b = digest(i) & 0xff
+        if ((b >>> 4) >= 8) votes(2 * i) += 1 else votes(2 * i) -= 1
+        if ((b & 0xf) >= 8) votes(2 * i + 1) += 1 else votes(2 * i + 1) -= 1
+        i += 1
+      }
+      if (idx < 0) done = true else start = idx + 1
+    }
+    val out = new Array[Byte](16)
+    var j = 0
+    while (j < 16) {
+      out(j) = if (votes(j) > 0) '1'.toByte else '0'.toByte
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Column-API entry point (registry-backed, same pattern as
+    * [[HtmlToText.apply]]).
+    */
+  def apply(c: Column): Column = {
+    val reg = org.apache.spark.sql.classic.SparkSession.active
+      .sessionState.functionRegistry
+    val ident = new FunctionIdentifier("simhash16")
+    if (!reg.functionExists(ident)) {
+      reg.registerFunction(ident, info,
+        (children: Seq[Expression]) => SimHash16(children.head))
+    }
+    call_function("simhash16", c)
+  }
+}

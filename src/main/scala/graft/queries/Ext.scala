@@ -175,22 +175,16 @@ object Ext {
     }),
 
     // SimHash: 16-bit frequency-weighted signature; equal-or-close
-    // signatures (hamming) are near-dups. Aggregation-shaped like
-    // minhashSig: one codegen'd md5 per token, then 16 map-side-partial
-    // vote sums per doc (same values as the per-row TextOps.simhash16).
-    "q_dedup_simhash" -> ((s, d) => {
-      val votes = (0 until 16).map(i =>
-        sum(when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(-1))
-          .as(s"s$i"))
-      val bits = (0 until 16).map(i =>
-        when(col(s"s$i") > 0, lit("1")).otherwise(lit("0")))
+    // signatures (hamming) are near-dups. Native codegen'd expression
+    // (functions.SimHash16): the whole signature in one fused per-row
+    // loop — signing 100 TB is a map-only scan, NO shuffle (the earlier
+    // aggregation-shaped plan needed explode + 16 vote sums through an
+    // agg exchange; specs assert all three formulations agree).
+    "q_dedup_simhash" -> ((s, d) =>
       documents(s, d)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), md5(col("tok")).as("h"))
-        .groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), concat(bits: _*).as("simhash"))
-        .orderBy(col("doc_id"))
-    }),
+        .select(col("doc_id"),
+          graft.functions.SimHash16(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
 
     // n-gram Jaccard over a deterministic linear pair set (doc i vs i+1):
     // the resemblance measure LSH approximates, computed exactly.

@@ -79,6 +79,37 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("simhash16 native == HOF spec, incl. empty-token and edge shapes") {
+    import graft.ext.TextOps
+    import spark.implicits._
+    // double spaces / trailing space produce EMPTY tokens that the HOF
+    // hashes too; mixed case exercises the lowercase step
+    val docs = Seq("the quick brown fox", "The  Quick  fox ", "", " ",
+      "solo", "a b c d e f g h i j k l m n o p q r s t")
+      .toDF("text")
+      .withColumn("native", graft.functions.SimHash16(col("text")))
+      .withColumn("hof", TextOps.simhash16(col("text")))
+      .collect()
+    docs.foreach { r =>
+      assert(r.getAs[String]("native") == r.getAs[String]("hof"),
+        s"for text='${r.getAs[String]("text")}'")
+    }
+  }
+
+  test("simhash16 propagates nulls and runs in whole-stage codegen") {
+    // range (a real codegen'd source, unlike a LocalTableScan that
+    // ConvertToLocalRelation folds away) -> nullable text via when()
+    val df = spark.range(4)
+      .select(when(col("id") =!= 2, concat(lit("tok "), col("id"))).as("text"))
+      .select(graft.functions.SimHash16(col("text")).as("s"))
+    val got = df.collect().map(r => Option(r.getString(0)))
+    assert(got.count(_.isEmpty) == 1)
+    assert(got.flatten.forall(_.length == 16))
+    assert(df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+  }
+
   test("vector kernels: null array, length mismatch, null element -> null") {
     import graft.ext.VectorOps
     import spark.implicits._
