@@ -56,9 +56,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no query plans a cartesian product or nested-loop join") {
     // the broadcast query batch in the sim/ann queries is the one sanctioned
-    // nested-loop (5-row build side); everything else must be hash/merge
+    // nested-loop (5-row build side); q_cross_join is the explicit
+    // tiny-x-tiny cartesian; everything else must be hash/merge
     val exempt = Set("q_sim_topk", "q_ann_lsh", "q_dedup_cosine",
-      "q_dedup_jaccard")
+      "q_dedup_jaccard", "q_cross_join")
     for (name <- SparkEntry.queries.keys if !exempt(name)) {
       val (p, _) = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
@@ -107,5 +108,35 @@ class PlanAuditSpec extends SparkSpec {
       .filter(l => l.contains("HashAggregate") && l.contains("partial_min"))
       .mkString
     assert(partial.nonEmpty && !partial.contains("text#"), partial.take(1000))
+  }
+
+  test("native simhash signing is map-only: no aggregation shuffle") {
+    val (p, _) = planOf("q_dedup_simhash")
+    // the only exchange allowed is the rangepartitioning for the
+    // deterministic output ORDER BY — signing itself must not shuffle
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("chunking is a pure map-side generator") {
+    val (p, _) = planOf("q_chunk_overlap")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("decontamination broadcasts the eval side; the train scan never shuffles its text") {
+    val (p, _) = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("tf-idf joins document frequencies by broadcast") {
+    val (p, _) = planOf("q_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("embedding quantization is map-only") {
+    val (p, _) = planOf("q_embed_quant")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
   }
 }

@@ -58,6 +58,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup withinWatermark: duplicates collapse, state stays bounded") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val q = Streams.dedup(in.toDF().toDF("id", "ts"),
+        withinWatermark = Some(("ts", "10 minutes")))
+      .writeStream.format("memory").queryName("wmdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(("a", ts(100)), ("a", ts(150)), ("b", ts(200)))
+      q.processAllAvailable()
+      in.addData(("a", ts(160))) // still a dup inside the watermark
+      q.processAllAvailable()
+      val ids = spark.table("wmdedup").select($"id").as[String]
+        .collect().toSeq
+      assert(ids.sorted == Seq("a", "b"))
+      // the dedup operator must actually keep (bounded) state
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
   test("userProfiles: running per-key state via mapGroupsWithState") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
