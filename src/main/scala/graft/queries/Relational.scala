@@ -44,6 +44,50 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Sort-based EXACT quantiles of `v` per `grp`: rank within the group
+    * (one range-partitioned window sort), keep only the two boundary
+    * rows per requested quantile, interpolate.
+    *
+    * Spark's `percentile` is exact too, but it aggregates a value->count
+    * map per group — O(distinct values) heap PER GROUP concentrated on
+    * the merging reducer, which is exactly what dies on a 100 TB column
+    * of doubles. The sort formulation spreads the work across the
+    * cluster like any other sort and keeps O(1) state per group after
+    * the boundary filter. Interpolation replicates Percentile's exact
+    * float shape `(higher-pos)*lo + (pos-lower)*hi` (== DuckDB
+    * quantile_cont), so results stay bit-identical to the oracle.
+    */
+  private def exactQuantiles(df: DataFrame, grp: String, v: String,
+      qs: Seq[(Double, String)]): DataFrame = {
+    val w = Window.partitionBy(col(grp)).orderBy(col(v))
+    val wa = Window.partitionBy(col(grp))
+    var base = df.select(col(grp), col(v))
+      .withColumn("_rn", (row_number().over(w) - 1).cast("double"))
+      .withColumn("_pos",
+        struct(qs.zipWithIndex.map { case ((q, _), i) =>
+          (lit(q) * (count(lit(1)).over(wa) - 1).cast("double")).as(s"p$i")
+        }: _*))
+    val keep = qs.indices.map { i =>
+      val p = col(s"_pos.p$i")
+      col("_rn") === floor(p) || col("_rn") === ceil(p)
+    }.reduce(_ || _)
+    val aggs = qs.zipWithIndex.flatMap { case ((_, _), i) =>
+      val p = col(s"_pos.p$i")
+      Seq(
+        min(when(col("_rn") === floor(p), col(v))).as(s"_lo$i"),
+        min(when(col("_rn") === ceil(p), col(v))).as(s"_hi$i"),
+        first(p).as(s"_p$i"))
+    }
+    val outs = qs.zipWithIndex.map { case ((_, name), i) =>
+      val (lo, hi, p) = (col(s"_lo$i"), col(s"_hi$i"), col(s"_p$i"))
+      round(when(floor(p) === ceil(p), lo)
+        .otherwise((ceil(p) - p) * lo + (p - floor(p)) * hi), 6).as(name)
+    }
+    base.filter(keep)
+      .groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+      .select(col(grp) +: outs: _*)
+  }
+
   /** Correlated EXISTS / NOT EXISTS in dialect-common ANSI SQL — like
     * [[SqlQ3]], ONE string through both spark.sql and the DuckDB oracle.
     */
@@ -296,20 +340,15 @@ object Relational {
     // Exact median (full-sort percentile — the exact twin of the
     // approx-sketch path; both engines midpoint-interpolate sorted
     // doubles identically).
-    "q_agg_median" -> ((s, d) =>
-      lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(percentile(col("l_quantity"), lit(0.5)), 6).as("med_qty"),
-          // ONE buffered percentile for both price quantiles — each
-          // percentile agg keeps its own value-count map per group, so
-          // asking twice on the same column doubles the state for free.
-          percentile(col("l_extendedprice"), array(lit(0.25), lit(0.75)))
-            .as("pp"))
-        .select(col("l_returnflag"), col("med_qty"),
-          round(col("pp").getItem(0), 6).as("p25_price"),
-          round(col("pp").getItem(1), 6).as("p75_price"))
-        .orderBy(col("l_returnflag"))),
+    "q_agg_median" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val med = exactQuantiles(li, "l_returnflag", "l_quantity",
+        Seq(0.5 -> "med_qty"))
+      val pp = exactQuantiles(li, "l_returnflag", "l_extendedprice",
+        Seq(0.25 -> "p25_price", 0.75 -> "p75_price"))
+      med.join(pp, Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // Unpivot (wide -> long): the reshaping inverse of q_pivot, a pure
     // map-side generator (each row fans out to one row per metric).
