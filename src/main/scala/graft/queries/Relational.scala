@@ -560,6 +560,49 @@ object Relational {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // KMV (k-minimum-values) cardinality sketch: distinct-count
+    // estimate from the k smallest portable hashes per group. Unlike
+    // HLL (engine-private hashing), the KMV estimate is a pure function
+    // of the data — BOTH engines compute the identical sketch AND
+    // estimate, so an approximate algorithm gets an EXACT oracle. At
+    // scale: per-group state is k longs; merge = k-way min-merge.
+    "q_agg_kmv" -> ((s, d) => {
+      val k = 64
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("h"))
+      val mins = orders(s, d)
+        .select(col("o_orderstatus"),
+          graft.ext.TextOps.hash31(col("o_custkey").cast("string")).as("h"))
+        .distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+      mins.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_mins"), max(col("h")).as("kth"))
+        .select(col("o_orderstatus"),
+          when(col("n_mins") < k, col("n_mins"))
+            .otherwise(floor(lit((k - 1).toDouble) * 2147483647.0 / col("kth")))
+            .cast("long").as("est_distinct"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // CDC-style upsert (MERGE INTO semantics as a pure query): new rows
+    // win on key collision, unmatched old rows survive — the full-outer
+    // coalesce every incremental state rebuild runs. One co-partitioned
+    // shuffle join at any scale.
+    "q_upsert" -> ((s, d) => {
+      val base = customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val updates = base.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), concat(col("c_name"), lit("*")).as("u_name"),
+          (dec(col("c_acctbal")) + 100).cast("double").as("u_acctbal"))
+      base.join(updates, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          coalesce(col("u_name"), col("c_name")).as("name"),
+          coalesce(col("u_acctbal"), col("c_acctbal")).as("acctbal"),
+          when(col("u_name").isNotNull, "updated").otherwise("kept")
+            .as("action"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Explicit GROUPING SETS (the general form rollup/cube specialize):
     // one shuffle produces all four grouping combinations; grouping()
     // flags disambiguate a NULL key from a rolled-up one.
@@ -952,6 +995,33 @@ object Relational {
       """SELECT r_name, o_orderpriority
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
         |ORDER BY r_name, o_orderpriority""".stripMargin,
+
+    "q_agg_kmv" ->
+      """WITH h AS (SELECT DISTINCT o_orderstatus,
+        |    (('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+        |      & 2147483647) AS h
+        |  FROM orders),
+        |m AS (SELECT o_orderstatus, h,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn
+        |  FROM h)
+        |SELECT o_orderstatus,
+        |  CAST(CASE WHEN count(*) < 64 THEN count(*)
+        |    ELSE floor(63.0 * 2147483647.0 / max(h)) END AS BIGINT)
+        |    AS est_distinct
+        |FROM m WHERE rn <= 64
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |u AS (SELECT c_custkey, c_name || '*' AS u_name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE) AS u_acctbal
+        |  FROM base WHERE c_custkey % 3 = 0)
+        |SELECT base.c_custkey,
+        |  coalesce(u_name, c_name) AS name,
+        |  coalesce(u_acctbal, c_acctbal) AS acctbal,
+        |  CASE WHEN u_name IS NOT NULL THEN 'updated' ELSE 'kept' END AS action
+        |FROM base FULL OUTER JOIN u ON base.c_custkey = u.c_custkey
+        |ORDER BY base.c_custkey""".stripMargin,
 
     "q_stream_slide" ->
       """WITH x AS (SELECT
