@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge set — the last step of every
+  * near-dup pipeline: candidate pairs become canonical cluster ids
+  * (keep min-id per cluster, drop the rest).
+  *
+  * Iterative min-label propagation, the standard Spark formulation
+  * (GraphX's connectedComponents is the same loop on RDDs): every node
+  * starts rooted at itself; each round pushes the smallest known root
+  * across edges; fixpoint = component minimum. The loop is
+  * driver-COORDINATED but the data never leaves the cluster — each
+  * round is one shuffle join + one min-aggregate, and `localCheckpoint`
+  * truncates the growing lineage so round N doesn't replay rounds
+  * 1..N-1. Rounds needed = graph diameter (near-dup clusters are
+  * shallow — pairs share a source document — so 2-4 rounds in
+  * practice).
+  */
+object Clusters {
+
+  /** @return (id, root) — one row per node that appears in `edges`,
+    *         root = smallest node id reachable (the canonical cluster id)
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    // symmetrize once; this small relation drives every round
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("root"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrRoots = sym.join(labels, sym("a") === labels("id"))
+        .select(col("b").as("id"), col("root"))
+      val next = labels.unionByName(nbrRoots)
+        .groupBy(col("id")).agg(min(col("root")).as("root"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.root") =!= col("p.root"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+}

@@ -100,6 +100,40 @@ object Ext {
   private def sigCsv(sig: org.apache.spark.sql.Column) =
     array_join(transform(sig, _.cast("string")), ",")
 
+  /** The COMPLETE near-dup pipeline: shingle -> minhash -> band ->
+    * bucket-join producing candidate pairs -> exact-Jaccard
+    * verification (>= 0.5). Candidate generation is an equi-join on
+    * band_key (shuffle on the key, never all-pairs); exact Jaccard runs
+    * only on candidates. Synthetic near-dups (truncated copies) make
+    * the result non-empty on this corpus. Shared by q_dedup_pairs and
+    * the clustering step q_dedup_clusters.
+    */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = docsWithNearDups(s, d)
+    val bands = minhashSigOf(docs).select(col("doc_id"),
+      explode(TextOps.lshBands(col("sig"), Bands, RowsPerBand))
+        .as("band_key"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sh = docs.select(col("doc_id"),
+      TextOps.distinctShingles(col("text"), K).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- E1: exact dedup (hash-groupBy keep-first) ----------------------
     "q_dedup_exact" -> ((s, d) =>
@@ -147,32 +181,19 @@ object Ext {
     // (shuffle on the key, never all-pairs); exact Jaccard runs only on
     // candidates. Synthetic near-dups (truncated copies) make the result
     // non-empty on this corpus.
-    "q_dedup_pairs" -> ((s, d) => {
-      val docs = docsWithNearDups(s, d)
-      val bands = minhashSigOf(docs).select(col("doc_id"),
-        explode(TextOps.lshBands(col("sig"), Bands, RowsPerBand))
-          .as("band_key"))
-      val pairs = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      val sh = docs.select(col("doc_id"),
-        TextOps.distinctShingles(col("text"), K).as("sh"))
-      pairs
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
-          Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
-          Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(size(array_intersect(col("sh_a"), col("sh_b")))
-            .cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6)
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    "q_dedup_pairs" -> ((s, d) =>
+      verifiedPairs(s, d).orderBy(col("id_a"), col("id_b"))),
+
+    // Candidate pairs -> canonical cluster ids (connected components by
+    // min-label propagation, ops.Clusters): the step that turns a pair
+    // list into an actionable keep/drop decision. Oracle: the SAME pair
+    // set walked by a DuckDB recursive CTE.
+    "q_dedup_clusters" -> ((s, d) =>
+      graft.ops.Clusters.connectedComponents(
+          verifiedPairs(s, d).select(col("id_a"), col("id_b")),
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("root").as("cluster"))
+        .orderBy(col("doc_id"))),
 
     // SimHash: 16-bit frequency-weighted signature; equal-or-close
     // signatures (hamming) are near-dups. Native codegen'd expression
@@ -805,6 +826,34 @@ object Ext {
        |  THEN '1' ELSE '0' END
        |  for i in range(0, 16)], '')""".stripMargin
 
+  /** Shared CTE chain for the LSH candidate-pair pipeline (docs with
+    * synthetic near-dups -> signatures -> bands -> candidate pairs ->
+    * verified `sim(id_a, id_b, jaccard >= 0.5)`), used by both the pair
+    * query and the recursive clustering walk.
+    */
+  private lazy val sqlPairCtes =
+    s"""docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |    array_to_string(
+       |      (${sqlTokens("text")})[1:len(${sqlTokens("text")}) - 2], ' ') AS text
+       |  FROM documents WHERE doc_id < 20),
+       |tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM docs),
+       |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
+       |hv AS (SELECT doc_id, list_transform(sh, x -> $sqlHash31) AS vs FROM sh),
+       |sg AS (SELECT doc_id, $sqlSig AS sig FROM hv),
+       |bk AS (SELECT doc_id, unnest([${sqlBands.mkString(", ")}]) AS band_key FROM sg),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sim AS (SELECT * FROM (
+       |  SELECT id_a, id_b,
+       |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |          CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE), 6)
+       |      AS jaccard
+       |  FROM pairs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+       |WHERE jaccard >= 0.5)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -837,27 +886,19 @@ object Ext {
          |GROUP BY bucket_size ORDER BY bucket_size""".stripMargin,
 
     "q_dedup_pairs" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id,
-         |    array_to_string(
-         |      (${sqlTokens("text")})[1:len(${sqlTokens("text")}) - 2], ' ') AS text
-         |  FROM documents WHERE doc_id < 20),
-         |tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM docs),
-         |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
-         |hv AS (SELECT doc_id, list_transform(sh, x -> $sqlHash31) AS vs FROM sh),
-         |sg AS (SELECT doc_id, $sqlSig AS sig FROM hv),
-         |bk AS (SELECT doc_id, unnest([${sqlBands.mkString(", ")}]) AS band_key FROM sg),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-         |SELECT * FROM (
-         |  SELECT id_a, id_b,
-         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-         |          CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE), 6)
-         |      AS jaccard
-         |  FROM pairs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
-         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $sqlPairCtes
+         |SELECT id_a, id_b, jaccard FROM sim ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlPairCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM sim
+         |  UNION SELECT id_b, id_a FROM sim),
+         |walk(id, root) AS (
+         |  SELECT a AS id, a AS root FROM edges
+         |  UNION
+         |  SELECT e.b AS id, w.root FROM walk w JOIN edges e ON e.a = w.id)
+         |SELECT id AS doc_id, min(root) AS cluster
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""SELECT doc_id, $sqlSimhash AS simhash
