@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ext.{TextOps, VectorOps}
+import graft.ext.{Multimodal, TextOps, VectorOps}
 
 /** Extension operators for large-scale training-data pipelines
   * (SURVEY.md §2.11, BASELINE.json north star): deduplication (exact,
@@ -557,6 +557,21 @@ object Ext {
           base64(encode(substring(col("text"), 1, 24), "UTF-8")).as("head_b64"))
         .orderBy(col("doc_id"))
     }),
+
+    // E4 frame fan-out, oracle-checked end to end: one media row
+    // generates n frame rows through the REAL plumbing (typed Dataset ->
+    // flatMap generator -> binary frames); only the codec is the
+    // deterministic stub, whose byte-slicing the oracle reproduces over
+    // the same BLOBs. Map-only: payloads never shuffle.
+    "q_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(
+            documents(s, d).select(col("doc_id"), col("text"))), 4)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("n_frame_bytes"),
+          hex(col("frame")).as("frame_hex"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
 
     // TF-IDF top terms per doc, with a LINEAR idf (n_docs/df) instead of
     // the textbook log: ln() is not correctly-rounded in IEEE 754 (sqrt
@@ -1111,6 +1126,24 @@ object Ext {
          |  CAST(cum // $PackTarget AS BIGINT) AS seq_id,
          |  CAST(cum % $PackTarget AS BIGINT) AS offset_in_seq, n_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // DuckDB substring() has no BLOB overload: slice the VARCHAR and
+    // encode the slice. Char offsets == byte offsets because the corpus
+    // is ASCII (the q_multimodal_meta oracle already leans on this).
+    "q_frames" ->
+      """WITH m AS (SELECT doc_id, text,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    unnest([{'i': i,
+        |             'fr': encode(substring(text,
+        |               CAST(len * i // 4 AS BIGINT) + 1, 16))}
+        |            for i in range(0, 4)]) AS u
+        |  FROM m WHERE len > 0)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
+        |  CAST(octet_length(u.fr) AS BIGINT) AS n_frame_bytes,
+        |  hex(u.fr) AS frame_hex
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
