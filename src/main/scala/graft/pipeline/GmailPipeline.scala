@@ -78,6 +78,24 @@ object GmailPipeline {
     incoming.join(broadcastIfSmall(state.select(col("id"))), Seq("id"),
       "left_anti")
 
+  /** Dedup with SOURCE-LEVEL skip: when the seen-id state is small
+    * enough to inline (like a broadcast decision), the anti-join becomes
+    * a `NOT id IN (...)` filter the DSv2 connector pushes down — the
+    * listing still paginates, but already-seen ids never cost a GET.
+    * This is the reference's probe-state-before-fetch optimization
+    * (gmail_functions.py:173-174) derived from the plan: the filter
+    * travels INTO the extract instead of running after it. Above the
+    * threshold, falls back to [[newMessages]] (correct at any size).
+    */
+  def newMessagesWithSourceSkip(incoming: DataFrame, state: DataFrame,
+      maxInlineIds: Int = 10000): DataFrame = {
+    val ids = state.select(col("id")).limit(maxInlineIds + 1)
+      .collect().map(_.getString(0))
+    if (ids.length > maxInlineIds) newMessages(incoming, state)
+    else if (ids.isEmpty) incoming
+    else incoming.filter(!col("id").isin(ids.toIndexedSeq: _*))
+  }
+
   /** The state side is tiny relative to a 100 TB incoming scan for
     * realistic retention; broadcast it below the threshold, else let
     * Catalyst pick sort-merge. (Heuristic: defer to AQE when unknown.)

@@ -109,6 +109,7 @@ private[sources] class PagedApiScanBuilder(options: Map[String, String])
   private var limit: Option[Int] = None
   private var schema: StructType = PagedApiSource.schema
   private var keyedIds: Option[Seq[String]] = None
+  private var excludeIds: Set[String] = Set.empty
   private var pushed: Array[sources.Filter] = Array.empty
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
@@ -123,35 +124,47 @@ private[sources] class PagedApiScanBuilder(options: Map[String, String])
   /** `id = x` / `id IN (...)` become keyed lookups: the scan skips
     * pagination entirely and fetches exactly those ids — the
     * reference's direct messages.get (S2) derived from the plan.
+    * `NOT id IN (...)` / `id != x` become GET-skips: the listing still
+    * paginates (ids are free) but excluded ids never reach a fetch
+    * partition — the reference's probe-state-before-GET optimization
+    * (gmail_functions.py:173-174), derived from the dedup filter in the
+    * plan instead of hand-rolled N+1 DB probes.
     */
   override def pushFilters(filters: Array[sources.Filter]):
       Array[sources.Filter] = {
     val (accepted, rejected) = filters.partition {
       case sources.EqualTo("id", _: String) => true
       case sources.In("id", vs) => vs.forall(_.isInstanceOf[String])
+      case sources.Not(sources.EqualTo("id", _: String)) => true
+      case sources.Not(sources.In("id", vs)) =>
+        vs.forall(_.isInstanceOf[String])
       case _ => false
     }
-    keyedIds = accepted.foldLeft(Option.empty[Seq[String]]) { (acc, f) =>
-      val ids = f match {
-        case sources.EqualTo(_, v: String) => Seq(v)
-        case sources.In(_, vs) => vs.toSeq.map(_.asInstanceOf[String])
-        case _ => Seq.empty
-      }
-      Some(acc.map(_.intersect(ids)).getOrElse(ids))
+    accepted.foreach {
+      case sources.EqualTo(_, v: String) => include(Seq(v))
+      case sources.In(_, vs) => include(vs.toSeq.map(_.asInstanceOf[String]))
+      case sources.Not(sources.EqualTo(_, v: String)) => excludeIds += v
+      case sources.Not(sources.In(_, vs)) =>
+        excludeIds ++= vs.map(_.asInstanceOf[String])
+      case _ => ()
     }
     pushed = accepted
     rejected // Spark re-applies anything we do not fully handle
   }
 
+  private def include(ids: Seq[String]): Unit =
+    keyedIds = Some(keyedIds.map(_.intersect(ids)).getOrElse(ids))
+
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan = new PagedApiScan(options, limit, schema,
-    keyedIds)
+    keyedIds, excludeIds)
 }
 
 private[sources] class PagedApiScan(options: Map[String, String],
     limit: Option[Int], prunedSchema: StructType,
-    keyedIds: Option[Seq[String]] = None) extends Scan with Batch {
+    keyedIds: Option[Seq[String]] = None,
+    excludeIds: Set[String] = Set.empty) extends Scan with Batch {
 
   override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
@@ -163,9 +176,15 @@ private[sources] class PagedApiScan(options: Map[String, String],
   override def planInputPartitions(): Array[InputPartition] = partitions
 
   private def listAndChunk(): Array[InputPartition] = {
-    // keyed lookup: pushed id predicates skip the listing entirely
-    val all = keyedIds.map(ids => limit.fold(ids.sorted)(ids.sorted.take))
-      .getOrElse(listIds())
+    // keyed lookup: pushed id predicates skip the listing entirely;
+    // excluded (already-seen) ids are dropped BEFORE partitioning, so
+    // they never cost a GET. Exclusion applies BEFORE the limit: the
+    // pushed limit promises n matching rows if they exist, so excluded
+    // ids must not consume the budget.
+    val all = keyedIds.map { ids =>
+      val kept = ids.sorted.filterNot(excludeIds)
+      limit.fold(kept)(kept.take)
+    }.getOrElse(listIds())
     val chunk = options.getOrElse("idsPerPartition", "512").toInt
     val parts = all.grouped(chunk).map(g =>
       PagedApiPartition(g.toArray, options): InputPartition).toArray
@@ -184,9 +203,10 @@ private[sources] class PagedApiScan(options: Map[String, String],
     var done = false
     while (!done) {
       val page = client.listPage(token)
-      val take = limit.map(l => math.min(l - n, page.ids.size))
-        .getOrElse(page.ids.size)
-      ids ++= page.ids.take(take)
+      val fresh = page.ids.filterNot(excludeIds)
+      val take = limit.map(l => math.min(l - n, fresh.size))
+        .getOrElse(fresh.size)
+      ids ++= fresh.take(take)
       n += take
       token = page.nextToken
       done = token.isEmpty || limit.exists(n >= _)

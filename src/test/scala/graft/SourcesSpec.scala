@@ -109,6 +109,37 @@ class SourcesSpec extends SparkSpec {
     assert(read().select("id").where(col("id") === "nope").count() == 0)
   }
 
+  test("NOT IN pushdown: seen ids are listed but never fetched") {
+    CountingApiClient.reset()
+    val seen = (1 to 20).map(i => f"m$i%03d")
+    val rows = read().where(!col("id").isin(seen: _*)).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      (21 to 25).map(i => f"m$i%03d"))
+    assert(CountingApiClient.listCalls.get() == 3) // listing still pages
+    assert(CountingApiClient.getCalls.get() == 5)  // but only new ids GET
+  }
+
+  test("NOT IN + limit: excluded ids do not consume the fetch budget") {
+    CountingApiClient.reset()
+    // first page (10 ids) is fully seen; the limit must keep listing
+    val seen = (1 to 10).map(i => f"m$i%03d")
+    val rows = read().where(!col("id").isin(seen: _*)).limit(3).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => !seen.contains(r.getString(0))))
+  }
+
+  test("newMessagesWithSourceSkip inlines small state into the scan") {
+    import spark.implicits._
+    CountingApiClient.reset()
+    val state = (1 to 22).map(i => f"m$i%03d").toDF("id")
+    val fresh = graft.pipeline.GmailPipeline
+      .newMessagesWithSourceSkip(read(), state)
+      .collect()
+    assert(fresh.map(_.getString(0)).sorted.toSeq ==
+      (23 to 25).map(i => f"m$i%03d"))
+    assert(CountingApiClient.getCalls.get() == 3) // seen ids never GET
+  }
+
   test("source composes with the dedup anti-join without fetching seen ids") {
     import spark.implicits._
     CountingApiClient.reset()
