@@ -51,11 +51,6 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       tolerance: Option[Column] = None): DataFrame = {
-    val payloadCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
-    val leftType = StructType(left.schema.fields)
-    val payloadType = StructType(
-      right.schema.fields.filter(f => payloadCols.contains(f.name)))
-
     // NULL semantics match the brute-force spec (and DuckDB ASOF): an
     // equality join never matches a NULL key, and ts <= ts is NULL for a
     // NULL build timestamp — so such build rows can never win and are
@@ -66,10 +61,87 @@ object AsOfJoin {
     // which is the spec'd left-outer behavior.
     val buildRows = right.filter(
       (keys.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
+    asofOn(left, buildRows, keys, leftTs, rightTs, tolerance)
+  }
 
-    // Tag and align the two sides: build rows sort BEFORE probe rows at
-    // an equal timestamp so the inclusive (<=) match sees them.
-    val buildSide = buildRows.select(
+  /** Skew-resistant as-of join: [[asof]] serializes each key through one
+    * window partition, so a single hot key (one instrument with billions
+    * of quotes) bottlenecks on one task. This variant splits time into
+    * fixed-width buckets and runs the same union-window trick partitioned
+    * by (key, bucket) — a hot key parallelizes across its time range.
+    *
+    * Cross-bucket correctness ("the match lives in an older bucket") is
+    * restored by a carry-in: per (key, bucket) take the LAST build row
+    * (one row per bucket — tiny), propagate it forward across buckets
+    * with a second window over that per-bucket relation, and inject it
+    * into each bucket as a synthetic build row timestamped at the bucket
+    * boundary. Every shuffle is keyed by (key, bucket) except the
+    * per-bucket carry relation (|buckets| rows per key, not |rows|).
+    *
+    * Semantics identical to [[asof]] — the spec tests assert equality,
+    * hot key included — EXCEPT tolerance: a carried match older than the
+    * probe's bucket reports the carry row's true timestamp, so tolerance
+    * composes unchanged.
+    */
+  def asofBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, bucket: Column => Column,
+      tolerance: Option[Column] = None): DataFrame = {
+    val rightClean = right.filter(
+      (keys.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
+    val bCol = "_asof_bucket"
+    val rB = rightClean.withColumn(bCol, bucket(col(rightTs)))
+    val lB = left.withColumn(bCol, bucket(col(leftTs)))
+
+    // last build row per (key, bucket): rank within bucket, keep max ts
+    val payloadCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
+    val wInBucket = Window.partitionBy((keys :+ bCol).map(col): _*)
+      .orderBy(col(rightTs).desc)
+    val lastPerBucket = rB
+      .withColumn("_asof_rn", row_number().over(wInBucket))
+      .filter(col("_asof_rn") === 1)
+      .drop("_asof_rn")
+    // propagate forward: for bucket b, the carry is the newest build row
+    // from any bucket < b (per key). |rows| here = #non-empty buckets.
+    val wAcross = Window.partitionBy(keys.map(col): _*).orderBy(col(bCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carrySrc = lastPerBucket.select(
+      (keys.map(col) :+ col(bCol) :+
+        struct((col(rightTs) +: payloadCols.map(col)): _*).as("_asof_row")): _*)
+    // buckets that have probes but no build rows still need a carry row:
+    // seed the across-window with EVERY bucket either side touches
+    val allBuckets = rB.select((keys.map(col) :+ col(bCol)): _*)
+      .union(lB.select((keys.map(col) :+ col(bCol)): _*)).distinct()
+    val carried = allBuckets
+      .join(carrySrc, keys :+ bCol, "left")
+      .withColumn("_asof_carry",
+        last(col("_asof_row"), ignoreNulls = true).over(wAcross))
+      .filter(col("_asof_carry").isNotNull)
+      .select((keys.map(col) :+ col(bCol) :+
+        col("_asof_carry.*")): _*)
+
+    // inject carries as synthetic build rows; a carry keeps its TRUE
+    // (older-bucket) timestamp, so within the bucket it sorts before
+    // every native build row and the union-window picks it only when
+    // the bucket has nothing newer than the probe
+    val rAug = rB.unionByName(carried)
+
+    // the per-bucket asof: identical union-window trick, partitioned by
+    // (keys :+ bucket)
+    asofOn(lB, rAug, keys :+ bCol, leftTs, rightTs, tolerance)
+      .drop(bCol)
+  }
+
+  /** [[asof]] generalized to an arbitrary partition-key list (the public
+    * overloads pass `keys` or `keys :+ bucket`).
+    */
+  private def asofOn(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      tolerance: Option[Column]): DataFrame = {
+    val payloadCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
+    val leftType = StructType(left.schema.fields)
+    val payloadType = StructType(
+      right.schema.fields.filter(f => payloadCols.contains(f.name)))
+    val buildSide = right.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("_asof_t"),
         lit(0).as("_asof_side"),
@@ -81,28 +153,22 @@ object AsOfJoin {
         lit(1).as("_asof_side"),
         struct(left.columns.map(col): _*).as("_asof_probe"),
         lit(null).cast(payloadType).as("_asof_payload")): _*)
-
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_asof_t"), col("_asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
     val carried = buildSide.unionByName(probeSide)
       .withColumn("_asof_match", last(col("_asof_payload"), ignoreNulls = true).over(w))
       .withColumn("_asof_match_t",
         last(when(col("_asof_side") === 0, col("_asof_t")), ignoreNulls = true)
           .over(w))
       .filter(col("_asof_side") === 1)
-
     val bounded = tolerance match {
       case Some(tol) =>
-        // Outside the lookback horizon the match is dropped, not the row.
         val within = col("_asof_match_t").isNotNull &&
           unix_micros(col("_asof_t")) - unix_micros(col("_asof_match_t")) <= tol
-        carried.withColumn("_asof_match",
-          when(within, col("_asof_match")))
+        carried.withColumn("_asof_match", when(within, col("_asof_match")))
       case None => carried
     }
-
     bounded.select(
       left.columns.map(c => col("_asof_probe").getField(c).as(c)) ++
         payloadCols.map(c => col("_asof_match").getField(c).as(c)): _*)

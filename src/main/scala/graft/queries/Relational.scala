@@ -245,6 +245,25 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // The skew-resistant as-of variant against the SAME DuckDB ASOF
+    // oracle: time-bucketed windows + cross-bucket carry must be a pure
+    // physical rewrite of the plain as-of (hot keys parallelize across
+    // their time range instead of serializing through one partition).
+    "q_join_asof_bucketed" -> ((s, d) => {
+      val clicks = events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("p_value"),
+          max(col("event_id")).as("p_event_id"))
+      AsOfJoin.asofBucketed(clicks, purchases, Seq("user_id"), "ts", "ts",
+          ts => floor(unix_micros(ts) / lit(3600000000L)))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("p_event_id"), round(col("p_value"), 6).as("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // SQL front-end path: the shared ANSI text (see SqlQ3 above).
     "q_sql_q3" -> ((s, d) => {
       customer(s, d).createOrReplaceTempView("customer")
@@ -789,6 +808,18 @@ object Relational {
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_join_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS p_value,
+        |    max(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |  p.p_event_id, round(p.p_value, 6) AS p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_join_asof_bucketed" ->
       """WITH p AS (
         |  SELECT user_id, ts, arg_max(value, event_id) AS p_value,
         |    max(event_id) AS p_event_id

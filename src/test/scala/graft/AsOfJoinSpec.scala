@@ -110,6 +110,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(AsOfJoin.asof(dupTrades, quotes, Seq("k"), "lts", "rts").count() == 2)
   }
 
+  test("asofBucketed == asof, including a hot key and cross-bucket carries") {
+    // one hot key (k=0 gets half of all rows), sparse keys elsewhere;
+    // bucket width chosen so matches routinely live in older buckets
+    val left = spark.range(400).select(
+      col("id"),
+      when(col("id") % 2 === 0, "hot").otherwise((col("id") % 5).cast("string"))
+        .as("k"),
+      timestamp_micros(lit(1700000000000000L) + (col("id") * 77777771L) % 86400000000L)
+        .as("lts"))
+    val right = spark.range(50).select(
+      when(col("id") % 2 === 0, "hot").otherwise((col("id") % 5).cast("string"))
+        .as("k"),
+      timestamp_micros(lit(1700000000000000L) + (col("id") * 999999937L) % 86400000000L)
+        .as("rts"),
+      (col("id") * 17 % 1000).cast("double").as("px"))
+      .groupBy("k", "rts").agg(max(col("px")).as("px"))
+    val bucket = (ts: org.apache.spark.sql.Column) =>
+      floor(unix_micros(ts) / lit(3600000000L)) // 1h buckets
+    for (tol <- Seq(None, Some(lit(7200000000L)))) {
+      val plain = AsOfJoin.asof(left, right, Seq("k"), "lts", "rts", tol)
+        .orderBy("id").collect().toSeq
+      val bucketed = AsOfJoin.asofBucketed(left, right, Seq("k"), "lts", "rts",
+          bucket, tol)
+        .orderBy("id").collect().toSeq
+      assert(bucketed == plain, s"tolerance=$tol")
+    }
+  }
+
   test("asof plan: one shuffle on the key, no join node, no pair explosion") {
     val df = AsOfJoin.asof(trades, quotes, Seq("k"), "lts", "rts")
     df.collect()
