@@ -512,6 +512,21 @@ object Ext {
         .orderBy(col("doc_id"))
     }),
 
+    // Inverted index build (term -> sorted postings list): the IR-side
+    // twin of the vocabulary count. Postings are collected then SORTED
+    // (never trust distributed arrival order) and capped — emit the cap
+    // explicitly as n_docs so truncation is visible, not silent.
+    "q_inverted_index" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(TextOps.distinctTokens(col("text")))
+          .as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(
+            slice(array_sort(collect_list(col("doc_id"))), 1, 20), ",")
+            .as("postings_head"))
+        .orderBy(col("term"))),
+
     // Corpus token frequencies (explode -> groupBy; the classic
     // vocabulary-count shuffle, partial-aggregated map-side).
     "q_text_tokens" -> ((s, d) =>
@@ -1024,6 +1039,14 @@ object Ext {
          |    AS reject_reasons
          |  FROM (SELECT doc_id, text, ${sqlTokens("text")} AS t FROM documents))
          |ORDER BY doc_id""".stripMargin,
+
+    "q_inverted_index" ->
+      s"""SELECT term, count(*) AS n_docs,
+         |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+         |FROM (SELECT doc_id,
+         |    unnest(list_distinct(${sqlTokens("text")})) AS term
+         |  FROM documents)
+         |GROUP BY term ORDER BY term""".stripMargin,
 
     "q_text_tokens" ->
       s"""SELECT tok, count(*) AS n FROM (

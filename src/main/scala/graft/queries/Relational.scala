@@ -579,6 +579,25 @@ object Relational {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // IQR outlier rule composed from the sort-based exact quantiles:
+    // per-group fences (q1 - 1.5*IQR, q3 + 1.5*IQR) broadcast back onto
+    // the fact scan — the standard robust-statistics filter at scale.
+    "q_outlier_iqr" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val fences = exactQuantiles(li, "l_returnflag", "l_extendedprice",
+        Seq(0.25 -> "q1", 0.75 -> "q3"))
+        .select(col("l_returnflag"),
+          (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+          (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+      li.join(broadcast(fences), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("lo") ||
+            col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // KMV (k-minimum-values) cardinality sketch: distinct-count
     // estimate from the k smallest portable hashes per group. Unlike
     // HLL (engine-private hashing), the KMV estimate is a pure function
@@ -1026,6 +1045,18 @@ object Relational {
       """SELECT r_name, o_orderpriority
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
         |ORDER BY r_name, o_orderpriority""".stripMargin,
+
+    "q_outlier_iqr" ->
+      """WITH f AS (SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+        |    round(quantile_cont(l_extendedprice, 0.75), 6) AS q3
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_extendedprice < q1 - 1.5 * (q3 - q1)
+        |             OR l_extendedprice > q3 + 1.5 * (q3 - q1)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM lineitem l JOIN f USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
     "q_agg_kmv" ->
       """WITH h AS (SELECT DISTINCT o_orderstatus,
