@@ -84,5 +84,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash16"),
       SimHash16.info,
       (children: Seq[Expression]) => SimHash16(children.head)))
+    ext.injectOptimizerRule(GraftOptimizations)
   }
 }

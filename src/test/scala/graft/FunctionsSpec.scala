@@ -110,6 +110,22 @@ class FunctionsSpec extends SparkSpec {
     }.nonEmpty)
   }
 
+  test("optimizer rule elides redundant lower() under simhash16 and double html_to_text") {
+    val base = spark.range(8).select(concat(lit("A b C "), col("id")).as("t"))
+    val redundant = base.select(
+      graft.functions.SimHash16(lower(upper(col("t")))).as("s"),
+      graft.functions.HtmlToText(graft.functions.HtmlToText(col("t"))).as("h"))
+    val clean = base.select(
+      graft.functions.SimHash16(upper(col("t"))).as("s"),
+      graft.functions.HtmlToText(col("t")).as("h"))
+    // same values...
+    assert(redundant.collect().toSeq == clean.collect().toSeq)
+    // ...and the optimized plan no longer contains the redundant nodes
+    val opt = redundant.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("lower("), opt)
+    assert("html_to_text\\(".r.findAllIn(opt).size == 1, opt)
+  }
+
   test("vector kernels: null array, length mismatch, null element -> null") {
     import graft.ext.VectorOps
     import spark.implicits._
