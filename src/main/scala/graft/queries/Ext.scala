@@ -594,16 +594,20 @@ object Ext {
     // implementations while rational scores are bit-identical in any
     // engine. Two shuffles: (doc,term) tf and term df; df re-broadcasts.
     "q_tfidf" -> ((s, d) => {
-      val tok = documents(s, d)
+      // ONE explode -> (doc, term) tf agg; document frequency is then a
+      // COUNT window over the tf rows (tf already has exactly one row
+      // per (doc, term)) — no second pass over the token explosion, no
+      // distinct, no df join. Two shuffles total: (doc, term) agg, term
+      // window.
+      val tf = documents(s, d)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val df = tok.distinct().groupBy(col("term"))
-        .agg(count(lit(1)).as("df"))
       val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val wDf = Window.partitionBy(col("term"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))
-      tf.join(broadcast(df), Seq("term"))
+      tf.withColumn("df", count(lit(1)).over(wDf))
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"), col("tf"),
           round((col("tf") * col("n_docs")).cast("double") / col("df"), 6)
@@ -620,13 +624,15 @@ object Ext {
     // ln() rounding are not engine-portable). One (doc,gram) explode,
     // one gram-level doc-frequency agg, one join back.
     "q_ngram_novelty" -> ((s, d) => {
-      val grams = documents(s, d)
+      // doc-frequency per gram via a COUNT window over the exploded
+      // (doc, gram-hash) rows — one shuffle on the hash instead of an
+      // aggregate plus a join back.
+      documents(s, d)
         .select(col("doc_id"),
           explode(TextOps.distinctShingles(col("text"), 2)).as("g"))
         .select(col("doc_id"), TextOps.hash31(col("g")).as("h"))
-      val gDocs = grams.groupBy(col("h"))
-        .agg(count(lit(1)).as("n_docs_with"))
-      grams.join(gDocs, Seq("h"))
+        .withColumn("n_docs_with",
+          count(lit(1)).over(Window.partitionBy(col("h"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("n_docs_with") === 1, 1L).otherwise(0L))
@@ -772,16 +778,35 @@ object Ext {
     // dial every LSH deployment needs measured before trusting it at
     // 100 TB (where only the estimate is affordable).
     "q_minhash_est" -> ((s, d) => {
-      val sig = minhashSig(s, d)
-      val sh = documents(s, d).select(col("doc_id"),
-        TextOps.distinctShingles(col("text"), K).as("sh"))
-      val a = sig.join(sh, Seq("doc_id"))
-        .select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
-          col("sh").as("sh_a"))
-      val b = sig.join(sh, Seq("doc_id"))
-        .select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
-          col("sh").as("sh_b"))
-      a.join(b, col("id_b") === col("id_a") + 1)
+      // adjacent-pair assembly WITHOUT a self-join (which would compute
+      // every signature twice — exchange reuse doesn't fire across the
+      // differing id/id+1 shuffle keys) and WITHOUT a global-order
+      // lead() window (which serializes all rows through ONE partition):
+      // each doc emits itself to its own pair slot and its
+      // predecessor's, so one 2x explode and ONE shuffle on pair_id
+      // assemble every pair from signatures computed once.
+      val sigsh = minhashSig(s, d)
+        .join(documents(s, d).select(col("doc_id"),
+          TextOps.distinctShingles(col("text"), K).as("sh")), Seq("doc_id"))
+      sigsh.select(explode(array(
+          struct(col("doc_id").as("pair_id"), lit(0).as("side"),
+            col("doc_id"), col("sig"), col("sh")),
+          struct((col("doc_id") - 1).as("pair_id"), lit(1).as("side"),
+            col("doc_id"), col("sig"), col("sh")))).as("e"))
+        .select(col("e.*"))
+        .groupBy(col("pair_id"))
+        .agg(
+          min(when(col("side") === 0, col("doc_id"))).as("id_a"),
+          first(when(col("side") === 0, col("sig")), ignoreNulls = true)
+            .as("sig_a"),
+          first(when(col("side") === 0, col("sh")), ignoreNulls = true)
+            .as("sh_a"),
+          min(when(col("side") === 1, col("doc_id"))).as("id_b"),
+          first(when(col("side") === 1, col("sig")), ignoreNulls = true)
+            .as("sig_b"),
+          first(when(col("side") === 1, col("sh")), ignoreNulls = true)
+            .as("sh_b"))
+        .filter(col("id_a").isNotNull && col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"),
           round(aggregate(
             zip_with(col("sig_a"), col("sig_b"),
