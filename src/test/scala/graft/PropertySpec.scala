@@ -37,6 +37,26 @@ class PropertySpec extends SparkSpec {
     assert(got == inputs.map(fromAddrModel))
   }
 
+  test("native simhash16 == HOF spec on random token streams") {
+    // random doc shapes: empty tokens, repeated spaces, mixed case,
+    // unicode; the native expression must stay bit-compatible with the
+    // interpreted HOF spec on all of them
+    val tokGen = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(6)),
+      1 -> Gen.const(""),
+      1 -> Gen.oneOf("É", "中文", "a-b", "X_Y"))
+    val docGen = Gen.chooseNum(0, 30)
+      .flatMap(n => Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    val inputs = Gen.listOfN(150, docGen).sample.get
+    import spark.implicits._
+    val rows = inputs.toDF("text")
+      .select(graft.functions.SimHash16(col("text")).as("native"),
+        graft.ext.TextOps.simhash16(col("text")).as("hof"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getString(0) == r.getString(1)))
+  }
+
   test("urlsafe base64 roundtrip over arbitrary unicode") {
     val strGen = Gen.listOfN(24, Gen.frequency(
       8 -> Gen.alphaNumChar,
