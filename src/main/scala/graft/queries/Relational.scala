@@ -579,6 +579,37 @@ object Relational {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // NULL-handling scalars over synthesized nulls (the corpus tables
+    // are fully populated, so nullability is injected deterministically).
+    "q_null_funcs" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_orderpriority"))
+            .as("p_n"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice")).as("v_n"))
+        .select(col("o_orderkey"),
+          coalesce(col("p_n"), lit("none")).as("p_or_default"),
+          nullif(col("p_n"), lit("1-URGENT")).as("p_nullif"),
+          col("p_n").isNull.as("is_missing"),
+          coalesce(col("v_n"), lit(0.0)).as("v_or_zero"))
+        .orderBy(col("o_orderkey"))),
+
+    // Statistical mode per group with a deterministic tie-break
+    // (arrival-order "mode()" builtins are not reproducible; rank on
+    // (count DESC, value) is).
+    "q_agg_mode" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("n").as("mode_n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // IQR outlier rule composed from the sort-based exact quantiles:
     // per-group fences (q1 - 1.5*IQR, q3 + 1.5*IQR) broadcast back onto
     // the fact scan — the standard robust-statistics filter at scale.
@@ -1045,6 +1076,26 @@ object Relational {
       """SELECT r_name, o_orderpriority
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
         |ORDER BY r_name, o_orderpriority""".stripMargin,
+
+    "q_null_funcs" ->
+      """SELECT o_orderkey,
+        |  coalesce(p_n, 'none') AS p_or_default,
+        |  nullif(p_n, '1-URGENT') AS p_nullif,
+        |  p_n IS NULL AS is_missing,
+        |  coalesce(v_n, 0.0) AS v_or_zero
+        |FROM (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END AS p_n,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice END AS v_n
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
+        |FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY count(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
 
     "q_outlier_iqr" ->
       """WITH f AS (SELECT l_returnflag,
