@@ -128,10 +128,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
-  test("tf-idf joins document frequencies by broadcast") {
+  test("tf-idf computes document frequency without re-scanning the token explosion") {
     val (p, _) = planOf("q_tfidf")
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // df is a COUNT window over the tf rows: exactly one generate
+    // (explode) in the whole plan, no distinct-aggregate second pass,
+    // no join for df (only the sanctioned 1-row n_docs broadcast)
+    assert("Generate explode".r.findAllIn(p).size == 1, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
   }
 
   test("embedding quantization is map-only") {
