@@ -114,7 +114,13 @@ object Relational {
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_returnflag"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        // full-OUTPUT order: (orderkey, linenumber) is NOT unique in the
+        // synthetic data at sf>=0.1, and a tie under LIMIT/hashing is an
+        // engine-dependent row choice. Sorting on every output column
+        // makes any remaining tie a full-row duplicate — order-ambiguity
+        // without value-ambiguity.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))),
 
     "q_filter_project" -> ((s, d) =>
       lineitem(s, d)
@@ -124,7 +130,8 @@ object Relational {
           (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
             .cast("double").as("net_price"),
           lower(col("l_linestatus")).as("status"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_price"),
+          col("status"))),
 
     // P3: conditional projection (the reference's sender-equality dispatch,
     // gmail_functions.py:299-302).
@@ -144,7 +151,7 @@ object Relational {
     "q_limit" -> ((s, d) =>
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .limit(100)),
 
     // Top-k → TakeOrderedAndProject (no global sort at scale).
@@ -793,14 +800,15 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
 
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price,
         |  lower(l_linestatus) AS status
         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, net_price, status""".stripMargin,
 
     "q_case_when" ->
       """SELECT o_orderkey,
@@ -812,7 +820,7 @@ object Relational {
 
     "q_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -177,7 +177,8 @@ object Scalar {
           pow(col("l_quantity"), 2).as("qty_sq"),
           (col("l_linenumber") % 3).cast("long").as("mod3"),
           greatest(col("l_tax"), col("l_discount")).as("max_rate"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("abs_d"),
+          col("sqrt_p"), col("qty_sq"), col("max_rate")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -267,6 +268,7 @@ object Scalar {
         |  pow(l_quantity, 2) AS qty_sq,
         |  l_linenumber % 3 AS mod3,
         |  greatest(l_tax, l_discount) AS max_rate
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, abs_d, sqrt_p, qty_sq, max_rate""".stripMargin
   )
 }
