@@ -38,9 +38,22 @@ object Clusters {
     while (!converged && i < maxIter) {
       val nbrRoots = sym.join(labels, sym("a") === labels("id"))
         .select(col("b").as("id"), col("root"))
-      val next = labels.unionByName(nbrRoots)
+      // checkpoint BEFORE the self-join below: truncates lineage AND
+      // gives the two join sides a concrete common relation (a self-join
+      // of the raw derived plan trips Catalyst's union-constraint
+      // attribute rewriting)
+      val propagated = labels.unionByName(nbrRoots)
         .groupBy(col("id")).agg(min(col("root")).as("root"))
         .localCheckpoint()
+      // pointer doubling: follow root -> root-of-root in the same round
+      // (a root is always itself a node, so the self-join is total).
+      // Plain propagation alone needs diameter rounds — a 10k-hop chain
+      // would mean 10k shuffles; doubling squares the reach per round,
+      // so rounds = O(log diameter).
+      val next = propagated
+        .join(propagated.select(col("id").as("rid"), col("root").as("rroot")),
+          col("root") === col("rid"))
+        .select(col("id"), least(col("root"), col("rroot")).as("root"))
       val changed = next.as("n")
         .join(labels.as("p"), col("n.id") === col("p.id"))
         .filter(col("n.root") =!= col("p.root"))

@@ -19,10 +19,20 @@ class ClustersSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
-  test("a 12-node chain converges to one root (diameter-bound rounds)") {
+  test("a 12-node chain converges to one root") {
     val chain = (0L until 11L).map(i => (i, i + 1))
     val got = components(chain)
     assert(got.size == 12 && got.values.forall(_ == 0L))
+  }
+
+  test("pointer doubling: a 64-node chain resolves within 10 rounds") {
+    // plain propagation would need 63 rounds; doubling needs O(log n) —
+    // maxIter = 10 only passes if the doubling step actually works
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = Clusters.connectedComponents(
+        chain.toDF("a", "b"), "a", "b", maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L))
   }
 
   test("edge direction does not matter") {
