@@ -660,6 +660,25 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // CDC log compaction (keep-latest-per-key): the other half of the
+    // upsert story — collapse an event log to current state by recency
+    // rank. One shuffle on the key; bounded output regardless of log
+    // length.
+    "q_compact_latest" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
+          // o_orderdate is TIMESTAMP_NTZ in the parquet; the session is
+          // pinned UTC, so the cast matches DuckDB's naive epoch_us
+          unix_micros(col("o_orderdate").cast("timestamp"))
+            .as("latest_date_us"),
+          col("o_totalprice").as("latest_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // CDC-style upsert (MERGE INTO semantics as a pure query): new rows
     // win on key collision, unmatched old rows survive — the full-outer
     // coalesce every incremental state rebuild runs. One co-partitioned
@@ -1131,6 +1150,15 @@ object Relational {
         |    AS est_distinct
         |FROM m WHERE rn <= 64
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_compact_latest" ->
+      """SELECT o_custkey, o_orderkey AS latest_orderkey,
+        |  epoch_us(o_orderdate) AS latest_date_us,
+        |  o_totalprice AS latest_price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
 
     "q_upsert" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

@@ -30,6 +30,18 @@ object Scalar {
 
     // F5/F6/F10: case mapping, from-address parse
     // (gmail_functions.py:271-283), containment.
+    // Bitwise scalars (key packing / flag masks — e.g. the (key, salt)
+    // and band-id encodings the dedup pipelines use).
+    "q_bitwise" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(255L).as("band"),
+          col("o_orderkey").bitwiseOR(4096L).as("tagged"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("mixed"),
+          shiftleft(col("o_orderkey"), 4).as("shifted"),
+          shiftright(col("o_orderkey"), 2).as("unshifted"))
+        .orderBy(col("o_orderkey"))),
+
     "q_string_funcs" -> ((s, d) =>
       customer(s, d)
         .withColumn("email",
@@ -182,6 +194,15 @@ object Scalar {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 4096 AS tagged,
+        |  xor(o_orderkey, o_custkey) AS mixed,
+        |  o_orderkey << 4 AS shifted,
+        |  o_orderkey >> 2 AS unshifted
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q_string_funcs" ->
       """SELECT c_custkey, lower(c_name) AS lo_name, upper(c_mktsegment) AS up_seg,
         |  length(c_name) AS name_len, substring(c_name, 1, 8) AS name_pfx,
