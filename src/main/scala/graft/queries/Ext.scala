@@ -434,6 +434,21 @@ object Ext {
             lit(60)).as("scrub_tail"))
         .orderBy(col("doc_id"))),
 
+    // Mixture sampling (per-source rates): every training-data recipe
+    // weights its sources ("2 parts web, 1 part code, ..."). The keep
+    // decision is a pure hash-threshold function of (doc_id, source) —
+    // reproducible on any engine and any partitioning, map-side only.
+    // Rates are derived from the source id so the oracle shares them.
+    "q_source_mix" -> ((s, d) =>
+      documents(s, d)
+        .select(col("source"), col("doc_id"),
+          (TextOps.hash31(col("doc_id").cast("string")) % 1000).as("h"),
+          (lit(250) + TextOps.hash31(col("source")) % 500).as("rate_pm"))
+        .filter(col("h") < col("rate_pm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("rate_pm")).as("rate_pm"))
+        .orderBy(col("source"))),
+
     // Stratified sampling: first StratN docs per language by portable
     // hash order (md5 of the id — a deterministic uniform shuffle both
     // engines reproduce). One shuffle on lang; bounded per-group state.
@@ -1150,6 +1165,18 @@ object Ext {
          |  right(regexp_replace(regexp_replace(synth, '$EmailRe', '<EMAIL>', 'g'),
          |        '$PhoneRe', '<PHONE>', 'g'), 60) AS scrub_tail
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_source_mix" ->
+      """SELECT source, count(*) AS n_kept,
+        |  CAST(min(rate_pm) AS BIGINT) AS rate_pm
+        |FROM (SELECT source,
+        |    (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      & 2147483647) % 1000 AS h,
+        |    250 + (('0x' || substring(md5(source), 1, 15))::BIGINT
+        |      & 2147483647) % 500 AS rate_pm
+        |  FROM documents)
+        |WHERE h < rate_pm
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_sample_stratified" ->
       s"""SELECT lang, doc_id, n_chars, rn FROM (
