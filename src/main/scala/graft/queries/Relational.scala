@@ -527,6 +527,18 @@ object Relational {
       hi.unionByName(lo).orderBy(col("tag"), col("c_custkey"))
     }),
 
+    // Schema-evolution union (the reference's pandas union-of-keys
+    // NaN-alignment, gmail_functions.py:305): frames with different
+    // column sets align by NAME, absent cells become NULL.
+    "q_union_evolve" -> ((s, d) => {
+      val a = orders(s, d).filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b = orders(s, d).filter(col("o_orderkey") % 7 === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_intersect" -> ((s, d) => {
       val f = orders(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_custkey"))
@@ -1150,6 +1162,14 @@ object Relational {
         |    AS est_distinct
         |FROM m WHERE rn <= 64
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_union_evolve" ->
+      """SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL BY NAME
+        |SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 1
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_compact_latest" ->
       """SELECT o_custkey, o_orderkey AS latest_orderkey,
