@@ -30,6 +30,22 @@ object Scalar {
 
     // F5/F6/F10: case mapping, from-address parse
     // (gmail_functions.py:271-283), containment.
+    // Error-tolerant casts (the reference's blanket try/except as
+    // engine semantics): malformed input yields NULL, never a task
+    // failure — one poison record must not kill a 100 TB job.
+    "q_try_cast" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, col("o_orderkey").cast("string"))
+            .when(col("o_orderkey") % 3 === 1,
+              concat(lit("x"), col("o_orderkey").cast("string")))
+            .otherwise(lit("")).as("s"))
+        .select(col("o_orderkey"), col("s"),
+          expr("try_cast(s AS BIGINT)").as("parsed"),
+          expr("try_cast(s AS DOUBLE)").as("parsed_d"),
+          try_divide(col("o_orderkey"), col("o_orderkey") % 3).as("divd"))
+        .orderBy(col("o_orderkey"))),
+
     // Bitwise scalars (key packing / flag masks — e.g. the (key, salt)
     // and band-id encodings the dedup pipelines use).
     "q_bitwise" -> ((s, d) =>
@@ -194,6 +210,18 @@ object Scalar {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_try_cast" ->
+      """SELECT o_orderkey, s,
+        |  TRY_CAST(s AS BIGINT) AS parsed,
+        |  TRY_CAST(s AS DOUBLE) AS parsed_d,
+        |  o_orderkey / NULLIF(o_orderkey % 3, 0) AS divd
+        |FROM (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey AS VARCHAR)
+        |         WHEN o_orderkey % 3 = 1 THEN 'x' || CAST(o_orderkey AS VARCHAR)
+        |         ELSE '' END AS s
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_bitwise" ->
       """SELECT o_orderkey,
         |  o_orderkey & 255 AS band,
