@@ -208,20 +208,34 @@ object Ext {
         .orderBy(col("doc_id"))),
 
     // n-gram Jaccard over a deterministic linear pair set (doc i vs i+1):
-    // the resemblance measure LSH approximates, computed exactly.
-    "q_dedup_jaccard" -> ((s, d) => {
-      val sh = documents(s, d).select(col("doc_id"),
-        TextOps.distinctShingles(col("text"), K).as("sh"))
-      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, col("id_b") === col("id_a") + 1)
+    // the resemblance measure LSH approximates, computed exactly. Pair
+    // assembly by double-emission (see q_minhash_est): one shuffle,
+    // shingle sets computed once — a self-join on id/id+1 would
+    // re-shingle every document on both sides.
+    "q_dedup_jaccard" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextOps.distinctShingles(col("text"), K).as("sh"))
+        .select(explode(array(
+          struct(col("doc_id").as("pair_id"), lit(0).as("side"),
+            col("doc_id"), col("sh")),
+          struct((col("doc_id") - 1).as("pair_id"), lit(1).as("side"),
+            col("doc_id"), col("sh")))).as("e"))
+        .select(col("e.*"))
+        .groupBy(col("pair_id"))
+        .agg(
+          min(when(col("side") === 0, col("doc_id"))).as("id_a"),
+          first(when(col("side") === 0, col("sh")), ignoreNulls = true)
+            .as("sh_a"),
+          min(when(col("side") === 1, col("doc_id"))).as("id_b"),
+          first(when(col("side") === 1, col("sh")), ignoreNulls = true)
+            .as("sh_b"))
+        .filter(col("id_a").isNotNull && col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"),
           round(size(array_intersect(col("sh_a"), col("sh_b")))
             .cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6)
             .as("jaccard"))
-        .orderBy(col("id_a"))
-    }),
+        .orderBy(col("id_a"))),
 
     // Embedding-cosine near-dup over the same linear pair set: exact
     // double cosine, near_dup flag at 0.8.
