@@ -113,8 +113,18 @@ object Ext {
     val bands = minhashSigOf(docs).select(col("doc_id"),
       explode(TextOps.lshBands(col("sig"), Bands, RowsPerBand))
         .as("band_key"))
-    val pairs = bands.as("a")
-      .join(bands.as("b"),
+    // materialize the banded signatures BEFORE the self-join: the plain
+    // self-join recomputes the signature aggregation per side (exchange
+    // reuse does not fire across the differing join projections), which
+    // doubles the expensive part of the pipeline. Checkpointing is
+    // exactly what a production LSH job does — write the (doc, band)
+    // relation once, then candidate-join it against itself. (A
+    // bucket-local collect_list + pair comprehension was measured ~25%
+    // SLOWER here: interpreted per-pair lambdas lose to the codegen'd
+    // join even with the agg deduplicated.)
+    val bandsMat = bands.localCheckpoint()
+    val pairs = bandsMat.as("a")
+      .join(bandsMat.as("b"),
         col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
