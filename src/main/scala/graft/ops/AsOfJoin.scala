@@ -21,10 +21,9 @@ import org.apache.spark.sql.types.StructType
   * forward to every later probe row. Linear work, one shuffle, no
   * intermediate pair set, and the window's sort is the same
   * sort-within-partition a sort-merge join would have paid anyway.
-  * Skew note: a single hot key serializes into one partition — at scale,
-  * split the window by coarse time-bucket first ((key, bucket) windows,
-  * then stitch buckets with a per-bucket carry-in; see ops.Skew for the
-  * salting pattern).
+  * Skew note: a single hot key serializes into one partition — at scale
+  * use [[asofBucketed]], which runs the same trick per (key, time-bucket)
+  * and stitches buckets with a carry-in.
   *
   * Tie semantics: a build row AT the probe timestamp matches (inclusive,
   * DuckDB `ASOF JOIN ... ON l.ts >= r.ts` semantics). The build side must
@@ -93,7 +92,8 @@ object AsOfJoin {
     val lB = left.withColumn(bCol, bucket(col(leftTs)))
 
     // last build row per (key, bucket): rank within bucket, keep max ts
-    val payloadCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
+    val payloadCols = right.columns.filterNot(keys.contains)
+      .filterNot(_ == rightTs).toIndexedSeq
     val wInBucket = Window.partitionBy((keys :+ bCol).map(col): _*)
       .orderBy(col(rightTs).desc)
     val lastPerBucket = rB
@@ -137,7 +137,8 @@ object AsOfJoin {
   private def asofOn(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       tolerance: Option[Column]): DataFrame = {
-    val payloadCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
+    val payloadCols = right.columns.filterNot(keys.contains)
+      .filterNot(_ == rightTs).toIndexedSeq
     val leftType = StructType(left.schema.fields)
     val payloadType = StructType(
       right.schema.fields.filter(f => payloadCols.contains(f.name)))
@@ -151,7 +152,7 @@ object AsOfJoin {
       keys.map(col) ++ Seq(
         col(leftTs).as("_asof_t"),
         lit(1).as("_asof_side"),
-        struct(left.columns.map(col): _*).as("_asof_probe"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("_asof_probe"),
         lit(null).cast(payloadType).as("_asof_payload")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_asof_t"), col("_asof_side"))
@@ -170,7 +171,7 @@ object AsOfJoin {
       case None => carried
     }
     bounded.select(
-      left.columns.map(c => col("_asof_probe").getField(c).as(c)) ++
+      left.columns.toIndexedSeq.map(c => col("_asof_probe").getField(c).as(c)) ++
         payloadCols.map(c => col("_asof_match").getField(c).as(c)): _*)
   }
 
@@ -181,8 +182,8 @@ object AsOfJoin {
   def asofBruteForce(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       tolerance: Option[Column] = None): DataFrame = {
-    val l = left.columns.map(c => col(c).as(s"_l_$c"))
-    val r = right.columns.map(c => col(c).as(s"_r_$c"))
+    val l = left.columns.toIndexedSeq.map(c => col(c).as(s"_l_$c"))
+    val r = right.columns.toIndexedSeq.map(c => col(c).as(s"_r_$c"))
     val keyEq = keys.map(k => col(s"_l_$k") === col(s"_r_$k")).reduce(_ && _)
     val timeOk = tolerance.foldLeft(
       col(s"_r_$rightTs") <= col(s"_l_$leftTs"))((acc, tol) =>
@@ -192,13 +193,14 @@ object AsOfJoin {
     // EACH (partitioning by the visible columns would collapse them and
     // silently drop rows from the oracle).
     val w = Window.partitionBy(col("_l_rowid")).orderBy(col(s"_r_$rightTs").desc)
-    val payloadCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTs)
+    val payloadCols = right.columns.filterNot(keys.contains)
+      .filterNot(_ == rightTs).toIndexedSeq
     left.select(l: _*).withColumn("_l_rowid", monotonically_increasing_id())
       .join(right.select(r: _*), keyEq && timeOk, "left")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(
-        left.columns.map(c => col(s"_l_$c").as(c)) ++
+        left.columns.toIndexedSeq.map(c => col(s"_l_$c").as(c)) ++
           payloadCols.map(c => col(s"_r_$c").as(c)): _*)
   }
 }
