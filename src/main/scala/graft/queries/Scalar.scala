@@ -16,9 +16,12 @@ import graft.Tables._
 object Scalar {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Native html_to_text expression end-to-end (rows-only check: its
-    // script-drop + entity-decode semantics are spec'd in HtmlText, not
-    // replicable as portable SQL — unit parity lives in FunctionsSpec).
+    // Native html_to_text expression end-to-end. General HTML semantics
+    // aren't portable SQL (unit parity lives in FunctionsSpec), but on
+    // THIS synthesized input the spec'd pipeline (script-drop, tag-split,
+    // per-node trim, ''-join, entity decode) reduces to
+    // trim(substring(text,1,40)) || '&tail' — which the oracle states,
+    // so the native expression is hash-verified against DuckDB too.
     "q_html_native" -> ((s, d) =>
       documents(s, d)
         .withColumn("html",
@@ -284,6 +287,10 @@ object Scalar {
     "q_base64" ->
       """SELECT doc_id, to_base64(encode(substring(text, 1, 32))) AS b64,
         |  substring(text, 1, 32) AS roundtrip
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_html_native" ->
+      """SELECT doc_id, trim(substring(text, 1, 40)) || '&tail' AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_html_strip" ->
