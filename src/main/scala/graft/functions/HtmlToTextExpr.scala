@@ -85,5 +85,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimHash16.info,
       (children: Seq[Expression]) => SimHash16(children.head)))
     ext.injectOptimizerRule(GraftOptimizations)
+    // native as-of join: marker function -> logical rewrite -> strategy
+    ext.injectFunction(graft.plans.AsofJoinRegistration.markerFunction)
+    ext.injectOptimizerRule(graft.plans.AsofJoinRewrite)
+    ext.injectPlannerStrategy(graft.plans.AsofJoinStrategy)
   }
 }

@@ -271,6 +271,26 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // The NATIVE as-of operator (plans.AsofNative → AsofJoinExec): same
+    // point-in-time lookup as q_join_asof but INNER semantics, planned
+    // as a first-class sort-merge node — one shuffle per side, O(1)
+    // carried state in the merge — instead of the union+window idiom.
+    // Oracle is DuckDB's own ASOF JOIN.
+    "q_join_asof_native" -> ((s, d) => {
+      val clicks = events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("p_value"),
+          max(col("event_id")).as("p_event_id"))
+      graft.plans.AsofNative.asofInner(
+          clicks, purchases, Seq("user_id"), "ts", "ts")
+        .select(clicks("event_id"), clicks("user_id"),
+          unix_micros(clicks("ts")).as("ts_us"),
+          col("p_event_id"), round(col("p_value"), 6).as("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // SQL front-end path: the shared ANSI text (see SqlQ3 above).
     "q_sql_q3" -> ((s, d) => {
       customer(s, d).createOrReplaceTempView("customer")
@@ -918,6 +938,18 @@ object Relational {
         |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
         |  p.p_event_id, round(p.p_value, 6) AS p_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_join_asof_native" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS p_value,
+        |    max(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |  p.p_event_id, round(p.p_value, 6) AS p_value
+        |FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
 
     "q_sql_q3" -> SqlQ3,

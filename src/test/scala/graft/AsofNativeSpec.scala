@@ -1,0 +1,173 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.ops.AsOfJoin
+import graft.plans.{AsofJoinExec, AsofNative}
+
+/** The native sort-merge as-of operator (plans.AsofNative /
+  * AsofJoinExec) against the window-emulation and the brute-force spec,
+  * plus the physical contract: the exec node plans as itself, one
+  * shuffle per side, streaming merge (no window, no union).
+  */
+class AsofNativeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 1.0),
+    ("A", ts("2024-01-01 10:05:00"), 2.0),
+    ("A", ts("2024-01-01 10:30:00"), 3.0),
+    ("B", ts("2024-01-01 09:00:00"), 10.0)
+  ).toDF("k", "rts", "px")
+
+  private lazy val trades = Seq(
+    (1L, "A", ts("2024-01-01 10:00:00")), // == quote ts: inclusive, px=1
+    (2L, "A", ts("2024-01-01 10:07:00")), // between: px=2
+    (3L, "A", ts("2024-01-01 11:00:00")), // after all: px=3
+    (4L, "A", ts("2024-01-01 09:59:59")), // before all: dropped (inner)
+    (5L, "B", ts("2024-01-01 12:00:00")), // stale quote: px=10
+    (6L, "C", ts("2024-01-01 10:00:00")) // no quotes for key: dropped
+  ).toDF("id", "k", "lts")
+
+  /** Inner-filtered brute force: the executable spec for asofInner. */
+  private def bruteInner(left: DataFrame, right: DataFrame, keys: Seq[String],
+      lts: String, rts: String): DataFrame = {
+    val matched = AsOfJoin.asofBruteForce(left, right, keys, lts, rts)
+    val payload = right.columns.filterNot(keys.contains).filterNot(_ == rts)
+    matched.filter(payload.map(col(_).isNotNull).reduce(_ || _))
+  }
+
+  test("asofInner: backward-inclusive inner semantics on the fixture") {
+    val got = AsofNative.asofInner(trades, quotes, Seq("k"), "lts", "rts")
+      .select($"id", $"px").orderBy("id").as[(Long, Double)].collect()
+    assert(got.toSeq == Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 5L -> 10.0))
+  }
+
+  test("asofInner == brute-force spec on random-ish data") {
+    val left = spark.range(200).select(
+      col("id"),
+      (col("id") % 7).cast("string").as("k"),
+      timestamp_micros(lit(1700000000000000L) + (col("id") * 12345678L) % 86400000000L)
+        .as("lts"))
+    val right = spark.range(60).select(
+      (col("id") % 7).cast("string").as("k"),
+      timestamp_micros(lit(1700000000000000L) + (col("id") * 98765432L) % 86400000000L)
+        .as("rts"),
+      (col("id") * 31 % 1000).cast("double").as("px"))
+      .groupBy("k", "rts").agg(max(col("px")).as("px"))
+
+    val fast = AsofNative.asofInner(left, right, Seq("k"), "lts", "rts")
+      .select(left("id"), left("k"), left("lts"), right("rts"), right("px"))
+      .orderBy("id").collect().toSeq
+    val slow = bruteInner(left, right, Seq("k"), "lts", "rts")
+      .withColumnRenamed("rts", "rts2") // align: brute drops build key/ts
+    val slowRows = AsOfJoin.asofBruteForce(left, right, Seq("k"), "lts", "rts")
+      .filter(col("px").isNotNull).orderBy("id").collect().toSeq
+    // brute force emits left.* ++ payload; re-derive rts via the window
+    // emulation instead for a column-complete comparison
+    val emul = AsOfJoin.asof(left,
+        right.withColumn("rts_copy", col("rts")), Seq("k"), "lts", "rts")
+      .filter(col("px").isNotNull)
+      .select(col("id"), col("k"), col("lts"), col("rts_copy").as("rts"), col("px"))
+      .orderBy("id").collect().toSeq
+    assert(fast == emul)
+    assert(fast.map(r => (r.getLong(0), r.getDouble(4))) ==
+      slowRows.map(r => (r.getLong(0), r.getDouble(3))))
+  }
+
+  test("asofInner: NULL keys and NULL timestamps never match, either side") {
+    val quotesN = Seq(
+      (Option("A"), Option(ts("2024-01-01 10:00:00")), 1.0),
+      (Option.empty[String], Option(ts("2024-01-01 09:00:00")), 66.0),
+      (Option("A"), Option.empty[Timestamp], 77.0)
+    ).toDF("k", "rts", "px")
+    val tradesN = Seq(
+      (1L, Option("A"), Option(ts("2024-01-01 10:30:00"))),
+      (2L, Option.empty[String], Option(ts("2024-01-01 10:30:00"))),
+      (3L, Option("A"), Option.empty[Timestamp])
+    ).toDF("id", "k", "lts")
+    val got = AsofNative.asofInner(tradesN, quotesN, Seq("k"), "lts", "rts")
+      .select($"id", $"px").as[(Long, Double)].collect()
+    assert(got.toSeq == Seq(1L -> 1.0))
+  }
+
+  test("asofInner: multi-column keys and a hot key stream correctly") {
+    val left = spark.range(300).select(
+      col("id"),
+      lit("hot").as("k1"), // every row same first key
+      (col("id") % 3).cast("string").as("k2"),
+      timestamp_micros(lit(1700000000000000L) + (col("id") * 55555553L) % 86400000000L)
+        .as("lts"))
+    val right = spark.range(40).select(
+      lit("hot").as("k1"),
+      (col("id") % 3).cast("string").as("k2"),
+      timestamp_micros(lit(1700000000000000L) + (col("id") * 777777731L) % 86400000000L)
+        .as("rts"),
+      (col("id") * 13 % 100).cast("double").as("px"))
+      .groupBy("k1", "k2", "rts").agg(max(col("px")).as("px"))
+    val fast = AsofNative.asofInner(left, right, Seq("k1", "k2"), "lts", "rts")
+      .select(left("id"), right("px")).orderBy("id")
+      .as[(Long, Double)].collect().toSeq
+    val slow = AsOfJoin.asofBruteForce(left, right, Seq("k1", "k2"), "lts", "rts")
+      .filter(col("px").isNotNull).orderBy("id")
+      .select($"id", $"px").as[(Long, Double)].collect().toSeq
+    assert(fast == slow)
+  }
+
+  test("asofInner: empty build side yields no rows (inner)") {
+    val got = AsofNative.asofInner(
+      trades, quotes.filter(lit(false)), Seq("k"), "lts", "rts")
+    assert(got.count() == 0)
+  }
+
+  test("asofInner: duplicate probe rows each produce their own match") {
+    val dup = Seq(
+      (1L, "A", ts("2024-01-01 10:30:00"), "x"),
+      (1L, "A", ts("2024-01-01 10:30:00"), "y")
+    ).toDF("id", "k", "lts", "tag")
+    val got = AsofNative.asofInner(dup, quotes, Seq("k"), "lts", "rts")
+    assert(got.count() == 2)
+  }
+
+  test("asofInner plan: AsofJoinExec node, one shuffle per side, no window") {
+    val df = AsofNative.asofInner(trades, quotes, Seq("k"), "lts", "rts")
+    df.collect()
+    // AQE wraps the final tree in ResultQueryStage, a LEAF node whose
+    // subtree hides behind `.plan` — unwrap before collecting
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        unwrap(s.plan)
+      case other => other
+    }
+    val executed = unwrap(df.queryExecution.executedPlan)
+    assert(executed.collectWithSubqueries {
+      case e: AsofJoinExec => e
+    }.nonEmpty, executed.toString)
+    val plan = executed.toString
+    assert(!plan.contains("Window"), s"window emulation leaked in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"generic join leaked in:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected one shuffle per side, got $exchanges:\n$plan")
+  }
+
+  test("asof_marker survives extra join predicates as a post-join filter") {
+    // optimizer may merge user predicates into the join condition; the
+    // rewrite must peel them off, not fail
+    val cond = call_function("asof_marker",
+      trades("k"), quotes("k"), trades("lts"), quotes("rts")) &&
+      trades("id") =!= lit(3L)
+    val got = trades.join(quotes, cond, "inner")
+      .select(trades("id"), quotes("px")).orderBy("id")
+      .as[(Long, Double)].collect()
+    assert(got.toSeq == Seq(1L -> 1.0, 2L -> 2.0, 5L -> 10.0))
+  }
+}
