@@ -217,6 +217,41 @@ object Ext {
           graft.functions.SimHash16(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
 
+    // Hamming-band near-dup over the native simhash: split the 16-bit
+    // signature into Bands (4) bands of RowsPerBand (4) bits. By
+    // pigeonhole, any pair within hamming distance Bands-1 (3) agrees
+    // EXACTLY on at least one band, so an equi-join on (band, value)
+    // finds every such pair — a guarantee, not a probability, unlike
+    // minhash LSH — while never comparing all pairs. Exact hamming
+    // (bit_count of xor) verifies candidates; banded sigs are
+    // checkpointed once before the self-join (see verifiedPairs).
+    "q_dedup_hamming" -> ((s, d) => {
+      val bands = docsWithNearDups(s, d)
+        .select(col("doc_id"),
+          graft.functions.SimHash16(col("text")).as("sig"))
+        .select(col("doc_id"), col("sig"), explode(array(
+          (0 until Bands).map(b => struct(lit(b).as("band"),
+            substring(col("sig"), b * RowsPerBand + 1, RowsPerBand)
+              .as("bv"))): _*)).as("e"))
+        .select(col("doc_id"), col("sig"),
+          col("e.band").as("band"), col("e.bv").as("bv"))
+        .localCheckpoint()
+      val ham = bit_count(
+        conv(col("sig_a"), 2, 10).cast("long").bitwiseXOR(
+          conv(col("sig_b"), 2, 10).cast("long")))
+      bands.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+          col("band"), col("bv"))
+        .join(bands.select(col("doc_id").as("id_b"),
+          col("sig").as("sig_b"), col("band"), col("bv")),
+          Seq("band", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+        .distinct()
+        .select(col("id_a"), col("id_b"), ham.as("hamming"))
+        .filter(col("hamming") <= Bands - 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // n-gram Jaccard over a deterministic linear pair set (doc i vs i+1):
     // the resemblance measure LSH approximates, computed exactly. Pair
     // assembly by double-emission (see q_minhash_est): one shuffle,
@@ -925,14 +960,20 @@ object Ext {
     * verified `sim(id_a, id_b, jaccard >= 0.5)`), used by both the pair
     * query and the recursive clustering walk.
     */
-  private lazy val sqlPairCtes =
+  /** docs-with-synthetic-near-dups CTE, the oracle twin of
+    * [[docsWithNearDups]] (shared by the minhash and hamming pipelines).
+    */
+  private lazy val sqlDocsCte =
     s"""docs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 100000 AS doc_id,
        |    array_to_string(
        |      (${sqlTokens("text")})[1:len(${sqlTokens("text")}) - 2], ' ') AS text
-       |  FROM documents WHERE doc_id < 20),
+       |  FROM documents WHERE doc_id < 20)""".stripMargin
+
+  private lazy val sqlPairCtes =
+    s"""$sqlDocsCte,
        |tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM docs),
        |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
        |hv AS (SELECT doc_id, list_transform(sh, x -> $sqlHash31) AS vs FROM sh),
@@ -998,6 +1039,25 @@ object Ext {
       s"""SELECT doc_id, $sqlSimhash AS simhash
          |FROM (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_hamming" ->
+      s"""WITH $sqlDocsCte,
+         |sg AS (SELECT doc_id, $sqlSimhash AS sig
+         |  FROM (SELECT doc_id, ${sqlTokens("text")} AS t FROM docs)),
+         |bands AS (SELECT doc_id, sig, b,
+         |    substring(sig, CAST(b * $RowsPerBand + 1 AS INT), $RowsPerBand) AS bv
+         |  FROM sg, range(0, $Bands) AS r(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(CAST(sig_a AS BIT), CAST(sig_b AS BIT))) AS INT)
+         |    AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(CAST(sig_a AS BIT), CAST(sig_b AS BIT)))
+         |  <= ${Bands - 1}
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH sh AS (

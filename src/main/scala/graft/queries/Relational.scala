@@ -448,6 +448,30 @@ object Relational {
           .as("lines"))
         .orderBy(col("l_orderkey"))),
 
+    // Calendar-spine gap fill: daily order rollup left-joined onto a
+    // generated continuous day spine so missing days appear as zero rows
+    // (the shape every time-series ETL needs before resampling /
+    // charting). The spine derives from one global min/max aggregate
+    // (tiny, driver-free) exploded into ~one row per day; the big side
+    // is the daily rollup (one shuffle), and the spine-daily join is a
+    // broadcast of at most a few thousand day rows regardless of fact
+    // size — the plan is scale-invariant in everything but the rollup.
+    "q_date_spine" -> ((s, d) => {
+      val daily = orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total_value"))
+      val spine = orders(s, d)
+        .agg(to_date(min(col("o_orderdate"))).as("lo"),
+          to_date(max(col("o_orderdate"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_value"), lit(0.0)).as("total_value"))
+        .orderBy(col("day"))
+    }),
+
     // ---- §2.5 windows ----------------------------------------------------
     "q_window_rank" -> ((s, d) => {
       val wSeq = Window.partitionBy(col("user_id"))
@@ -1062,6 +1086,21 @@ object Relational {
         |  string_agg(CAST(l_linenumber AS VARCHAR), ','
         |    ORDER BY CAST(l_linenumber AS VARCHAR)) AS lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_date_spine" ->
+      """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+        |    CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM b),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_value
+        |  FROM orders GROUP BY 1)
+        |SELECT s.day, coalesce(d.n_orders, 0) AS n_orders,
+        |  coalesce(d.total_value, 0.0) AS total_value
+        |FROM spine s LEFT JOIN daily d USING (day)
+        |ORDER BY day""".stripMargin,
 
     "q_window_rank" ->
       """SELECT event_id,
