@@ -84,6 +84,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash16"),
       SimHash16.info,
       (children: Seq[Expression]) => SimHash16(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      BloomExprs.aggInfo, BloomExprs.aggBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      BloomExprs.mightInfo, BloomExprs.mightBuilder))
     ext.injectOptimizerRule(GraftOptimizations)
     // native as-of join: marker function -> logical rewrite -> strategy
     ext.injectFunction(graft.plans.AsofJoinRegistration.markerFunction)

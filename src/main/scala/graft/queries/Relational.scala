@@ -495,6 +495,23 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // Time-RANGE frame: per event, the rolling 1-hour count/sum for the
+    // same user — the frame is defined by the ORDER BY VALUE (ts within
+    // 3600 s), not by row position, so equal timestamps are peers and
+    // the result is tie-order independent by construction. This is the
+    // per-row twin of the tumbling/sliding bucket aggregations: exact
+    // trailing-window state per event, one shuffle on user_id.
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      events(s, d)
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_hour"),
+          sum(dec(col("value"))).over(w).cast("double").as("hour_value"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_window_lag" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -631,6 +648,39 @@ object Relational {
     // Salted equi-join (ops.Skew), oracle-checked against the PLAIN
     // join: salting must be a pure physical rewrite — identical result,
     // hot keys spread over numSalts reducers.
+    // Bloom-pruned semi join (the scale form of the reference's seen-id
+    // probe when the state side is too big to broadcast): build a bloom
+    // sketch over the small side's keys (distributed agg — only the
+    // KB-scale sketch leaves the executors, via a scalar subquery),
+    // prefilter the big side BEFORE its shuffle, then run the exact
+    // semi join on the ~surviving rows. False positives are removed by
+    // the exact join, so the result is identical to the plain semi join
+    // (which is exactly what the oracle runs) — the bloom only cuts
+    // shuffle volume, here ~4x, proportionally more the rarer the keys.
+    // Uses Spark's own runtime-filter expressions, registered as
+    // bloom_agg / bloom_contains (functions.BloomExprs).
+    "q_join_bloom" -> ((s, d) => {
+      graft.functions.BloomExprs.ensureRegistered()
+      orders(s, d).createOrReplaceTempView("orders")
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """WITH sel AS (
+          |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+          |cand AS (
+          |  SELECT l_orderkey, l_quantity FROM lineitem
+          |  WHERE bloom_contains(
+          |    (SELECT bloom_agg(xxhash64(o_orderkey), 20000L, 160000L)
+          |     FROM sel),
+          |    xxhash64(l_orderkey)))
+          |SELECT c.l_orderkey AS orderkey, count(*) AS n_lines,
+          |  CAST(SUM(CAST(c.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_qty
+          |FROM cand c
+          |WHERE EXISTS (SELECT 1 FROM sel s WHERE s.o_orderkey = c.l_orderkey)
+          |GROUP BY c.l_orderkey
+          |ORDER BY orderkey""".stripMargin)
+    }),
+
     "q_join_salted" -> ((s, d) => {
       val big = orders(s, d).select(col("o_custkey"), col("o_totalprice"))
       val small = customer(s, d)
@@ -1116,6 +1166,26 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT event_id,
+        |  COUNT(*) OVER w AS n_hour,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS hour_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join_bloom" ->
+      """WITH sel AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT l_orderkey AS orderkey, count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM sel)
+        |GROUP BY 1
+        |ORDER BY orderkey""".stripMargin,
 
     "q_window_lag" ->
       """SELECT event_id,

@@ -143,4 +143,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
     assert(!p.contains("HashAggregate"), p.take(2000))
   }
+
+  test("bloom semi join prefilters the big side below its shuffle") {
+    val (p, _) = planOf("q_join_bloom")
+    // the might_contain predicate must sit in the lineitem scan stage,
+    // i.e. appear in a Filter BEFORE any exchange — pruning shuffle
+    // input is the entire point of building the sketch
+    val filterLine = p.linesIterator
+      .filter(l => l.contains("Filter") && l.contains("might_contain"))
+      .mkString
+    assert(filterLine.nonEmpty, p.take(3000))
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
+      p.take(3000)) // the sketch itself is built by a distributed agg
+  }
 }
