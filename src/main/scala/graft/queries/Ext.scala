@@ -32,6 +32,8 @@ object Ext {
   private val NumHashes = 16   // minhash signature length
   private val Bands = 4        // LSH bands (rows-per-band = 16/4 = 4)
   private val RowsPerBand = NumHashes / Bands
+  private val SimBands = 2     // simhash hamming-LSH bands (8 bits each)
+  private val SimBandBits = 16 / SimBands
   private val AnnBits = 4      // sign-bucket bits -> 16 buckets
   private val TopK = 10
   private val AnnK = 5
@@ -218,38 +220,63 @@ object Ext {
         .orderBy(col("doc_id"))),
 
     // Hamming-band near-dup over the native simhash: split the 16-bit
-    // signature into Bands (4) bands of RowsPerBand (4) bits. By
-    // pigeonhole, any pair within hamming distance Bands-1 (3) agrees
+    // signature into SimBands (2) bands of SimBandBits (8) bits. By
+    // pigeonhole, any pair within hamming distance SimBands-1 (1) agrees
     // EXACTLY on at least one band, so an equi-join on (band, value)
     // finds every such pair — a guarantee, not a probability, unlike
-    // minhash LSH — while never comparing all pairs. Exact hamming
-    // (bit_count of xor) verifies candidates; banded sigs are
-    // checkpointed once before the self-join (see verifiedPairs).
+    // minhash LSH — while never comparing all pairs.
+    //
+    // Scale shape: signatures COLLAPSE first (groupBy sig), so the
+    // banded self-join runs on |distinct sigs|, not |docs| — a corpus
+    // where thousands of docs share a signature (this one: 5000 docs,
+    // ~1600 sigs at sf0.1) would otherwise explode the hot band buckets
+    // quadratically in DOCS; collapsed, the quadratic term is in SIGS
+    // and the doc-level blowup is deferred to the final expansion,
+    // which is exactly the output size. Identical-sig pairs expand
+    // directly (hamming 0); cross-sig candidates carry their doc-id
+    // lists through the join and expand after the hamming verify. A
+    // sig pair sharing both bands is kept only at its FIRST agreeing
+    // band (per-row predicate — dedup without a distinct shuffle).
     "q_dedup_hamming" -> ((s, d) => {
-      val bands = docsWithNearDups(s, d)
+      val groups = docsWithNearDups(s, d)
         .select(col("doc_id"),
           graft.functions.SimHash16(col("text")).as("sig"))
-        .select(col("doc_id"), col("sig"), explode(array(
-          (0 until Bands).map(b => struct(lit(b).as("band"),
-            substring(col("sig"), b * RowsPerBand + 1, RowsPerBand)
-              .as("bv"))): _*)).as("e"))
-        .select(col("doc_id"), col("sig"),
-          col("e.band").as("band"), col("e.bv").as("bv"))
+        .groupBy(col("sig"))
+        .agg(collect_list(col("doc_id")).as("ids"))
         .localCheckpoint()
+      val intra = groups
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+      val sigBands = groups.select(col("sig"), col("ids"), explode(array(
+          (0 until SimBands).map(b => struct(lit(b).as("band"),
+            substring(col("sig"), b * SimBandBits + 1, SimBandBits)
+              .as("bv"))): _*)).as("e"))
+        .select(col("sig"), col("ids"),
+          col("e.band").as("band"), col("e.bv").as("bv"))
       val ham = bit_count(
         conv(col("sig_a"), 2, 10).cast("long").bitwiseXOR(
           conv(col("sig_b"), 2, 10).cast("long")))
-      bands.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+      val firstAgreeingBand =
+        when(substring(col("sig_a"), 1, SimBandBits) ===
+          substring(col("sig_b"), 1, SimBandBits), 0).otherwise(1)
+      val cross = sigBands
+        .select(col("sig").as("sig_a"), col("ids").as("ids_a"),
           col("band"), col("bv"))
-        .join(bands.select(col("doc_id").as("id_b"),
-          col("sig").as("sig_b"), col("band"), col("bv")),
+        .join(sigBands.select(col("sig").as("sig_b"),
+          col("ids").as("ids_b"), col("band"), col("bv")),
           Seq("band", "bv"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-        .distinct()
-        .select(col("id_a"), col("id_b"), ham.as("hamming"))
-        .filter(col("hamming") <= Bands - 1)
-        .orderBy(col("id_a"), col("id_b"))
+        .filter(col("sig_a") < col("sig_b") &&
+          col("band") === firstAgreeingBand)
+        .select(col("ids_a"), col("ids_b"), ham.as("hamming"))
+        .filter(col("hamming") <= SimBands - 1)
+        .select(explode(col("ids_a")).as("i"), col("ids_b"),
+          col("hamming"))
+        .select(col("i"), explode(col("ids_b")).as("j"), col("hamming"))
+        .select(least(col("i"), col("j")).as("id_a"),
+          greatest(col("i"), col("j")).as("id_b"), col("hamming"))
+      intra.unionByName(cross).orderBy(col("id_a"), col("id_b"))
     }),
 
     // n-gram Jaccard over a deterministic linear pair set (doc i vs i+1):
@@ -1045,18 +1072,20 @@ object Ext {
          |sg AS (SELECT doc_id, $sqlSimhash AS sig
          |  FROM (SELECT doc_id, ${sqlTokens("text")} AS t FROM docs)),
          |bands AS (SELECT doc_id, sig, b,
-         |    substring(sig, CAST(b * $RowsPerBand + 1 AS INT), $RowsPerBand) AS bv
-         |  FROM sg, range(0, $Bands) AS r(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    substring(sig, CAST(b * $SimBandBits + 1 AS INT), $SimBandBits) AS bv
+         |  FROM sg, range(0, $SimBands) AS r(b)),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    a.sig AS sig_a, b.sig AS sig_b
          |  FROM bands a JOIN bands b
-         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  WHERE a.b = CASE WHEN substring(a.sig, 1, $SimBandBits)
+         |      = substring(b.sig, 1, $SimBandBits) THEN 0 ELSE 1 END)
          |SELECT id_a, id_b,
          |  CAST(bit_count(xor(CAST(sig_a AS BIT), CAST(sig_b AS BIT))) AS INT)
          |    AS hamming
          |FROM cand
          |WHERE bit_count(xor(CAST(sig_a AS BIT), CAST(sig_b AS BIT)))
-         |  <= ${Bands - 1}
+         |  <= ${SimBands - 1}
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_jaccard" ->
