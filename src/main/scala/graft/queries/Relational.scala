@@ -58,10 +58,19 @@ object Relational {
     * quantile_cont), so results stay bit-identical to the oracle.
     */
   private def exactQuantiles(df: DataFrame, grp: String, v: String,
+      qs: Seq[(Double, String)]): DataFrame =
+    exactQuantilesBy(df, Seq(grp), v, qs)
+
+  /** Multi-key variant: one sort pipeline partitioned by ALL of
+    * `grpCols` — lets callers quantile several metrics in a single pass
+    * by unpivoting (metric, value) into the grouping first.
+    */
+  private def exactQuantilesBy(df: DataFrame, grpCols: Seq[String], v: String,
       qs: Seq[(Double, String)]): DataFrame = {
-    val w = Window.partitionBy(col(grp)).orderBy(col(v))
-    val wa = Window.partitionBy(col(grp))
-    var base = df.select(col(grp), col(v))
+    val gc = grpCols.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy(col(v))
+    val wa = Window.partitionBy(gc: _*)
+    val base = df.select((grpCols :+ v).map(col): _*)
       .withColumn("_rn", (row_number().over(w) - 1).cast("double"))
       .withColumn("_pos",
         struct(qs.zipWithIndex.map { case ((q, _), i) =>
@@ -84,8 +93,67 @@ object Relational {
         .otherwise((ceil(p) - p) * lo + (p - floor(p)) * hi), 6).as(name)
     }
     base.filter(keep)
-      .groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
-      .select(col(grp) +: outs: _*)
+      .groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
+      .select(gc ++ outs: _*)
+  }
+
+  /** Range-partitioned exact quantiles: parallelism INDEPENDENT of group
+    * count. [[exactQuantilesBy]] partitions the sort by group, so three
+    * groups sort on three tasks no matter how many executors exist —
+    * fine for many groups, the wrong shape for few-groups-huge-data.
+    * Here the data range-partitions on (group, value) — every executor
+    * sorts one value range — and the global rank of a row is its LOCAL
+    * rank plus the count of rows in earlier ranges of its group: the
+    * per-(range, group) counts are a tiny relation (partitions x groups),
+    * their running sum is the offset, broadcast back. Quantile values
+    * are deterministic even though range boundaries come from sampling:
+    * ties may split across ranges arbitrarily, but the VALUE at a global
+    * position is unchanged by tie order. Assumes non-null `v`.
+    */
+  private def exactQuantilesRanged(df: DataFrame, grpCols: Seq[String],
+      v: String, qs: Seq[(Double, String)]): DataFrame = {
+    val gc = grpCols.map(col)
+    val data = df.select((grpCols :+ v).map(col): _*)
+      .repartitionByRange((gc :+ col(v)): _*)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_pid") +: gc: _*).orderBy(col(v))
+    val ranked = data
+      .withColumn("_lrn", row_number().over(wLocal).cast("double"))
+    val wOff = Window.partitionBy(gc: _*).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(gc: _*)
+    val offs = data.groupBy(col("_pid") +: gc: _*)
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off",
+        coalesce(sum(col("_c")).over(wOff), lit(0L)).cast("double"))
+      .withColumn("_n", sum(col("_c")).over(wTot).cast("double"))
+      .select((col("_pid") +: gc) :+ col("_off") :+ col("_n"): _*)
+    val base = ranked
+      .join(broadcast(offs), "_pid" +: grpCols)
+      .withColumn("_rn", col("_off") + col("_lrn") - 1)
+      .withColumn("_pos",
+        struct(qs.zipWithIndex.map { case ((q, _), i) =>
+          (lit(q) * (col("_n") - 1)).as(s"p$i")
+        }: _*))
+    val keep = qs.indices.map { i =>
+      val p = col(s"_pos.p$i")
+      col("_rn") === floor(p) || col("_rn") === ceil(p)
+    }.reduce(_ || _)
+    val aggs = qs.zipWithIndex.flatMap { case ((_, _), i) =>
+      val p = col(s"_pos.p$i")
+      Seq(
+        min(when(col("_rn") === floor(p), col(v))).as(s"_lo$i"),
+        min(when(col("_rn") === ceil(p), col(v))).as(s"_hi$i"),
+        first(p).as(s"_p$i"))
+    }
+    val outs = qs.zipWithIndex.map { case ((_, name), i) =>
+      val (lo, hi, p) = (col(s"_lo$i"), col(s"_hi$i"), col(s"_p$i"))
+      round(when(floor(p) === ceil(p), lo)
+        .otherwise((ceil(p) - p) * lo + (p - floor(p)) * hi), 6).as(name)
+    }
+    base.filter(keep)
+      .groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
+      .select(gc ++ outs: _*)
   }
 
   /** Correlated EXISTS / NOT EXISTS in dialect-common ANSI SQL — like
@@ -385,14 +453,24 @@ object Relational {
 
     // Exact median (full-sort percentile — the exact twin of the
     // approx-sketch path; both engines midpoint-interpolate sorted
-    // doubles identically).
+    // doubles identically). Both metrics ride ONE sort pipeline:
+    // unpivot (metric, value) into the window partitioning — one scan,
+    // one exchange, one sort over 2n rows — instead of two full
+    // sort-window pipelines joined at the end.
     "q_agg_median" -> ((s, d) => {
-      val li = lineitem(s, d)
-      val med = exactQuantiles(li, "l_returnflag", "l_quantity",
-        Seq(0.5 -> "med_qty"))
-      val pp = exactQuantiles(li, "l_returnflag", "l_extendedprice",
-        Seq(0.25 -> "p25_price", 0.75 -> "p75_price"))
-      med.join(pp, Seq("l_returnflag"))
+      val long = lineitem(s, d)
+        .select(col("l_returnflag"),
+          explode(map(
+            lit("qty"), col("l_quantity").cast("double"),
+            lit("price"), col("l_extendedprice").cast("double")))
+            .as(Seq("metric", "v")))
+      val q = exactQuantilesRanged(long, Seq("l_returnflag", "metric"), "v",
+        Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75"))
+      q.groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("metric") === "qty", col("q50"))).as("med_qty"),
+          min(when(col("metric") === "price", col("q25"))).as("p25_price"),
+          min(when(col("metric") === "price", col("q75"))).as("p75_price"))
         .orderBy(col("l_returnflag"))
     }),
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -36,7 +36,18 @@ object Scalar {
     // Error-tolerant casts (the reference's blanket try/except as
     // engine semantics): malformed input yields NULL, never a task
     // failure — one poison record must not kill a 100 TB job.
-    "q_try_cast" -> ((s, d) =>
+    "q_try_cast" -> ((s, d) => {
+      // try_cast's failure path is exception-driven — on a
+      // malformed-heavy column every bad row pays a thrown-and-caught
+      // NumberFormatException per cast (~2x wall-clock on this data).
+      // A SOUND invalidity guard (empty, or any character that can
+      // never appear in a numeric literal) short-circuits those rows
+      // to NULL without attempting the parse; guarded rows are exactly
+      // rows try_cast would null anyway, so semantics are unchanged
+      // and the residue still gets full try_cast behavior (overflow,
+      // exotic forms).
+      def certainlyBad(c: Column) =
+        c === "" || c.rlike("[^0-9eE+\\-. \\t]")
       orders(s, d)
         .select(col("o_orderkey"),
           when(col("o_orderkey") % 3 === 0, col("o_orderkey").cast("string"))
@@ -44,10 +55,13 @@ object Scalar {
               concat(lit("x"), col("o_orderkey").cast("string")))
             .otherwise(lit("")).as("s"))
         .select(col("o_orderkey"), col("s"),
-          expr("try_cast(s AS BIGINT)").as("parsed"),
-          expr("try_cast(s AS DOUBLE)").as("parsed_d"),
+          when(certainlyBad(col("s")), lit(null).cast("long"))
+            .otherwise(expr("try_cast(s AS BIGINT)")).as("parsed"),
+          when(certainlyBad(col("s")), lit(null).cast("double"))
+            .otherwise(expr("try_cast(s AS DOUBLE)")).as("parsed_d"),
           try_divide(col("o_orderkey"), col("o_orderkey") % 3).as("divd"))
-        .orderBy(col("o_orderkey"))),
+        .orderBy(col("o_orderkey"))
+    }),
 
     // Bitwise scalars (key packing / flag masks — e.g. the (key, salt)
     // and band-id encodings the dedup pipelines use).
