@@ -207,6 +207,33 @@ object Ext {
         .select(col("id").as("doc_id"), col("root").as("cluster"))
         .orderBy(col("doc_id"))),
 
+    // One damped PageRank power-iteration step over the verified
+    // near-dup pair graph (the centrality signal a curation pipeline
+    // uses to pick cluster representatives). Unnormalized form
+    // (score = N x standard PR from uniform init) so no division by the
+    // global node count appears; every aggregated quantity is a SCALED
+    // BIGINT (1e12/deg via integer div, sums associative) — summation
+    // order cannot move a bit, so the result is partition-independent
+    // and engine-exact. The float appears only in the final per-row
+    // rescale. Bound: 85 * sum fits a long through ~10^5 nodes per
+    // component at this scale factor family.
+    "q_pagerank_step" -> ((s, d) => {
+      val pairsDf = verifiedPairs(s, d).select(col("id_a"), col("id_b"))
+      val sym = pairsDf
+        .union(pairsDf.select(col("id_b"), col("id_a")))
+        .toDF("src", "dst").distinct().localCheckpoint()
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      sym.join(deg, "src")
+        .select(col("dst").as("doc_id"),
+          expr("1000000000000L div deg").as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("cs"))
+        .select(col("doc_id"),
+          round((lit(150000000000L) + expr("(85L * cs) div 100"))
+            .cast("double") / lit(1e12), 6).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash: 16-bit frequency-weighted signature; equal-or-close
     // signatures (hamming) are near-dups. Native codegen'd expression
     // (functions.SimHash16): the whole signature in one fused per-row
@@ -1061,6 +1088,18 @@ object Ext {
          |  SELECT e.b AS id, w.root FROM walk w JOIN edges e ON e.a = w.id)
          |SELECT id AS doc_id, min(root) AS cluster
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_pagerank_step" ->
+      s"""WITH $sqlPairCtes,
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM sim
+         |  UNION SELECT id_b, id_a FROM sim),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+         |contrib AS (SELECT s.dst AS doc_id, 1000000000000 // d.deg AS c
+         |  FROM sym s JOIN deg d ON s.src = d.src)
+         |SELECT doc_id,
+         |  round(CAST(150000000000 + (85 * sum(c)) // 100 AS DOUBLE)
+         |    / 1e12, 6) AS score
+         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""SELECT doc_id, $sqlSimhash AS simhash

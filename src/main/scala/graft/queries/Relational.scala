@@ -526,6 +526,45 @@ object Relational {
           .as("lines"))
         .orderBy(col("l_orderkey"))),
 
+    // Column profiler (data-quality sweep): per column, row count, null
+    // count, distinct count, min/max — the first query any ingestion
+    // pipeline runs on a new 100 TB drop. ONE scan: all per-column
+    // aggregates ride a single agg (Catalyst plans the multi-distinct
+    // via one Expand pass), then the 1-row result unpivots to a row per
+    // column. Values stringify through DECIMAL so both engines render
+    // identically.
+    "q_profile" -> ((s, d) => {
+      val prof = orders(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
+          .as("nn_s"),
+        countDistinct(col("o_orderstatus")).as("nd_s"),
+        min(col("o_orderstatus")).as("mn_s"),
+        max(col("o_orderstatus")).as("mx_s"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+          .as("nn_p"),
+        countDistinct(col("o_orderpriority")).as("nd_p"),
+        min(col("o_orderpriority")).as("mn_p"),
+        max(col("o_orderpriority")).as("mx_p"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
+          .as("nn_t"),
+        countDistinct(col("o_totalprice")).as("nd_t"),
+        min(dec(col("o_totalprice"))).cast("string").as("mn_t"),
+        max(dec(col("o_totalprice"))).cast("string").as("mx_t"))
+      prof.select(explode(array(
+          struct(lit("o_orderstatus").as("col_name"), col("n"),
+            col("nn_s").as("n_null"), col("nd_s").as("n_distinct"),
+            col("mn_s").as("min_v"), col("mx_s").as("max_v")),
+          struct(lit("o_orderpriority").as("col_name"), col("n"),
+            col("nn_p").as("n_null"), col("nd_p").as("n_distinct"),
+            col("mn_p").as("min_v"), col("mx_p").as("max_v")),
+          struct(lit("o_totalprice").as("col_name"), col("n"),
+            col("nn_t").as("n_null"), col("nd_t").as("n_distinct"),
+            col("mn_t").as("min_v"), col("mx_t").as("max_v")))).as("p"))
+        .select(col("p.*"))
+        .orderBy(col("col_name"))
+    }),
+
     // Calendar-spine gap fill: daily order rollup left-joined onto a
     // generated continuous day spine so missing days appear as zero rows
     // (the shape every time-series ETL needs before resampling /
@@ -570,6 +609,24 @@ object Relational {
       events(s, d)
         .select(col("event_id"),
           sum(dec(col("value"))).over(w).cast("double").as("running_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Forward fill (time-series gap repair): carry the last non-null
+    // observation forward within each user's timeline — the resample
+    // primitive every feature pipeline needs after a sparse join. Nulls
+    // are synthesized deterministically (event_id % 7) so both engines
+    // repair the same holes. last(ignoreNulls) over a running frame is
+    // one window pass, state O(1) per partition.
+    "q_fill_forward" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("v_sparse",
+          when(col("event_id") % 7 =!= 0, col("value")))
+        .select(col("event_id"), col("v_sparse"),
+          last(col("v_sparse"), ignoreNulls = true).over(w).as("v_filled"))
         .orderBy(col("event_id"))
     }),
 
@@ -1214,6 +1271,40 @@ object Relational {
         |  string_agg(CAST(l_linenumber AS VARCHAR), ','
         |    ORDER BY CAST(l_linenumber AS VARCHAR)) AS lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_fill_forward" ->
+      """SELECT event_id, v_sparse,
+        |  last_value(v_sparse IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_id % 7 <> 0 THEN value END AS v_sparse
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_profile" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_s,
+        |    count(DISTINCT o_orderstatus) AS nd_s,
+        |    min(o_orderstatus) AS mn_s, max(o_orderstatus) AS mx_s,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_p,
+        |    count(DISTINCT o_orderpriority) AS nd_p,
+        |    min(o_orderpriority) AS mn_p, max(o_orderpriority) AS mx_p,
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn_t,
+        |    count(DISTINCT o_totalprice) AS nd_t,
+        |    CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mn_t,
+        |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS mx_t
+        |  FROM orders)
+        |SELECT 'o_orderstatus' AS col_name, n, nn_s AS n_null,
+        |  nd_s AS n_distinct, mn_s AS min_v, mx_s AS max_v FROM a
+        |UNION ALL
+        |SELECT 'o_orderpriority', n, nn_p, nd_p, mn_p, mx_p FROM a
+        |UNION ALL
+        |SELECT 'o_totalprice', n, nn_t, nd_t, mn_t, mx_t FROM a
+        |ORDER BY col_name""".stripMargin,
 
     "q_date_spine" ->
       """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
