@@ -207,6 +207,35 @@ object Ext {
         .select(col("id").as("doc_id"), col("root").as("cluster"))
         .orderBy(col("doc_id"))),
 
+    // The actual curation decision a dedup pipeline ships: per near-dup
+    // cluster, keep the best document (most tokens, ties to the lowest
+    // doc_id) and report what it displaced. Composes the verified-pair
+    // clustering with a quality signal in two deterministic steps (max
+    // count per cluster, then min id among the maximal) instead of an
+    // engine-specific arg_max tie rule. Every cluster here has >= 2
+    // members by construction (components of the pair graph), so the
+    // output is exactly the "what did dedup keep vs drop" report.
+    "q_dedup_keep_best" -> ((s, d) => {
+      val clusters = graft.ops.Clusters.connectedComponents(
+          verifiedPairs(s, d).select(col("id_a"), col("id_b")),
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("root").as("cluster"))
+      val toks = docsWithNearDups(s, d)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+      val scored = clusters.join(toks, "doc_id")
+      val best = scored.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          max(col("n_tokens")).as("best_tokens"))
+      scored.join(best, "cluster")
+        .filter(col("n_tokens") === col("best_tokens"))
+        .groupBy(col("cluster"), col("n_members"), col("best_tokens"))
+        .agg(min(col("doc_id")).as("keep_doc_id"))
+        .select(col("cluster"), col("keep_doc_id"), col("n_members"),
+          col("best_tokens"))
+        .orderBy(col("cluster"))
+    }),
+
     // One damped PageRank power-iteration step over the verified
     // near-dup pair graph (the centrality signal a curation pipeline
     // uses to pick cluster representatives). Unnormalized form
@@ -1088,6 +1117,29 @@ object Ext {
          |  SELECT e.b AS id, w.root FROM walk w JOIN edges e ON e.a = w.id)
          |SELECT id AS doc_id, min(root) AS cluster
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $sqlPairCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM sim
+         |  UNION SELECT id_b, id_a FROM sim),
+         |walk(id, root) AS (
+         |  SELECT a AS id, a AS root FROM edges
+         |  UNION
+         |  SELECT e.b AS id, w.root FROM walk w JOIN edges e ON e.a = w.id),
+         |cl AS (SELECT id AS doc_id, min(root) AS cluster
+         |  FROM walk GROUP BY id),
+         |tk AS (SELECT doc_id,
+         |    CAST(len(${sqlTokens("text")}) AS INT) AS n_tokens FROM docs),
+         |sc AS (SELECT cl.cluster, cl.doc_id, tk.n_tokens
+         |  FROM cl JOIN tk USING (doc_id)),
+         |best AS (SELECT cluster, count(*) AS n_members,
+         |    max(n_tokens) AS best_tokens FROM sc GROUP BY cluster)
+         |SELECT b.cluster, min(s.doc_id) AS keep_doc_id, b.n_members,
+         |  b.best_tokens
+         |FROM best b JOIN sc s
+         |  ON s.cluster = b.cluster AND s.n_tokens = b.best_tokens
+         |GROUP BY b.cluster, b.n_members, b.best_tokens
+         |ORDER BY b.cluster""".stripMargin,
 
     "q_pagerank_step" ->
       s"""WITH $sqlPairCtes,

@@ -612,6 +612,28 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // SCD2 dimension build (slowly-changing-dimension type 2): collapse
+    // each user's event stream into versioned state rows — a version
+    // opens when the state CHANGES (lag compare) and closes at the next
+    // change's timestamp (lead over the change rows); the open version
+    // is current. Two window passes over the same (user, time)
+    // partitioning — one shuffle, then the dimension is ready for
+    // point-in-time (as-of) joins.
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changed = events(s, d)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changed
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_micros(col("ts")).as("valid_from_us"),
+          lead(unix_micros(col("ts")), 1).over(w).as("valid_to_us"))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .orderBy(col("user_id"), col("valid_from_us"), col("valid_to_us"),
+          col("state"))
+    }),
+
     // Forward fill (time-series gap repair): carry the last non-null
     // observation forward within each user's timeline — the resample
     // primitive every feature pipeline needs after a sparse join. Nulls
@@ -1271,6 +1293,22 @@ object Relational {
         |  string_agg(CAST(l_linenumber AS VARCHAR), ','
         |    ORDER BY CAST(l_linenumber AS VARCHAR)) AS lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type AS state, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, state, epoch_us(ts) AS valid_from_us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS valid_to_us
+        |  FROM c WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id, state, valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM v
+        |ORDER BY user_id, valid_from_us, valid_to_us, state""".stripMargin,
 
     "q_fill_forward" ->
       """SELECT event_id, v_sparse,
