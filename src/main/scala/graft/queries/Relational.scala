@@ -451,6 +451,41 @@ object Relational {
             (col("n") - 1)), 6).as("std_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // A/B experiment readout (Welch's t): users hash-assign to variants
+    // with the same portable 31-bit digest the sampling family uses (a
+    // pure function of user_id — assignment is reproducible anywhere,
+    // no stored mapping). Means/variances come from exact decimal
+    // moment sums, so the aggregation is partition-independent; floats
+    // appear only in the final 1-row statistic, computed with the
+    // identical expression tree in both engines.
+    "q_ab_test" -> ((s, d) => {
+      val assigned = events(s, d).select(
+        when(graft.ext.TextOps.hash31(col("user_id").cast("string")) % 2
+          === 0, "A").otherwise("B").as("variant"),
+        col("value"))
+      val m = assigned.groupBy(col("variant")).agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("s1"),
+        sum(dec(col("value")) * dec(col("value"))).cast("double").as("s2"))
+      val w = m.agg(
+        min(when(col("variant") === "A", col("n"))).as("n_a"),
+        min(when(col("variant") === "A", col("s1"))).as("s1_a"),
+        min(when(col("variant") === "A", col("s2"))).as("s2_a"),
+        min(when(col("variant") === "B", col("n"))).as("n_b"),
+        min(when(col("variant") === "B", col("s1"))).as("s1_b"),
+        min(when(col("variant") === "B", col("s2"))).as("s2_b"))
+      val vA = (col("s2_a") - col("s1_a") * col("s1_a") / col("n_a")) /
+        (col("n_a") - 1)
+      val vB = (col("s2_b") - col("s1_b") * col("s1_b") / col("n_b")) /
+        (col("n_b") - 1)
+      w.select(col("n_a"), col("n_b"),
+        round(col("s1_a") / col("n_a"), 6).as("mean_a"),
+        round(col("s1_b") / col("n_b"), 6).as("mean_b"),
+        round(vA, 6).as("var_a"), round(vB, 6).as("var_b"),
+        round((col("s1_a") / col("n_a") - col("s1_b") / col("n_b")) /
+          sqrt(vA / col("n_a") + vB / col("n_b")), 6).as("t_welch"))
+    }),
+
     // Exact median (full-sort percentile — the exact twin of the
     // approx-sketch path; both engines midpoint-interpolate sorted
     // doubles identically). Both metrics ride ONE sort pipeline:
@@ -1239,6 +1274,37 @@ object Relational {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH a AS (
+        |  SELECT variant, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+        |      CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM (SELECT CASE WHEN
+        |      (('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |        ::BIGINT & 2147483647) % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS variant, value
+        |    FROM events)
+        |  GROUP BY variant),
+        |w AS (SELECT
+        |    min(CASE WHEN variant = 'A' THEN n END) AS n_a,
+        |    min(CASE WHEN variant = 'A' THEN s1 END) AS s1_a,
+        |    min(CASE WHEN variant = 'A' THEN s2 END) AS s2_a,
+        |    min(CASE WHEN variant = 'B' THEN n END) AS n_b,
+        |    min(CASE WHEN variant = 'B' THEN s1 END) AS s1_b,
+        |    min(CASE WHEN variant = 'B' THEN s2 END) AS s2_b
+        |  FROM a)
+        |SELECT n_a, n_b,
+        |  round(s1_a / n_a, 6) AS mean_a,
+        |  round(s1_b / n_b, 6) AS mean_b,
+        |  round((s2_a - s1_a * s1_a / n_a) / (n_a - 1), 6) AS var_a,
+        |  round((s2_b - s1_b * s1_b / n_b) / (n_b - 1), 6) AS var_b,
+        |  round((s1_a / n_a - s1_b / n_b) /
+        |    sqrt(((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a +
+        |         ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b), 6)
+        |    AS t_welch
+        |FROM w""".stripMargin,
 
     "q_agg_median" ->
       """SELECT l_returnflag,
