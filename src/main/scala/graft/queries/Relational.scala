@@ -451,6 +451,30 @@ object Relational {
             (col("n") - 1)), 6).as("std_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // Partial-state re-aggregation (the algebra behind incremental view
+    // maintenance): yesterday's rollup and today's delta each carry
+    // composable state (count + exact decimal sum), and merging is just
+    // re-aggregation of the union — no raw-row replay. Here the fact
+    // table splits into two halves aggregated independently (as an
+    // incremental pipeline would hold them), then the merged rollup is
+    // oracle-checked against the direct aggregate of all rows: the
+    // equality IS the composability proof. avg derives from merged
+    // (sum, count), never from averaging averages.
+    "q_agg_merge" -> ((s, d) => {
+      def part(df: DataFrame) = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("s"))
+      val o = orders(s, d)
+      part(o.filter(col("o_orderkey") % 2 === 0))
+        .unionByName(part(o.filter(col("o_orderkey") % 2 =!= 0)))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("s")).cast("double").as("total"))
+        .select(col("o_orderpriority"), col("n_orders"), col("total"),
+          round(col("total") / col("n_orders"), 6).as("avg_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // A/B experiment readout (Welch's t): users hash-assign to variants
     // with the same portable 31-bit digest the sampling family uses (a
     // pure function of user_id — assignment is reproducible anywhere,
@@ -1274,6 +1298,14 @@ object Relational {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_merge" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 6) AS avg_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_ab_test" ->
       """WITH a AS (

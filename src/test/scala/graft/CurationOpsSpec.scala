@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Structural invariants for the curation/warehouse queries added late
+  * in round 3 — properties the DuckDB hash compare can't articulate:
+  * SCD2 versions must tile each user's timeline, forward fill must
+  * only repair synthesized holes, keep-best must pick a member of its
+  * own cluster, and the PageRank step must conserve (scaled) mass.
+  * Runs on the sf0.001 driver tables.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("scd2: versions tile each user's timeline without overlap") {
+    val rows = SparkEntry.queries("q_scd2")(spark, d)
+      .orderBy(col("user_id"), col("valid_from_us"))
+      .collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    for ((_, vs) <- byUser) {
+      // exactly one open (current) version per user, and it is the last
+      assert(vs.count(_.getBoolean(4)) == 1)
+      assert(vs.last.getBoolean(4))
+      // each version closes exactly where the next opens; never empty
+      for (Array(a, b) <- vs.sliding(2)) {
+        assert(!a.isNullAt(3) && a.getLong(3) == b.getLong(2))
+        assert(a.getLong(2) < a.getLong(3))
+      }
+      // consecutive versions really are state CHANGES
+      for (Array(a, b) <- vs.sliding(2))
+        assert(a.getString(1) != b.getString(1))
+    }
+  }
+
+  test("fill_forward: repairs exactly the synthesized holes, copies the rest") {
+    val out = SparkEntry.queries("q_fill_forward")(spark, d).collect()
+    for (r <- out) {
+      val (id, sparse, filled) =
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      if (id % 7 != 0) {
+        // non-hole rows pass through untouched
+        assert(sparse.isDefined && filled == sparse)
+      } else {
+        assert(sparse.isEmpty) // the hole was synthesized
+      }
+    }
+    // at least one hole actually got repaired (non-degenerate data)
+    assert(out.exists(r => r.getLong(0) % 7 == 0 && !r.isNullAt(2)))
+  }
+
+  test("keep-best: keeper is a maximal-token member of its own cluster") {
+    val clusters = SparkEntry.queries("q_dedup_clusters")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val best = SparkEntry.queries("q_dedup_keep_best")(spark, d).collect()
+    assert(best.nonEmpty)
+    val sizes = clusters.groupBy(_._2).view.mapValues(_.size).toMap
+    for (r <- best) {
+      val (cluster, keeper, nMembers) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(clusters(keeper) == cluster)
+      assert(nMembers == sizes(cluster) && nMembers >= 2)
+    }
+  }
+
+  test("pagerank step: scaled mass is conserved up to integer-div loss") {
+    val pr = SparkEntry.queries("q_pagerank_step")(spark, d).collect()
+    assert(pr.nonEmpty)
+    val n = pr.length
+    // sum of unnormalized scores ~= N (0.15*N teleport + 0.85*N walk);
+    // integer division truncates <1e-12 per edge, so allow a loose but
+    // one-sided tolerance: never above N, within 0.1% below
+    val total = pr.map(_.getDouble(1)).sum
+    assert(total <= n + 1e-6, s"mass created: $total > $n")
+    assert(total > n * 0.999, s"mass lost: $total << $n")
+  }
+
+  test("agg_merge: merged partial states equal the direct aggregate") {
+    val merged = SparkEntry.queries("q_agg_merge")(spark, d).collect()
+    val direct = graft.Tables.orders(spark, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(merged.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      direct.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+}
