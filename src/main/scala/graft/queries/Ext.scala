@@ -32,6 +32,7 @@ object Ext {
   private val NumHashes = 16   // minhash signature length
   private val Bands = 4        // LSH bands (rows-per-band = 16/4 = 4)
   private val RowsPerBand = NumHashes / Bands
+  private val PrIters = 3      // damped PageRank power iterations
   private val SimBands = 2     // simhash hamming-LSH bands (8 bits each)
   private val SimBandBits = 16 / SimBands
   private val AnnBits = 4      // sign-bucket bits -> 16 buckets
@@ -234,6 +235,37 @@ object Ext {
         .select(col("cluster"), col("keep_doc_id"), col("n_members"),
           col("best_tokens"))
         .orderBy(col("cluster"))
+    }),
+
+    // Full damped PageRank: PrIters power iterations over the verified
+    // near-dup pair graph. Same scaled-BIGINT state discipline as
+    // q_pagerank_step — per-edge contribution is integer division of
+    // the scaled rank by out-degree, damping is (85 * sum) div 100 —
+    // so EVERY round is associative-exact and the whole iterated
+    // computation is bit-identical across engines and partitionings
+    // (iterating in floats would compound summation-order noise each
+    // round). The edge+degree relation is checkpointed once and reused
+    // by all rounds; each round is one join + one aggregate, the same
+    // shape a 100 TB graph engine schedules.
+    "q_pagerank_iter" -> ((s, d) => {
+      val pairsDf = verifiedPairs(s, d).select(col("id_a"), col("id_b"))
+      val sym = pairsDf
+        .union(pairsDf.select(col("id_b"), col("id_a")))
+        .toDF("src", "dst").distinct()
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val symDeg = sym.join(deg, "src").localCheckpoint()
+      var ranks = symDeg.select(col("src").as("id")).distinct()
+        .select(col("id"), lit(1000000000000L).as("r"))
+      for (_ <- 1 to PrIters) {
+        ranks = symDeg.join(ranks, symDeg("src") === ranks("id"))
+          .select(col("dst").as("nid"), expr("r div deg").as("c"))
+          .groupBy(col("nid")).agg(sum(col("c")).as("cs"))
+          .select(col("nid").as("id"),
+            (lit(150000000000L) + expr("(85L * cs) div 100")).as("r"))
+      }
+      ranks.select(col("id").as("doc_id"),
+          round(col("r").cast("double") / lit(1e12), 6).as("score"))
+        .orderBy(col("doc_id"))
     }),
 
     // One damped PageRank power-iteration step over the verified
@@ -1140,6 +1172,26 @@ object Ext {
          |  ON s.cluster = b.cluster AND s.n_tokens = b.best_tokens
          |GROUP BY b.cluster, b.n_members, b.best_tokens
          |ORDER BY b.cluster""".stripMargin,
+
+    "q_pagerank_iter" -> {
+      val steps = (1 to PrIters).map { k =>
+        s"""r$k AS (SELECT s.dst AS id,
+           |    150000000000 + (85 * sum(r.r // s.deg)) // 100 AS r
+           |  FROM symdeg s JOIN r${k - 1} r ON r.id = s.src
+           |  GROUP BY s.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlPairCtes,
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM sim
+         |  UNION SELECT id_b, id_a FROM sim),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+         |symdeg AS (SELECT s.src, s.dst, d.deg
+         |  FROM sym s JOIN deg d ON d.src = s.src),
+         |r0 AS (SELECT src AS id, CAST(1000000000000 AS BIGINT) AS r
+         |  FROM deg),
+         |$steps
+         |SELECT id AS doc_id, round(CAST(r AS DOUBLE) / 1e12, 6) AS score
+         |FROM r$PrIters ORDER BY doc_id""".stripMargin
+    },
 
     "q_pagerank_step" ->
       s"""WITH $sqlPairCtes,

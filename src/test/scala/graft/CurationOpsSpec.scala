@@ -77,6 +77,16 @@ class CurationOpsSpec extends SparkSpec {
     assert(total > n * 0.999, s"mass lost: $total << $n")
   }
 
+  test("pagerank iter: mass still conserved after all rounds; scores spread") {
+    val pr = SparkEntry.queries("q_pagerank_iter")(spark, d).collect()
+    assert(pr.nonEmpty)
+    val n = pr.length
+    val total = pr.map(_.getDouble(1)).sum
+    assert(total <= n + 1e-6 && total > n * 0.999, s"total=$total n=$n")
+    // (no spread assertion: at sf0.001 the pair graph is all symmetric
+    // 2-cliques, where uniform scores are the CORRECT fixed point)
+  }
+
   test("agg_merge: merged partial states equal the direct aggregate") {
     val merged = SparkEntry.queries("q_agg_merge")(spark, d).collect()
     val direct = graft.Tables.orders(spark, d)
