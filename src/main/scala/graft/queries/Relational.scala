@@ -671,6 +671,64 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // Markov transition matrix over event streams: count event_type
+    // bigrams per user timeline (lag window), then the transition
+    // probability is the ratio of two exact counts — IEEE double
+    // division of integers is deterministic, round(6) canonicalizes.
+    // The lag rides the same (user, time) shuffle every sequence query
+    // uses; the probability join is against a broadcast-sized
+    // per-source rollup.
+    "q_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val bigrams = events(s, d)
+        .select(lag(col("event_type"), 1).over(w).as("from_type"),
+          col("event_type").as("to_type"))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = bigrams.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("row_total"))
+      bigrams.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("row_total").cast("double"),
+            6).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Rolling dedup (debounce): drop events repeating the SAME (user,
+    // type) within 5 minutes of the previous kept-or-dropped occurrence
+    // — the batch twin of a streaming debounce filter. One lag window
+    // per (user, type); survivors keep their full row.
+    "q_dedup_rolling" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 300L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Share-of-total contribution WITHOUT a single-partition global
+    // window (sum().over(no partition) funnels 100 TB through one
+    // task): the global total is a 1-row aggregate broadcast back onto
+    // the per-group rollup; both operands are exact decimal sums, so
+    // the double ratio is deterministic.
+    "q_share" -> ((s, d) => {
+      val per = orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(sum(dec(col("o_totalprice"))).as("t"))
+      val tot = per.agg(sum(col("t")).as("g"))
+      per.crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"),
+          col("t").cast("double").as("total"),
+          round(col("t").cast("double") / col("g").cast("double"), 6)
+            .as("share"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // SCD2 dimension build (slowly-changing-dimension type 2): collapse
     // each user's event stream into versioned state rows — a version
     // opens when the state CHANGES (lag compare) and closes at the next
@@ -1391,6 +1449,38 @@ object Relational {
         |  string_agg(CAST(l_linenumber AS VARCHAR), ','
         |    ORDER BY CAST(l_linenumber AS VARCHAR)) AS lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_transitions" ->
+      """WITH b AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM (SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type,
+        |      event_type AS to_type FROM events)
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+        |  FROM b GROUP BY 1)
+        |SELECT b.from_type, b.to_type, b.n,
+        |  round(CAST(b.n AS DOUBLE) / CAST(t.row_total AS DOUBLE), 6) AS p
+        |FROM b JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q_dedup_rolling" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM (SELECT event_id, user_id, event_type, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 300000000
+        |ORDER BY event_id""".stripMargin,
+
+    "q_share" ->
+      """WITH per AS (SELECT o_orderpriority,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT SUM(t) AS g FROM per)
+        |SELECT o_orderpriority, CAST(t AS DOUBLE) AS total,
+        |  round(CAST(t AS DOUBLE) / CAST(g AS DOUBLE), 6) AS share
+        |FROM per, g ORDER BY o_orderpriority""".stripMargin,
 
     "q_scd2" ->
       """WITH c AS (
