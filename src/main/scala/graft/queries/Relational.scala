@@ -852,6 +852,42 @@ object Relational {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // The NATIVE session mechanism: Spark's session_window aggregation
+    // (the same gap-merge the streaming engine uses for stateful
+    // sessions) run in batch — sessions materialize inside the
+    // aggregation operator itself, no window-function pass. Boundary
+    // semantics: an event exactly gap seconds after the last one starts
+    // a NEW session (merge requires ts < session end), which the oracle
+    // mirrors with >=. Cross-checked against the gaps-and-islands
+    // formulation (q_sessionize) by the shared oracle shape.
+    "q_session_native" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "1800 seconds").as("sw"))
+        .agg(unix_micros(min(col("ts"))).as("session_start_us"),
+          unix_micros(max(col("ts"))).as("session_end_us"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start_us"))),
+
+    // Top-k per group through the WINDOW front door: Spark 4 rewrites a
+    // rank-predicate over a window into WindowGroupLimit, which prunes
+    // to k rows per group BEFORE the full sort — the plan-level reason
+    // a "top 3 per user" query survives 100 TB (PlanAuditSpec asserts
+    // the node). row_number over a fully tie-broken order keeps the
+    // result deterministic.
+    "q_window_group_limit" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      events(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("user_id"), col("rk"), col("event_id"),
+          col("value"))
+        .orderBy(col("user_id"), col("rk"))
+    }),
+
     // ---- §2.7 set ops ----------------------------------------------------
     // U1: multi-blob union (gmail_functions.py:256-261).
     "q_union" -> ((s, d) => {
@@ -1609,6 +1645,37 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_session_native" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
+        |              >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM flagged)
+        |SELECT user_id,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) AS session_end_us,
+        |  COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q_window_group_limit" ->
+      """SELECT user_id, rk, event_id, value
+        |FROM (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |WHERE rk <= 3
+        |ORDER BY user_id, rk""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

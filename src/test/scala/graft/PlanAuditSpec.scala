@@ -144,6 +144,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("rank-filter top-k per group prunes via WindowGroupLimit") {
+    val (p, _) = planOf("q_window_group_limit")
+    // Spark 4 rewrites rank <= k into a WindowGroupLimit that keeps k
+    // rows per group before the full window sort
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
   test("bloom semi join prefilters the big side below its shuffle") {
     val (p, _) = planOf("q_join_bloom")
     // the might_contain predicate must sit in the lineitem scan stage,
