@@ -85,6 +85,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimHash16.info,
       (children: Seq[Expression]) => SimHash16(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      MinHashSig.info, MinHashSig.builder))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_agg"),
       BloomExprs.aggInfo, BloomExprs.aggBuilder))
     ext.injectFunction((

@@ -55,15 +55,29 @@ object Ext {
   private val UrlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./?=_-]*)?"
   private val HostRe = "https?://([A-Za-z0-9.-]+)"
 
-  /** Per-doc minhash signature, aggregation-shaped: explode shingles,
-    * digest each shingle ONCE (codegen'd md5 -> 31-bit int), derive the
-    * numHashes seed values with cheap modular arithmetic, then map-side
-    * min-aggregate per seed. Same signature values as the per-row
-    * [[TextOps.minhashSignature]] (same oracle); the partial aggregation
-    * collapses each doc to one row before any shuffle, so per-doc shuffle
-    * volume is just the 16-element signature.
+  /** Per-doc minhash signature via the NATIVE fused expression
+    * (functions.MinHashSig): the whole signature in one codegen'd
+    * per-row loop — signing is map-only, NO shuffle, the same scan
+    * shape as simhash16. Values are bit-identical to the HOF
+    * [[TextOps.minhashSignature]] and to the earlier explode +
+    * 16-way-min aggregation plan (MinHashSigSpec asserts the three-way
+    * agreement), so every downstream oracle is unchanged.
     */
-  private def minhashSigOf(docs: DataFrame): DataFrame = {
+  private def minhashSigOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.MinHashSig(col("text"), K, NumHashes).as("sig"))
+
+  // spec-only accessors (MinHashSigSpec cross-checks the formulations)
+  private[graft] def sigOfForSpec(docs: DataFrame): DataFrame =
+    minhashSigOf(docs)
+  private[graft] def sigOfAggForSpec(docs: DataFrame): DataFrame =
+    minhashSigAggShaped(docs)
+
+  /** The retired aggregation-shaped signature plan (explode shingles,
+    * digest once, map-side 16-way min): kept as the spec cross-check
+    * for the native expression.
+    */
+  private[queries] def minhashSigAggShaped(docs: DataFrame): DataFrame = {
     val hashes = (0 until NumHashes).map(i =>
       ((lit(TextOps.hashA(i)) * col("v") + lit(TextOps.hashB(i)))
         % TextOps.MersennePrime).as(s"h$i"))

@@ -100,14 +100,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
-  test("dedup signature queries shuffle signatures, not documents") {
+  test("native minhash signing is map-only: no aggregation shuffle") {
     val (p, _) = planOf("q_dedup_minhash")
-    // the shuffle input is the map-side partial min aggregate — its
-    // output must be (doc_id, per-seed mins), never the document text
-    val partial = p.linesIterator
-      .filter(l => l.contains("HashAggregate") && l.contains("partial_min"))
-      .mkString
-    assert(partial.nonEmpty && !partial.contains("text#"), partial.take(1000))
+    // the fused minhash_sig expression signs per-row; like simhash16,
+    // the only exchange allowed is the output-ORDER-BY rangepartitioning
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("minhash_sig"), p.take(2000))
   }
 
   test("native simhash signing is map-only: no aggregation shuffle") {
