@@ -533,6 +533,16 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Per-customer median: the MANY-groups quantile shape. With
+    // thousands of small groups, partitioning the sort BY GROUP is
+    // exactly right (each task sorts whole groups, no cross-range
+    // bookkeeping) — the complement of the few-groups range-partitioned
+    // form used by q_agg_median / q_outlier_iqr.
+    "q_quantile_by_group" -> ((s, d) =>
+      exactQuantilesBy(orders(s, d), Seq("o_custkey"), "o_totalprice",
+        Seq(0.5 -> "med_price"))
+        .orderBy(col("o_custkey"))),
+
     // Unpivot (wide -> long): the reshaping inverse of q_pivot, a pure
     // map-side generator (each row fans out to one row per metric).
     "q_unpivot" -> ((s, d) =>
@@ -1038,8 +1048,11 @@ object Relational {
     // the fact scan — the standard robust-statistics filter at scale.
     "q_outlier_iqr" -> ((s, d) => {
       val li = lineitem(s, d)
-      val fences = exactQuantiles(li, "l_returnflag", "l_extendedprice",
-        Seq(0.25 -> "q1", 0.75 -> "q3"))
+      // 3 groups only: the range-partitioned quantile shape, whose
+      // parallelism does not cap at the group count (see
+      // exactQuantilesRanged); the fences stay broadcast-sized.
+      val fences = exactQuantilesRanged(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.25 -> "q1", 0.75 -> "q3"))
         .select(col("l_returnflag"),
           (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
           (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
@@ -1738,6 +1751,12 @@ object Relational {
         |      ORDER BY count(*) DESC, o_orderpriority) AS rn
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
         |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "q_quantile_by_group" ->
+      """SELECT o_custkey, round(quantile_cont(o_totalprice, 0.5), 6)
+        |    AS med_price
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_outlier_iqr" ->
       """WITH f AS (SELECT l_returnflag,
