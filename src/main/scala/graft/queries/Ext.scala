@@ -54,6 +54,9 @@ object Ext {
   // URL patterns, Java/RE2 dialect intersection like the PII patterns.
   private val UrlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./?=_-]*)?"
   private val HostRe = "https?://([A-Za-z0-9.-]+)"
+  private val VocabTopN = 30   // vocabulary-coverage rows reported
+  private val VocabSize = 100  // in-vocabulary size for the OOV gate
+  private val DupK = 4         // duplicated-substring n-gram width
 
   /** Per-doc minhash signature via the NATIVE fused expression
     * (functions.MinHashSig): the whole signature in one codegen'd
@@ -1022,6 +1025,118 @@ object Ext {
         .withColumn("abs_err",
           round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
         .orderBy(col("id_a"))
+    }),
+
+    // ---- vocabulary & coverage -----------------------------------------
+    // Token-frequency vocabulary with cumulative corpus coverage: the
+    // "how big a vocab covers X% of tokens" curve every tokenizer design
+    // starts from. Scale shape: the corpus-size aggregate is a broadcast
+    // 1-row global, and the candidate set shrinks to VocabTopN rows via
+    // TakeOrderedAndProject BEFORE the running-sum window touches it —
+    // the window sorts 30 rows, never the corpus.
+    "q_vocab_coverage" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val total = toks.agg(count(lit(1)).as("tot"))
+      val ord = Window.orderBy(col("n").desc, col("tok"))
+      counts.orderBy(col("n").desc, col("tok")).limit(VocabTopN)
+        .crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(ord).cast("long"))
+        .withColumn("cum_frac",
+          round(sum(col("n")).over(ord.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).cast("double")
+            / col("tot"), 6))
+        .select(col("rank"), col("tok"), col("n"), col("cum_frac"))
+        .orderBy(col("rank"))
+    }),
+
+    // Out-of-vocabulary rate: per-doc fraction of tokens outside the
+    // top-VocabSize vocabulary — the "is this doc tokenizable" quality
+    // gate. The vocabulary is TakeOrdered-small and BROADCAST, so the
+    // anti-join never shuffles the token stream against it; the only
+    // shuffle keys are (doc_id, count) pairs.
+    "q_oov_rate" -> ((s, d) => {
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(VocabSize)
+        .select(col("tok"))
+      val oov = toks.join(broadcast(vocab), Seq("tok"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("oov_raw"))
+      docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(oov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("oov_raw"), lit(0L)).as("n_oov"))
+        .withColumn("oov_frac",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental dedup (today's batch vs the standing corpus): the
+    // mutated near-dup docs play the incoming batch, the originals the
+    // indexed corpus. In production the corpus's (band_key, doc_id)
+    // index is precomputed once and reused every batch; the batch is
+    // tiny relative to 100 TB, so its banded signatures BROADCAST and
+    // the corpus index never shuffles at all. Exact-Jaccard verification
+    // runs only on band collisions; best match per incoming doc by
+    // (jaccard desc, corpus id).
+    "q_dedup_incremental" -> ((s, d) => {
+      val all = docsWithNearDups(s, d)
+      def bandsOf(df: DataFrame) = minhashSigOf(df).select(col("doc_id"),
+        explode(TextOps.lshBands(col("sig"), Bands, RowsPerBand))
+          .as("band_key"))
+      val cand = bandsOf(all.filter(col("doc_id") < 100000)).as("c")
+        .join(broadcast(bandsOf(all.filter(col("doc_id") >= 100000)).as("b")),
+          col("c.band_key") === col("b.band_key"))
+        .select(col("b.doc_id").as("new_id"), col("c.doc_id").as("match_id"))
+        .distinct()
+      val sh = all.select(col("doc_id"),
+        TextOps.distinctShingles(col("text"), K).as("sh"))
+      val scored = cand
+        .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sh_n")),
+          Seq("new_id"))
+        .join(sh.select(col("doc_id").as("match_id"), col("sh").as("sh_m")),
+          Seq("match_id"))
+        .select(col("new_id"), col("match_id"),
+          round(size(array_intersect(col("sh_n"), col("sh_m"))).cast("double")
+            / size(array_union(col("sh_n"), col("sh_m"))), 6).as("jaccard"))
+      val w = Window.partitionBy(col("new_id"))
+        .orderBy(col("jaccard").desc, col("match_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("new_id"), col("match_id"), col("jaccard"),
+          (col("jaccard") >= 0.5).as("is_dup"))
+        .orderBy(col("new_id"))
+    }),
+
+    // Cross-document duplicated-substring sweep (exact substring dedup
+    // at n-gram granularity, the Lee-et-al. "deduplicating training
+    // data" shape): every position whose DupK-gram also appears in
+    // ANOTHER document counts as duplicated text. Grams travel as
+    // 31-bit hashes — the shuffle carries 8-byte keys, never text — and
+    // the duplicated-gram set falls out of one count-distinct-docs
+    // aggregation over those keys.
+    "q_substring_dup" -> ((s, d) => {
+      val docs = documents(s, d)
+      val g = docs.select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), DupK)).as("x"))
+        .select(col("doc_id"), TextOps.hash31(col("x")).as("h"))
+      val dup = g.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val hits = g.join(dup, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_raw"))
+      docs.select(col("doc_id"),
+          size(TextOps.shingles(col("text"), DupK)).cast("long")
+            .as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("dup_raw"), lit(0L)).as("n_dup_pos"))
+        .withColumn("dup_frac",
+          round(col("n_dup_pos").cast("double") / col("n_grams"), 6))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1042,6 +1157,15 @@ object Ext {
        | ELSE [array_to_string(t, ' ')] END""".stripMargin
 
   private val sqlShingles = sqlShinglesK(K)
+
+  /** Non-distinct variant of [[sqlShinglesK]] (every position kept),
+    * matching TextOps.shingles.
+    */
+  private def sqlShinglesAllK(k: Int) =
+    s"""CASE WHEN len(t) >= $k
+       | THEN [array_to_string(t[i:i+${k - 1}], ' ')
+       |       for i in range(1, len(t) - ${k - 2})]
+       | ELSE [array_to_string(t, ' ')] END""".stripMargin
 
   /** DuckDB expression: 31-bit item hash of element x (TextOps.hash31). */
   private val sqlHash31 =
@@ -1646,6 +1770,80 @@ object Ext {
         |  sha256(text) AS content_sha,
         |  hex(encode(substring(text, 1, 16))) AS head_hex,
         |  to_base64(encode(substring(text, 1, 24))) AS head_b64
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_coverage" ->
+      s"""WITH tk AS (SELECT unnest(${sqlTokens("text")}) AS tok
+         |  FROM documents),
+         |c AS (SELECT tok, count(*) AS n FROM tk GROUP BY tok),
+         |t AS (SELECT count(*) AS tot FROM tk),
+         |r AS (SELECT tok, n,
+         |    row_number() OVER (ORDER BY n DESC, tok) AS rank,
+         |    sum(n) OVER (ORDER BY n DESC, tok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM c)
+         |SELECT CAST(rank AS BIGINT) AS rank, tok, n,
+         |  round(CAST(cum AS DOUBLE) / tot, 6) AS cum_frac
+         |FROM r, t WHERE rank <= $VocabTopN ORDER BY rank""".stripMargin,
+
+    "q_oov_rate" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok
+         |  FROM documents),
+         |v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM tk
+         |  GROUP BY tok ORDER BY n DESC, tok LIMIT $VocabSize)),
+         |o AS (SELECT doc_id, count(*) AS oov_raw FROM tk
+         |  WHERE tok NOT IN (SELECT tok FROM v) GROUP BY doc_id),
+         |p AS (SELECT doc_id,
+         |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT p.doc_id, n_tokens,
+         |  CAST(coalesce(o.oov_raw, 0) AS BIGINT) AS n_oov,
+         |  round(CAST(coalesce(o.oov_raw, 0) AS DOUBLE) / n_tokens, 6)
+         |    AS oov_frac
+         |FROM p LEFT JOIN o ON p.doc_id = o.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""WITH $sqlDocsCte,
+         |tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM docs),
+         |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
+         |hv AS (SELECT doc_id, list_transform(sh, x -> $sqlHash31) AS vs
+         |  FROM sh),
+         |sg AS (SELECT doc_id, $sqlSig AS sig FROM hv),
+         |bk AS (SELECT doc_id,
+         |    unnest([${sqlBands.mkString(", ")}]) AS band_key FROM sg),
+         |cand AS (SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS match_id
+         |  FROM bk b JOIN bk c ON b.band_key = c.band_key
+         |  WHERE b.doc_id >= 100000 AND c.doc_id < 100000),
+         |j AS (SELECT new_id, match_id,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |          CAST(len(list_distinct(list_concat(x.sh, y.sh)))
+         |            AS DOUBLE), 6) AS jaccard
+         |  FROM cand JOIN sh x ON x.doc_id = new_id
+         |    JOIN sh y ON y.doc_id = match_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY new_id
+         |    ORDER BY jaccard DESC, match_id) AS rn FROM j)
+         |SELECT new_id, match_id, jaccard, jaccard >= 0.5 AS is_dup
+         |FROM r WHERE rn = 1 ORDER BY new_id""".stripMargin,
+
+    "q_substring_dup" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(${sqlShinglesAllK(DupK)}) AS x
+         |  FROM tok),
+         |hh AS (SELECT doc_id, $sqlHash31 AS h FROM g),
+         |dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+         |  FROM hh GROUP BY h) WHERE nd >= 2),
+         |c AS (SELECT doc_id, count(*) AS dup_raw FROM hh
+         |  WHERE h IN (SELECT h FROM dup) GROUP BY doc_id),
+         |n AS (SELECT doc_id,
+         |    CAST(len(${sqlShinglesAllK(DupK)}) AS BIGINT) AS n_grams
+         |  FROM tok)
+         |SELECT n.doc_id, n_grams,
+         |  CAST(coalesce(c.dup_raw, 0) AS BIGINT) AS n_dup_pos,
+         |  round(CAST(coalesce(c.dup_raw, 0) AS DOUBLE) / n_grams, 6)
+         |    AS dup_frac
+         |FROM n LEFT JOIN c ON n.doc_id = c.doc_id
+         |ORDER BY n.doc_id""".stripMargin
   )
 }

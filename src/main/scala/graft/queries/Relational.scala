@@ -1065,6 +1065,30 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Winsorized aggregate: clip the tails at per-group p05/p95 (from
+    // the range-partitioned exact-quantile pipeline) instead of
+    // dropping them — the robust mean when outliers are real data. The
+    // fences broadcast, the clip is map-side, and the sum is
+    // decimal-exact so the result is addition-order-free.
+    "q_winsorize" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val fences = exactQuantilesRanged(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.05 -> "lo", 0.95 -> "hi"))
+      li.join(broadcast(fences), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          greatest(col("lo"), least(col("hi"), col("l_extendedprice")))
+            .as("w"),
+          (col("l_extendedprice") < col("lo")).cast("long").as("clip_lo"),
+          (col("l_extendedprice") > col("hi")).cast("long").as("clip_hi"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("clip_lo")).as("n_clip_lo"),
+          sum(col("clip_hi")).as("n_clip_hi"),
+          sum(col("w").cast("decimal(18,6)")).cast("decimal(18,6)")
+            .as("w_sum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // KMV (k-minimum-values) cardinality sketch: distinct-count
     // estimate from the k smallest portable hashes per group. Unlike
     // HLL (engine-private hashing), the KMV estimate is a pure function
@@ -1767,6 +1791,21 @@ object Relational {
         |  CAST(sum(CASE WHEN l_extendedprice < q1 - 1.5 * (q3 - q1)
         |             OR l_extendedprice > q3 + 1.5 * (q3 - q1)
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM lineitem l JOIN f USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH f AS (SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+        |    round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clip_hi,
+        |  CAST(sum(CAST(greatest(lo, least(hi, l_extendedprice))
+        |    AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS w_sum
         |FROM lineitem l JOIN f USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
