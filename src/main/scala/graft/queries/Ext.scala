@@ -1120,9 +1120,14 @@ object Ext {
     // aggregation over those keys.
     "q_substring_dup" -> ((s, d) => {
       val docs = documents(s, d)
+      // materialize the hashed-gram relation once: it feeds BOTH the
+      // duplicated-gram aggregation and the per-doc hit count, and the
+      // explode + md5 pass is the expensive part (same move as the LSH
+      // band materialization in verifiedPairs)
       val g = docs.select(col("doc_id"),
           explode(TextOps.shingles(col("text"), DupK)).as("x"))
         .select(col("doc_id"), TextOps.hash31(col("x")).as("h"))
+        .localCheckpoint()
       val dup = g.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select(col("h"))
@@ -1137,7 +1142,52 @@ object Ext {
         .withColumn("dup_frac",
           round(col("n_dup_pos").cast("double") / col("n_grams"), 6))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Curriculum binning: per-language length quartiles via ntile —
+    // equal-population bins, the standard curriculum/bucketing pass.
+    // Partitioned by lang so no global sort; ties are resolved by the
+    // deterministic (n_chars, doc_id) order.
+    "q_ntile" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("bin", ntile(4).over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        .orderBy(col("lang"), col("doc_id"))),
+
+    // Inverse-frequency class weights over the embedding labels — the
+    // loss-reweighting table every imbalanced-label training run needs.
+    // Per-class counts shuffle |labels| rows; the global is a broadcast
+    // 1-row cross join, never a single-partition window.
+    "q_class_weights" -> ((s, d) => {
+      val per = embeddings(s, d).groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+      val tot = per.agg(sum(col("n")).as("tot"), count(lit(1)).as("k"))
+      per.crossJoin(broadcast(tot))
+        .select(col("label"), col("n"),
+          round(col("tot").cast("double") /
+            (col("k") * col("n")).cast("double"), 6).as("weight"))
+        .orderBy(col("label"))
+    }),
+
+    // Text normalization (lowercase, strip non-alphanumerics, collapse
+    // whitespace): the canonical-form pass that precedes exact dedup.
+    // Dirt is synthesized per row (the corpus is already clean) so both
+    // engines normalize identical input; pure map work, regexes via the
+    // Column API (expr() SQL literals would strip the backslashes).
+    "q_normalize" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("  A!b@C# "), col("text"),
+            lit(" :u"), col("doc_id").cast("string"), lit("  ")).as("raw"))
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("raw")),
+            lit("[^a-z0-9 ]"), lit(" ")), lit(" +"), lit(" "))).as("norm"))
+        .select(col("doc_id"),
+          length(col("norm")).cast("long").as("n_chars_norm"),
+          substring(col("norm"), 1, 60).as("head"),
+          substring(col("norm"), -20, 20).as("tail"))
+        .orderBy(col("doc_id")))
   )
 
   // ---- oracle twins ------------------------------------------------------
@@ -1844,6 +1894,35 @@ object Ext {
          |  round(CAST(coalesce(c.dup_raw, 0) AS DOUBLE) / n_grams, 6)
          |    AS dup_frac
          |FROM n LEFT JOIN c ON n.doc_id = c.doc_id
-         |ORDER BY n.doc_id""".stripMargin
+         |ORDER BY n.doc_id""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT lang, doc_id, n_chars,
+        |  CAST(ntile(4) OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS BIGINT) AS bin
+        |FROM documents ORDER BY lang, doc_id""".stripMargin,
+
+    "q_class_weights" ->
+      """WITH per AS (SELECT label, count(*) AS n
+        |  FROM embeddings GROUP BY label),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, count(*) AS k FROM per)
+        |SELECT label, n,
+        |  round(CAST(tot AS DOUBLE) / CAST(k * n AS DOUBLE), 6) AS weight
+        |FROM per, t ORDER BY label""".stripMargin,
+
+    "q_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |    '  A!b@C# ' || text || ' :u' || CAST(doc_id AS VARCHAR)
+        |      || '  ' AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(raw),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM r)
+        |SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars_norm,
+        |  substring(norm, 1, 60) AS head,
+        |  CASE WHEN length(norm) >= 20
+        |    THEN substring(norm, length(norm) - 19, 20) ELSE norm END AS tail
+        |FROM n ORDER BY doc_id""".stripMargin
   )
 }

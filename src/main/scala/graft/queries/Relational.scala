@@ -97,21 +97,24 @@ object Relational {
       .select(gc ++ outs: _*)
   }
 
-  /** Range-partitioned exact quantiles: parallelism INDEPENDENT of group
-    * count. [[exactQuantilesBy]] partitions the sort by group, so three
-    * groups sort on three tasks no matter how many executors exist —
-    * fine for many groups, the wrong shape for few-groups-huge-data.
-    * Here the data range-partitions on (group, value) — every executor
-    * sorts one value range — and the global rank of a row is its LOCAL
-    * rank plus the count of rows in earlier ranges of its group: the
-    * per-(range, group) counts are a tiny relation (partitions x groups),
-    * their running sum is the offset, broadcast back. Quantile values
-    * are deterministic even though range boundaries come from sampling:
-    * ties may split across ranges arbitrarily, but the VALUE at a global
-    * position is unchanged by tie order. Assumes non-null `v`.
+  /** The range-partitioned global-rank core shared by the ranged
+    * quantile variants: parallelism INDEPENDENT of group count.
+    * [[exactQuantilesBy]] partitions the sort by group, so three groups
+    * sort on three tasks no matter how many executors exist — fine for
+    * many groups, the wrong shape for few-groups-huge-data. Here the
+    * data range-partitions on (group, value) — every executor sorts one
+    * value range — and the global rank of a row is its LOCAL rank plus
+    * the count of rows in earlier ranges of its group: the per-(range,
+    * group) counts are a tiny relation (partitions x groups), their
+    * running sum is the offset, broadcast back. Returns `df`'s
+    * (grpCols, v) rows annotated with `_rn` (0-based global rank of v
+    * within its group, as double) and `_n` (group size, as double).
+    * Ranks are deterministic up to ties, and the VALUE at a given rank
+    * is unchanged by tie order — which is why the quantile variants
+    * built on this are exact-deterministic. Assumes non-null `v`.
     */
-  private def exactQuantilesRanged(df: DataFrame, grpCols: Seq[String],
-      v: String, qs: Seq[(Double, String)]): DataFrame = {
+  private def rankedRanged(df: DataFrame, grpCols: Seq[String],
+      v: String): DataFrame = {
     val gc = grpCols.map(col)
     val data = df.select((grpCols :+ v).map(col): _*)
       .repartitionByRange((gc :+ col(v)): _*)
@@ -128,9 +131,15 @@ object Relational {
         coalesce(sum(col("_c")).over(wOff), lit(0L)).cast("double"))
       .withColumn("_n", sum(col("_c")).over(wTot).cast("double"))
       .select((col("_pid") +: gc) :+ col("_off") :+ col("_n"): _*)
-    val base = ranked
+    ranked
       .join(broadcast(offs), "_pid" +: grpCols)
       .withColumn("_rn", col("_off") + col("_lrn") - 1)
+  }
+
+  private def exactQuantilesRanged(df: DataFrame, grpCols: Seq[String],
+      v: String, qs: Seq[(Double, String)]): DataFrame = {
+    val gc = grpCols.map(col)
+    val base = rankedRanged(df, grpCols, v)
       .withColumn("_pos",
         struct(qs.zipWithIndex.map { case ((q, _), i) =>
           (lit(q) * (col("_n") - 1)).as(s"p$i")
@@ -154,6 +163,24 @@ object Relational {
     base.filter(keep)
       .groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
       .select(gc ++ outs: _*)
+  }
+
+  /** Discrete quantiles on the same ranged-rank core: the reported
+    * value is an actual data value — the element at 1-based sorted
+    * index ceil(q*n) (DuckDB quantile_disc's convention) — so there is
+    * no interpolation and no rounding anchor to manage.
+    */
+  private def discQuantilesRanged(df: DataFrame, grpCols: Seq[String],
+      v: String, qs: Seq[(Double, String)]): DataFrame = {
+    val gc = grpCols.map(col)
+    val base = rankedRanged(df, grpCols, v)
+    def idx(q: Double) = ceil(lit(q) * col("_n")) - 1 // 0-based target
+    val keep = qs.map { case (q, _) => col("_rn") === idx(q) }.reduce(_ || _)
+    val aggs = qs.map { case (q, name) =>
+      min(when(col("_rn") === idx(q), col(v))).as(name) }
+    base.filter(keep)
+      .groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
+      .select(gc ++ qs.map { case (_, n) => col(n) }: _*)
   }
 
   /** Correlated EXISTS / NOT EXISTS in dialect-common ANSI SQL — like
@@ -1089,6 +1116,47 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Discrete quantiles (value-at-rank, no interpolation) through the
+    // same range-partitioned rank core as the continuous variants —
+    // two groups, so the group-partitioned sort would cap at two tasks.
+    "q_quantile_disc" -> ((s, d) =>
+      discQuantilesRanged(lineitem(s, d), Seq("l_linestatus"),
+        "l_quantity", Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90"))
+        .orderBy(col("l_linestatus"))),
+
+    // Linear interpolation of missing samples (the resample/repair step
+    // of every sensor/metrics pipeline): anchor each gap on the nearest
+    // non-null neighbors by window position and blend by distance. One
+    // shuffle on user_id; all four anchor lookups ride the SAME sort.
+    // The blend is pure IEEE arithmetic (+,-,*,/ are correctly rounded)
+    // evaluated in the identical order on both engines.
+    "q_interpolate" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+      events(s, d)
+        .withColumn("v", when(col("event_id") % 5 =!= 0, col("value")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("prev_rn",
+          last(when(col("v").isNotNull, col("rn")), ignoreNulls = true)
+            .over(wPrev))
+        .withColumn("next_v", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("next_rn",
+          first(when(col("v").isNotNull, col("rn")), ignoreNulls = true)
+            .over(wNext))
+        .select(col("event_id"), col("v").as("v_sparse"),
+          round(when(col("v").isNotNull, col("v"))
+            .when(col("prev_v").isNull, col("next_v"))
+            .when(col("next_v").isNull, col("prev_v"))
+            .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+              (col("rn") - col("prev_rn")).cast("double") /
+              (col("next_rn") - col("prev_rn")).cast("double")), 6)
+            .as("v_interp"))
+        .orderBy(col("event_id"))
+    }),
+
     // KMV (k-minimum-values) cardinality sketch: distinct-count
     // estimate from the k smallest portable hashes per group. Unlike
     // HLL (engine-private hashing), the KMV estimate is a pure function
@@ -1808,6 +1876,41 @@ object Relational {
         |    AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS w_sum
         |FROM lineitem l JOIN f USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_quantile_disc" ->
+      """SELECT l_linestatus,
+        |  quantile_disc(l_quantity, 0.25) AS p25,
+        |  quantile_disc(l_quantity, 0.5) AS p50,
+        |  quantile_disc(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH b AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_id % 5 <> 0 THEN value END AS v,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events),
+        |x AS (SELECT event_id, v, rn,
+        |    last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER w_prev AS prev_rn,
+        |    first_value(v IGNORE NULLS) OVER w_next AS next_v,
+        |    first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER w_next AS next_rn
+        |  FROM b
+        |  WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, v AS v_sparse,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN prev_v IS NULL THEN next_v
+        |    WHEN next_v IS NULL THEN prev_v
+        |    ELSE prev_v + (next_v - prev_v) *
+        |      CAST(rn - prev_rn AS DOUBLE) / CAST(next_rn - prev_rn AS DOUBLE)
+        |    END, 6) AS v_interp
+        |FROM x ORDER BY event_id""".stripMargin,
 
     "q_agg_kmv" ->
       """WITH h AS (SELECT DISTINCT o_orderstatus,
