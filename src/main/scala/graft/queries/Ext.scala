@@ -57,6 +57,8 @@ object Ext {
   private val VocabTopN = 30   // vocabulary-coverage rows reported
   private val VocabSize = 100  // in-vocabulary size for the OOV gate
   private val DupK = 4         // duplicated-substring n-gram width
+  private val CmsD = 3         // count-min sketch depth (hash rows)
+  private val CmsW = 64        // count-min sketch width (buckets per row)
 
   /** Per-doc minhash signature via the NATIVE fused expression
     * (functions.MinHashSig): the whole signature in one codegen'd
@@ -1187,7 +1189,45 @@ object Ext {
           length(col("norm")).cast("long").as("n_chars_norm"),
           substring(col("norm"), 1, 60).as("head"),
           substring(col("norm"), -20, 20).as("tail"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Count-min sketch over the token stream, with the KMV trick: the
+    // sketch is a pure function of the data (md5-derived bucket hashes,
+    // counter cells = sums), so the APPROXIMATE estimates get an EXACT
+    // oracle — including the CMS one-sided-error guarantee (overcount
+    // >= 0), which the oracle verifies cell by cell. Scale shape: the
+    // d x w counter table is built from the per-token count relation
+    // (|vocab| rows, not |corpus| tokens), sums are merge-associative
+    // (partition-independent by construction), and the finished sketch
+    // is d*w cells — broadcast-sized frequency estimation for any
+    // number of probes.
+    "q_sketch_cms" -> ((s, d) => {
+      import s.implicits._
+      def bucket(i: Int, tok: org.apache.spark.sql.Column) =
+        (lit(TextOps.hashA(i)) * TextOps.hash31(tok) + lit(TextOps.hashB(i))) %
+          TextOps.MersennePrime % CmsW
+      val tc = documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val cells = tc.select(explode(array((0 until CmsD).map { i =>
+          struct(lit(i).as("r"), bucket(i, col("tok")).as("b"), col("n"))
+        }: _*)).as("e"))
+        .select(col("e.r").as("r"), col("e.b").as("b"), col("e.n").as("n"))
+        .groupBy(col("r"), col("b")).agg(sum(col("n")).as("c"))
+      val probes = TextOps.langMarkers.toMap.apply("en").toDF("tok")
+      probes.select(col("tok"), explode(array((0 until CmsD).map { i =>
+          struct(lit(i).as("r"), bucket(i, col("tok")).as("b"))
+        }: _*)).as("e"))
+        .select(col("tok"), col("e.r").as("r"), col("e.b").as("b"))
+        .join(broadcast(cells), Seq("r", "b"), "left")
+        .groupBy(col("tok"))
+        .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
+        .join(tc.withColumnRenamed("n", "exact_n"), Seq("tok"), "left")
+        .select(col("tok"), coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+          col("est_n"),
+          (col("est_n") - coalesce(col("exact_n"), lit(0L))).as("overcount"))
+        .orderBy(col("tok"))
+    })
   )
 
   // ---- oracle twins ------------------------------------------------------
@@ -1923,6 +1963,33 @@ object Ext {
         |  substring(norm, 1, 60) AS head,
         |  CASE WHEN length(norm) >= 20
         |    THEN substring(norm, length(norm) - 19, 20) ELSE norm END AS tail
-        |FROM n ORDER BY doc_id""".stripMargin
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_sketch_cms" -> {
+      val u = (0 until CmsD).map(i =>
+        s"($i, ${TextOps.hashA(i)}, ${TextOps.hashB(i)})").mkString(", ")
+      s"""WITH tc AS (SELECT tok, count(*) AS n
+         |  FROM (SELECT unnest(${sqlTokens("text")}) AS tok FROM documents)
+         |  GROUP BY tok),
+         |u(r, a, bb) AS (SELECT * FROM (VALUES $u)),
+         |cells AS (SELECT r, b, CAST(sum(n) AS BIGINT) AS c FROM (
+         |    SELECT u.r,
+         |      ((u.a * (('0x' || substring(md5(tok), 1, 15))::BIGINT
+         |        & 2147483647) + u.bb) % 2147483647) % $CmsW AS b, n
+         |    FROM tc, u)
+         |  GROUP BY r, b),
+         |pr AS (SELECT unnest([$enStops]) AS tok),
+         |pe AS (SELECT tok, u.r,
+         |    ((u.a * (('0x' || substring(md5(tok), 1, 15))::BIGINT
+         |      & 2147483647) + u.bb) % 2147483647) % $CmsW AS b
+         |  FROM pr, u),
+         |est AS (SELECT tok, min(coalesce(c, 0)) AS est_n
+         |  FROM pe LEFT JOIN cells USING (r, b) GROUP BY tok)
+         |SELECT e.tok, CAST(coalesce(tc.n, 0) AS BIGINT) AS exact_n,
+         |  CAST(est_n AS BIGINT) AS est_n,
+         |  CAST(est_n - coalesce(tc.n, 0) AS BIGINT) AS overcount
+         |FROM est e LEFT JOIN tc ON e.tok = tc.tok
+         |ORDER BY e.tok""".stripMargin
+    }
   )
 }

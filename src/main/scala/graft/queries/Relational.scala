@@ -1116,6 +1116,21 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Approximate quantile by deterministic hash-sampling: the estimate
+    // is the EXACT quantile of a reproducible 10% sample, so — like the
+    // KMV and count-min sketches — an approximate algorithm gets an
+    // exact oracle. At 100 TB the sample bounds the sort to a tenth of
+    // the data while every engine and every partitioning reproduces the
+    // identical estimate.
+    "q_quantile_sample" -> ((s, d) => {
+      val sample = orders(s, d).filter(
+        graft.ext.TextOps.hash31(col("o_orderkey").cast("string"))
+          % 100 < 10)
+      exactQuantilesBy(sample, Seq("o_orderstatus"), "o_totalprice",
+        Seq(0.5 -> "med_sample"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Discrete quantiles (value-at-rank, no interpolation) through the
     // same range-partitioned rank core as the continuous variants —
     // two groups, so the group-partitioned sort would cap at two tasks.
@@ -1876,6 +1891,14 @@ object Relational {
         |    AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS w_sum
         |FROM lineitem l JOIN f USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_quantile_sample" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS med_sample
+        |FROM orders
+        |WHERE (('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+        |    ::BIGINT & 2147483647) % 100 < 10
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_quantile_disc" ->
       """SELECT l_linestatus,
