@@ -159,6 +159,51 @@ object Streams {
       }
   }
 
+  case class BandHit(doc_id: Long, exemplar_id: Long, band_key: String)
+  case class BandRow(band_key: String, doc_id: Long)
+
+  /** Streaming near-dup candidate generation — the streaming twin of the
+    * batch LSH dedup pipeline (queries.Ext q_dedup_pairs): each incoming
+    * doc is minhash-signed MAP-SIDE (the native codegen'd MinHashSig —
+    * no shuffle to sign), exploded to its LSH band keys, and checked
+    * against per-bucket state holding ONE exemplar doc id. Any later doc
+    * landing in an occupied bucket emits a BandHit(candidate, exemplar)
+    * for downstream exact verification — the same
+    * candidates-then-verify contract as the batch pipeline.
+    *
+    * Scale: state is one long per non-empty band bucket, sharded by
+    * band_key across the cluster; like the reference's never-expiring
+    * dedup table (init.sql:25-28) retention is infinite, which is the
+    * point — "have I ever seen this before" — and exactly what the
+    * corpus-wide dedup needs. (Bound it with a TTL state policy if the
+    * stream is truly unbounded and staleness is acceptable.)
+    */
+  def nearDupCandidates(docs: DataFrame, k: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): Dataset[BandHit] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"),
+        explode(graft.ext.TextOps.lshBands(
+          graft.functions.MinHashSig(col("text"), k, numHashes),
+          bands, numHashes / bands)).as("band_key"))
+      .as[BandRow]
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[BandRow], state: GroupState[Long]) =>
+          var exemplar = state.getOption
+          val out = Seq.newBuilder[BandHit]
+          batch.toSeq.sortBy(_.doc_id).foreach { r =>
+            exemplar match {
+              case None => exemplar = Some(r.doc_id)
+              case Some(e) if r.doc_id != e => out += BandHit(r.doc_id, e, key)
+              case _ => ()
+            }
+          }
+          exemplar.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension. The static side is broadcast per micro-batch (re-read
     * each trigger, so slowly-changing dims stay fresh) — the streaming

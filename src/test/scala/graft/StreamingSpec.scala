@@ -151,6 +151,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupCandidates: LSH bucket exemplars flag cross-batch near-dups") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.nearDupCandidates(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "completely different words about spark catalyst planning"))
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() == 0) // distinct docs, no hits
+      // a copy of doc 1 arrives later: identical signature, so it
+      // collides with doc 1's exemplar entry in EVERY band
+      in.addData(
+        (3L, "the quick brown fox jumps over the lazy dog today"),
+        (4L, "yet another unrelated document mentioning tungsten codegen"))
+      q.processAllAvailable()
+      val hits = spark.table("neardup")
+        .select($"doc_id", $"exemplar_id").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(hits == Set((3L, 1L)))
+      assert(spark.table("neardup").count() == 4) // one hit per band
+    } finally q.stop()
+  }
+
   test("intervalJoin: stream-stream join bounded by event-time interval") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
