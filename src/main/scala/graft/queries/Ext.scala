@@ -55,7 +55,9 @@ object Ext {
   private val UrlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./?=_-]*)?"
   private val HostRe = "https?://([A-Za-z0-9.-]+)"
   private val VocabTopN = 30   // vocabulary-coverage rows reported
-  private val VocabSize = 100  // in-vocabulary size for the OOV gate
+  private val VocabSize = 20   // in-vocabulary size for the OOV gate
+                               // (the synthetic corpus has 31 distinct
+                               // tokens, so 20 leaves a real OOV tail)
   private val DupK = 4         // duplicated-substring n-gram width
   private val CmsD = 3         // count-min sketch depth (hash rows)
   private val CmsW = 64        // count-min sketch width (buckets per row)
@@ -1227,6 +1229,27 @@ object Ext {
           col("est_n"),
           (col("est_n") - coalesce(col("exact_n"), lit(0L))).as("overcount"))
         .orderBy(col("tok"))
+    }),
+
+    // Bigram conditional-probability table (the n-gram LM building
+    // block): bigram extraction is map-only (2-shingles), the
+    // conditioning total comes from a window over the AGGREGATED
+    // (cur, nxt) relation — |distinct bigrams| rows, never the corpus —
+    // so the second pass costs nothing at scale.
+    "q_bigram_lm" -> ((s, d) => {
+      val pairCnt = documents(s, d)
+        .select(explode(TextOps.shingles(col("text"), 2)).as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("cur"),
+          split(col("bg"), " ").getItem(1).as("nxt"))
+        .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n_pair"))
+      pairCnt
+        .withColumn("n_cur",
+          sum(col("n_pair")).over(Window.partitionBy(col("cur"))))
+        .filter(col("n_pair") >= 5)
+        .select(col("cur"), col("nxt"), col("n_pair"),
+          round(col("n_pair").cast("double") / col("n_cur"), 6)
+            .as("p_next"))
+        .orderBy(col("cur"), col("nxt"))
     })
   )
 
@@ -1990,6 +2013,20 @@ object Ext {
          |  CAST(est_n - coalesce(tc.n, 0) AS BIGINT) AS overcount
          |FROM est e LEFT JOIN tc ON e.tok = tc.tok
          |ORDER BY e.tok""".stripMargin
-    }
+    },
+
+    "q_bigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t
+         |  FROM documents),
+         |g AS (SELECT unnest(${sqlShinglesAllK(2)}) AS x FROM tok),
+         |p AS (SELECT string_split(x, ' ')[1] AS cur,
+         |    string_split(x, ' ')[2] AS nxt FROM g),
+         |pc AS (SELECT cur, nxt, count(*) AS n_pair FROM p
+         |  GROUP BY cur, nxt),
+         |w AS (SELECT *, CAST(sum(n_pair) OVER (PARTITION BY cur)
+         |    AS BIGINT) AS n_cur FROM pc)
+         |SELECT cur, nxt, n_pair,
+         |  round(CAST(n_pair AS DOUBLE) / n_cur, 6) AS p_next
+         |FROM w WHERE n_pair >= 5 ORDER BY cur, nxt""".stripMargin
   )
 }

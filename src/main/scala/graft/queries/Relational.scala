@@ -1116,6 +1116,31 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Z-score anomaly gate from exact moments: per-type mean/std built
+    // on decimal-exact (count, sum, sum-of-squares) — the same
+    // composable state as q_agg_stats — broadcast back onto the scan,
+    // flag |value - mean| > 2*std. The moments relation is group-sized,
+    // the flagging pass is map-side; round-6 anchors on mean/std keep
+    // the comparison engine-portable.
+    "q_anomaly_zscore" -> ((s, d) => {
+      val e = events(s, d)
+      val m = e.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("s1"),
+          sum(dec(col("value")) * dec(col("value"))).cast("double").as("s2"))
+        .select(col("event_type"),
+          round(col("s1") / col("n"), 6).as("mean_v"),
+          round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1)), 6).as("std_v"))
+      e.join(broadcast(m), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("value") - col("mean_v")) >
+            lit(2.0) * col("std_v"), 1L).otherwise(0L)).as("n_anomalies"),
+          min(col("mean_v")).as("mean_v"), min(col("std_v")).as("std_v"))
+        .orderBy(col("event_type"))
+    }),
+
     // Approximate quantile by deterministic hash-sampling: the estimate
     // is the EXACT quantile of a reproducible 10% sample, so — like the
     // KMV and count-min sketches — an approximate algorithm gets an
@@ -1891,6 +1916,21 @@ object Relational {
         |    AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS w_sum
         |FROM lineitem l JOIN f USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_anomaly_zscore" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+        |      CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type),
+        |f AS (SELECT event_type, round(s1 / n, 6) AS mean_v,
+        |    round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS std_v FROM m)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(value - mean_v) > 2.0 * std_v
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  min(mean_v) AS mean_v, min(std_v) AS std_v
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q_quantile_sample" ->
       """SELECT o_orderstatus,

@@ -162,4 +162,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
       p.take(3000)) // the sketch itself is built by a distributed agg
   }
+
+  test("winsorize: quantile core range-partitions, fences broadcast back") {
+    val (p, _) = planOf("q_winsorize")
+    assert(p.contains("rangepartitioning"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("OOV gate: vocabulary applies as a broadcast anti-join") {
+    val (p, _) = planOf("q_oov_rate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(3000))
+  }
+
+  test("CMS probes address a broadcast counter table") {
+    val (p, _) = planOf("q_sketch_cms")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000)) // distributed build
+  }
+
+  test("incremental dedup broadcasts the batch band index") {
+    val (p, _) = planOf("q_dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
