@@ -116,9 +116,14 @@ object Relational {
   private def rankedRanged(df: DataFrame, grpCols: Seq[String],
       v: String): DataFrame = {
     val gc = grpCols.map(col)
+    // materialize once after the range exchange: both consumers (the
+    // local-rank window and the offset relation) read the same
+    // partitioned data, and the exchange's boundary-sampling pass over
+    // the input runs once instead of once per consumer
     val data = df.select((grpCols :+ v).map(col): _*)
       .repartitionByRange((gc :+ col(v)): _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("_pid") +: gc: _*).orderBy(col(v))
     val ranked = data
       .withColumn("_lrn", row_number().over(wLocal).cast("double"))
