@@ -1231,6 +1231,49 @@ object Ext {
         .orderBy(col("tok"))
     }),
 
+    // Containment similarity over the linear pair set: |A∩B| / |A| —
+    // the asymmetric measure that catches SUBSET duplicates (a doc
+    // wholly contained in a longer one), which symmetric Jaccard
+    // underscores precisely when the length gap is largest. Same
+    // shingle-set reuse as q_dedup_jaccard; containment both ways plus
+    // the subset flag.
+    "q_dedup_containment" -> ((s, d) => {
+      val t = documents(s, d).select(col("doc_id"),
+        TextOps.distinctShingles(col("text"), K).as("sh"))
+      val a = t.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = t.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+            .as("n_common"),
+          round(size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("double") / size(col("sh_a")), 6).as("contain_a"),
+          round(size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("double") / size(col("sh_b")), 6).as("contain_b"))
+        .withColumn("subset_dup",
+          col("contain_a") >= 0.9 || col("contain_b") >= 0.9)
+        .orderBy(col("id_a"))
+    }),
+
+    // Near-dup threshold sweep: pair count surviving each candidate
+    // cosine threshold — the tuning curve every dedup rollout reads
+    // before picking its cutoff. ONE pass over the pair set with
+    // conditional sums; no per-threshold re-scan.
+    "q_dedup_sweep" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+      val scored = a.join(b, col("id_b") === col("id_a") + 1)
+        .select(round(VectorOps.cosine(col("v_a"), col("v_b")), 6)
+          .as("cos"))
+      scored.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("cos") >= 0.7, 1L).otherwise(0L)).as("ge_70"),
+          sum(when(col("cos") >= 0.8, 1L).otherwise(0L)).as("ge_80"),
+          sum(when(col("cos") >= 0.9, 1L).otherwise(0L)).as("ge_90"))
+    }),
+
     // Bigram conditional-probability table (the n-gram LM building
     // block): bigram extraction is map-only (2-shingles), the
     // conditioning total comes from a window over the AGGREGATED
@@ -2014,6 +2057,38 @@ object Ext {
          |FROM est e LEFT JOIN tc ON e.tok = tc.tok
          |ORDER BY e.tok""".stripMargin
     },
+
+    "q_dedup_containment" ->
+      s"""WITH sh AS (SELECT doc_id, $sqlShingles AS sh
+         |  FROM (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(a.sh), 6) AS contain_a,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(b.sh), 6) AS contain_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(a.sh), 6) >= 0.9 OR
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(b.sh), 6) >= 0.9 AS subset_dup
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         |ORDER BY id_a""".stripMargin,
+
+    "q_dedup_sweep" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |p AS (SELECT round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) *
+        |     sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1)
+        |SELECT count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN cos >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ge_70,
+        |  CAST(sum(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ge_80,
+        |  CAST(sum(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ge_90
+        |FROM p""".stripMargin,
 
     "q_bigram_lm" ->
       s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t

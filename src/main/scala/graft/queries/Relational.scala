@@ -1121,6 +1121,23 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Period-over-period change (the daily-revenue BI readout): lag over
+    // the DAILY rollup — a bounded-by-the-calendar relation, so the
+    // unpartitioned window sorts days, never orders, exactly like the
+    // date-spine. Numerator stays decimal-exact; the division happens
+    // once, in doubles, identically on both engines.
+    "q_period_change" -> ((s, d) => {
+      val daily = orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      val w = Window.orderBy(col("day"))
+      daily.withColumn("prev", lag(col("rev"), 1).over(w))
+        .select(col("day"), col("rev").cast("double").as("rev"),
+          round((col("rev") - col("prev")).cast("double") /
+            col("prev").cast("double") * 100, 6).as("pct_change"))
+        .orderBy(col("day"))
+    }),
+
     // Z-score anomaly gate from exact moments: per-type mean/std built
     // on decimal-exact (count, sum, sum-of-squares) — the same
     // composable state as q_agg_stats — broadcast back onto the scan,
@@ -1921,6 +1938,17 @@ object Relational {
         |    AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS w_sum
         |FROM lineitem l JOIN f USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_period_change" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT day, rev, lag(rev, 1) OVER (ORDER BY day) AS prev
+        |  FROM daily)
+        |SELECT day, CAST(rev AS DOUBLE) AS rev,
+        |  round(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE) * 100, 6)
+        |    AS pct_change
+        |FROM l ORDER BY day""".stripMargin,
 
     "q_anomaly_zscore" ->
       """WITH m AS (SELECT event_type, count(*) AS n,
