@@ -96,4 +96,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(merged.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       direct.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
+
+  test("dedup_sweep: survivor counts are monotone in the threshold") {
+    val r = SparkEntry.queries("q_dedup_sweep")(spark, d).head()
+    val (n, g70, g80, g90) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0 && n >= g70 && g70 >= g80 && g80 >= g90)
+  }
+
+  test("dedup_containment: containment bounded, subset flag consistent") {
+    for (r <- SparkEntry.queries("q_dedup_containment")(spark, d).collect()) {
+      val (ca, cb) = (r.getDouble(3), r.getDouble(4))
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0)
+      assert(r.getBoolean(5) == (ca >= 0.9 || cb >= 0.9))
+    }
+  }
+
+  test("winsorize: every row is counted once, fences clip both tails") {
+    for (r <- SparkEntry.queries("q_winsorize")(spark, d).collect()) {
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // p05/p95 fences: each tail is at most ~5% plus interpolation slack
+      assert(lo <= n / 15 && hi <= n / 15)
+      assert(lo + hi < n)
+    }
+  }
 }
