@@ -63,6 +63,22 @@ object AsOfJoin {
     asofOn(left, buildRows, keys, leftTs, rightTs, tolerance)
   }
 
+  /** Forward as-of join: the time-mirror of [[asof]] — each probe row
+    * attaches the build row with the SMALLEST build timestamp >= the
+    * probe timestamp ("next quote after the order", lead-time lookups).
+    * Same union + one-window plan, with the within-partition sort
+    * reversed; tolerance bounds `build_ts - probe_ts`. NULL semantics
+    * identical to [[asof]].
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      tolerance: Option[Column] = None): DataFrame = {
+    val buildRows = right.filter(
+      (keys.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
+    asofOn(left, buildRows, keys, leftTs, rightTs, tolerance,
+      forward = true)
+  }
+
   /** Skew-resistant as-of join: [[asof]] serializes each key through one
     * window partition, so a single hot key (one instrument with billions
     * of quotes) bottlenecks on one task. This variant splits time into
@@ -135,8 +151,8 @@ object AsOfJoin {
     * overloads pass `keys` or `keys :+ bucket`).
     */
   private def asofOn(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String,
-      tolerance: Option[Column]): DataFrame = {
+      leftTs: String, rightTs: String, tolerance: Option[Column],
+      forward: Boolean = false): DataFrame = {
     val payloadCols = right.columns.filterNot(keys.contains)
       .filterNot(_ == rightTs).toIndexedSeq
     val leftType = StructType(left.schema.fields)
@@ -154,8 +170,13 @@ object AsOfJoin {
         lit(1).as("_asof_side"),
         struct(left.columns.toIndexedSeq.map(col): _*).as("_asof_probe"),
         lit(null).cast(payloadType).as("_asof_payload")): _*)
+    // forward mirrors the sort: descending ts carries each build row
+    // "backward in time" onto every EARLIER probe; the side tiebreak
+    // keeps a build row AT the probe timestamp matching (inclusive)
+    // in both directions
+    val tsOrder = if (forward) col("_asof_t").desc else col("_asof_t").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_asof_t"), col("_asof_side"))
+      .orderBy(tsOrder, col("_asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = buildSide.unionByName(probeSide)
       .withColumn("_asof_match", last(col("_asof_payload"), ignoreNulls = true).over(w))
@@ -165,8 +186,12 @@ object AsOfJoin {
       .filter(col("_asof_side") === 1)
     val bounded = tolerance match {
       case Some(tol) =>
-        val within = col("_asof_match_t").isNotNull &&
-          unix_micros(col("_asof_t")) - unix_micros(col("_asof_match_t")) <= tol
+        val gap =
+          if (forward)
+            unix_micros(col("_asof_match_t")) - unix_micros(col("_asof_t"))
+          else
+            unix_micros(col("_asof_t")) - unix_micros(col("_asof_match_t"))
+        val within = col("_asof_match_t").isNotNull && gap <= tol
         carried.withColumn("_asof_match", when(within, col("_asof_match")))
       case None => carried
     }
@@ -181,18 +206,38 @@ object AsOfJoin {
     */
   def asofBruteForce(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None): DataFrame =
+    bruteForceOn(left, right, keys, leftTs, rightTs, tolerance,
+      forward = false)
+
+  /** Forward-direction executable spec (mirror of [[asofBruteForce]]). */
+  def asofForwardBruteForce(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      tolerance: Option[Column] = None): DataFrame =
+    bruteForceOn(left, right, keys, leftTs, rightTs, tolerance,
+      forward = true)
+
+  private def bruteForceOn(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      tolerance: Option[Column], forward: Boolean): DataFrame = {
     val l = left.columns.toIndexedSeq.map(c => col(c).as(s"_l_$c"))
     val r = right.columns.toIndexedSeq.map(c => col(c).as(s"_r_$c"))
     val keyEq = keys.map(k => col(s"_l_$k") === col(s"_r_$k")).reduce(_ && _)
-    val timeOk = tolerance.foldLeft(
-      col(s"_r_$rightTs") <= col(s"_l_$leftTs"))((acc, tol) =>
-      acc && unix_micros(col(s"_l_$leftTs")) - unix_micros(col(s"_r_$rightTs")) <= tol)
+    val dirOk =
+      if (forward) col(s"_r_$rightTs") >= col(s"_l_$leftTs")
+      else col(s"_r_$rightTs") <= col(s"_l_$leftTs")
+    val gapUs =
+      if (forward)
+        unix_micros(col(s"_r_$rightTs")) - unix_micros(col(s"_l_$leftTs"))
+      else
+        unix_micros(col(s"_l_$leftTs")) - unix_micros(col(s"_r_$rightTs"))
+    val timeOk = tolerance.foldLeft(dirOk)((acc, tol) => acc && gapUs <= tol)
     // The per-probe argmax partitions by a synthetic row id, so two probe
     // rows that agree on every key/ts column still yield one output row
     // EACH (partitioning by the visible columns would collapse them and
     // silently drop rows from the oracle).
-    val w = Window.partitionBy(col("_l_rowid")).orderBy(col(s"_r_$rightTs").desc)
+    val w = Window.partitionBy(col("_l_rowid")).orderBy(
+      if (forward) col(s"_r_$rightTs").asc else col(s"_r_$rightTs").desc)
     val payloadCols = right.columns.filterNot(keys.contains)
       .filterNot(_ == rightTs).toIndexedSeq
     left.select(l: _*).withColumn("_l_rowid", monotonically_increasing_id())

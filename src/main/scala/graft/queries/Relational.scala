@@ -352,6 +352,24 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of: "first purchase AFTER the click" — the conversion
+    // attribution shape; the same union + one-window plan as q_join_asof
+    // with the within-partition sort reversed, oracle = DuckDB ASOF with
+    // the inequality flipped.
+    "q_join_asof_forward" -> ((s, d) => {
+      val clicks = events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("p_value"),
+          max(col("event_id")).as("p_event_id"))
+      AsOfJoin.asofForward(clicks, purchases, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("p_event_id"), round(col("p_value"), 6).as("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // The skew-resistant as-of variant against the SAME DuckDB ASOF
     // oracle: time-bucketed windows + cross-bucket carry must be a pure
     // physical rewrite of the plain as-of (hot keys parallelize across
@@ -1477,6 +1495,18 @@ object Relational {
         |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
         |  p.p_event_id, round(p.p_value, 6) AS p_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_join_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS p_value,
+        |    max(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |  p.p_event_id, round(p.p_value, 6) AS p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id""".stripMargin,
 
     "q_join_asof_bucketed" ->

@@ -77,6 +77,37 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("asofForward: forward-inclusive semantics on the same fixture") {
+    val got = AsOfJoin.asofForward(trades, quotes, Seq("k"), "lts", "rts")
+      .orderBy("id").select("id", "px").as[(Long, Option[Double])].collect()
+    assert(got.toSeq == Seq(
+      1L -> Some(1.0), // == quote ts: inclusive in both directions
+      2L -> Some(3.0), // next quote after 10:07 is 10:30
+      3L -> None, // nothing after 11:00
+      4L -> Some(1.0), // everything is ahead; nearest is 10:00
+      5L -> None, // B's only quote is behind
+      6L -> None))
+  }
+
+  test("asofForward == forward brute-force spec, with and without tolerance") {
+    val n = 400
+    val build = spark.range(n).select(
+      (col("id") % 7).cast("string").as("k"),
+      timestamp_micros(col("id") * 977_777L + 13L).as("rts"),
+      (col("id") * 3).cast("double").as("px"))
+    val probe = spark.range(n * 2).select(
+      col("id").as("pid"),
+      (col("id") % 9).cast("string").as("k"),
+      timestamp_micros(col("id") * 491_113L).as("lts"))
+    for (tol <- Seq(None, Some(lit(2_000_000L)))) {
+      val fast = AsOfJoin.asofForward(probe, build, Seq("k"), "lts", "rts", tol)
+      val spec = AsOfJoin.asofForwardBruteForce(
+        probe, build, Seq("k"), "lts", "rts", tol)
+      assert(fast.exceptAll(spec).isEmpty && spec.exceptAll(fast).isEmpty,
+        s"tolerance=$tol mismatch")
+    }
+  }
+
   test("asof: NULL keys and NULL build timestamps never match") {
     // NULL-key build rows and NULL-ts build rows must not leak payloads
     // (equality never matches NULL; ts <= ts is NULL for a NULL build ts);

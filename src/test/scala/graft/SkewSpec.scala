@@ -39,4 +39,49 @@ class SkewSpec extends SparkSpec {
     val hot = Skew.hotKeys(df, "k", 500).collect()
     assert(hot.length == 1 && hot(0).getLong(0) == 7L)
   }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // one key carries ~95% of the rows with a wide payload: force the
+    // runtime skew split by lowering AQE's size thresholds so the hot
+    // partition crosses them even at test scale
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) =>
+      k -> util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // stage as parquet: AQE plans real scans, not local relations.
+      // payload must be incompressible (per-row pseudorandom hex) or the
+      // hot shuffle partition compresses below any skew threshold
+      val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+      ((1 to 20000).map(_ => 7L) ++ (1L to 1000L))
+        .toDF("k").withColumn("rid", monotonically_increasing_id())
+        .withColumn("payload", concat((0 until 8).map(j =>
+          md5(concat(col("rid"), lit(j)))): _*))
+        .drop("rid")
+        .write.parquet(s"$dir/left")
+      (1L to 1000L).toDF("k")
+        .withColumn("dim", concat(col("k"), lit("d")))
+        .write.parquet(s"$dir/right")
+      val joined = spark.read.parquet(s"$dir/left")
+        .join(spark.read.parquet(s"$dir/right"), "k")
+      joined.collect() // materialize so AQE finalizes its runtime plan
+      val plan = (joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+      assert(plan.contains("skewed"), plan.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
