@@ -44,6 +44,30 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Shared ANSI `WITH RECURSIVE` (Spark 4 executes it natively as an
+    * iterative union loop, DuckDB likewise): every part's depth in the
+    * implicit binary tree over part keys (node -> floor(node/2) walks to
+    * the root), rolled up to per-depth decimal-exact retail totals. The
+    * halving uses floor(x / 2.0) because bare `/` is double-division in
+    * BOTH dialects while integer division is spelled differently
+    * (`div` vs `//`) — floor of an exact half-integer double is
+    * engine-identical.
+    */
+  private val SqlRecursive =
+    """WITH RECURSIVE walk(root, node, depth) AS (
+      |  SELECT p_partkey AS root, p_partkey AS node, 0 AS depth FROM part
+      |  UNION ALL
+      |  SELECT root, CAST(floor(node / 2.0) AS BIGINT), depth + 1
+      |  FROM walk WHERE node > 1
+      |)
+      |SELECT d.depth, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS retail_total
+      |FROM (SELECT root, MAX(depth) AS depth FROM walk GROUP BY root) d
+      |JOIN part ON p_partkey = d.root
+      |GROUP BY d.depth
+      |ORDER BY d.depth""".stripMargin
+
   /** Sort-based EXACT quantiles of `v` per `grp`: rank within the group
     * (one range-partitioned window sort), keep only the two boundary
     * rows per requested quantile, interpolate.
@@ -407,6 +431,17 @@ object Relational {
           unix_micros(clicks("ts")).as("ts_us"),
           col("p_event_id"), round(col("p_value"), 6).as("p_value"))
         .orderBy(col("event_id"))
+    }),
+
+    // Recursive SQL front-end path: ONE shared WITH RECURSIVE string
+    // through spark.sql AND the DuckDB oracle — Spark 4 plans the
+    // recursion as an iterative union loop (log2(maxkey) rounds here,
+    // each a distributed step), the same execution shape as the
+    // driver-coordinated loops in ops.Clusters but expressed purely in
+    // the SQL surface.
+    "q_sql_recursive" -> ((s, d) => {
+      part(s, d).createOrReplaceTempView("part")
+      s.sql(SqlRecursive)
     }),
 
     // SQL front-end path: the shared ANSI text (see SqlQ3 above).
@@ -1534,6 +1569,7 @@ object Relational {
         |ORDER BY c.event_id""".stripMargin,
 
     "q_sql_q3" -> SqlQ3,
+    "q_sql_recursive" -> SqlRecursive,
 
     "q_join_multi" ->
       """SELECT n_name, p_brand,
