@@ -573,10 +573,14 @@ object Ext {
     // distinct-collapsed and BROADCAST, so the 100 TB train scan joins
     // without shuffling at all.
     "q_decontaminate" -> ((s, d) => {
+      // materialized once: the hashed-shingle relation feeds BOTH the
+      // eval-set distinct and the train-side filter, and the explode +
+      // md5 pass is the expensive part (same move as q_substring_dup)
       val sh = documents(s, d)
         .select(col("doc_id"),
           explode(TextOps.distinctShingles(col("text"), DecontK)).as("sh"))
         .select(col("doc_id"), TextOps.hash31(col("sh")).as("h"))
+        .localCheckpoint()
       val evalSet = sh.filter(col("doc_id") % EvalMod === 0)
         .select(col("h")).distinct()
       sh.filter(col("doc_id") % EvalMod =!= 0)
