@@ -168,6 +168,68 @@ object Ext {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** IVF-style cell-restricted ANN top-k (the q_ann_ivf plan, shared
+    * with the recall audit): deterministic medoid quantizer (min vec_id
+    * per label), cells assigned by best rep score, candidates restricted
+    * to the query's cell.
+    */
+  private def annIvfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("label"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val reps = e.groupBy(col("label")).agg(min(col("vec_id")).as("rep_id"))
+      .join(e.select(col("vec_id").as("rep_id"), col("v").as("rv"),
+        col("nrm").as("rn_")), Seq("rep_id"))
+      .select(col("rep_id"), col("rv"), col("rn_"))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("rep_score").desc, col("rep_id"))
+    val assigned = e.join(broadcast(reps))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("rep_id"),
+        (VectorOps.dot(col("v"), col("rv")) / (col("nrm") * col("rn_")))
+          .as("rep_score"))
+      .withColumn("cell_rn", row_number().over(wCell))
+      .filter(col("cell_rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("rep_id").as("cell"))
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").as("q_cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    assigned.join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= AnnK)
+      .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Brute-force exact cosine top-k for the same query batch — the
+    * ground truth the recall audit scores ANN against.
+    */
+  private def annExactTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- E1: exact dedup (hash-groupBy keep-first) ----------------------
     "q_dedup_exact" -> ((s, d) =>
@@ -487,41 +549,7 @@ object Ext {
     // exactly — a k-means quantizer drops in without changing the shape.
     // Centers broadcast (they are few); assignment is one map-side
     // argmax per vector; search is an equi-join on cell id.
-    "q_ann_ivf" -> ((s, d) => {
-      val e = embeddings(s, d).select(col("vec_id"), col("label"),
-        VectorOps.toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", VectorOps.norm(col("v")))
-      val reps = e.groupBy(col("label")).agg(min(col("vec_id")).as("rep_id"))
-        .join(e.select(col("vec_id").as("rep_id"), col("v").as("rv"),
-          col("nrm").as("rn_")), Seq("rep_id"))
-        .select(col("rep_id"), col("rv"), col("rn_"))
-      val wCell = Window.partitionBy(col("vec_id"))
-        .orderBy(col("rep_score").desc, col("rep_id"))
-      val assigned = e.join(broadcast(reps))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("rep_id"),
-          (VectorOps.dot(col("v"), col("rv")) / (col("nrm") * col("rn_")))
-            .as("rep_score"))
-        .withColumn("cell_rn", row_number().over(wCell))
-        .filter(col("cell_rn") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("rep_id").as("cell"))
-      val q = assigned.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("cell").as("q_cell"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("score").desc, col("vec_id"))
-      assigned.join(broadcast(q),
-          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-            .as("score"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= AnnK)
-        .select(col("q_id"), col("rn").cast("long").as("rn"), col("vec_id"),
-          round(col("score"), 6).as("score"))
-        .orderBy(col("q_id"), col("rn"))
-    }),
+    "q_ann_ivf" -> ((s, d) => annIvfTopK(s, d)),
 
     // IVF with nprobe>1: the recall knob. Database vectors still live in
     // exactly one cell; each QUERY probes its NProbe nearest cells, so
@@ -1276,6 +1304,25 @@ object Ext {
           sum(when(col("cos") >= 0.7, 1L).otherwise(0L)).as("ge_70"),
           sum(when(col("cos") >= 0.8, 1L).otherwise(0L)).as("ge_80"),
           sum(when(col("cos") >= 0.9, 1L).otherwise(0L)).as("ge_90"))
+    }),
+
+    // ANN recall audit: |IVF top-k ∩ exact top-k| / k per query — the
+    // accuracy dial for the index (the q_minhash_est of the vector
+    // family). At 100 TB only the index is affordable; this query is
+    // how you earn the right to trust it, measured on a sample.
+    "q_ann_recall" -> ((s, d) => {
+      val ivf = annIvfTopK(s, d).select(col("q_id"), col("vec_id"))
+      val exact = annExactTopK(s, d, AnnK)
+      val hits = exact
+        .join(ivf, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / AnnK, 6)
+            .as("recall"))
+        .orderBy(col("q_id"))
     }),
 
     // Bigram conditional-probability table (the n-gram LM building
@@ -2093,6 +2140,46 @@ object Ext {
         |  CAST(sum(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS ge_90
         |FROM p""".stripMargin,
+
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |reps AS (SELECT r.rep_id, e.v AS rv, e.nrm AS rn_
+         |  FROM (SELECT label, min(vec_id) AS rep_id FROM e GROUP BY label) r
+         |  JOIN e ON e.vec_id = r.rep_id),
+         |scored_cells AS (SELECT e.vec_id, e.v, e.nrm, reps.rep_id,
+         |    list_dot_product(e.v, reps.rv) / (e.nrm * reps.rn_) AS rep_score
+         |  FROM e CROSS JOIN reps),
+         |assigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY rep_score DESC, rep_id) AS cell_rn FROM scored_cells)
+         |  WHERE cell_rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS q_cell
+         |  FROM assigned WHERE vec_id < 5),
+         |ip AS (SELECT q.q_id, a.vec_id,
+         |    list_dot_product(q.qv, a.v) / (q.qn * a.nrm) AS score
+         |  FROM assigned a JOIN q ON a.cell = q.q_cell AND a.vec_id != q.q_id),
+         |ivf AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM ip)
+         |  WHERE rn <= $AnnK),
+         |bp AS (SELECT qq.vec_id AS q_id, c.vec_id,
+         |    list_dot_product(qq.v, c.v) / (qq.nrm * c.nrm) AS score
+         |  FROM e qq JOIN e c ON qq.vec_id < 5 AND c.vec_id != qq.vec_id),
+         |exact AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM bp)
+         |  WHERE rn <= $AnnK),
+         |h AS (SELECT q_id, count(*) AS n_hits
+         |  FROM exact JOIN ivf USING (q_id, vec_id)
+         |  GROUP BY q_id)
+         |SELECT x.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $AnnK, 6) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) x
+         |LEFT JOIN h ON x.q_id = h.q_id
+         |ORDER BY x.q_id""".stripMargin,
 
     "q_bigram_lm" ->
       s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t

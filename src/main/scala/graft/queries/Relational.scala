@@ -1231,6 +1231,22 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Equi-depth histogram straight off the ranged-rank core: bucket =
+    // floor(rank * NB / n). Tie order between equal values is
+    // arbitrary, but bucket CONTENTS are fixed by sorted position, so
+    // counts and min/max per bucket are deterministic. The fixed-width
+    // q_histogram shows the other shape; equi-depth is what optimizers
+    // and drift monitors actually want (every bucket equally populated).
+    "q_histogram_eqdepth" -> ((s, d) =>
+      rankedRanged(lineitem(s, d), Seq("l_returnflag"), "l_extendedprice")
+        .withColumn("bucket",
+          floor(col("_rn") * lit(8.0) / col("_n")).cast("long"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy(col("l_returnflag"), col("bucket"))),
+
     // Discrete quantiles (value-at-rank, no interpolation) through the
     // same range-partitioned rank core as the continuous variants —
     // two groups, so the group-partitioned sort would cap at two tasks.
@@ -2038,6 +2054,18 @@ object Relational {
         |WHERE (('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
         |    ::BIGINT & 2147483647) % 100 < 10
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_histogram_eqdepth" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) - 1 AS DOUBLE) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(floor(rn * 8.0 / n) AS BIGINT) AS bucket,
+        |  count(*) AS n_rows, min(l_extendedprice) AS lo,
+        |  max(l_extendedprice) AS hi
+        |FROM r GROUP BY l_returnflag, bucket
+        |ORDER BY l_returnflag, bucket""".stripMargin,
 
     "q_quantile_disc" ->
       """SELECT l_linestatus,
