@@ -33,6 +33,9 @@ object Multimodal {
 
   case class MediaFeatures(doc_id: Long, n_bytes: Long, features: Array[Float])
 
+  case class MediaFeaturesPortable(doc_id: Long, n_bytes: Long,
+      features: Array[Double])
+
   case class MediaFrames(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   val mediaSchema: StructType = StructType(Seq(
@@ -68,6 +71,25 @@ object Multimodal {
         i += 1
       }
       out
+    }
+
+    /** Portable "decode + featurize" twin of [[decodeToFeatures]]:
+      * feature j = first 8 hex chars of md5(HEX(payload) || ':' || j),
+      * scaled to an exact 6-decimal fraction in [0, 1). Built ONLY from
+      * universal primitives (uppercase hex, md5, integer mod, division)
+      * so an external SQL engine recomputes every value bit-for-bit —
+      * this is the feature path the DuckDB oracle checks end to end.
+      */
+    def decodeToFeaturesPortable(payload: Array[Byte],
+        dim: Int): Array[Double] = {
+      val hx = payload.map("%02X".format(_)).mkString
+      Array.tabulate(dim) { j =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest((hx + ":" + j).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(h.substring(0, 8), 16) % 1000000L) /
+          1000000.0
+      }
     }
 
     /** "Resize": deterministic payload shrink standing in for a pixel
@@ -129,6 +151,26 @@ object Multimodal {
         batch.map { r =>
           MediaFeatures(r.doc_id, r.media.length.toLong,
             StubCodec.decodeToFeatures(r.media))
+        }
+      }
+    }
+  }
+
+  /** Batched feature extraction through the PORTABLE stub codec — the
+    * same mapPartitions + grouped-batch execution shape as
+    * [[extractFeatures]], but with hash-derived features an external
+    * SQL engine can recompute, so the whole decode path (schema, typed
+    * lineage, batch shape, fan-in) is oracle-checkable, not just
+    * spec-checkable.
+    */
+  def extractFeaturesPortable(media: Dataset[MediaRow], dim: Int,
+      batchSize: Int = 64): Dataset[MediaFeaturesPortable] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          MediaFeaturesPortable(r.doc_id, r.media.length.toLong,
+            StubCodec.decodeToFeaturesPortable(r.media, dim))
         }
       }
     }

@@ -61,6 +61,7 @@ object Ext {
   private val DupK = 4         // duplicated-substring n-gram width
   private val CmsD = 3         // count-min sketch depth (hash rows)
   private val CmsW = 64        // count-min sketch width (buckets per row)
+  private val SemThr = 0.3     // semantic-dedup cosine cutoff (within-cell)
 
   /** Per-doc minhash signature via the NATIVE fused expression
     * (functions.MinHashSig): the whole signature in one codegen'd
@@ -168,12 +169,13 @@ object Ext {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** IVF-style cell-restricted ANN top-k (the q_ann_ivf plan, shared
-    * with the recall audit): deterministic medoid quantizer (min vec_id
-    * per label), cells assigned by best rep score, candidates restricted
-    * to the query's cell.
+  /** Deterministic medoid quantizer shared by the IVF ANN family and
+    * semantic dedup: reps = min vec_id per label (broadcast — they are
+    * few), every vector assigned to its best-scoring rep's cell. One
+    * broadcast join + one per-vector bounded window; vectors never
+    * shuffle by cell here.
     */
-  private def annIvfTopK(s: SparkSession, d: String): DataFrame = {
+  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("label"),
       VectorOps.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
@@ -183,7 +185,7 @@ object Ext {
       .select(col("rep_id"), col("rv"), col("rn_"))
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("rep_score").desc, col("rep_id"))
-    val assigned = e.join(broadcast(reps))
+    e.join(broadcast(reps))
       .select(col("vec_id"), col("v"), col("nrm"),
         col("rep_id"),
         (VectorOps.dot(col("v"), col("rv")) / (col("nrm") * col("rn_")))
@@ -192,6 +194,15 @@ object Ext {
       .filter(col("cell_rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"),
         col("rep_id").as("cell"))
+  }
+
+  /** IVF-style cell-restricted ANN top-k (the q_ann_ivf plan, shared
+    * with the recall audit): deterministic medoid quantizer (min vec_id
+    * per label), cells assigned by best rep score, candidates restricted
+    * to the query's cell.
+    */
+  private def annIvfTopK(s: SparkSession, d: String): DataFrame = {
+    val assigned = ivfAssign(s, d)
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("q_cell"))
@@ -492,6 +503,31 @@ object Ext {
           round(VectorOps.cosine(col("v_a"), col("v_b")), 6).as("cos"),
           (VectorOps.cosine(col("v_a"), col("v_b")) > 0.8).as("near_dup"))
         .orderBy(col("id_a"))
+    }),
+
+    // SemDeDup-shaped semantic dedup: quantize every embedding into a
+    // coarse cell (the IVF medoid assignment — at scale, a k-means fit),
+    // then prune ONLY within cells: a vector is a duplicate if a
+    // lower-id vector in the SAME cell has cosine >= SemThr. The cell
+    // restriction is the whole point at 100 TB — pairwise cosine is
+    // O(n²) globally but O(sum cell²) here, and the per-cell self-join
+    // is an equi-join on the cell id, so each cell's quadratic work is
+    // partition-local after one shuffle.
+    "q_dedup_semantic" -> ((s, d) => {
+      val assigned = ivfAssign(s, d).localCheckpoint()
+      val a = assigned.select(col("cell").as("cell_a"),
+        col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+      val dropped = assigned.join(a,
+          col("cell") === col("cell_a") && col("id_a") < col("vec_id") &&
+            VectorOps.dot(col("v"), col("v_a")) / (col("nrm") * col("n_a"))
+              >= SemThr)
+        .select(col("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      assigned.select(col("vec_id"), col("cell"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy(col("vec_id"))
     }),
 
     // ---- E3: similarity search -----------------------------------------
@@ -829,6 +865,27 @@ object Ext {
           length(col("frame")).cast("long").as("n_frame_bytes"),
           hex(col("frame")).as("frame_hex"))
         .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // E4 "decode + featurize", oracle-checked end to end: payloads run
+    // through the REAL batched-decode plumbing (typed Dataset ->
+    // repartitionForDecode -> mapPartitions grouped batches — the shape
+    // a vectorized decoder or GPU inference server needs), with the
+    // PORTABLE stub codec (hex+md5 features) so the oracle recomputes
+    // every feature value. Map-only after the decode repartition;
+    // payloads shuffle once, by count not by key, staying balanced.
+    "q_image_features" -> ((s, d) => {
+      val feats = Multimodal.extractFeaturesPortable(
+        Multimodal.repartitionForDecode(
+          Multimodal.mediaFromDocuments(
+            documents(s, d).select(col("doc_id"), col("text"))), 32),
+        dim = 4).toDF()
+      feats.select(col("doc_id"), col("n_bytes"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"),
+          round(element_at(col("features"), 3), 6).as("f2"),
+          round(element_at(col("features"), 4), 6).as("f3"))
+        .orderBy(col("doc_id"))
+    }),
 
     // TF-IDF top terms per doc, with a LINEAR idf (n_docs/df) instead of
     // the textbook log: ln() is not correctly-rounded in IEEE 754 (sqrt
@@ -1597,6 +1654,28 @@ object Ext {
         |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
         |ORDER BY id_a""".stripMargin,
 
+    "q_dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |reps AS (SELECT r.rep_id, e.v AS rv, e.nrm AS rn_
+         |  FROM (SELECT label, min(vec_id) AS rep_id FROM e GROUP BY label) r
+         |  JOIN e ON e.vec_id = r.rep_id),
+         |assigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
+         |  SELECT e.vec_id, e.v, e.nrm, reps.rep_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, reps.rv) / (e.nrm * reps.rn_)
+         |        DESC, reps.rep_id) AS cell_rn
+         |  FROM e CROSS JOIN reps) WHERE cell_rn = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id
+         |  FROM assigned b JOIN assigned a ON a.cell = b.cell
+         |    AND a.vec_id < b.vec_id
+         |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SemThr)
+         |SELECT s.vec_id, s.cell, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
+
     "q_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
@@ -1820,6 +1899,24 @@ object Ext {
         |  CAST(octet_length(u.fr) AS BIGINT) AS n_frame_bytes,
         |  hex(u.fr) AS frame_hex
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Portable feature stub: f_j = int(md5(hex(payload)||':'||j)[0:8],
+    // 16) % 1e6 / 1e6 — recomputed here from the same primitives the
+    // Scala codec uses (uppercase hex, lowercase-md5 hex digest).
+    "q_image_features" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT doc_id, n_bytes,
+        |  round((('0x' || substring(md5(hx || ':0'), 1, 8))::BIGINT
+        |    % 1000000) / 1000000.0, 6) AS f0,
+        |  round((('0x' || substring(md5(hx || ':1'), 1, 8))::BIGINT
+        |    % 1000000) / 1000000.0, 6) AS f1,
+        |  round((('0x' || substring(md5(hx || ':2'), 1, 8))::BIGINT
+        |    % 1000000) / 1000000.0, 6) AS f2,
+        |  round((('0x' || substring(md5(hx || ':3'), 1, 8))::BIGINT
+        |    % 1000000) / 1000000.0, 6) AS f3
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
