@@ -1169,7 +1169,12 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(col("clip_lo")).as("n_clip_lo"),
           sum(col("clip_hi")).as("n_clip_hi"),
-          sum(col("w").cast("decimal(18,6)")).cast("decimal(18,6)")
+          // the sum is decimal-exact; only the FINAL value becomes a
+          // double (13 sig digits -> one correctly-rounded conversion on
+          // both engines). A decimal OUTPUT column would be the suite's
+          // only one and hash-diverges: pyarrow renders Decimal
+          // '...495000' where DuckDB's pandas path renders '...495'.
+          sum(col("w").cast("decimal(18,6)")).cast("double")
             .as("w_sum"))
         .orderBy(col("l_returnflag"))
     }),
@@ -2016,8 +2021,8 @@ object Relational {
         |    AS BIGINT) AS n_clip_lo,
         |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_clip_hi,
-        |  CAST(sum(CAST(greatest(lo, least(hi, l_extendedprice))
-        |    AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS w_sum
+        |  CAST(CAST(sum(CAST(greatest(lo, least(hi, l_extendedprice))
+        |    AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS w_sum
         |FROM lineitem l JOIN f USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
