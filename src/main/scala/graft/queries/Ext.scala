@@ -916,6 +916,115 @@ object Ext {
         .orderBy(col("doc_id"), col("rn"))
     }),
 
+    // BM25 retrieval scoring (the ranking function behind most sparse
+    // retrieval): tf saturation (k1=1.2) + document-length normalization
+    // (b=0.75). Same two-shuffle shape as q_tfidf — (doc,term) tf agg,
+    // then df and doc-length as COUNT/SUM windows over the tf rows; the
+    // corpus-global (n_docs, total_dl) pair is a broadcast 1-row
+    // relation. The idf is the probabilistic (n-df+0.5)/(df+0.5) form
+    // WITHOUT the textbook log: ln() is not correctly-rounded IEEE
+    // (+,-,*,/ are), and a monotone transform does not change the
+    // ranking, so scores stay bit-identical across engines. Constants
+    // appear pre-folded (0.25 = 1-b) so both engines evaluate the
+    // identical expression tree.
+    "q_bm25" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val g = documents(s, d)
+        .select(size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+        .agg(sum(col("dl")).as("tot_dl"), count(lit(1)).as("n_docs"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val wDf = Window.partitionBy(col("term"))
+      val wTop = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
+      val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val tfn = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") / avgdl)))
+      tf.withColumn("df", count(lit(1)).over(wDf))
+        .withColumn("dl", sum(col("tf")).over(wDoc))
+        .crossJoin(broadcast(g))
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(idf * tfn, 6).as("score"))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter(col("rn") <= TfIdfTopN)
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
+    // Simpson lexical diversity (the log-free twin of token entropy):
+    // 1 - sum(tf^2)/dl^2, plus the effective vocabulary size dl^2 /
+    // sum(tf^2) (= perplexity's rational cousin). The inner sums are
+    // INTEGER-exact — summation order cannot move the result — and the
+    // single final division is correctly-rounded IEEE, so the score is
+    // engine- and partitioning-independent with no rounding anchor
+    // gymnastics. One explode + two map-side-combined aggs.
+    "q_text_diversity" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("tf") * col("tf")).as("sum_sq"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(lit(1.0) - col("sum_sq").cast("double") /
+            (col("n_tokens") * col("n_tokens")).cast("double"), 6)
+            .as("simpson"),
+          round((col("n_tokens") * col("n_tokens")).cast("double") /
+            col("sum_sq").cast("double"), 6).as("eff_vocab"))
+        .orderBy(col("doc_id"))),
+
+    // URL canonicalization dedup (the first dedup any web-crawl pipeline
+    // runs, BEFORE content hashing): case-fold, force https, strip www.,
+    // tracking query strings, and trailing slashes, then collapse
+    // variants. Synthetic variant URLs are derived per doc_id with the
+    // same arithmetic on both engines. Canonicalization is pure per-row
+    // regex (map-only at 100 TB); the groupBy shuffles only (canonical
+    // URL, doc_id).
+    "q_dedup_url" -> ((s, d) => {
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+        when(col("doc_id") % 3 === 0, lit("WWW.Site")).otherwise(lit("site")),
+        (col("doc_id") % 5).cast("string"), lit(".Example.COM/Page/"),
+        (col("doc_id") % 20).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=mail&ref="), (col("doc_id") % 6).cast("string")))
+          .otherwise(lit("")))
+      val canon =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(col("raw")), "\\?.*$", ""),
+            "/$", ""),
+          "^https?://(www\\.)?", "https://")
+      documents(s, d).select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), col("raw"), canon.as("url"))
+        .groupBy(col("url"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_raw"),
+          countDistinct(col("raw")).as("n_variants"))
+        .orderBy(col("url"))
+    }),
+
+    // Degree distribution of the verified near-dup pair graph — the
+    // dedup-health readout (a heavy tail = boilerplate/template cluster
+    // blowup, the thing that makes naive LSH fall over at scale). Rides
+    // the same shared verified-pairs relation as clustering/PageRank;
+    // two tiny aggs on top.
+    "q_degree_dist" -> ((s, d) => {
+      val p = verifiedPairs(s, d).select(col("id_a"), col("id_b"))
+      p.select(col("id_a").as("id"))
+        .unionAll(p.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
+
     // N-gram novelty (leave-one-out LM coverage): the fraction of a
     // doc's distinct bigrams that occur in NO other document — a
     // perplexity proxy with exact integer arithmetic (a real LM score
@@ -1933,6 +2042,76 @@ object Ext {
          |    ORDER BY score DESC, term) AS rn FROM sc)
          |SELECT doc_id, term, tf, score, CAST(rn AS BIGINT) AS rn FROM r
          |WHERE rn <= $TfIdfTopN ORDER BY doc_id, rn""".stripMargin,
+
+    "q_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |dlen AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         |g AS (SELECT count(*) AS n_docs,
+         |    sum(CAST(len(${sqlTokens("text")}) AS BIGINT)) AS tot_dl
+         |  FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+         |    round(((CAST(g.n_docs - df.df AS DOUBLE) + 0.5) /
+         |           (CAST(df.df AS DOUBLE) + 0.5)) *
+         |          ((CAST(tf.tf AS DOUBLE) * 2.2) /
+         |           (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |            (CAST(dlen.dl AS DOUBLE) /
+         |             (CAST(g.tot_dl AS DOUBLE) / CAST(g.n_docs AS DOUBLE)))))),
+         |      6) AS score
+         |  FROM tf JOIN df USING (term) JOIN dlen USING (doc_id) CROSS JOIN g),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rn FROM sc)
+         |SELECT doc_id, term, tf, score, CAST(rn AS BIGINT) AS rn FROM r
+         |WHERE rn <= $TfIdfTopN ORDER BY doc_id, rn""".stripMargin,
+
+    "q_text_diversity" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+         |        FROM documents)
+         |  GROUP BY doc_id, term),
+         |a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_distinct, CAST(sum(tf * tf) AS BIGINT) AS sum_sq
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  round(1.0 - CAST(sum_sq AS DOUBLE) /
+         |    CAST(n_tokens * n_tokens AS DOUBLE), 6) AS simpson,
+         |  round(CAST(n_tokens * n_tokens AS DOUBLE) /
+         |    CAST(sum_sq AS DOUBLE), 6) AS eff_vocab
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_url" ->
+      """WITH r AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END ||
+        |     CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'site' END ||
+        |     CAST(doc_id % 5 AS VARCHAR) || '.Example.COM/Page/' ||
+        |     CAST(doc_id % 20 AS VARCHAR) ||
+        |     CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |     CASE WHEN doc_id % 3 = 0
+        |       THEN '?utm_source=mail&ref=' || CAST(doc_id % 6 AS VARCHAR)
+        |       ELSE '' END) AS raw
+        |  FROM documents),
+        |c AS (SELECT doc_id, raw,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(lower(raw), '\?.*$', ''),
+        |        '/$', ''),
+        |      '^https?://(www\.)?', 'https://') AS url
+        |  FROM r)
+        |SELECT url, min(doc_id) AS keep_id, count(*) AS n_raw,
+        |  count(DISTINCT raw) AS n_variants
+        |FROM c GROUP BY url ORDER BY url""".stripMargin,
+
+    "q_degree_dist" ->
+      s"""WITH $sqlPairCtes,
+         |deg AS (SELECT id, count(*) AS degree
+         |  FROM (SELECT id_a AS id FROM sim
+         |        UNION ALL SELECT id_b AS id FROM sim)
+         |  GROUP BY id)
+         |SELECT degree, count(*) AS n_nodes FROM deg
+         |GROUP BY degree ORDER BY degree""".stripMargin,
 
     "q_ngram_novelty" ->
       s"""WITH g AS (SELECT doc_id, unnest(${sqlShinglesK(2)}) AS x

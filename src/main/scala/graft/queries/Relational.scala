@@ -993,6 +993,56 @@ object Relational {
       hi.unionByName(lo).orderBy(col("tag"), col("c_custkey"))
     }),
 
+    // CSV sink -> CSV source roundtrip INSIDE the verify gate (S7's
+    // format, gmail_functions.py:305-309): orders is written to a local
+    // CSV (header, explicit lossless string encodings — DECIMAL(18,2)
+    // for the price, yyyy-MM-dd for the date) and read back with an
+    // explicit schema, then aggregated; the oracle computes the same
+    // aggregate straight from parquet, so any encode/parse drift in the
+    // roundtrip fails the hash. Text formats never carry binary doubles,
+    // so the decimal-string encoding IS the portability contract.
+    "q_csv_roundtrip" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_csv"
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("string")
+            .as("price"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      s.read
+        .schema("o_orderkey LONG, o_orderstatus STRING, price STRING, day STRING")
+        .option("header", "true").csv(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,2)")).cast("double")
+            .as("revenue"),
+          min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // JSON sink -> JSON source roundtrip (S6's format,
+    // gmail_functions.py:127-129): same contract as q_csv_roundtrip but
+    // through JSON lines with typed (non-string) number fields — the
+    // price survives as a JSON decimal literal re-read under an explicit
+    // DECIMAL(18,2) schema.
+    "q_json_roundtrip" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_json"
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .write.mode("overwrite").json(dir)
+      s.read
+        .schema("o_orderkey LONG, o_orderpriority STRING, price DECIMAL(18,2), day STRING")
+        .json(dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("day")).as("last_day"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Schema-evolution union (the reference's pandas union-of-keys
     // NaN-alignment, gmail_functions.py:305): frames with different
     // column sets align by NAME, absent cells become NULL.
@@ -1887,6 +1937,24 @@ object Relational {
         |  UNION ALL
         |  SELECT c_custkey, c_name, 'lo' AS tag FROM customer WHERE c_acctbal < 100)
         |ORDER BY tag, c_custkey""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  min(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+        |  max(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  min(o_orderkey) AS min_key,
+        |  max(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
