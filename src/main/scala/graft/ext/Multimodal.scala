@@ -187,4 +187,30 @@ object Multimodal {
       }
     }
   }
+
+  case class MediaWindow(doc_id: Long, win_idx: Int, energy: Long)
+
+  /** Audio-style overlapping framing: full windows of `frame` bytes at
+    * `hop`-byte stride (the STFT / feature-extraction input shape), with
+    * an integer "energy" (sum of unsigned byte values) per window — the
+    * portable stand-in for RMS over PCM samples, exactly recomputable by
+    * an external SQL engine from the payload hex. The ragged tail past
+    * the last full window is dropped (standard framing). Map-only:
+    * payloads fan out to windows without ever shuffling.
+    */
+  def frameWindows(media: Dataset[MediaRow], frame: Int,
+      hop: Int): Dataset[MediaWindow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = r.media.length
+      val n = if (len >= frame) (len - frame) / hop + 1 else 0
+      (0 until n).map { i =>
+        var e = 0L
+        var j = i * hop
+        val end = j + frame
+        while (j < end) { e += r.media(j) & 0xff; j += 1 }
+        MediaWindow(r.doc_id, i, e)
+      }
+    }
+  }
 }

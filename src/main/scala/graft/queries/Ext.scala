@@ -866,6 +866,23 @@ object Ext {
           hex(col("frame")).as("frame_hex"))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // E4 audio-style framing, oracle-checked end to end: overlapping
+    // full windows (16-byte frame, 8-byte hop — the STFT input shape)
+    // over the binary payload through the typed Dataset generator, with
+    // an integer per-window "energy" (sum of unsigned bytes, the
+    // portable stand-in for RMS over PCM) the oracle recomputes from the
+    // same payload. Map-only fan-out; the ragged tail past the last full
+    // window is dropped, exactly as on the oracle side.
+    "q_audio_windows" -> ((s, d) =>
+      Multimodal.frameWindows(
+          Multimodal.mediaFromDocuments(
+            documents(s, d).select(col("doc_id"), col("text"))),
+          frame = 16, hop = 8)
+        .toDF()
+        .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+          col("energy"))
+        .orderBy(col("doc_id"), col("win_idx"))),
+
     // E4 "decode + featurize", oracle-checked end to end: payloads run
     // through the REAL batched-decode plumbing (typed Dataset ->
     // repartitionForDecode -> mapPartitions grouped batches — the shape
@@ -2008,6 +2025,22 @@ object Ext {
         |  CAST(octet_length(u.fr) AS BIGINT) AS n_frame_bytes,
         |  hex(u.fr) AS frame_hex
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // ASCII corpus: byte value == codepoint, so the window energy is a
+    // sum of ord() over the char window (same ragged-tail-dropping
+    // framing arithmetic as Multimodal.frameWindows).
+    "q_audio_windows" ->
+      """WITH m AS (SELECT doc_id, text,
+        |    octet_length(encode(text)) AS len FROM documents),
+        |w AS (SELECT doc_id, text,
+        |    unnest(range(0, CASE WHEN len >= 16
+        |      THEN (len - 16) // 8 + 1 ELSE 0 END)) AS win_idx
+        |  FROM m)
+        |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+        |  CAST(list_sum([ord(substring(text,
+        |      CAST(win_idx * 8 + j + 1 AS INT), 1))
+        |    for j in range(0, 16)]) AS BIGINT) AS energy
+        |FROM w ORDER BY doc_id, win_idx""".stripMargin,
 
     // Portable feature stub: f_j = int(md5(hex(payload)||':'||j)[0:8],
     // 16) % 1e6 / 1e6 — recomputed here from the same primitives the

@@ -285,6 +285,54 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(50)),
 
+    // Pareto skyline (multi-objective top-k: the "best tradeoff" cut a
+    // data-selection pipeline makes when no single score exists): the
+    // non-dominated customers by (order count, total spend). NOT the
+    // naive O(n^2) dominance anti-join — a grid-prune: per distinct
+    // order-count only the max-spend rows can survive (same-n higher
+    // spend dominates), the <=|distinct n| candidates resolve dominance
+    // with one running-max window over that tiny relation, and the
+    // winners broadcast back as a (n, spend) semi-join. Spend stays
+    // decimal-exact through every comparison; double only at the edge.
+    "q_skyline" -> ((s, d) => {
+      val cust = orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).as("spend"))
+      val cand = cust.groupBy(col("n_orders"))
+        .agg(max(col("spend")).as("spend"))
+      val wRun = Window.orderBy(col("n_orders").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = cand
+        .withColumn("best_above", max(col("spend")).over(wRun))
+        .filter(col("best_above").isNull ||
+          col("spend") > col("best_above"))
+        .select(col("n_orders"), col("spend"))
+      cust.join(broadcast(sky), Seq("n_orders", "spend"), "left_semi")
+        .select(col("o_custkey"), col("n_orders"),
+          col("spend").cast("double").as("spend"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Two-stage salted aggregation — the hot-key agg pattern at cluster
+    // scale: stage 1 aggregates on (key, salt) so a hot key's rows
+    // spread over 16 reducers, stage 2 merges the 16 partials per key.
+    // Salt is derived (event_id % 16), not random, and every sum is
+    // decimal-exact, so the two-stage plan is provably equal to the
+    // direct groupBy — which is exactly what the plain-GROUP-BY oracle
+    // checks. (ops.Skew covers the join-side variant; this is the agg
+    // side.)
+    "q_agg_salted" -> ((s, d) => {
+      val partial = events(s, d)
+        .withColumn("salt", (col("event_id") % 16).cast("int"))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("ps"))
+      partial.groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("ps")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- §2.3 joins ----------------------------------------------------
     // J1: the reference's dedup anti-join (gmail_functions.py:173-178).
     "q_anti_join" -> ((s, d) => {
@@ -1551,6 +1599,27 @@ object Relational {
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    // The oracle states the skyline DEFINITION (no dominating row
+    // exists) rather than mirroring the engine's grid-prune plan — the
+    // strongest possible check that the pruned algorithm is equivalent.
+    "q_skyline" ->
+      """WITH cust AS (SELECT o_custkey, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c.o_custkey, c.n_orders,
+        |  CAST(c.spend AS DOUBLE) AS spend
+        |FROM cust c
+        |WHERE NOT EXISTS (SELECT 1 FROM cust o
+        |  WHERE o.n_orders >= c.n_orders AND o.spend >= c.spend
+        |    AND (o.n_orders > c.n_orders OR o.spend > c.spend))
+        |ORDER BY c.o_custkey""".stripMargin,
+
+    "q_agg_salted" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
