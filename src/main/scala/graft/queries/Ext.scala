@@ -1155,6 +1155,45 @@ object Ext {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
         .orderBy(col("lang"), col("split"))),
 
+    // Leakage-free train/val/test split: hash on the near-dup CLUSTER
+    // root, not the doc_id, so every member of a duplicate cluster lands
+    // in the same split — the guard against train/test contamination by
+    // near-copies that a plain per-doc hash split cannot give. Docs
+    // outside any cluster split on their own id (root == id for them by
+    // construction). The cluster relation is tiny and broadcasts; the
+    // corpus never reshuffles for the join.
+    "q_split_leakfree" -> ((s, d) => {
+      val cl = graft.ops.Clusters.connectedComponents(
+          verifiedPairs(s, d).select(col("id_a"), col("id_b")),
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("root"))
+      docsWithNearDups(s, d).select(col("doc_id"))
+        .join(broadcast(cl), Seq("doc_id"), "left")
+        .withColumn("unit", coalesce(col("root"), col("doc_id")))
+        .select(col("doc_id"), col("unit"),
+          TextOps.let(TextOps.hash31(col("unit").cast("string")) % 100) { b =>
+            when(b < 80, "train").when(b < 90, "val").otherwise("test")
+          }.as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source document cap (domain capping, the crawl-curation step
+    // that stops one domain from dominating the corpus): keep at most 5
+    // docs per source, chosen by a deterministic hash rank (md5 of the
+    // id — reproducible "random", identical on the oracle). One bounded
+    // window per source; Spark 4's WindowGroupLimit pushes the rank
+    // filter below the sort at scale.
+    "q_cap_per_source" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("hk"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("hk"), col("doc_id"))).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy(col("source"), col("rn"))),
+
     // Int8 embedding quantization (the storage/bandwidth scale path for
     // ANN): code_i = floor((x_i - min) * 255 / (max - min)). floor, not
     // round — floor is exact on doubles in every engine, while
@@ -2233,6 +2272,35 @@ object Ext {
         |        & 2147483647) % 100 AS b
         |    FROM documents))
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "q_split_leakfree" ->
+      s"""WITH RECURSIVE $sqlPairCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM sim
+         |  UNION SELECT id_b, id_a FROM sim),
+         |walk(id, root) AS (
+         |  SELECT a AS id, a AS root FROM edges
+         |  UNION
+         |  SELECT e.b AS id, w.root FROM walk w JOIN edges e ON e.a = w.id),
+         |cl AS (SELECT id AS doc_id, min(root) AS root
+         |  FROM walk GROUP BY id),
+         |u AS (SELECT d.doc_id, coalesce(cl.root, d.doc_id) AS unit
+         |  FROM docs d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+         |SELECT doc_id, unit,
+         |  CASE WHEN b < 80 THEN 'train'
+         |       WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, unit,
+         |    (('0x' || substring(md5(CAST(unit AS VARCHAR)), 1, 15))::BIGINT
+         |      & 2147483647) % 100 AS b
+         |  FROM u)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_cap_per_source" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
 
     "q_embed_quant" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
