@@ -185,4 +185,62 @@ class PlanAuditSpec extends SparkSpec {
     val (p, _) = planOf("q_dedup_incremental")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("skyline resolves dominance on the pruned relation, winners broadcast back") {
+    val (p, _) = planOf("q_skyline")
+    // the dominance window runs over the per-n candidate relation, and
+    // the skyline pairs come back as a broadcast semi-join — the
+    // customer relation is never self-joined
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("salted aggregation partials on (key, salt) before the per-key merge") {
+    val (p, _) = planOf("q_agg_salted")
+    // two full aggregation levels (each with its own partial/final
+    // pair): the (event_type, salt) stage and the event_type merge
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(p.contains("salt"), p.take(3000))
+  }
+
+  test("BM25 reuses the tf relation for df and doc length — one explode total") {
+    val (p, _) = planOf("q_bm25")
+    assert("Generate explode".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
+  test("URL canonicalization dedup is map-side until its group-by") {
+    val (p, _) = planOf("q_dedup_url")
+    // two hash exchanges and no more: the (url, raw) pre-aggregate that
+    // COUNT(DISTINCT raw) requires, then the per-url merge. The regex
+    // canonicalization itself must run in the scan stage (stage 1
+    // project), never after a shuffle.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(3000))
+    val scanStage = p.linesIterator.filter(_.contains("regexp_replace"))
+      .mkString
+    assert(scanStage.contains("*(1)"), p.take(3000))
+  }
+
+  test("audio window framing fans out map-only") {
+    val (p, _) = planOf("q_audio_windows")
+    // typed flatMap generator: no hash exchange, no aggregation — the
+    // only exchange is the deterministic output ORDER BY
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("leak-free split broadcasts the cluster relation onto the corpus") {
+    val (p, _) = planOf("q_split_leakfree")
+    val outer = p.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin") && l.contains("LeftOuter"))
+      .mkString
+    assert(outer.nonEmpty, p.take(3000))
+  }
+
+  test("per-source cap prunes through WindowGroupLimit") {
+    val (p, _) = planOf("q_cap_per_source")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
 }
