@@ -554,6 +554,29 @@ object Ext {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // k-NN classification (the label-propagation / weak-labeling step of
+    // a curation pipeline): majority vote over the exact top-10 cosine
+    // neighbors, ties to the smallest label via the deterministic
+    // two-step rule (max votes per query, then min label among the
+    // maximal). Rides the same broadcast-query-batch ANN core as
+    // q_sim_topk/q_ann_recall; the label join and vote aggs touch only
+    // (query, neighbor) pairs — bounded by q*k, never the corpus.
+    "q_knn_classify" -> ((s, d) => {
+      val lbl = embeddings(s, d).select(col("vec_id"), col("label"))
+      val votes = annExactTopK(s, d, TopK)
+        .join(lbl, Seq("vec_id"))
+        .groupBy(col("q_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val best = votes.groupBy(col("q_id")).agg(max(col("votes")).as("votes"))
+      votes.join(best, Seq("q_id", "votes"))
+        .groupBy(col("q_id"), col("votes"))
+        .agg(min(col("label")).as("pred_label"))
+        .join(lbl.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+          Seq("q_id"))
+        .select(col("q_id"), col("q_label"), col("pred_label"), col("votes"))
+        .orderBy(col("q_id"))
+    }),
+
     // LSH-bucketed ANN (the scale path): candidates come from an
     // equi-join on the sign-bucket key instead of a full cross product.
     "q_ann_lsh" -> ((s, d) => {
@@ -1852,6 +1875,27 @@ object Ext {
          |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, round(score, 6) AS score FROM r
          |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
+
+    "q_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS score
+         |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id != q.vec_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM p),
+         |nn AS (SELECT q_id, vec_id FROM r WHERE rn <= $TopK),
+         |v AS (SELECT nn.q_id, em.label, count(*) AS votes
+         |  FROM nn JOIN embeddings em ON em.vec_id = nn.vec_id
+         |  GROUP BY nn.q_id, em.label),
+         |b AS (SELECT q_id, max(votes) AS votes FROM v GROUP BY q_id),
+         |pr AS (SELECT v.q_id, v.votes, min(v.label) AS pred_label
+         |  FROM v JOIN b ON v.q_id = b.q_id AND v.votes = b.votes
+         |  GROUP BY v.q_id, v.votes)
+         |SELECT pr.q_id, em.label AS q_label, pr.pred_label, pr.votes
+         |FROM pr JOIN embeddings em ON em.vec_id = pr.q_id
+         |ORDER BY pr.q_id""".stripMargin,
 
     "q_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
