@@ -120,4 +120,56 @@ class CurationOpsSpec extends SparkSpec {
       assert(lo + hi < n)
     }
   }
+
+  test("split_leakfree: a near-dup cluster never straddles splits") {
+    val rows = SparkEntry.queries("q_split_leakfree")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every member of a unit (cluster root or own id) shares one split
+    for ((_, members) <- rows.groupBy(_._2))
+      assert(members.map(_._3).distinct.size == 1)
+    // non-degenerate: at least one multi-member unit exists (the
+    // synthetic near-dups), and more than one split value is used
+    assert(rows.groupBy(_._2).exists(_._2.size >= 2))
+    assert(rows.map(_._3).distinct.size >= 2)
+    // clustered docs split by ROOT, not by own id: a doc whose unit
+    // differs from its id must carry its root's split bucket
+    assert(rows.exists { case (id, unit, _) => id != unit })
+  }
+
+  test("skyline: members are mutually non-dominated and dominate the rest") {
+    val cust = Tables.orders(spark, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sky = SparkEntry.queries("q_skyline")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def dominates(a: (Long, Long, Double), b: (Long, Long, Double)) =
+      a._2 >= b._2 && a._3 >= b._3 && (a._2 > b._2 || a._3 > b._3)
+    assert(sky.nonEmpty)
+    for (a <- sky; b <- sky if a._1 != b._1) assert(!dominates(a, b))
+    val skyIds = sky.map(_._1).toSet
+    for (c <- cust if !skyIds(c._1))
+      assert(sky.exists(m => dominates(m, c)), s"nothing dominates $c")
+  }
+
+  test("knn: predicted label owns a plurality of the neighbor votes") {
+    for (r <- SparkEntry.queries("q_knn_classify")(spark, d).collect()) {
+      // votes for the winner are at least ceil(k / n_labels) and at
+      // most k; the winner is a real label value
+      val votes = r.getLong(3)
+      assert(votes >= 1 && votes <= 10)
+      assert(r.getInt(2) >= 0)
+    }
+  }
+
+  test("cap_per_source: at most 5 docs per source, ranks contiguous") {
+    val rows = SparkEntry.queries("q_cap_per_source")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    for ((_, g) <- rows.groupBy(_._2)) {
+      assert(g.size <= 5)
+      assert(g.map(_._3).sorted.sameElements(1L to g.size))
+    }
+  }
 }
