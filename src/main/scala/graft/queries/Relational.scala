@@ -285,6 +285,26 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(50)),
 
+    // Null-safe equi-join (<=>): NULL keys hash and match like values —
+    // a distinct join mode (EqualNullSafe keys stay a HASH join; a plain
+    // = with NULLs silently drops rows). Both sides pre-aggregate to one
+    // row per key so the NULL-bucket match stays 1:1 and bounded.
+    "q_join_nullsafe" -> ((s, d) => {
+      val a = orders(s, d)
+        .withColumn("k",
+          when(col("o_orderkey") % 11 === 0, lit(null))
+            .otherwise(col("o_custkey") % 50))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_ord"))
+      val b = customer(s, d)
+        .withColumn("k",
+          when(col("c_custkey") % 13 === 0, lit(null))
+            .otherwise(col("c_custkey") % 50))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_cust"))
+      a.join(b, a("k") <=> b("k"))
+        .select(a("k").as("k"), col("n_ord"), col("n_cust"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // Pareto skyline (multi-objective top-k: the "best tradeoff" cut a
     // data-selection pipeline makes when no single score exists): the
     // non-dominated customers by (order count, total spend). NOT the
@@ -1599,6 +1619,17 @@ object Relational {
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "q_join_nullsafe" ->
+      """WITH a AS (SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |      ELSE o_custkey % 50 END AS k, count(*) AS n_ord
+        |    FROM orders GROUP BY 1),
+        |b AS (SELECT CASE WHEN c_custkey % 13 = 0 THEN NULL
+        |      ELSE c_custkey % 50 END AS k, count(*) AS n_cust
+        |    FROM customer GROUP BY 1)
+        |SELECT a.k, a.n_ord, b.n_cust
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY a.k NULLS FIRST""".stripMargin,
 
     // The oracle states the skyline DEFINITION (no dominating row
     // exists) rather than mirroring the engine's grid-prune plan — the
