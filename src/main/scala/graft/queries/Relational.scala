@@ -137,20 +137,20 @@ object Relational {
     * is unchanged by tie order — which is why the quantile variants
     * built on this are exact-deterministic. Assumes non-null `v`.
     */
-  private def rankedRanged(df: DataFrame, grpCols: Seq[String],
-      v: String): DataFrame = {
+  /** Shared range-partitioned core: the (grpCols, v) rows materialized
+    * ONCE after the range exchange (both consumers read the same
+    * partitioned data, and the exchange's boundary-sampling pass over
+    * the input runs once), plus the per-(partition, group) count
+    * relation: `_c` rows in this partition, `_off` running offset of
+    * earlier partitions of the group, `_n` group size.
+    */
+  private def rangedCore(df: DataFrame, grpCols: Seq[String], v: String)
+      : (DataFrame, DataFrame) = {
     val gc = grpCols.map(col)
-    // materialize once after the range exchange: both consumers (the
-    // local-rank window and the offset relation) read the same
-    // partitioned data, and the exchange's boundary-sampling pass over
-    // the input runs once instead of once per consumer
     val data = df.select((grpCols :+ v).map(col): _*)
       .repartitionByRange((gc :+ col(v)): _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
-    val wLocal = Window.partitionBy(col("_pid") +: gc: _*).orderBy(col(v))
-    val ranked = data
-      .withColumn("_lrn", row_number().over(wLocal).cast("double"))
     val wOff = Window.partitionBy(gc: _*).orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.partitionBy(gc: _*)
@@ -159,40 +159,96 @@ object Relational {
       .withColumn("_off",
         coalesce(sum(col("_c")).over(wOff), lit(0L)).cast("double"))
       .withColumn("_n", sum(col("_c")).over(wTot).cast("double"))
-      .select((col("_pid") +: gc) :+ col("_off") :+ col("_n"): _*)
-    ranked
-      .join(broadcast(offs), "_pid" +: grpCols)
+    (data, offs)
+  }
+
+  private def rankedRanged(df: DataFrame, grpCols: Seq[String],
+      v: String): DataFrame = {
+    val gc = grpCols.map(col)
+    val (data, offs) = rangedCore(df, grpCols, v)
+    val wLocal = Window.partitionBy(col("_pid") +: gc: _*).orderBy(col(v))
+    data
+      .withColumn("_lrn", row_number().over(wLocal).cast("double"))
+      .join(broadcast(
+        offs.select((col("_pid") +: gc) :+ col("_off") :+ col("_n"): _*)),
+        "_pid" +: grpCols)
       .withColumn("_rn", col("_off") + col("_lrn") - 1)
   }
 
-  private def exactQuantilesRanged(df: DataFrame, grpCols: Seq[String],
-      v: String, qs: Seq[(Double, String)]): DataFrame = {
+  /** Rank-SELECTION pushdown shared by the ranged quantile variants
+    * (continuous and discrete): the per-(partition, group) count
+    * relation alone determines WHICH partition holds each target rank,
+    * so only those partitions sort — every other partition is filtered
+    * out BEFORE the local-rank window instead of fully sorting and then
+    * discarding all but the boundary rows. At 1000 executors this turns
+    * a full dataset sort into a handful of partition sorts; target
+    * location, position arithmetic, and the final interpolation all run
+    * on broadcast-sized relations. Value-at-rank is unchanged by tie
+    * order, which keeps the result exact-deterministic.
+    */
+  private def quantilesRanged(df: DataFrame, grpCols: Seq[String],
+      v: String, qs: Seq[(Double, String)], disc: Boolean): DataFrame = {
     val gc = grpCols.map(col)
-    val base = rankedRanged(df, grpCols, v)
-      .withColumn("_pos",
-        struct(qs.zipWithIndex.map { case ((q, _), i) =>
-          (lit(q) * (col("_n") - 1)).as(s"p$i")
-        }: _*))
-    val keep = qs.indices.map { i =>
-      val p = col(s"_pos.p$i")
-      col("_rn") === floor(p) || col("_rn") === ceil(p)
-    }.reduce(_ || _)
-    val aggs = qs.zipWithIndex.flatMap { case ((_, _), i) =>
-      val p = col(s"_pos.p$i")
-      Seq(
-        min(when(col("_rn") === floor(p), col(v))).as(s"_lo$i"),
-        min(when(col("_rn") === ceil(p), col(v))).as(s"_hi$i"),
-        first(p).as(s"_p$i"))
+    val (data, offs) = rangedCore(df, grpCols, v)
+    // one row per group with its size, then the target-rank rows: role
+    // tag, 0-based global rank, and (continuous only) the fractional
+    // position p — all computed on tiny relations
+    val perGroup = offs.groupBy(gc: _*).agg(max(col("_n")).as("_n"))
+    val entries = qs.zipWithIndex.flatMap { case ((q, _), i) =>
+      if (disc) {
+        val r = (ceil(lit(q) * col("_n")) - 1).cast("double")
+        Seq(struct(lit(s"v$i").as("role"), r.as("r"), lit(0.0).as("p")))
+      } else {
+        val p = lit(q) * (col("_n") - 1)
+        Seq(
+          struct(lit(s"lo$i").as("role"), floor(p).cast("double").as("r"),
+            p.as("p")),
+          struct(lit(s"hi$i").as("role"), ceil(p).cast("double").as("r"),
+            p.as("p")))
+      }
     }
-    val outs = qs.zipWithIndex.map { case ((_, name), i) =>
-      val (lo, hi, p) = (col(s"_lo$i"), col(s"_hi$i"), col(s"_p$i"))
-      round(when(floor(p) === ceil(p), lo)
-        .otherwise((ceil(p) - p) * lo + (p - floor(p)) * hi), 6).as(name)
+    val targets = perGroup
+      .select(gc :+ explode(array(entries: _*)).as("_t"): _*)
+      .select(gc ++ Seq(col("_t.role").as("_role"), col("_t.r").as("_r"),
+        col("_t.p").as("_p")): _*)
+      .join(offs.select((col("_pid") +: gc) :+ col("_off") :+
+        col("_c").cast("double").as("_cd"): _*), grpCols)
+      .filter(col("_r") >= col("_off") &&
+        col("_r") < col("_off") + col("_cd"))
+      .select((col("_pid") +: gc) ++ Seq(
+        (col("_r") - col("_off") + 1).cast("int").as("_lrn"),
+        col("_role"), col("_p")): _*)
+    val tpids = targets.select(col("_pid") +: gc: _*).distinct()
+    val wLocal = Window.partitionBy(col("_pid") +: gc: _*).orderBy(col(v))
+    val vals = data
+      .join(broadcast(tpids), "_pid" +: grpCols) // only target partitions sort
+      .withColumn("_lrn", row_number().over(wLocal))
+      .join(broadcast(targets), ("_pid" +: grpCols) :+ "_lrn")
+    val aggs =
+      if (disc) qs.zipWithIndex.map { case ((_, name), i) =>
+        min(when(col("_role") === s"v$i", col(v))).as(name)
+      }
+      else qs.zipWithIndex.flatMap { case ((_, _), i) =>
+        Seq(
+          min(when(col("_role") === s"lo$i", col(v))).as(s"_lo$i"),
+          min(when(col("_role") === s"hi$i", col(v))).as(s"_hi$i"),
+          min(when(col("_role") === s"lo$i", col("_p"))).as(s"_p$i"))
+      }
+    val grouped = vals.groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
+    if (disc) grouped.select(gc ++ qs.map { case (_, n) => col(n) }: _*)
+    else {
+      val outs = qs.zipWithIndex.map { case ((_, name), i) =>
+        val (lo, hi, p) = (col(s"_lo$i"), col(s"_hi$i"), col(s"_p$i"))
+        round(when(floor(p) === ceil(p), lo)
+          .otherwise((ceil(p) - p) * lo + (p - floor(p)) * hi), 6).as(name)
+      }
+      grouped.select(gc ++ outs: _*)
     }
-    base.filter(keep)
-      .groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
-      .select(gc ++ outs: _*)
   }
+
+  private def exactQuantilesRanged(df: DataFrame, grpCols: Seq[String],
+      v: String, qs: Seq[(Double, String)]): DataFrame =
+    quantilesRanged(df, grpCols, v, qs, disc = false)
 
   /** Discrete quantiles on the same ranged-rank core: the reported
     * value is an actual data value — the element at 1-based sorted
@@ -200,17 +256,8 @@ object Relational {
     * no interpolation and no rounding anchor to manage.
     */
   private def discQuantilesRanged(df: DataFrame, grpCols: Seq[String],
-      v: String, qs: Seq[(Double, String)]): DataFrame = {
-    val gc = grpCols.map(col)
-    val base = rankedRanged(df, grpCols, v)
-    def idx(q: Double) = ceil(lit(q) * col("_n")) - 1 // 0-based target
-    val keep = qs.map { case (q, _) => col("_rn") === idx(q) }.reduce(_ || _)
-    val aggs = qs.map { case (q, name) =>
-      min(when(col("_rn") === idx(q), col(v))).as(name) }
-    base.filter(keep)
-      .groupBy(gc: _*).agg(aggs.head, aggs.tail: _*)
-      .select(gc ++ qs.map { case (_, n) => col(n) }: _*)
-  }
+      v: String, qs: Seq[(Double, String)]): DataFrame =
+    quantilesRanged(df, grpCols, v, qs, disc = true)
 
   /** Correlated EXISTS / NOT EXISTS in dialect-common ANSI SQL — like
     * [[SqlQ3]], ONE string through both spark.sql and the DuckDB oracle.
