@@ -243,4 +243,18 @@ class PlanAuditSpec extends SparkSpec {
     val (p, _) = planOf("q_cap_per_source")
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
+
+  test("ranged quantiles sort only target partitions: prune join sits below the window") {
+    val (p, _) = planOf("q_agg_median")
+    // rank-selection pushdown: the broadcast semi/inner join against the
+    // target-partition list must be a CHILD of the local-rank Window
+    // (printed deeper in the tree), so non-target partitions are
+    // discarded before any sort
+    val lines = p.linesIterator.toVector
+    val win = lines.indexWhere(_.contains("Window"))
+    val bhj = lines.indexWhere(_.contains("BroadcastHashJoin"), win)
+    assert(win >= 0 && bhj > win,
+      s"expected BroadcastHashJoin below Window (win=$win bhj=$bhj)\n" +
+        p.take(3000))
+  }
 }
