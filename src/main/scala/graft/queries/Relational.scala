@@ -766,9 +766,13 @@ object Relational {
         .na.fill(0L)
         .orderBy(col("o_orderpriority"))),
 
-    // HLL++ is exact at this cardinality (25 nations), so the oracle twin
-    // can use exact COUNT(DISTINCT). At real cardinalities this is the
-    // sketch path: one pass, fixed memory per group.
+    // The HLL++ sketch path: one pass, fixed memory per group. NOT
+    // oracle-able — the estimate is a function of Spark's register
+    // layout and bias tables, not of the data alone (measured: 26 for 25
+    // true distinct at default rsd) — so the driver records a rows-only
+    // check, CurationOpsSpec bounds the relative error against the exact
+    // count, and q_agg_kmv carries the oracle-EXACT approximate
+    // -algorithm story instead.
     "q_agg_approx" -> ((s, d) =>
       customer(s, d)
         .groupBy(col("c_mktsegment"))

@@ -164,6 +164,22 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_approx: HLL estimate within its error bound of the exact count") {
+    val approx = SparkEntry.queries("q_agg_approx")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.customer(spark, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((seg, e) <- exact) {
+      // default rsd = 5%; allow 3 sigma plus integer slack
+      val tol = math.max(2.0, 0.15 * e)
+      assert(math.abs(approx(seg) - e) <= tol,
+        s"$seg: approx=${approx(seg)} exact=$e")
+    }
+  }
+
   test("cap_per_source: at most 5 docs per source, ranks contiguous") {
     val rows = SparkEntry.queries("q_cap_per_source")(spark, d).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
