@@ -1589,6 +1589,43 @@ object Ext {
           round(col("n_pair").cast("double") / col("n_cur"), 6)
             .as("p_next"))
         .orderBy(col("cur"), col("nxt"))
+    }),
+
+    // Per-document likelihood under the corpus bigram LM — the
+    // perplexity-filter shape (docs whose transitions the corpus finds
+    // improbable score low) with NONE of perplexity's portability traps:
+    // no ln() (not correctly-rounded IEEE) and no order-sensitive float
+    // sum. Each conditional probability is anchored to 6 decimals and
+    // the per-doc accumulation runs in exact DECIMAL arithmetic, so the
+    // score is a pure function of the data. Corpus statistics are two
+    // SUM windows over the aggregated (doc, bigram) relation — the
+    // explosion happens once.
+    "q_lm_score" -> ((s, d) => {
+      val per = documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), 2)).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n_occ"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+      per
+        .withColumn("c_big",
+          sum(col("n_occ")).over(Window.partitionBy(col("bg"))))
+        .withColumn("c_pre",
+          sum(col("n_occ")).over(Window.partitionBy(col("w1"))))
+        .withColumn("p6",
+          round(col("c_big").cast("double") / col("c_pre"), 6)
+            .cast("decimal(18,6)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_occ")).as("m"),
+          // micro-probability units: p6 has exactly 6 decimals, so
+          // *1e6 is an exact integer — from here on everything is
+          // integer arithmetic and the score cannot hit a float
+          // rounding boundary (a first draft rounded s/m to 6 decimals
+          // and one doc landed exactly on a half: engines disagreed)
+          sum((col("n_occ") * col("p6") * 1000000).cast("long"))
+            .as("p_sum_micro"))
+        .select(col("doc_id"), col("m"), col("p_sum_micro"),
+          (col("p_sum_micro") / col("m")).cast("long").as("avg_p_micro"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2614,6 +2651,27 @@ object Ext {
          |    AS BIGINT) AS n_cur FROM pc)
          |SELECT cur, nxt, n_pair,
          |  round(CAST(n_pair AS DOUBLE) / n_cur, 6) AS p_next
-         |FROM w WHERE n_pair >= 5 ORDER BY cur, nxt""".stripMargin
+         |FROM w WHERE n_pair >= 5 ORDER BY cur, nxt""".stripMargin,
+
+    "q_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(${sqlShinglesAllK(2)}) AS x FROM tok),
+         |per AS (SELECT doc_id, x, count(*) AS n_occ FROM g
+         |  GROUP BY doc_id, x),
+         |w AS (SELECT doc_id, x, n_occ, string_split(x, ' ')[1] AS w1
+         |  FROM per),
+         |cb AS (SELECT x, sum(n_occ) AS c_big FROM per GROUP BY x),
+         |cp AS (SELECT w1, sum(n_occ) AS c_pre FROM w GROUP BY w1),
+         |j AS (SELECT w.doc_id, w.n_occ,
+         |    CAST(round(CAST(cb.c_big AS DOUBLE) / CAST(cp.c_pre AS DOUBLE),
+         |      6) AS DECIMAL(18,6)) AS p6
+         |  FROM w JOIN cb USING (x) JOIN cp USING (w1))
+         |SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS m,
+         |  CAST(sum(CAST(n_occ * p6 * 1000000 AS BIGINT)) AS BIGINT)
+         |    AS p_sum_micro,
+         |  CAST(sum(CAST(n_occ * p6 * 1000000 AS BIGINT)) AS BIGINT)
+         |    // CAST(sum(n_occ) AS BIGINT) AS avg_p_micro
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
