@@ -577,6 +577,48 @@ object Ext {
         .orderBy(col("q_id"))
     }),
 
+    // Hard-negative mining (contrastive-training prep): for each query,
+    // the top-5 most similar vectors with a DIFFERENT label — the
+    // near-miss negatives that make embedding training work. Same
+    // broadcast-query-batch scan as q_sim_topk with the label inequality
+    // fused into the join predicate, so rejected candidates never reach
+    // the ranking window.
+    "q_hard_negatives" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      e.join(broadcast(q), col("label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label"), col("vec_id"),
+          col("label").as("neg_label"),
+          (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("score"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= AnnK)
+        .select(col("q_id"), col("rn"), col("vec_id"), col("neg_label"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // Matryoshka-style truncation: keep the first 16 of 64 dims and
+    // renormalize — the storage/latency knob of MRL-trained embeddings.
+    // Map-only; the audit values (truncated norm, first renormalized
+    // component) are rounded anchors the oracle recomputes.
+    "q_embed_truncate" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), slice(col("v"), 1, 16).as("t"))
+        .select(col("vec_id"), VectorOps.norm(col("t")).as("tn"),
+          element_at(col("t"), 1).as("t0"))
+        .select(col("vec_id"), round(col("tn"), 6).as("trunc_norm"),
+          round(when(col("tn") === 0.0, 0.0)
+            .otherwise(col("t0") / col("tn")), 6).as("u0"))
+        .orderBy(col("vec_id"))),
+
     // LSH-bucketed ANN (the scale path): candidates come from an
     // equi-join on the sign-bucket key instead of a full cross product.
     "q_ann_lsh" -> ((s, d) => {
@@ -1933,6 +1975,29 @@ object Ext {
          |SELECT pr.q_id, em.label AS q_label, pr.pred_label, pr.votes
          |FROM pr JOIN embeddings em ON em.vec_id = pr.q_id
          |ORDER BY pr.q_id""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |p AS (SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id,
+         |    c.label AS neg_label,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS score
+         |  FROM e q JOIN e c ON q.vec_id < 5 AND c.label != q.label),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM p)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, neg_label,
+         |  round(score, 6) AS score
+         |FROM r WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    "q_embed_truncate" ->
+      """WITH e AS (SELECT vec_id,
+        |    (CAST(embedding AS DOUBLE[]))[1:16] AS t FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(list_dot_product(t, t)) AS tn,
+        |    t[1] AS t0 FROM e)
+        |SELECT vec_id, round(tn, 6) AS trunc_norm,
+        |  round(CASE WHEN tn = 0.0 THEN 0.0 ELSE t0 / tn END, 6) AS u0
+        |FROM n ORDER BY vec_id""".stripMargin,
 
     "q_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
