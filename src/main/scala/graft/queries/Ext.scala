@@ -1107,6 +1107,29 @@ object Ext {
         .orderBy(col("degree"))
     }),
 
+    // Triangle count over the verified near-dup pair graph — the
+    // clustering-coefficient numerator (how clique-like duplicate
+    // neighborhoods are; template families show up as dense triangles).
+    // The textbook ordered-edge algorithm: edges already satisfy a < b,
+    // so joining e1(a,b)–e2(b,c) and closing with e3(a,c) counts each
+    // triangle exactly once — two equi-joins, no per-node adjacency
+    // materialization, which is why it survives big sparse graphs.
+    "q_graph_triangles" -> ((s, d) => {
+      val e = verifiedPairs(s, d)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val nodes = e.select(col("a").as("id"))
+        .unionAll(e.select(col("b").as("id"))).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      edges.crossJoin(nodes).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+    }),
+
     // N-gram novelty (leave-one-out LM coverage): the fraction of a
     // doc's distinct bigrams that occur in NO other document — a
     // perplexity proxy with exact integer arithmetic (a real LM score
@@ -2321,6 +2344,18 @@ object Ext {
         |SELECT url, min(doc_id) AS keep_id, count(*) AS n_raw,
         |  count(DISTINCT raw) AS n_variants
         |FROM c GROUP BY url ORDER BY url""".stripMargin,
+
+    "q_graph_triangles" ->
+      s"""WITH $sqlPairCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM sim),
+         |nn AS (SELECT count(*) AS n_nodes FROM
+         |  (SELECT a AS id FROM e UNION SELECT b FROM e)),
+         |ne AS (SELECT count(*) AS n_edges FROM e),
+         |tr AS (SELECT count(*) AS n_triangles
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT n_nodes, n_edges, n_triangles
+         |FROM ne CROSS JOIN nn CROSS JOIN tr""".stripMargin,
 
     "q_degree_dist" ->
       s"""WITH $sqlPairCtes,
