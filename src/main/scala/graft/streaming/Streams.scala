@@ -112,6 +112,35 @@ object Streams {
       }
   }
 
+  case class Admitted(key: String, id: Long, seq: Long)
+
+  /** Per-key admission cap via flatMapGroupsWithState: pass through at
+    * most `cap` records per key over the stream's lifetime and drop the
+    * rest — the streaming twin of the batch domain-cap
+    * (q_cap_per_source) and the online form of crawl-frontier
+    * politeness budgets. State is ONE counter per key; emitted records
+    * carry their admission sequence number. Records inside a batch are
+    * admitted in (id) order so the operator is deterministic under
+    * micro-batch regrouping.
+    */
+  def capPerKey(records: Dataset[(String, Long)], cap: Int):
+      Dataset[Admitted] = {
+    import records.sparkSession.implicits._
+    records.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[(String, Long)],
+            state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[Admitted]
+          batch.toSeq.sortBy(_._2).foreach { case (_, id) =>
+            if (n < cap) { n += 1; out += Admitted(key, id, n) }
+          }
+          state.update(n)
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState (Append mode,
     * event-time timeout): a session closes when no event arrives within
     * `gapSeconds` of its last event (emitted once the watermark passes

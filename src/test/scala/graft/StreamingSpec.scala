@@ -18,6 +18,32 @@ class StreamingSpec extends SparkSpec {
   private def ev(id: Long, t: Long, user: Long, typ: String = "click",
       v: Double = 1.0) = Event(id, ts(t), user, typ, v)
 
+  test("capPerKey: admits at most cap per key across micro-batches, in order") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.capPerKey(in.toDS(), cap = 3)
+      .writeStream.format("memory").queryName("cap")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(("a", 2L), ("a", 1L), ("b", 10L))
+      q.processAllAvailable()
+      in.addData(("a", 3L), ("a", 4L), ("b", 11L), ("c", 20L))
+      q.processAllAvailable()
+      val rows = spark.table("cap")
+        .as[Streams.Admitted].collect()
+      val byKey = rows.groupBy(_.key)
+      // at most 3 per key, state carried ACROSS batches: "a" saw 4
+      // candidates but only 3 admissions, with contiguous seq numbers
+      assert(byKey("a").map(_.id).sorted.sameElements(Array(1L, 2L, 3L)))
+      assert(byKey("a").sortBy(_.id).map(_.seq).sameElements(Array(1L, 2L, 3L)))
+      assert(byKey("b").map(_.id).sorted.sameElements(Array(10L, 11L)))
+      assert(byKey("c").map(_.id).sameElements(Array(20L)))
+      // within-batch admission order is by id, not arrival order
+      assert(rows.find(r => r.key == "a" && r.id == 1L).get.seq == 1L)
+    } finally q.stop()
+  }
+
   test("tumblingCounts: watermarked window aggregation") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
