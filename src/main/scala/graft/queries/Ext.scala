@@ -931,6 +931,23 @@ object Ext {
           hex(col("frame")).as("frame_hex"))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // E4 "resize" stage, oracle-checked end to end: the stride-sampling
+    // stub (keep every 3rd byte — standing in for pixel resample) runs
+    // through the typed Dataset, and the oracle reproduces the sampled
+    // payload byte-for-byte (ASCII corpus: byte == char) and checks its
+    // md5. Map-only, like every codec stage.
+    "q_media_resize" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.mediaFromDocuments(
+          documents(s, d).select(col("doc_id"), col("text")))
+        .map(r => (r.doc_id, Multimodal.StubCodec.resize(r.media, 3)))
+        .toDF("doc_id", "resized")
+        .select(col("doc_id"),
+          length(col("resized")).cast("long").as("n_bytes"),
+          md5(col("resized")).as("resized_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // E4 audio-style framing, oracle-checked end to end: overlapping
     // full windows (16-byte frame, 8-byte hop — the STFT input shape)
     // over the binary payload through the typed Dataset generator, with
@@ -2233,6 +2250,20 @@ object Ext {
         |  CAST(octet_length(u.fr) AS BIGINT) AS n_frame_bytes,
         |  hex(u.fr) AS frame_hex
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Stride sampling over chars == stride sampling over bytes on the
+    // ASCII corpus; md5 of the VARCHAR equals Spark's md5 of the BLOB
+    // because the octets are identical.
+    "q_media_resize" ->
+      """WITH m AS (SELECT doc_id, text, length(text) AS len
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    array_to_string([substring(text, CAST(i AS INT), 1)
+        |      for i in range(1, CAST(len AS INT) + 1, 3)], '') AS rs
+        |  FROM m)
+        |SELECT doc_id, CAST(length(rs) AS BIGINT) AS n_bytes,
+        |  md5(rs) AS resized_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // ASCII corpus: byte value == codepoint, so the window energy is a
     // sum of ord() over the char window (same ragged-tail-dropping
