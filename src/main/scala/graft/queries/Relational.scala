@@ -1139,6 +1139,29 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Hive-style partitioned parquet layout inside the verify gate:
+    // write orders partitioned by status, read back with a partition
+    // predicate — the query only ever opens the one matching partition
+    // directory (PlanAuditSpec asserts PartitionFilters reach the scan;
+    // at 100 TB this is the difference between reading 1/3 of the lake
+    // and all of it). The oracle computes the same aggregate from the
+    // unpartitioned source, so layout round-trip errors fail the hash.
+    "q_partition_pruned" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_part"
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"),
+          col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // JSON sink -> JSON source roundtrip (S6's format,
     // gmail_functions.py:127-129): same contract as q_csv_roundtrip but
     // through JSON lines with typed (non-string) number fields — the
@@ -2097,6 +2120,14 @@ object Relational {
         |  max(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_partition_pruned" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  min(o_orderkey) AS min_key
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_json_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -244,6 +244,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
   }
 
+  test("partitioned layout prunes: the status predicate becomes a PartitionFilter") {
+    val (_, f) = planOf("q_partition_pruned")
+    val pf = f.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("o_orderstatus"), f.take(3000))
+    // and the pruned column never appears as a pushed DATA filter — it
+    // is resolved at directory-listing time, before any file opens
+    val df = f.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(!df.contains("o_orderstatus"), f.take(3000))
+  }
+
   test("ranged quantiles sort only target partitions: prune join sits below the window") {
     val (p, _) = planOf("q_agg_median")
     // rank-selection pushdown: the broadcast semi/inner join against the
