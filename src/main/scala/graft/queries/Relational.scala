@@ -1185,6 +1185,39 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Corrupt-record-tolerant JSON ingestion (the engine-grade form of
+    // the reference's blanket try/except, gmail_functions.py:187-188):
+    // a synthesized JSON-lines file where every 10th record is broken
+    // is read in PERMISSIVE mode with a _corrupt_record column — bad
+    // rows quarantine instead of killing the job or silently
+    // disappearing. The corruption rule is keyed arithmetic, so the
+    // oracle knows exactly which rows were bad and checks both the
+    // quarantine count and that revenue aggregates ONLY good rows.
+    "q_json_corrupt" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_corrupt"
+      orders(s, d)
+        .select(
+          when(col("o_orderkey") % 10 === 0,
+            concat(lit("{\"o_orderkey\": "), col("o_orderkey"),
+              lit(", \"price\": BROKEN")))
+          .otherwise(to_json(struct(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))))
+          .as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read
+        .schema("o_orderkey LONG, price DECIMAL(18,2), _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .agg(
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+            .as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_bad"),
+          sum(when(col("_corrupt_record").isNull, col("price")))
+            .cast("double").as("revenue_good"))
+    }),
+
     // Schema-evolution union (the reference's pandas union-of-keys
     // NaN-alignment, gmail_functions.py:305): frames with different
     // column sets align by NAME, absent cells become NULL.
@@ -2120,6 +2153,17 @@ object Relational {
         |  max(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_json_corrupt" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bad,
+        |  CAST(sum(CASE WHEN o_orderkey % 10 <> 0
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS revenue_good
+        |FROM orders""".stripMargin,
 
     "q_partition_pruned" ->
       """SELECT o_orderstatus, count(*) AS n,
