@@ -29,6 +29,28 @@ object Relational {
     * oracle. The strongest parity statement in the suite: same text,
     * two engines, identical hashes.
     */
+  /** Shared ANSI windowed-SQL text (see [[SqlQ3]]'s contract): named
+    * WINDOW clause, rank and a running decimal frame, one string
+    * through both spark.sql and the DuckDB oracle.
+    */
+  private val SqlWindow =
+    """SELECT o_custkey, o_orderkey, rk,
+      |  CAST(run_spend AS DOUBLE) AS run_spend
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(row_number() OVER w_price AS BIGINT) AS rk,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_time AS run_spend
+      |  FROM orders
+      |  WINDOW
+      |    w_price AS (PARTITION BY o_custkey
+      |                ORDER BY o_totalprice DESC, o_orderkey),
+      |    w_time AS (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |) t
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
   private val SqlQ3 =
     """SELECT l_orderkey,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -565,6 +587,15 @@ object Relational {
       orders(s, d).createOrReplaceTempView("orders")
       lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql(SqlQ3)
+    }),
+
+    // Shared ANSI text with WINDOW functions (rank + moving frame +
+    // named WINDOW clause) through both engines — extends the
+    // same-text-two-engines parity family (Q3, recursive, EXISTS,
+    // scalar subquery) to the windowed-SQL surface.
+    "q_sql_window" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SqlWindow)
     }),
 
     // Multi-join star query (TPC-H Q9 shape): fact scans once, every
@@ -1848,6 +1879,7 @@ object Relational {
 
     "q_sql_q3" -> SqlQ3,
     "q_sql_recursive" -> SqlRecursive,
+    "q_sql_window" -> SqlWindow,
 
     "q_join_multi" ->
       """SELECT n_name, p_brand,
