@@ -1124,6 +1124,32 @@ object Ext {
         .orderBy(col("degree"))
     }),
 
+    // Fuzzy (edit-distance) join of an incoming batch against the
+    // corpus — the similarity-join class the LSH family doesn't cover
+    // (character-level distance, not set overlap). Blocking by length
+    // bucket prunes candidates before the quadratic levenshtein runs:
+    // the batch (the synthetic truncated docs) joins only corpus docs in
+    // the same 64-char bucket, so the expensive predicate evaluates on
+    // |batch| x bucket-width pairs, never |batch| x |corpus|. Blocking
+    // can miss pairs that straddle a bucket boundary — inherent to
+    // blocked similarity joins, and identical on the oracle side.
+    "q_join_fuzzy" -> ((s, d) => {
+      val all = docsWithNearDups(s, d)
+        .select(col("doc_id"), col("text"),
+          floor(length(col("text")) / 64).as("blk"))
+      val batch = all.filter(col("doc_id") >= 100000)
+        .select(col("doc_id").as("batch_id"), col("text").as("bt"),
+          col("blk"))
+      val corpus = all.filter(col("doc_id") < 100000)
+        .select(col("doc_id").as("corpus_id"), col("text").as("ct"),
+          col("blk"))
+      corpus.join(broadcast(batch), Seq("blk"))
+        .select(col("batch_id"), col("corpus_id"),
+          levenshtein(col("bt"), col("ct")).cast("long").as("dist"))
+        .filter(col("dist") <= 20)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
     // Triangle count over the verified near-dup pair graph — the
     // clustering-coefficient numerator (how clique-like duplicate
     // neighborhoods are; template families show up as dense triangles).
@@ -2375,6 +2401,19 @@ object Ext {
         |SELECT url, min(doc_id) AS keep_id, count(*) AS n_raw,
         |  count(DISTINCT raw) AS n_variants
         |FROM c GROUP BY url ORDER BY url""".stripMargin,
+
+    "q_join_fuzzy" ->
+      s"""WITH $sqlDocsCte,
+         |a AS (SELECT doc_id, text, length(text) // 64 AS blk FROM docs),
+         |b AS (SELECT doc_id AS batch_id, text AS bt, blk FROM a
+         |  WHERE doc_id >= 100000),
+         |c AS (SELECT doc_id AS corpus_id, text AS ct, blk FROM a
+         |  WHERE doc_id < 100000)
+         |SELECT batch_id, corpus_id,
+         |  CAST(levenshtein(bt, ct) AS BIGINT) AS dist
+         |FROM c JOIN b USING (blk)
+         |WHERE levenshtein(bt, ct) <= 20
+         |ORDER BY batch_id, corpus_id""".stripMargin,
 
     "q_graph_triangles" ->
       s"""WITH $sqlPairCtes,
