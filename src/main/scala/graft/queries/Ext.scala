@@ -1143,10 +1143,14 @@ object Ext {
       val corpus = all.filter(col("doc_id") < 100000)
         .select(col("doc_id").as("corpus_id"), col("text").as("ct"),
           col("blk"))
+      // the 3-arg levenshtein runs the banded O(threshold * n) DP and
+      // returns -1 past the bound — candidates above the cutoff cost
+      // O(band), not O(n^2); surviving distances are exact, so the
+      // oracle's unbanded levenshtein agrees on every kept row
       corpus.join(broadcast(batch), Seq("blk"))
         .select(col("batch_id"), col("corpus_id"),
-          levenshtein(col("bt"), col("ct")).cast("long").as("dist"))
-        .filter(col("dist") <= 20)
+          levenshtein(col("bt"), col("ct"), 21).cast("long").as("dist"))
+        .filter(col("dist").between(0, 20))
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
 
