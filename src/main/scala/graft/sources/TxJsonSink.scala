@@ -22,24 +22,83 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Protocol (the standard two-phase DSv2 contract):
   *  - each task writes its rows to an invisible `_tmp_` file and returns
   *    the (path, rowCount) as its [[WriterCommitMessage]];
-  *  - the DRIVER commits: renames every temp file into place and then —
-  *    last, atomically — writes a `_COMMIT` manifest with the file list
-  *    and total row count. Readers treat the manifest as the source of
-  *    truth, so a job that dies mid-write leaves NO visible data;
+  *  - the DRIVER commits: renames every task file into place, writes an
+  *    immutable, VERSIONED manifest `_COMMIT-v<N>` (N = 1 + latest) that
+  *    lists every file visible at that snapshot — the files inherited
+  *    from version N-1 plus this batch's — and then, last, atomically
+  *    swings the `_COMMIT` latest-pointer onto it. Readers treat a
+  *    manifest as the source of truth, so a job that dies mid-write
+  *    leaves NO visible data and the previous snapshot intact;
   *  - on job abort the temp files are deleted; nothing becomes visible.
+  *
+  * Snapshot isolation / time travel in miniature: every committed
+  * version remains readable forever via its immutable manifest
+  * ([[TxJsonSink.read]] with a version), which is the mechanism
+  * (manifest list + latest pointer + atomic swap) that Iceberg/Delta
+  * commit logs build on. Single-writer by design — concurrent commits
+  * would need a lock or CAS on the pointer, exactly as in the real ones.
   *
   * Rows are written as line-JSON of the row's string rendering — the
   * payload format is deliberately minimal: the point of this connector
-  * is the COMMIT PROTOCOL surface (tasks -> messages -> driver commit /
-  * abort), which is what a real warehouse sink (Iceberg/Delta-style)
-  * builds on.
+  * is the COMMIT PROTOCOL surface.
   *
   * Usage:
   * {{{
   *   df.write.format("graft.sources.TxJsonSink")
   *     .option("path", dir).mode("append").save()
+  *   TxJsonSink.read(spark, dir)             // latest snapshot
+  *   TxJsonSink.read(spark, dir, Some(1))    // time travel to v1
   * }}}
   */
+object TxJsonSink {
+  /** One committed snapshot: its version, the (file, rows) list visible
+    * at that version, and the total row count.
+    */
+  case class Manifest(version: Int, files: Seq[(String, Long)],
+      totalRows: Long)
+
+  private val FileRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
+  private val VerRe = """\{"version":(\d+)\}""".r
+  private val TotalRe = """\{"total_rows":(\d+)\}""".r
+
+  private[sources] def parseManifest(p: java.nio.file.Path): Manifest = {
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+    var v = 0; var total = 0L
+    val files = Seq.newBuilder[(String, Long)]
+    lines.foreach {
+      case VerRe(n) => v = n.toInt
+      case FileRe(f, r) => files += (f -> r.toLong)
+      case TotalRe(t) => total = t.toLong
+      case _ => ()
+    }
+    Manifest(v, files.result(), total)
+  }
+
+  /** The manifest of `version` (or the latest); None if never committed. */
+  def manifest(dir: String, version: Option[Int] = None): Option[Manifest] = {
+    val p = version match {
+      case Some(v) => Paths.get(dir, s"_COMMIT-v$v")
+      case None => Paths.get(dir, "_COMMIT")
+    }
+    if (Files.exists(p)) Some(parseManifest(p)) else None
+  }
+
+  /** Read a snapshot: exactly the files its manifest lists (all-string
+    * columns — the sink's minimal payload format). Files committed by
+    * LATER versions are invisible, which is the snapshot-isolation
+    * guarantee.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, dir: String,
+      version: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val m = manifest(dir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot ${version.getOrElse("(latest)")} in $dir"))
+    val paths = m.files.map { case (f, _) => s"$dir/$f" }
+    if (paths.isEmpty) spark.emptyDataFrame
+    else spark.read.json(paths: _*)
+  }
+}
+
 class TxJsonSink extends TableProvider {
   // sink-only: the schema is whatever the written DataFrame carries —
   // declaring external metadata makes Spark pass it into getTable
@@ -80,20 +139,30 @@ private[sources] class TxJsonBatchWrite(path: String, schema: StructType)
       info: PhysicalWriteInfo): DataWriterFactory =
     new TxJsonWriterFactory(path, schema)
 
-  /** Driver-side commit: publish every task file, THEN the manifest. */
+  /** Driver-side commit: publish every task file, write the immutable
+    * versioned manifest (inheriting the previous snapshot's file list),
+    * THEN atomically swing the `_COMMIT` latest-pointer onto it. A crash
+    * before the final move leaves the previous snapshot fully intact.
+    */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
+    val prev = TxJsonSink.manifest(path)
+    val version = prev.map(_.version).getOrElse(0) + 1
     val entries = messages.toIndexedSeq.collect {
       case TxFileCommit(tmp, rows) =>
-        val visible = tmp.replace("_tmp_", "part-")
+        val visible = tmp.replace("_tmp_", s"part-v$version-")
         Files.move(Paths.get(tmp), Paths.get(visible),
           StandardCopyOption.ATOMIC_MOVE)
         (Paths.get(visible).getFileName.toString, rows)
     }
+    val all = prev.map(_.files).getOrElse(Seq.empty) ++ entries
     val manifest =
-      (entries.map { case (f, n) => s"""{"file":"$f","rows":$n}""" } :+
-        s"""{"total_rows":${entries.map(_._2).sum}}""").mkString("\n")
+      (s"""{"version":$version}""" +:
+        all.map { case (f, n) => s"""{"file":"$f","rows":$n}""" } :+
+        s"""{"total_rows":${all.map(_._2).sum}}""").mkString("\n")
+    val versioned = dir.resolve(s"_COMMIT-v$version")
+    Files.write(versioned, manifest.getBytes(StandardCharsets.UTF_8))
     val tmpManifest = dir.resolve("_COMMIT.tmp")
     Files.write(tmpManifest, manifest.getBytes(StandardCharsets.UTF_8))
     Files.move(tmpManifest, dir.resolve("_COMMIT"),

@@ -38,6 +38,56 @@ class TxJsonSinkSpec extends SparkSpec {
     assert(back.filter(col("id") === "7").count() == 1)
   }
 
+  test("versioned manifests: snapshot isolation and time travel across appends") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-txver").toString + "/t"
+    def write(lo: Long, hi: Long): Unit =
+      (lo to hi).map(i => (i, s"body-$i")).toDF("id", "body")
+        .repartition(2)
+        .write.format("graft.sources.TxJsonSink")
+        .option("path", out).mode("append").save()
+
+    write(1L, 50L)
+    write(51L, 80L)
+
+    // immutable per-version manifests plus the latest pointer
+    val names = ls(out)
+    assert(names.contains("_COMMIT-v1") && names.contains("_COMMIT-v2"), names)
+    val m1 = graft.sources.TxJsonSink.manifest(out, Some(1)).get
+    val m2 = graft.sources.TxJsonSink.manifest(out, Some(2)).get
+    val latest = graft.sources.TxJsonSink.manifest(out).get
+    assert(m1.version == 1 && m1.totalRows == 50 && m1.files.size == 2)
+    assert(m2.version == 2 && m2.totalRows == 80 && m2.files.size == 4)
+    assert(latest.version == 2 && latest.totalRows == 80)
+    // v2 inherits v1's files — a snapshot is the FULL visible file list
+    assert(m1.files.toSet.subsetOf(m2.files.toSet))
+
+    // time travel: v1 readers never see v2's rows
+    assert(graft.sources.TxJsonSink.read(spark, out, Some(1)).count() == 50)
+    assert(graft.sources.TxJsonSink.read(spark, out).count() == 80)
+  }
+
+  test("failed append leaves the previous snapshot fully readable") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-txprev").toString + "/t"
+    (1L to 40L).map(i => (i, s"b-$i")).toDF("id", "body").repartition(2)
+      .write.format("graft.sources.TxJsonSink")
+      .option("path", out).mode("append").save()
+    val boom = udf((i: Long) =>
+      if (i == 60L) throw new RuntimeException("induced") else i)
+    intercept[Exception] {
+      (41L to 70L).map(i => (i, s"b-$i")).toDF("id", "body").repartition(2)
+        .withColumn("id", boom(col("id")))
+        .write.format("graft.sources.TxJsonSink")
+        .option("path", out).mode("append").save()
+    }
+    val latest = graft.sources.TxJsonSink.manifest(out).get
+    assert(latest.version == 1 && latest.totalRows == 40)
+    assert(graft.sources.TxJsonSink.read(spark, out).count() == 40)
+    // no half-published files from the failed batch
+    assert(!ls(out).exists(_.startsWith("_tmp_")), ls(out))
+  }
+
   test("failed write leaves NO visible data and no manifest") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-txfail").toString + "/t"
