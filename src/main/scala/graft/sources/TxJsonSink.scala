@@ -83,6 +83,36 @@ object TxJsonSink {
     if (Files.exists(p)) Some(parseManifest(p)) else None
   }
 
+  /** Retention GC — the third leg of the commit-log pattern (commit,
+    * time travel, vacuum): drop manifests older than the last `keepLast`
+    * versions and delete every data file no retained manifest
+    * references. Readers of retained versions are unaffected; vacuumed
+    * versions stop being time-travelable, which is the explicit
+    * retention trade every table format makes. Returns
+    * (manifestsDeleted, filesDeleted).
+    */
+  def vacuum(dir: String, keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    manifest(dir) match {
+      case None => (0, 0)
+      case Some(latest) =>
+        val cutoff = latest.version - keepLast + 1
+        val keepFiles = (cutoff to latest.version)
+          .flatMap(v => manifest(dir, Some(v)))
+          .flatMap(_.files.map(_._1)).toSet
+        var mDel = 0
+        (1 until cutoff).foreach { v =>
+          if (Files.deleteIfExists(Paths.get(dir, s"_COMMIT-v$v"))) mDel += 1
+        }
+        var fDel = 0
+        Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+          .filter(f => f.getName.startsWith("part-") &&
+            !keepFiles(f.getName))
+          .foreach { f => if (f.delete()) fDel += 1 }
+        (mDel, fDel)
+    }
+  }
+
   /** Read a snapshot: exactly the files its manifest lists (all-string
     * columns — the sink's minimal payload format). Files committed by
     * LATER versions are invisible, which is the snapshot-isolation

@@ -67,6 +67,32 @@ class TxJsonSinkSpec extends SparkSpec {
     assert(graft.sources.TxJsonSink.read(spark, out).count() == 80)
   }
 
+  test("vacuum drops expired snapshots and their unshared files only") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-txvac").toString + "/t"
+    def write(lo: Long, hi: Long): Unit =
+      (lo to hi).map(i => (i, s"b-$i")).toDF("id", "body").repartition(2)
+        .write.format("graft.sources.TxJsonSink")
+        .option("path", out).mode("append").save()
+    write(1L, 30L); write(31L, 50L); write(51L, 60L)
+
+    val (mDel, fDel) = graft.sources.TxJsonSink.vacuum(out, keepLast = 2)
+    // v1's manifest goes; its FILES stay (v2 and v3 still reference
+    // them — a snapshot inherits its ancestors' files)
+    assert(mDel == 1 && fDel == 0, (mDel, fDel))
+    assert(graft.sources.TxJsonSink.manifest(out, Some(1)).isEmpty)
+    assert(graft.sources.TxJsonSink.read(spark, out, Some(2)).count() == 50)
+    assert(graft.sources.TxJsonSink.read(spark, out).count() == 60)
+
+    // a stray unreferenced part file (e.g. from a lost task after its
+    // message was dropped) IS collected
+    Files.writeString(new File(out, "part-v9-orphan.jsonl").toPath,
+      """{"id":"999"}""")
+    val (_, fDel2) = graft.sources.TxJsonSink.vacuum(out, keepLast = 2)
+    assert(fDel2 == 1)
+    assert(graft.sources.TxJsonSink.read(spark, out).count() == 60)
+  }
+
   test("failed append leaves the previous snapshot fully readable") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-txprev").toString + "/t"
