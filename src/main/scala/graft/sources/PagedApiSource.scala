@@ -97,7 +97,8 @@ private[sources] class PagedApiTable(options: Map[String, String])
   override def name(): String = s"paged_api(${options.getOrElse("path", "?")})"
   override def schema(): StructType = PagedApiSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap):
       ScanBuilder = new PagedApiScanBuilder(options)
 }
@@ -217,6 +218,112 @@ private[sources] class PagedApiScan(options: Map[String, String],
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedApiReaderFactory(prunedSchema.fieldNames.contains("json"),
       keyed = keyedIds.isDefined)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      streaming.MicroBatchStream = new PagedApiMicroBatchStream(options)
+}
+
+/** Streaming offset: how many listed messages have been consumed, in
+  * listing order. A plain cursor serializes trivially into the
+  * checkpoint, which is what makes restarts exactly-once.
+  */
+private[sources] case class PagedApiOffset(idx: Long)
+    extends streaming.Offset {
+  override def json(): String = idx.toString
+}
+
+/** The paged API as a STREAMING source — the reference's daily pull
+  * (gmail_dag.py:5) as a checkpointed micro-batch stream instead of a
+  * cron job. Each trigger re-walks the listing (ids are cheap; the
+  * reference re-lists every run too, gmail_functions.py:162-185),
+  * appends any new tail past the known prefix, and admits at most
+  * `maxPerTrigger` new messages — the streaming form of the 300-per-run
+  * budget (gmail_functions.py:151). Only NEW messages are ever fetched:
+  * the offset cursor lives in the checkpoint, so a restarted query
+  * resumes exactly where it stopped and never re-GETs a message.
+  *
+  * Listing is assumed append-only with a deterministic prefix (true of
+  * the fixture; a real Gmail client would page the history API from a
+  * historyId cursor instead of re-walking).
+  */
+private[sources] class PagedApiMicroBatchStream(
+    options: Map[String, String]) extends streaming.MicroBatchStream
+    with streaming.SupportsAdmissionControl
+    with streaming.SupportsTriggerAvailableNow {
+  private val maxPerTrigger = options.getOrElse("maxPerTrigger", "100").toInt
+  private val chunk = options.getOrElse("idsPerPartition", "512").toInt
+  private val client = PagedApiClient.instantiate(options)
+  private var ids = Vector.empty[String] // driver-side listing cache
+  // Trigger.AvailableNow contract: pin the catch-up target at start; the
+  // engine then drains rate-capped batches until the offset reaches it
+  private var availableTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    ensureListed(Long.MaxValue)
+    availableTarget = Some(ids.size.toLong)
+  }
+
+  /** Extend the cached listing to at least `target` ids (or exhaustion):
+    * pages from the start, skipping the already-known prefix — GETs are
+    * the expensive calls and those never repeat.
+    */
+  private def ensureListed(target: Long): Unit = {
+    if (ids.size >= target) return
+    var tok: Option[String] = None
+    var walked = 0
+    var done = false
+    while (!done && ids.size < target) {
+      val p = client.listPage(tok)
+      val dropN = math.max(0, ids.size - walked)
+      if (dropN < p.ids.size) ids ++= p.ids.drop(dropN)
+      walked += p.ids.size
+      tok = p.nextToken
+      done = tok.isEmpty
+    }
+  }
+
+  override def initialOffset(): streaming.Offset = PagedApiOffset(0L)
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    PagedApiOffset(json.toLong)
+
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.maxRows(maxPerTrigger)
+
+  /** Admission-controlled: advance by at most maxPerTrigger per batch,
+    * never past an AvailableNow catch-up target.
+    */
+  override def latestOffset(start: streaming.Offset,
+      limit: streaming.ReadLimit): streaming.Offset = {
+    val s = start.asInstanceOf[PagedApiOffset].idx
+    val target = math.min(availableTarget.getOrElse(Long.MaxValue),
+      s + maxPerTrigger)
+    ensureListed(target)
+    PagedApiOffset(math.min(ids.size.toLong, target))
+  }
+
+  override def latestOffset(): streaming.Offset = {
+    ensureListed(Long.MaxValue)
+    PagedApiOffset(ids.size.toLong)
+  }
+
+  override def planInputPartitions(start: streaming.Offset,
+      end: streaming.Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[PagedApiOffset].idx,
+      end.asInstanceOf[PagedApiOffset].idx)
+    ensureListed(e)
+    val slice = ids.slice(s.toInt, e.toInt)
+    if (slice.isEmpty) Array.empty
+    else slice.grouped(chunk)
+      .map(g => PagedApiPartition(g.toArray, options): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedApiReaderFactory(fetchJson = true, keyed = false)
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class PagedApiPartition(ids: Array[String],

@@ -51,6 +51,49 @@ class SourcesSpec extends SparkSpec {
     r.load()
   }
 
+  test("streaming source: rate-capped micro-batches, checkpointed restart, no re-GETs") {
+    import org.apache.spark.sql.streaming.Trigger
+    CountingApiClient.reset()
+    val d = Files.createTempDirectory("graft-api-stream").toString
+    def writeMsgs(n: Int): Unit = {
+      val msgs = (1 to n).map(i =>
+        Fixtures.message(f"s$i%03d").replaceAll("\n", " "))
+      Files.writeString(Paths.get(d, "messages.jsonl"),
+        msgs.mkString("\n") + "\n")
+    }
+    writeMsgs(10)
+    val out = Files.createTempDirectory("graft-api-out").toString
+    val ckpt = Files.createTempDirectory("graft-api-ckpt").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.PagedApiSource")
+        .option("client", classOf[CountingApiClient].getName)
+        .option("path", d).option("pageSize", "10")
+        .option("maxPerTrigger", "4")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val first = spark.read.parquet(out)
+    // all 10 messages, exactly once, despite the 4-per-trigger cap
+    assert(first.count() == 10)
+    assert(first.select("id").distinct().count() == 10)
+    assert(CountingApiClient.getCalls.get() == 10)
+
+    // append 5 new messages and restart from the same checkpoint: only
+    // the tail is admitted and fetched — the cursor survived the restart
+    val getsBefore = CountingApiClient.getCalls.get()
+    writeMsgs(15)
+    run()
+    val second = spark.read.parquet(out)
+    assert(second.count() == 15)
+    assert(second.select("id").distinct().count() == 15)
+    assert(CountingApiClient.getCalls.get() - getsBefore == 5,
+      s"re-fetched already-ingested messages: ${CountingApiClient.getCalls.get() - getsBefore}")
+  }
+
   test("full scan lists all pages and fetches every message") {
     CountingApiClient.reset()
     val rows = read().collect()
