@@ -165,14 +165,51 @@ private[sources] class PagedApiScanBuilder(options: Map[String, String])
 private[sources] class PagedApiScan(options: Map[String, String],
     limit: Option[Int], prunedSchema: StructType,
     keyedIds: Option[Seq[String]] = None,
-    excludeIds: Set[String] = Set.empty) extends Scan with Batch {
+    excludeIds: Set[String] = Set.empty) extends Scan with Batch
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
 
+  // Runtime filtering (the DSv2 dynamic-pruning hook): when this scan
+  // joins a selective broadcast side on `id`, Spark hands the build
+  // side's id set here AT EXECUTION TIME, and those ids become a keyed
+  // lookup — the probe-before-fetch optimization derived from the JOIN
+  // rather than from a static predicate or hand-inlined state.
+  private var runtimeIds: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(filters: Array[sources.Filter]): Unit =
+    filters.foreach {
+      case sources.In("id", vs) =>
+        val ids = vs.collect { case s: String => s }.toSet
+        runtimeIds = Some(runtimeIds.map(_.intersect(ids)).getOrElse(ids))
+      case sources.EqualTo("id", v: String) =>
+        runtimeIds = Some(runtimeIds
+          .map(_.intersect(Set(v))).getOrElse(Set(v)))
+      case _ => ()
+    }
+
   // memoized: Spark may call planInputPartitions more than once per scan
-  // (planning and execution); the listing must run exactly once
-  private lazy val partitions: Array[InputPartition] = listAndChunk()
+  // (planning and execution); the listing must run exactly once AFTER
+  // any runtime filter has arrived (filter() precedes execution's
+  // planInputPartitions; a re-plan after filter() must not reuse the
+  // unfiltered listing, so the memo keys on the runtime-filter state)
+  private var partitionsMemo: Option[(Option[Set[String]],
+    Array[InputPartition])] = None
+
+  private def partitions: Array[InputPartition] = synchronized {
+    partitionsMemo match {
+      case Some((k, p)) if k == runtimeIds => p
+      case _ =>
+        val p = listAndChunk()
+        partitionsMemo = Some((runtimeIds, p))
+        p
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = partitions
 
@@ -181,8 +218,16 @@ private[sources] class PagedApiScan(options: Map[String, String],
     // excluded (already-seen) ids are dropped BEFORE partitioning, so
     // they never cost a GET. Exclusion applies BEFORE the limit: the
     // pushed limit promises n matching rows if they exist, so excluded
-    // ids must not consume the budget.
-    val all = keyedIds.map { ids =>
+    // ids must not consume the budget. A runtime (join-derived) id set
+    // composes with static keyed ids by intersection and, alone, turns
+    // the scan into a keyed lookup exactly like a static predicate.
+    val keyed: Option[Seq[String]] = (keyedIds, runtimeIds) match {
+      case (Some(k), Some(r)) => Some(k.filter(r))
+      case (Some(k), None) => Some(k)
+      case (None, Some(r)) => Some(r.toSeq.sorted)
+      case (None, None) => None
+    }
+    val all = keyed.map { ids =>
       val kept = ids.sorted.filterNot(excludeIds)
       limit.fold(kept)(kept.take)
     }.getOrElse(listIds())
@@ -217,7 +262,7 @@ private[sources] class PagedApiScan(options: Map[String, String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedApiReaderFactory(prunedSchema.fieldNames.contains("json"),
-      keyed = keyedIds.isDefined)
+      keyed = keyedIds.isDefined || runtimeIds.isDefined)
 
   override def toMicroBatchStream(checkpointLocation: String):
       streaming.MicroBatchStream = new PagedApiMicroBatchStream(options)

@@ -183,6 +183,25 @@ class SourcesSpec extends SparkSpec {
     assert(CountingApiClient.getCalls.get() == 3) // seen ids never GET
   }
 
+  test("runtime filtering: a broadcast join dynamically prunes the GETs") {
+    CountingApiClient.reset()
+    val smallDir = Files.createTempDirectory("graft-rt-dim").toString
+    import spark.implicits._
+    Seq("m003", "m007", "m011", "x001", "x002").toDF("want")
+      .write.mode("overwrite").parquet(smallDir)
+    val small = spark.read.parquet(smallDir)
+      .filter(col("want").startsWith("m"))
+    val joined = read().join(broadcast(small),
+      col("id") === col("want"))
+    assert(joined.collect().length == 3)
+    // the build side's id set reached the scan AT EXECUTION TIME: only
+    // the 3 surviving ids were ever fetched, out of 25 listed
+    assert(CountingApiClient.getCalls.get() == 3,
+      s"runtime filter did not prune GETs: ${CountingApiClient.getCalls.get()}")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(2000))
+  }
+
   test("source composes with the dedup anti-join without fetching seen ids") {
     import spark.implicits._
     CountingApiClient.reset()
