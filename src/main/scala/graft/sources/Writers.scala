@@ -44,6 +44,53 @@ object Writers {
       .write.partitionBy(partCols: _*).mode("overwrite").parquet(path)
   }
 
+  /** Morton (Z-order) code of two numeric columns: each value is scaled
+    * to 16 bits against its global [min, max] (computed in one tiny
+    * pre-pass, floor-quantized so the mapping is engine-exact), and the
+    * bits interleave via the standard mask-spread ladder — pure integer
+    * Column arithmetic, fully codegen'd, no UDF.
+    */
+  private def spread16(c: org.apache.spark.sql.Column) = {
+    // spread the low 16 bits of c so bit i lands at position 2i
+    val a = c.bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(0x33333333L))
+    e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Write `df` Z-ORDERED on two columns into `nFiles` files: rows sort
+    * by the interleaved Morton code, so each file covers a compact 2-D
+    * BLOCK of the (c1, c2) space and parquet min/max footers prune scans
+    * filtered on EITHER column — where a lexicographic (c1, c2) sort
+    * gives c2 the full value range in every file and prunes nothing for
+    * it. This is the multi-dimensional clustering every lakehouse table
+    * format ships (Delta OPTIMIZE ZORDER BY, Iceberg sort orders).
+    */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+      nFiles: Int): Unit = {
+    val mm = df.agg(
+      min(col(c1)).cast("double").as("mn1"),
+      max(col(c1)).cast("double").as("mx1"),
+      min(col(c2)).cast("double").as("mn2"),
+      max(col(c2)).cast("double").as("mx2"))
+    def scaled(c: String, mn: org.apache.spark.sql.Column,
+        mx: org.apache.spark.sql.Column) =
+      when(mx === mn, lit(0L)).otherwise(
+        floor((col(c).cast("double") - mn) * 65535.0 / (mx - mn))
+          .cast("long"))
+    val z = df.crossJoin(broadcast(mm))
+      .withColumn("_z",
+        spread16(scaled(c1, col("mn1"), col("mx1")))
+          .bitwiseOR(shiftleft(
+            spread16(scaled(c2, col("mn2"), col("mx2"))), 1)))
+      .drop("mn1", "mx1", "mn2", "mx2")
+    z.repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Rewrite an existing parquet directory into ~`targetRowsPerFile`
     * rows per file — the standing compaction job every streaming or
     * incremental sink needs once appends have fragmented the layout.

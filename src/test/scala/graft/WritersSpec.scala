@@ -47,6 +47,45 @@ class WritersSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered clusters BOTH columns; lexicographic sorts only the first") {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d).select(col("l_orderkey"),
+      col("l_partkey"))
+
+    val lex = Files.createTempDirectory("graft-lex").toString
+    li.repartitionByRange(8, col("l_orderkey"), col("l_partkey"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_partkey"))
+      .write.mode("overwrite").parquet(lex)
+    val zo = Files.createTempDirectory("graft-zo").toString
+    Writers.writeZOrdered(li, zo, "l_orderkey", "l_partkey", nFiles = 8)
+
+    // avg normalized per-file span of a column = how much of its global
+    // range a scan of one file must consider; 1.0 = no pruning possible
+    def span(path: String, c: String): Double = {
+      val df = spark.read.parquet(path)
+        .select(col(c), input_file_name().as("f"))
+      val g = df.agg(min(col(c)).cast("double"),
+        max(col(c)).cast("double")).head()
+      val (mn, mx) = (g.getDouble(0), g.getDouble(1))
+      val rows = df.groupBy(col("f"))
+        .agg(((max(col(c)) - min(col(c))).cast("double") / (mx - mn))
+          .as("s"))
+        .agg(avg(col("s"))).head()
+      rows.getDouble(0)
+    }
+
+    // same data, same file count — both layouts round-trip
+    assert(spark.read.parquet(zo).count() == li.count())
+    // lexicographic: first column clustered, second spans ~everything
+    assert(span(lex, "l_orderkey") < 0.3, span(lex, "l_orderkey"))
+    assert(span(lex, "l_partkey") > 0.8, span(lex, "l_partkey"))
+    // z-order: BOTH columns materially clustered — min/max footers can
+    // prune scans filtered on either one
+    assert(span(zo, "l_partkey") < 0.6 * span(lex, "l_partkey"),
+      s"zo=${span(zo, "l_partkey")} lex=${span(lex, "l_partkey")}")
+    assert(span(zo, "l_orderkey") < 0.8, span(zo, "l_orderkey"))
+  }
+
   test("compact merges a fragmented layout to the target file count") {
     val d = "/root/testdata/sf0.001"
     val out = Files.createTempDirectory("graft-compact").toString + "/t"
