@@ -112,6 +112,32 @@ object Streams {
       }
   }
 
+  case class TopK(key: String, ids: Seq[Long], scores: Seq[Double])
+
+  /** Running top-k per key via mapGroupsWithState (Update mode): state
+    * is a BOUNDED k-element list per key — the streaming twin of the
+    * typed TopKByScore batch Aggregator, and the leaderboard/
+    * best-candidates operator Spark has no built-in for (rank windows
+    * are not supported on streams). Each batch folds its records into
+    * the per-key heap and emits the key's current top-k, ties broken by
+    * id so the emission is deterministic under micro-batch regrouping.
+    */
+  def topKPerKey(records: Dataset[(String, Long, Double)], k: Int):
+      Dataset[TopK] = {
+    import records.sparkSession.implicits._
+    records.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[(String, Long, Double)],
+            state: GroupState[Seq[(Long, Double)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            batch.map(r => (r._2, r._3)))
+            .sortBy { case (id, score) => (-score, id) }
+            .take(k)
+          state.update(merged)
+          TopK(key, merged.map(_._1), merged.map(_._2))
+      }
+  }
+
   case class Admitted(key: String, id: Long, seq: Long)
 
   /** Per-key admission cap via flatMapGroupsWithState: pass through at

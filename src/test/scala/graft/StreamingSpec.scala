@@ -18,6 +18,34 @@ class StreamingSpec extends SparkSpec {
   private def ev(id: Long, t: Long, user: Long, typ: String = "click",
       v: Double = 1.0) = Event(id, ts(t), user, typ, v)
 
+  test("topKPerKey: bounded per-key leaderboard evolves across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val q = Streams.topKPerKey(in.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topk")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 7.0))
+      q.processAllAvailable()
+      val r1 = spark.table("topk").as[Streams.TopK].collect()
+        .filter(_.key == "a").last
+      assert(r1.ids == Seq(2L, 3L) && r1.scores == Seq(9.0, 7.0))
+      // a later batch displaces the weaker entry; state stays bounded
+      in.addData(("a", 4L, 8.0), ("a", 5L, 1.0))
+      q.processAllAvailable()
+      val r2 = spark.table("topk").as[Streams.TopK].collect()
+        .filter(_.key == "a").last
+      assert(r2.ids == Seq(2L, 4L) && r2.scores == Seq(9.0, 8.0))
+      // ties break by id: equal score keeps the smaller id first
+      in.addData(("b", 7L, 3.0), ("b", 6L, 3.0), ("b", 9L, 3.0))
+      q.processAllAvailable()
+      val rb = spark.table("topk").as[Streams.TopK].collect()
+        .filter(_.key == "b").last
+      assert(rb.ids == Seq(6L, 7L))
+    } finally q.stop()
+  }
+
   test("capPerKey: admits at most cap per key across micro-batches, in order") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
