@@ -1216,6 +1216,36 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Declarative data-quality audit (ops.Quality, the expectations gate
+    // every pipeline runs before publishing): five constraint kinds —
+    // not-null, range, set-membership, uniqueness, referential integrity
+    // — compile into a fixed small plan (one aggregate pass for all
+    // row-local checks + one groupBy + one anti-join), regardless of
+    // table size. Violations are synthesized deterministically by keyed
+    // arithmetic so every check reports a non-zero, oracle-verifiable
+    // count.
+    "q_data_quality" -> ((s, d) => {
+      val m = orders(s, d)
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 83 === 0, lit(null))
+            .when(col("o_orderkey") % 79 === 0, col("o_custkey") + 1000000)
+            .otherwise(col("o_custkey")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, lit(-1.0))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 97 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      val audited = m.unionAll(m.filter(col("o_orderkey") % 101 === 0))
+      graft.ops.Quality.audit(audited, Seq(
+        graft.ops.Quality.NotNull("o_custkey"),
+        graft.ops.Quality.InRange("o_totalprice", 0.0, 1000000.0),
+        graft.ops.Quality.InSet("o_orderstatus", Seq("O", "F", "P")),
+        graft.ops.Quality.Unique(Seq("o_orderkey")),
+        graft.ops.Quality.RefIntegrity("o_custkey", customer(s, d),
+          "c_custkey")))
+    }),
+
     // Corrupt-record-tolerant JSON ingestion (the engine-grade form of
     // the reference's blanket try/except, gmail_functions.py:187-188):
     // a synthesized JSON-lines file where every 10th record is broken
@@ -2185,6 +2215,44 @@ object Relational {
         |  max(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_data_quality" ->
+      """WITH m AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 83 = 0 THEN NULL
+        |         WHEN o_orderkey % 79 = 0 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN -1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders),
+        |a AS (SELECT * FROM m
+        |  UNION ALL SELECT * FROM m WHERE o_orderkey % 101 = 0),
+        |checks AS (
+        |  SELECT 'not_null(o_custkey)' AS chk,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS violations FROM a
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice)',
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM a
+        |  UNION ALL
+        |  SELECT 'in_set(o_orderstatus)',
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM a
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |    CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0)
+        |      AS BIGINT)
+        |  FROM (SELECT count(*) AS n FROM a GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'ref(o_custkey)', CAST(count(*) AS BIGINT) FROM a
+        |  WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |SELECT chk AS "check", violations, violations = 0 AS pass
+        |FROM checks ORDER BY chk""".stripMargin,
 
     "q_json_corrupt" ->
       """SELECT
