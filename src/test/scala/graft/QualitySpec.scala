@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Quality
+
+/** Unit semantics of the declarative data-quality gate: clean data
+  * passes every check, and each violation kind is attributed to exactly
+  * its own check.
+  */
+class QualitySpec extends SparkSpec {
+  import Quality._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("clean data passes every check") {
+    val o = Tables.orders(spark, d)
+    val rows = Quality.audit(o, Seq(
+      NotNull("o_custkey"),
+      InRange("o_totalprice", 0.0, 1e9),
+      InSet("o_orderstatus", Seq("O", "F", "P")),
+      Unique(Seq("o_orderkey")),
+      RefIntegrity("o_custkey", Tables.customer(spark, d), "c_custkey")))
+      .collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getBoolean(2)), rows.mkString("; "))
+    assert(rows.forall(_.getLong(1) == 0L))
+  }
+
+  test("each violation kind lands on exactly its own check") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Some(10L), 5.0, "O"),
+      (2L, None, 6.0, "F"),      // null key
+      (3L, Some(11L), -1.0, "O"),  // out of range
+      (4L, Some(12L), 7.0, "Z"),   // out of set
+      (4L, Some(12L), 7.0, "Z"),   // duplicate id (and a 2nd Z)
+      (5L, Some(99L), 8.0, "P"))   // orphan FK
+      .toDF("id", "k", "v", "s")
+      .withColumn("k", col("k").cast("long"))
+    val dim = Seq(10L, 11L, 12L).toDF("dk")
+    val got = Quality.audit(base, Seq(
+      NotNull("k"), InRange("v", 0.0, 100.0), InSet("s", Seq("O", "F", "P")),
+      Unique(Seq("id")), RefIntegrity("k", dim, "dk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("not_null(k)") == 1)
+    assert(got("in_range(v)") == 1)
+    assert(got("in_set(s)") == 2)
+    assert(got("unique(id)") == 1)
+    assert(got("ref(k)") == 1)
+  }
+}
