@@ -51,6 +51,22 @@ object Relational {
       |WHERE rk <= 3
       |ORDER BY o_custkey, rk""".stripMargin
 
+  /** Shared ANSI LATERAL-join text (same one-string-two-engines
+    * contract): a correlated derived table per outer row — the ANSI
+    * form Spark decorrelates into a join, exercised as shared text so
+    * the decorrelation is proven result-identical to DuckDB's.
+    */
+  private val SqlLateral =
+    """SELECT c.c_custkey, c.c_name, t.n_urgent, t.max_price
+      |FROM customer c,
+      |LATERAL (SELECT count(*) AS n_urgent,
+      |           CAST(max(o_totalprice) AS DOUBLE) AS max_price
+      |         FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |           AND o.o_orderpriority = '1-URGENT') t
+      |WHERE t.n_urgent > 0
+      |ORDER BY c.c_custkey""".stripMargin
+
   private val SqlQ3 =
     """SELECT l_orderkey,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -587,6 +603,13 @@ object Relational {
       orders(s, d).createOrReplaceTempView("orders")
       lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql(SqlQ3)
+    }),
+
+    // Shared ANSI LATERAL join (see SqlLateral above).
+    "q_sql_lateral" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer")
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SqlLateral)
     }),
 
     // Shared ANSI text with WINDOW functions (rank + moving frame +
@@ -1910,6 +1933,7 @@ object Relational {
     "q_sql_q3" -> SqlQ3,
     "q_sql_recursive" -> SqlRecursive,
     "q_sql_window" -> SqlWindow,
+    "q_sql_lateral" -> SqlLateral,
 
     "q_join_multi" ->
       """SELECT n_name, p_brand,
