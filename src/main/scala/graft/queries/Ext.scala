@@ -146,7 +146,10 @@ object Ext {
     // relation once, then candidate-join it against itself. (A
     // bucket-local collect_list + pair comprehension was measured ~25%
     // SLOWER here: interpreted per-pair lambdas lose to the codegen'd
-    // join even with the agg deduplicated.)
+    // join even with the agg deduplicated.) localCheckpoint is the
+    // single-JVM form; a cluster deployment writes the band relation to
+    // the cluster FS (reliable checkpoint / a real LSH index table) so
+    // an executor loss recomputes nothing.
     val bandsMat = bands.localCheckpoint()
     val pairs = bandsMat.as("a")
       .join(bandsMat.as("b"),

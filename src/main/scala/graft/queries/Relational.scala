@@ -188,6 +188,12 @@ object Relational {
     val data = df.select((grpCols :+ v).map(col): _*)
       .repartitionByRange((gc :+ col(v)): _*)
       .withColumn("_pid", spark_partition_id())
+      // localCheckpoint = executor-local storage: right for this
+      // single-JVM harness; on a real cluster an executor loss forfeits
+      // the cached blocks and fails the job, so a production deployment
+      // would use reliable checkpoint() to the cluster FS (same plan,
+      // durable materialization) — the trade is recompute-safety vs an
+      // extra write, not plan shape
       .localCheckpoint()
     val wOff = Window.partitionBy(gc: _*).orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
