@@ -52,7 +52,15 @@ object Bench {
     def qmap(rs: Iterable[(String, Double)]) =
       rs.map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
     val errors = results.collect { case (k, (_, Some(e))) => jstr(k) + ":" + jstr(e) }
+    // the stdout line must stay inside the driver's 2 KB tail window
+    // even on a catastrophic run: cap the inline errors at 3 (full
+    // detail still lands in BENCH_DETAIL.json) and always carry the
+    // total failure count
     val errField =
+      if (errors.isEmpty) ""
+      else errors.take(3).mkString(
+        s""",\"n_errors\":${errors.size},\"errors\":{""", ",", "}")
+    val errFieldFull =
       if (errors.isEmpty) "" else errors.mkString(",\"errors\":{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // Full per-query detail is too long for the driver's 2 KB output-tail
@@ -70,7 +78,7 @@ object Bench {
       "q_bigram_lm")
     val head = headline.flatMap(n => results.get(n).map(n -> _._1))
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(results.view.mapValues(_._1))}$errField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(results.view.mapValues(_._1))}$errFieldFull,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH_DETAIL.json"), detail)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(head)}$errField,"sf":"$sfDir"}""")
     if (errors.nonEmpty)
