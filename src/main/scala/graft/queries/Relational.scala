@@ -1181,7 +1181,7 @@ object Relational {
     // roundtrip fails the hash. Text formats never carry binary doubles,
     // so the decimal-string encoding IS the portability contract.
     "q_csv_roundtrip" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_csv"
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_csv_${d.hashCode.toHexString}"
       orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("string")
@@ -1207,7 +1207,7 @@ object Relational {
     // and all of it). The oracle computes the same aggregate from the
     // unpartitioned source, so layout round-trip errors fail the hash.
     "q_partition_pruned" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_part"
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_part_${d.hashCode.toHexString}"
       orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice").cast("decimal(18,2)").as("price"),
@@ -1228,7 +1228,7 @@ object Relational {
     // price survives as a JSON decimal literal re-read under an explicit
     // DECIMAL(18,2) schema.
     "q_json_roundtrip" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_json"
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_json_${d.hashCode.toHexString}"
       orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_totalprice").cast("decimal(18,2)").as("price"),
@@ -1284,7 +1284,7 @@ object Relational {
     // oracle knows exactly which rows were bad and checks both the
     // quarantine count and that revenue aggregates ONLY good rows.
     "q_json_corrupt" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_corrupt"
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_corrupt_${d.hashCode.toHexString}"
       orders(s, d)
         .select(
           when(col("o_orderkey") % 10 === 0,
