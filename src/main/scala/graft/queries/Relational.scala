@@ -67,6 +67,20 @@ object Relational {
       |WHERE t.n_urgent > 0
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** Shared ANSI aggregate-FILTER text (same contract): per-group
+    * conditional aggregation in the standard FILTER (WHERE ...) form
+    * both engines parse natively.
+    */
+  private val SqlFilterAgg =
+    """SELECT o_orderpriority,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS rev_open
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   private val SqlQ3 =
     """SELECT l_orderkey,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -616,6 +630,12 @@ object Relational {
       customer(s, d).createOrReplaceTempView("customer")
       orders(s, d).createOrReplaceTempView("orders")
       s.sql(SqlLateral)
+    }),
+
+    // Shared ANSI aggregate FILTER (see SqlFilterAgg above).
+    "q_sql_filter_agg" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SqlFilterAgg)
     }),
 
     // Shared ANSI text with WINDOW functions (rank + moving frame +
@@ -1940,6 +1960,7 @@ object Relational {
     "q_sql_recursive" -> SqlRecursive,
     "q_sql_window" -> SqlWindow,
     "q_sql_lateral" -> SqlLateral,
+    "q_sql_filter_agg" -> SqlFilterAgg,
 
     "q_join_multi" ->
       """SELECT n_name, p_brand,
