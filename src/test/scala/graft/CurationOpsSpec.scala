@@ -180,6 +180,31 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("triangles: ordered-edge join count equals brute force; degrees obey the handshake lemma") {
+    val pairs = SparkEntry.queries("q_dedup_pairs")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent brute force over the tiny collected edge set (the
+    // oracle runs the SAME join algorithm in SQL; this does not)
+    val es = pairs.toSet
+    def edge(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val brute = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      k <- (j + 1) until nodes.length
+      if edge(nodes(i), nodes(j)) && edge(nodes(j), nodes(k)) &&
+        edge(nodes(i), nodes(k))
+    } yield 1).size
+    val t = SparkEntry.queries("q_graph_triangles")(spark, d).head()
+    assert(t.getLong(0) == nodes.length)
+    assert(t.getLong(1) == pairs.length)
+    assert(t.getLong(2) == brute, s"join=${t.getLong(2)} brute=$brute")
+
+    // handshake lemma: sum over the degree histogram = 2|E|
+    val dist = SparkEntry.queries("q_degree_dist")(spark, d).collect()
+    assert(dist.map(r => r.getLong(0) * r.getLong(1)).sum ==
+      2L * pairs.length)
+  }
+
   test("cap_per_source: at most 5 docs per source, ranks contiguous") {
     val rows = SparkEntry.queries("q_cap_per_source")(spark, d).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
