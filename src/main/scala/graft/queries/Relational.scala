@@ -1514,6 +1514,35 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Weighted moving average (EWMA-style smoothing with a finite
+    // kernel): weights 8/4/2/1 over the last four samples. NOT a frame
+    // SUM — four explicit lag() terms combine in decimal-exact
+    // arithmetic with one final division, so there is no
+    // summation-order freedom for engines to disagree over (a frame
+    // aggregate's internal order is unspecified; four named terms have
+    // exactly one evaluation). Ramp-up rows (fewer than 4 samples)
+    // renormalize over the weights actually present.
+    "q_wma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      def dv(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      val x0 = dv(col("value"))
+      val x1 = dv(lag(col("value"), 1).over(w))
+      val x2 = dv(lag(col("value"), 2).over(w))
+      val x3 = dv(lag(col("value"), 3).over(w))
+      val num = (x0 * 8) +
+        coalesce(x1 * 4, lit(0).cast("decimal(18,2)")) +
+        coalesce(x2 * 2, lit(0).cast("decimal(18,2)")) +
+        coalesce(x3 * 1, lit(0).cast("decimal(18,2)"))
+      val den = lit(8) + when(x1.isNotNull, 4).otherwise(0) +
+        when(x2.isNotNull, 2).otherwise(0) +
+        when(x3.isNotNull, 1).otherwise(0)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(num.cast("double") / den, 6).as("wma"))
+        .orderBy(col("event_id"))
+    }),
+
     // Period-over-period change (the daily-revenue BI readout): lag over
     // the DAILY rollup — a bounded-by-the-calendar relation, so the
     // unpartitioned window sorts days, never orders, exactly like the
@@ -2470,6 +2499,24 @@ object Relational {
         |    AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS w_sum
         |FROM lineitem l JOIN f USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q_wma" ->
+      """WITH l AS (SELECT event_id, user_id, value,
+        |    CAST(value AS DECIMAL(18,2)) AS x0,
+        |    CAST(lag(value, 1) OVER w AS DECIMAL(18,2)) AS x1,
+        |    CAST(lag(value, 2) OVER w AS DECIMAL(18,2)) AS x2,
+        |    CAST(lag(value, 3) OVER w AS DECIMAL(18,2)) AS x3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, value,
+        |  round(CAST(x0 * 8 + coalesce(x1 * 4, CAST(0 AS DECIMAL(18,2)))
+        |      + coalesce(x2 * 2, CAST(0 AS DECIMAL(18,2)))
+        |      + coalesce(x3 * 1, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+        |    / (8 + CASE WHEN x1 IS NOT NULL THEN 4 ELSE 0 END
+        |         + CASE WHEN x2 IS NOT NULL THEN 2 ELSE 0 END
+        |         + CASE WHEN x3 IS NOT NULL THEN 1 ELSE 0 END), 6)
+        |    AS wma
+        |FROM l ORDER BY event_id""".stripMargin,
 
     "q_period_change" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
