@@ -2,6 +2,59 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 object Bench {
+  /** Fixed headline subset: one representative per operator family. The
+    * stdout line must fit the driver's 2 KB output-tail window, so the
+    * full 175-query map goes to BENCH_DETAIL.json and stdout carries
+    * only these plus the suite total. */
+  val Headline: Seq[String] = Seq(
+    "q_scan", "q_filter_project", "q_agg_group", "q_agg_distinct",
+    "q_agg_median", "q_join_inner", "q_join_broadcast", "q_join_asof_native",
+    "q_join_bloom", "q_window_rank", "q_sessionize", "q_dedup_exact",
+    "q_dedup_minhash", "q_dedup_pairs", "q_dedup_simhash", "q_dedup_hamming",
+    "q_sim_topk", "q_ann_ivf", "q_text_tokens", "q_quality_score", "q_tfidf",
+    "q_stream_tumble", "q_sql_q3", "q_unpivot", "q_histogram_eqdepth",
+    "q_bigram_lm")
+
+  /** Hard budget for the stdout line, below the driver's 2 KB tail.
+    * BenchLineSpec asserts the worst-case rendered line stays under it. */
+  val MaxStdoutLineBytes = 1900
+
+  private def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+    .replaceAll("[\\r\\n\\t]", " ") + "\""
+  private def r3(v: Double) = math.rint(v * 1000) / 1000
+  private def qmap(rs: Iterable[(String, Double)]) =
+    rs.map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
+
+  private def errEntries(results: Seq[(String, (Double, Option[String]))]) =
+    results.collect { case (k, (_, Some(e))) => jstr(k) + ":" + jstr(e) }
+
+  /** The single stdout line the driver parses. Inline errors are capped
+    * at 3 (full detail still lands in BENCH_DETAIL.json) with the total
+    * failure count always carried, so even a catastrophic run stays
+    * inside the tail window. */
+  def headlineLine(results: Seq[(String, (Double, Option[String]))],
+                   sfDir: String): String = {
+    val errors = errEntries(results)
+    val errField =
+      if (errors.isEmpty) ""
+      else errors.take(3).mkString(
+        s""",\"n_errors\":${errors.size},\"errors\":{""", ",", "}")
+    val byName = results.toMap
+    val head = Headline.flatMap(n => byName.get(n).map(n -> _._1))
+    val total = r3(results.map(_._2._1).sum)
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(head)}$errField,"sf":"$sfDir"}"""
+  }
+
+  /** Full per-query map for the judge — no size constraint. */
+  def detailLine(results: Seq[(String, (Double, Option[String]))],
+                 sfDir: String): String = {
+    val errors = errEntries(results)
+    val errFieldFull =
+      if (errors.isEmpty) "" else errors.mkString(",\"errors\":{", ",", "}")
+    val total = results.map(_._2._1).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(results.map { case (k, v) => k -> v._1 })}$errFieldFull,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -17,6 +70,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Opt-in local-iteration filter (comma-separated query names). The
+    // driver never sets it, so per-round runs always cover the suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     // noop sink: full evaluation of every column (count() would let the
     // optimizer prune the very projections being measured), zero I/O cost.
     // A failed query must NOT be indistinguishable from a fast one: record
@@ -37,50 +98,31 @@ object Bench {
     // showed single samples there carry 2-5x scheduler/GC noise (e.g.
     // q_bigram_lm 4.5 s sampled once vs 0.8 s steady-state), and the
     // re-measure pass costs seconds, not another full suite.
-    SparkEntry.queries.foreach { case (_, fn) => once(fn) }
-    val pass1 = SparkEntry.queries.map { case (name, fn) => name -> once(fn) }
+    queries.foreach { case (_, fn) => once(fn) }
+    val pass1 = queries.map { case (name, fn) => name -> once(fn) }
     val results = pass1.map { case (name, (t1, e1)) =>
       if (t1 <= 0.8 || e1.isDefined) name -> (t1, e1)
       else {
-        val (t2, e2) = once(SparkEntry.queries(name))
+        val (t2, e2) = once(queries(name))
         name -> (math.min(t1, t2), e1.orElse(e2))
       }
-    }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\r\\n\\t]", " ") + "\""
-    def r3(v: Double) = math.rint(v * 1000) / 1000
-    def qmap(rs: Iterable[(String, Double)]) =
-      rs.map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, (_, Some(e))) => jstr(k) + ":" + jstr(e) }
-    // the stdout line must stay inside the driver's 2 KB tail window
-    // even on a catastrophic run: cap the inline errors at 3 (full
-    // detail still lands in BENCH_DETAIL.json) and always carry the
-    // total failure count
-    val errField =
-      if (errors.isEmpty) ""
-      else errors.take(3).mkString(
-        s""",\"n_errors\":${errors.size},\"errors\":{""", ",", "}")
-    val errFieldFull =
-      if (errors.isEmpty) "" else errors.mkString(",\"errors\":{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    // Full per-query detail is too long for the driver's 2 KB output-tail
-    // window (rounds 1-3 shipped a ~5 KB line and the driver recorded
-    // parsed:null every time). Stdout gets ONE compact line — a fixed
-    // headline subset plus the suite total — and the complete per-query
-    // map goes to BENCH_DETAIL.json in the repo for the judge.
-    val headline = Seq(
-      "q_scan", "q_filter_project", "q_agg_group", "q_agg_distinct",
-      "q_agg_median", "q_join_inner", "q_join_broadcast", "q_join_asof_native",
-      "q_join_bloom", "q_window_rank", "q_sessionize", "q_dedup_exact",
-      "q_dedup_minhash", "q_dedup_pairs", "q_dedup_simhash", "q_dedup_hamming",
-      "q_sim_topk", "q_ann_ivf", "q_text_tokens", "q_quality_score", "q_tfidf",
-      "q_stream_tumble", "q_sql_q3", "q_unpivot", "q_histogram_eqdepth",
-      "q_bigram_lm")
-    val head = headline.flatMap(n => results.get(n).map(n -> _._1))
-    val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(results.view.mapValues(_._1))}$errFieldFull,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("BENCH_DETAIL.json"), detail)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(head)}$errField,"sf":"$sfDir"}""")
+    }.toSeq
+    // Anchor the detail file to the repo root (or an explicit override),
+    // not the process cwd — a bench launched elsewhere must not drop the
+    // judge's detail file in a random directory while stdout claims
+    // success.
+    val detailDir = sys.env.get("SPARK_GRAFT_BENCH_DETAIL_DIR")
+      .orElse(sys.env.get("SPARK_GRAFT_REPO"))
+      .getOrElse {
+        val cwd = Paths.get("").toAbsolutePath
+        if (Files.exists(cwd.resolve("build.sbt"))) cwd.toString
+        else "/root/repo"
+      }
+    Files.writeString(Paths.get(detailDir).resolve("BENCH_DETAIL.json"),
+      detailLine(results, sfDir))
+    val line = headlineLine(results, sfDir)
+    println(line)
+    val errors = errEntries(results)
     if (errors.nonEmpty)
       System.err.println(s"BENCH: ${errors.size} queries FAILED (see errors field)")
     spark.stop()

@@ -88,6 +88,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       MinHashSig.info, MinHashSig.builder))
     ext.injectFunction((
+      new FunctionIdentifier("bucket_idx"),
+      BucketIdx.info, BucketIdx.builder))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_agg"),
       BloomExprs.aggInfo, BloomExprs.aggBuilder))
     ext.injectFunction((

@@ -1184,25 +1184,36 @@ object Ext {
     // doc's distinct bigrams that occur in NO other document — a
     // perplexity proxy with exact integer arithmetic (a real LM score
     // would sum per-bigram log-probs, whose float summation order and
-    // ln() rounding are not engine-portable). One (doc,gram) explode,
-    // one gram-level doc-frequency agg, one join back.
+    // ln() rounding are not engine-portable). Shape: aggregate BEFORE
+    // shuffling rows around. Shingles are distinct within a doc, so a
+    // gram with doc-frequency 1 has exactly one (doc, gram) row and
+    // min(doc_id) names its owner — the per-gram agg alone yields the
+    // unique-gram-per-doc counts with NO join back to the exploded
+    // relation (the round-4 count-over-Window shape sorted every
+    // exploded row inside a WindowExec; at corpus scale that is a full
+    // sort of the gram relation, where this is two partial-agg
+    // shuffles carrying 12-byte rows).
     "q_ngram_novelty" -> ((s, d) => {
-      // doc-frequency per gram via a COUNT window over the exploded
-      // (doc, gram-hash) rows — one shuffle on the hash instead of an
-      // aggregate plus a join back.
-      documents(s, d)
+      val g = documents(s, d)
         .select(col("doc_id"),
           explode(TextOps.distinctShingles(col("text"), 2)).as("g"))
         .select(col("doc_id"), TextOps.hash31(col("g")).as("h"))
-        .withColumn("n_docs_with",
-          count(lit(1)).over(Window.partitionBy(col("h"))))
+      // per-doc gram counts: map-side partial agg, shuffle on doc_id
+      val perDoc = g.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      // per-doc unique counts: agg on h (df + owning doc when df=1),
+      // then re-agg the df=1 survivors by owner — never re-joins the
+      // exploded rows
+      val uniq = g.groupBy(col("h"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+        .filter(col("df") === 1)
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("n_docs_with") === 1, 1L).otherwise(0L))
-            .as("n_unique"))
-        .select(col("doc_id"), col("n_grams"), col("n_unique"),
-          round(col("n_unique").cast("double") / col("n_grams"), 6)
-            .as("novelty"))
+        .agg(count(lit(1)).as("n_unique"))
+      perDoc.join(uniq, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          round(coalesce(col("n_unique"), lit(0L)).cast("double")
+            / col("n_grams"), 6).as("novelty"))
         .orderBy(col("doc_id"))
     }),
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -173,42 +173,90 @@ object Relational {
       .select(gc ++ outs: _*)
   }
 
-  /** The range-partitioned global-rank core shared by the ranged
-    * quantile variants: parallelism INDEPENDENT of group count.
-    * [[exactQuantilesBy]] partitions the sort by group, so three groups
-    * sort on three tasks no matter how many executors exist — fine for
-    * many groups, the wrong shape for few-groups-huge-data. Here the
-    * data range-partitions on (group, value) — every executor sorts one
-    * value range — and the global rank of a row is its LOCAL rank plus
-    * the count of rows in earlier ranges of its group: the per-(range,
-    * group) counts are a tiny relation (partitions x groups), their
-    * running sum is the offset, broadcast back. Returns `df`'s
-    * (grpCols, v) rows annotated with `_rn` (0-based global rank of v
-    * within its group, as double) and `_n` (group size, as double).
-    * Ranks are deterministic up to ties, and the VALUE at a given rank
-    * is unchanged by tie order — which is why the quantile variants
-    * built on this are exact-deterministic. Assumes non-null `v`.
+  /** Number of value-range buckets per group in [[rangedCore]]. More
+    * buckets = finer rank-selection pushdown (a smaller fraction of the
+    * data reaches the sort) at the price of a slightly larger
+    * boundary/offset relation; 64 keeps the offset relation at
+    * (64 x groups) rows while targeting <2% of rows per bucket.
     */
-  /** Shared range-partitioned core: the (grpCols, v) rows materialized
-    * ONCE after the range exchange (both consumers read the same
-    * partitioned data, and the exchange's boundary-sampling pass over
-    * the input runs once), plus the per-(partition, group) count
-    * relation: `_c` rows in this partition, `_off` running offset of
-    * earlier partitions of the group, `_n` group size.
+  private val RangeBuckets = 64
+
+  /** Shared value-bucketed rank core. Round-4 shape was
+    * repartitionByRange + localCheckpoint: a full shuffle AND a full
+    * materialization of the relation before any rank arithmetic — fixed
+    * multi-second overhead per query locally and a full-data exchange at
+    * cluster scale. This shape moves the bucketing INTO an expression:
+    * per-group bucket boundaries come from a hash-deterministic ~1%
+    * sample, aggregated to at most (RangeBuckets-1) x groups rows and
+    * collected — the exact move Spark's own RangePartitioner makes
+    * (sample, collect boundaries to the driver, bake them into the
+    * partitioner); the few-groups precondition of this core is what
+    * keeps the collect broadcast-sized. The boundaries come back as a
+    * LITERAL comparison chain, so `_pid` = "how many boundaries sort
+    * below v" is pure whole-stage-codegen arithmetic (a higher-order
+    * array filter here measured 10x slower: HOFs fall out of codegen),
+    * and consumers that only need a few target ranks can filter rows by
+    * `_pid` BEFORE the first full-data exchange — rank-selection
+    * pushdown through the shuffle itself, so only target buckets ever
+    * shuffle. `_pid` is a pure function of (group, v, boundaries), so
+    * every consumer recomputes it identically from the (column-pruned)
+    * scan — determinism by construction instead of by materialization.
+    * Returns (rows annotated with `_pid`, per-(bucket, group) counts:
+    * `_c` rows in bucket, `_off` running offset of lower buckets of the
+    * group, `_n` group size). Bucket index is monotone in v within a
+    * group; ranks are deterministic up to ties, and the VALUE at a rank
+    * is unchanged by tie order. Assumes non-null `v`.
     */
   private def rangedCore(df: DataFrame, grpCols: Seq[String], v: String)
       : (DataFrame, DataFrame) = {
     val gc = grpCols.map(col)
-    val data = df.select((grpCols :+ v).map(col): _*)
-      .repartitionByRange((gc :+ col(v)): _*)
-      .withColumn("_pid", spark_partition_id())
-      // localCheckpoint = executor-local storage: right for this
-      // single-JVM harness; on a real cluster an executor loss forfeits
-      // the cached blocks and fails the job, so a production deployment
-      // would use reliable checkpoint() to the cluster FS (same plan,
-      // durable materialization) — the trade is recompute-safety vs an
-      // extra write, not plan shape
-      .localCheckpoint()
+    val base = df.select((grpCols :+ v).map(col): _*)
+    // deterministic ~1 pct sample: a pure value hash (codegen xxhash64
+    // -- the sample only picks bucket BOUNDARIES, never result values,
+    // so any deterministic hash serves), identical on every pass and
+    // every partitioning
+    val sampled = base.filter(
+      pmod(xxhash64((gc :+ col(v)): _*), lit(97)) === 0)
+    // boundary b_i = the sample value at tile edge i: ntile is
+    // positional, and the value AT a sorted position is tie-invariant,
+    // so the boundary set is deterministic regardless of partitioning
+    // or tie order.
+    // bucketing happens on the DOUBLE image of v: decimal->double is
+    // monotone, distinct values that collapse to one double simply share
+    // a bucket — bucket ids never touch result values
+    val wS = Window.partitionBy(gc: _*).orderBy(col(v))
+    val boundRows = sampled
+      .withColumn("_t", ntile(RangeBuckets).over(wS))
+      .groupBy((gc :+ col("_t")): _*)
+      .agg(max(col(v).cast("double")).as("_b"))
+      .filter(col("_t") < RangeBuckets)
+      .collect()
+    val byGroup: Map[Seq[Any], Array[Double]] = boundRows
+      .groupBy(r => grpCols.map(r.getAs[Any]))
+      .view.mapValues { rs =>
+        rs.sortBy(_.getAs[Int]("_t")).map(_.getAs[Double]("_b"))
+          .distinct.toArray
+      }.toMap
+    // this core is for FEW-groups-huge-data (many small groups belong in
+    // the by-group exactQuantilesBy shape); the group-dispatch plan grows
+    // with group count, so fail loudly rather than build a huge CASE
+    require(byGroup.size <= 256,
+      s"rangedCore saw ${byGroup.size} groups; use exactQuantilesBy for " +
+        "many-group quantiles")
+    // _pid = |{b in boundaries : b < v}| — monotone in v, equal values
+    // share a bucket, groups too small to sample collapse to bucket 0
+    // (plain by-group sort, the right degenerate case). The per-group
+    // count is the native codegen'd bucket_idx binary search — see
+    // [[graft.functions.BucketIdx]] for why neither a HOF nor an
+    // unrolled literal chain survives here.
+    val vd = col(v).cast("double")
+    val pidExpr = byGroup.foldLeft(lit(0)) { case (acc, (gkey, bs)) =>
+      val cond = grpCols.zip(gkey).map { case (c, k) =>
+        if (k == null) col(c).isNull else col(c) === lit(k)
+      }.reduce(_ && _)
+      when(cond, graft.functions.BucketIdx(vd, bs)).otherwise(acc)
+    }
+    val data = base.withColumn("_pid", pidExpr)
     val wOff = Window.partitionBy(gc: _*).orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.partitionBy(gc: _*)
@@ -217,9 +265,25 @@ object Relational {
       .withColumn("_off",
         coalesce(sum(col("_c")).over(wOff), lit(0L)).cast("double"))
       .withColumn("_n", sum(col("_c")).over(wTot).cast("double"))
+      // (buckets x groups) rows; materialized because quantilesRanged
+      // derives BOTH the per-group sizes and the target locations from
+      // it — unmaterialized, each reference re-scans the input to
+      // rebuild the counts
+      .localCheckpoint()
     (data, offs)
   }
 
+  /** Global per-group rank with parallelism INDEPENDENT of group count
+    * ([[exactQuantilesBy]] partitions the sort by group, so three groups
+    * sort on three tasks — fine for many groups, the wrong shape for
+    * few-groups-huge-data): a row's global rank is its LOCAL rank
+    * within its value bucket plus the broadcast running offset of lower
+    * buckets. Annotates with `_rn` (0-based global rank in group,
+    * double) and `_n` (group size, double). Unlike the quantile
+    * variants there is no bucket pruning — every row needs a rank —
+    * so the one full-data exchange here is the bucket-local sort
+    * window's own shuffle.
+    */
   private def rankedRanged(df: DataFrame, grpCols: Seq[String],
       v: String): DataFrame = {
     val gc = grpCols.map(col)
