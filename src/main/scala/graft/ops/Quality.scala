@@ -58,6 +58,17 @@ object Quality {
     * caller decides when (and how often) to pay for it.
     */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    // empty checks would hit reduce on no pieces; duplicate rendered
+    // names would build a duplicate-key map() and throw at RUNTIME under
+    // the default mapKeyDedupPolicy=EXCEPTION — both fail here with a
+    // message naming the problem instead
+    require(checks.nonEmpty, "Quality.audit: checks must be non-empty")
+    val dupNames = checks.groupBy(_.name).collect {
+      case (n, cs) if cs.size > 1 => n
+    }
+    require(dupNames.isEmpty,
+      s"Quality.audit: duplicate check names ${dupNames.mkString(", ")} — " +
+        "give same-column checks distinct names")
     val rowLocal = checks.filter {
       case _: NotNull | _: InRange | _: InSet => true; case _ => false
     }

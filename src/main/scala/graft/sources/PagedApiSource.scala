@@ -185,8 +185,15 @@ private[sources] class PagedApiScan(options: Map[String, String],
   override def filter(filters: Array[sources.Filter]): Unit =
     filters.foreach {
       case sources.In("id", vs) =>
-        val ids = vs.collect { case s: String => s }.toSet
-        runtimeIds = Some(runtimeIds.map(_.intersect(ids)).getOrElse(ids))
+        // all-or-nothing: a lossy subset (some values in a non-String
+        // runtime representation) would wrongly filter out surviving
+        // rows, so any non-String value skips the whole filter — the
+        // same wholesale rejection the static pushFilters path applies
+        val strs = vs.collect { case s: String => s }
+        if (strs.length == vs.length) {
+          val ids = strs.toSet
+          runtimeIds = Some(runtimeIds.map(_.intersect(ids)).getOrElse(ids))
+        }
       case sources.EqualTo("id", v: String) =>
         runtimeIds = Some(runtimeIds
           .map(_.intersect(Set(v))).getOrElse(Set(v)))
@@ -335,14 +342,26 @@ private[sources] class PagedApiMicroBatchStream(
   override def getDefaultReadLimit: streaming.ReadLimit =
     streaming.ReadLimit.maxRows(maxPerTrigger)
 
-  /** Admission-controlled: advance by at most maxPerTrigger per batch,
-    * never past an AvailableNow catch-up target.
+  /** Admission-controlled: advance by at most the ENGINE's ReadLimit per
+    * batch (which getDefaultReadLimit seeds with maxPerTrigger, but the
+    * engine may compose or override it), never past an AvailableNow
+    * catch-up target.
     */
+  private def readLimitRows(limit: streaming.ReadLimit): Long = limit match {
+    case r: streaming.ReadMaxRows => r.maxRows()
+    case _: streaming.ReadAllAvailable => Long.MaxValue
+    case c: streaming.CompositeReadLimit =>
+      c.getReadLimits.map(readLimitRows).min
+    case _ => maxPerTrigger.toLong // ReadMinRows etc.: fall back to our cap
+  }
+
   override def latestOffset(start: streaming.Offset,
       limit: streaming.ReadLimit): streaming.Offset = {
     val s = start.asInstanceOf[PagedApiOffset].idx
-    val target = math.min(availableTarget.getOrElse(Long.MaxValue),
-      s + maxPerTrigger)
+    // saturating add: ReadAllAvailable's Long.MaxValue must not overflow
+    val cap = readLimitRows(limit)
+    val next = if (Long.MaxValue - cap < s) Long.MaxValue else s + cap
+    val target = math.min(availableTarget.getOrElse(Long.MaxValue), next)
     ensureListed(target)
     PagedApiOffset(math.min(ids.size.toLong, target))
   }
@@ -357,6 +376,11 @@ private[sources] class PagedApiMicroBatchStream(
     val (s, e) = (start.asInstanceOf[PagedApiOffset].idx,
       end.asInstanceOf[PagedApiOffset].idx)
     ensureListed(e)
+    // offsets index the driver-side Vector listing, which is Int-bounded
+    // by construction; make the assumption explicit rather than letting
+    // .toInt silently truncate a corrupt checkpoint offset
+    require(s >= 0 && e <= Int.MaxValue,
+      s"paged-api offsets [$s, $e) exceed the Int-indexed listing range")
     val slice = ids.slice(s.toInt, e.toInt)
     if (slice.isEmpty) Array.empty
     else slice.grouped(chunk)

@@ -191,8 +191,14 @@ private[sources] class TxJsonBatchWrite(path: String, schema: StructType)
       (s"""{"version":$version}""" +:
         all.map { case (f, n) => s"""{"file":"$f","rows":$n}""" } :+
         s"""{"total_rows":${all.map(_._2).sum}}""").mkString("\n")
+    // the versioned manifest gets the same tmp-file + ATOMIC_MOVE as the
+    // pointer: a crash mid-write must not leave a torn _COMMIT-vN that a
+    // later explicit-version read would silently parse as a partial
+    // snapshot
     val versioned = dir.resolve(s"_COMMIT-v$version")
-    Files.write(versioned, manifest.getBytes(StandardCharsets.UTF_8))
+    val tmpVersioned = dir.resolve(s"_COMMIT-v$version.tmp")
+    Files.write(tmpVersioned, manifest.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmpVersioned, versioned, StandardCopyOption.ATOMIC_MOVE)
     val tmpManifest = dir.resolve("_COMMIT.tmp")
     Files.write(tmpManifest, manifest.getBytes(StandardCharsets.UTF_8))
     Files.move(tmpManifest, dir.resolve("_COMMIT"),

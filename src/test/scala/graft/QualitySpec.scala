@@ -48,4 +48,16 @@ class QualitySpec extends SparkSpec {
     assert(got("unique(id)") == 1)
     assert(got("ref(k)") == 1)
   }
+
+  test("empty and duplicate-name check lists fail fast with clear errors") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0)).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException](Quality.audit(df, Seq.empty))
+    assert(e1.getMessage.contains("non-empty"))
+    // two InRange on one column render the same name — previously a
+    // duplicate map() key throwing deep inside Spark at collect time
+    val e2 = intercept[IllegalArgumentException](Quality.audit(df,
+      Seq(InRange("v", 0.0, 1.0), InRange("v", 2.0, 3.0))))
+    assert(e2.getMessage.contains("in_range(v)"))
+  }
 }

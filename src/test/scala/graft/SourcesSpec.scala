@@ -30,6 +30,33 @@ object CountingApiClient {
   def reset(): Unit = { listCalls.set(0); getCalls.set(0) }
 }
 
+/** Failure-injection client: the FIRST get() of the armed id throws
+  * (killing its task and, in retry-less local mode, the whole query
+  * mid-batch); every later call succeeds. Per-id get counts let the
+  * spec prove exactly which messages were re-fetched after the crash.
+  */
+class FailOnceApiClient extends PagedApiClient {
+  private val inner = new FixtureApiClient
+  override def init(options: Map[String, String]): Unit = inner.init(options)
+  override def listPage(pageToken: Option[String]): PageResult =
+    inner.listPage(pageToken)
+  override def get(id: String): String = {
+    FailOnceApiClient.counts
+      .computeIfAbsent(id, _ => new AtomicInteger(0)).incrementAndGet()
+    if (id == FailOnceApiClient.failId.get() &&
+        FailOnceApiClient.armed.compareAndSet(true, false))
+      throw new RuntimeException(s"injected mid-batch failure on $id")
+    inner.get(id)
+  }
+}
+
+object FailOnceApiClient {
+  val counts = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]
+  val failId = new java.util.concurrent.atomic.AtomicReference[String]("")
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def arm(id: String): Unit = { counts.clear(); failId.set(id); armed.set(true) }
+}
+
 class SourcesSpec extends SparkSpec {
 
   private lazy val dir: String = {
@@ -92,6 +119,54 @@ class SourcesSpec extends SparkSpec {
     assert(second.select("id").distinct().count() == 15)
     assert(CountingApiClient.getCalls.get() - getsBefore == 5,
       s"re-fetched already-ingested messages: ${CountingApiClient.getCalls.get() - getsBefore}")
+  }
+
+  test("streaming source: kill mid-batch — committed messages never re-GET, none lost") {
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val d = Files.createTempDirectory("graft-api-kill").toString
+    val msgs = (1 to 12).map(i =>
+      Fixtures.message(f"k$i%03d").replaceAll("\n", " "))
+    Files.writeString(Paths.get(d, "messages.jsonl"), msgs.mkString("\n") + "\n")
+    val out = Files.createTempDirectory("graft-api-kill-out").toString
+    val ckpt = Files.createTempDirectory("graft-api-kill-ckpt").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.PagedApiSource")
+        .option("client", classOf[FailOnceApiClient].getName)
+        .option("path", d).option("pageSize", "10")
+        .option("maxPerTrigger", "4")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batches admit ids [1-4], [5-8], [9-12]; the injected failure lands
+    // INSIDE the second batch, after batch 1 committed
+    FailOnceApiClient.arm("k006")
+    val died = intercept[StreamingQueryException](run())
+    assert(died.getMessage != null)
+    // restart from the same checkpoint — the disarmed client now succeeds
+    run()
+    def cnt(id: String) =
+      Option(FailOnceApiClient.counts.get(id)).fold(0)(_.get())
+    val result = spark.read.parquet(out)
+    // nothing lost, nothing duplicated in the sink
+    assert(result.count() == 12)
+    assert(result.select("id").distinct().count() == 12)
+    // batch-1 ids committed before the crash are fetched exactly once —
+    // the restart resumed the cursor, it did not rewind it
+    (1 to 4).foreach { i =>
+      val id = f"k$i%03d"
+      assert(cnt(id) == 1, s"committed message $id re-fetched: ${cnt(id)} calls")
+    }
+    // the failed batch replays: at most one extra GET per member (the
+    // aborted attempt), never more
+    (5 to 12).foreach { i =>
+      val id = f"k$i%03d"
+      assert(cnt(id) >= 1 && cnt(id) <= 2, s"$id fetched ${cnt(id)} times")
+    }
+    // the id that blew up was called twice: the injected failure + replay
+    assert(cnt("k006") == 2)
   }
 
   test("full scan lists all pages and fetches every message") {
