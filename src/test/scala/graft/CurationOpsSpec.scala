@@ -180,6 +180,40 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_approx at sf0.1: rsd-consistent error where cardinality is real") {
+    // the ONE rows-only query in the suite gets its quantitative
+    // acceptance check here instead of from the oracle. Two regimes at
+    // the largest local scale: the query's own low-cardinality column
+    // (25 nations — the sketch must land within integer slack), and a
+    // high-cardinality per-segment count where the default 5% rsd is
+    // actually exercised (3 sigma = 15%).
+    val big = "/root/testdata/sf0.1"
+    val approx = SparkEntry.queries("q_agg_approx")(spark, big).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.customer(spark, big)
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("n"),
+        countDistinct(col("c_custkey")).as("nk"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    for ((seg, (e, _)) <- exact) {
+      val tol = math.max(2.0, 0.15 * e)
+      assert(math.abs(approx(seg) - e) <= tol,
+        s"$seg: approx=${approx(seg)} exact=$e")
+    }
+    val hi = Tables.customer(spark, big)
+      .groupBy(col("c_mktsegment"))
+      .agg(approx_count_distinct(col("c_custkey")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((seg, (_, ek)) <- exact) {
+      assert(ek >= 1000, s"$seg: sf0.1 cardinality unexpectedly small: $ek")
+      val rel = math.abs(hi(seg) - ek).toDouble / ek
+      assert(rel <= 0.15,
+        s"$seg: high-cardinality estimate off by ${rel * 100}% " +
+          s"(est=${hi(seg)} exact=$ek) — beyond 3x the default 5% rsd")
+    }
+  }
+
   test("triangles: ordered-edge join count equals brute force; degrees obey the handshake lemma") {
     val pairs = SparkEntry.queries("q_dedup_pairs")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
