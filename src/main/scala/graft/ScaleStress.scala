@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-stress harness: synthesizes an N-fold blowup of the
+  * sf0.1 tables into a temp dir, times a representative expensive-query
+  * set at 1x and Nx on identical code paths, and reports per-query
+  * scaling exponents (log_N of the time ratio — 1.0 = perfectly linear)
+  * plus the connected-components round count at both scales. This turns
+  * the "100 TB-shaped" design claims (bucketed LSH, pointer-doubling CC
+  * rounds, rank-selection pushdown) into measured evidence; results are
+  * summarized in BASELINE.md.
+  *
+  * Replicas are SELF-SIMILAR, not copies: replica r offsets every key
+  * space and rotates document text through a per-replica substitution
+  * cipher, so shingle/token sets of different replicas are disjoint —
+  * near-dup structure repeats N times instead of every document gaining
+  * N-1 artificial twins (which would quadratically inflate pair counts
+  * and measure a different workload). Embedding vectors get a
+  * per-replica constant shift for the same reason.
+  *
+  * Usage: runMain graft.ScaleStress [srcSfDir] [workDir] [replicas]
+  */
+object ScaleStress {
+
+  private val Dims = Seq("region", "nation", "customer", "supplier", "part")
+
+  /** Lowercase alphabet rotated by r — a deterministic text transform
+    * that preserves length, token boundaries, and intra-replica dup
+    * structure while making cross-replica shingles disjoint.
+    */
+  private def rot(r: Int): String = {
+    val a = "abcdefghijklmnopqrstuvwxyz"
+    val k = ((r % 26) + 26) % 26
+    a.substring(k) + a.substring(0, k)
+  }
+
+  private def replica(spark: SparkSession, src: String, table: String,
+      r: Int): DataFrame = {
+    val df = spark.read.parquet(s"$src/$table.parquet")
+    val off = r * 1000000000L
+    table match {
+      case "documents" =>
+        df.withColumn("doc_id", col("doc_id") + lit(off))
+          .withColumn("text",
+            translate(col("text"), "abcdefghijklmnopqrstuvwxyz", rot(r)))
+      case "embeddings" =>
+        df.withColumn("vec_id", col("vec_id") + lit(off))
+          .withColumn("embedding",
+            transform(col("embedding"),
+              x => (x + lit(r * 1e-3)).cast("float")))
+      case "orders" =>
+        // orderkey offsets in lockstep with lineitem preserve the FK;
+        // custkey stays put — scale grows data per key, not key count
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(off))
+      case "lineitem" =>
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(off))
+      case "events" =>
+        df.withColumn("event_id", col("event_id") + lit(off))
+      case _ => df
+    }
+  }
+
+  private def synth(spark: SparkSession, src: String, dst: String,
+      replicas: Int): Unit = {
+    Files.createDirectories(Paths.get(dst))
+    for (t <- Dims)
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    for (t <- Seq("documents", "embeddings", "orders", "lineitem", "events")) {
+      (0 until replicas).map(replica(spark, src, t, _))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+  }
+
+  /** The stress set: the suite's most expensive queries plus the
+    * LSH/CC/ANN pipelines whose scale shape the design claims hinge on.
+    */
+  private val StressQueries = Seq(
+    // ranged-quantile family (rank-selection pushdown)
+    "q_agg_median", "q_winsorize", "q_outlier_iqr", "q_quantile_disc",
+    "q_histogram_eqdepth",
+    // text/gram pipelines (agg-before-shuffle shapes)
+    "q_ngram_novelty", "q_substring_dup", "q_bigram_lm", "q_bm25",
+    // near-dup pipelines (banded LSH, never all-pairs)
+    "q_dedup_minhash", "q_dedup_pairs", "q_dedup_clusters", "q_dedup_hamming",
+    // ANN (bucketed, never brute-force at scale)
+    "q_sim_topk", "q_ann_lsh", "q_ann_ivf",
+    // stateful sessionization over events
+    "q_sessionize")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = args.drop(1).headOption.getOrElse("/tmp/graft_scale")
+    val replicas = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // events.ts is parquet TIMESTAMP(NANOS): read it as a raw long (the
+    // same legacy conf Tables.events uses); the replica then round-trips
+    // the nanos as INT64, which Tables.events' `ts div 1000` treats
+    // identically to the original annotation
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val d1 = s"$work/x1"
+    val dN = s"$work/x$replicas"
+    synth(spark, src, d1, 1)
+    synth(spark, src, dN, replicas)
+
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // JIT/codegen warmup on the small dir
+    StressQueries.foreach(run(_, d1))
+    // min of two passes per scale — same noise protocol as Bench
+    val results = StressQueries.map { name =>
+      val t1 = math.min(run(name, d1), run(name, d1))
+      val tN = math.min(run(name, dN), run(name, dN))
+      val expo = math.log(tN / t1) / math.log(replicas.toDouble)
+      println(f"SCALE $name%-22s x1=$t1%7.2fs x$replicas=$tN%7.2fs exponent=$expo%5.2f")
+      (name, t1, tN, expo)
+    }
+    // CC rounds at both scales: the O(log diameter) observable
+    def ccRounds(dir: String): Int = {
+      val pairs = SparkEntry.queries("q_dedup_pairs")(spark, dir)
+      graft.ops.Clusters.connectedComponentsWithRounds(
+        pairs, "id_a", "id_b")._2
+    }
+    val (r1, rN) = (ccRounds(d1), ccRounds(dN))
+    println(s"SCALE cc_rounds x1=$r1 x$replicas=$rN")
+    val json = results.map { case (n, t1, tN, e) =>
+      s""""$n":{"t1":${math.rint(t1 * 1000) / 1000},"t$replicas":${math.rint(tN * 1000) / 1000},"exponent":${math.rint(e * 100) / 100}}"""
+    }.mkString("{", ",", s""","cc_rounds":{"x1":$r1,"x$replicas":$rN}}""")
+    Files.writeString(Paths.get("SCALE_STRESS.json"), json)
+    println(s"SCALE done -> SCALE_STRESS.json")
+    spark.stop()
+  }
+}

@@ -24,7 +24,15 @@ object Clusters {
     *         root = smallest node id reachable (the canonical cluster id)
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** Same loop, also reporting the number of rounds run until the
+    * fixpoint — the observable the O(log diameter) pointer-doubling
+    * claim is measured by (ScaleStress records it at 1x vs 10x).
+    */
+  def connectedComponentsWithRounds(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 50): (DataFrame, Int) = {
     // symmetrize once; this small relation drives every round
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
@@ -62,6 +70,6 @@ object Clusters {
       converged = changed == 0
       i += 1
     }
-    labels
+    (labels, i)
   }
 }

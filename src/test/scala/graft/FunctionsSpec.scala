@@ -181,4 +181,32 @@ class FunctionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(hofPlan).isEmpty, hofPlan)
   }
+
+  test("bucket_idx: lower-bound semantics, edges, codegen participation") {
+    import spark.implicits._
+    import graft.functions.BucketIdx
+    // the raw search: |{b : b < v}| over ascending boundaries
+    val bs = Array(1.0, 3.0, 3.0, 7.0)
+    assert(BucketIdx.search(bs, 0.5) == 0)
+    assert(BucketIdx.search(bs, 1.0) == 0) // boundary value stays below
+    assert(BucketIdx.search(bs, 2.0) == 1)
+    assert(BucketIdx.search(bs, 3.0) == 1)
+    assert(BucketIdx.search(bs, 5.0) == 3)
+    assert(BucketIdx.search(bs, 9.0) == 4)
+    assert(BucketIdx.search(Array.emptyDoubleArray, 9.0) == 0)
+    // expression parity with the search on a real column, and monotone
+    // (spark.range, not a local Seq — ConvertToLocalRelation would fold
+    // a local relation to a LocalTableScan and skip codegen entirely)
+    val df = spark.range(100).select((col("id") * 0.2).as("v"))
+      .select(col("v"), BucketIdx(col("v"), Array(2.0, 7.0, 13.0)).as("b"))
+    val rows = df.collect().map(r => (r.getDouble(0), r.getInt(1)))
+    rows.foreach { case (v, b) =>
+      assert(b == BucketIdx.search(Array(2.0, 7.0, 13.0), v))
+    }
+    assert(rows.sortBy(_._1).map(_._2).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)))
+    // stays inside whole-stage codegen (the point of the native expr)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined, plan)
+  }
 }

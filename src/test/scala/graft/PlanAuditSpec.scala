@@ -166,9 +166,12 @@ class PlanAuditSpec extends SparkSpec {
       p.take(3000)) // the sketch itself is built by a distributed agg
   }
 
-  test("winsorize: quantile core range-partitions, fences broadcast back") {
+  test("winsorize: map-side bucket_idx core, fences broadcast back") {
     val (p, _) = planOf("q_winsorize")
-    assert(p.contains("rangepartitioning"), p.take(3000))
+    // the ranged core assigns value buckets with the native bucket_idx
+    // expression (no repartitionByRange exchange of the relation), and
+    // the computed fences come back as a broadcast join
+    assert(p.contains("bucket_idx"), p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
