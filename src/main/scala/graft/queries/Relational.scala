@@ -141,7 +141,7 @@ object Relational {
     * `grpCols` — lets callers quantile several metrics in a single pass
     * by unpivoting (metric, value) into the grouping first.
     */
-  private def exactQuantilesBy(df: DataFrame, grpCols: Seq[String], v: String,
+  private[graft] def exactQuantilesBy(df: DataFrame, grpCols: Seq[String], v: String,
       qs: Seq[(Double, String)]): DataFrame = {
     val gc = grpCols.map(col)
     val w = Window.partitionBy(gc: _*).orderBy(col(v))
@@ -368,7 +368,7 @@ object Relational {
     }
   }
 
-  private def exactQuantilesRanged(df: DataFrame, grpCols: Seq[String],
+  private[graft] def exactQuantilesRanged(df: DataFrame, grpCols: Seq[String],
       v: String, qs: Seq[(Double, String)]): DataFrame =
     quantilesRanged(df, grpCols, v, qs, disc = false)
 
@@ -377,7 +377,7 @@ object Relational {
     * index ceil(q*n) (DuckDB quantile_disc's convention) — so there is
     * no interpolation and no rounding anchor to manage.
     */
-  private def discQuantilesRanged(df: DataFrame, grpCols: Seq[String],
+  private[graft] def discQuantilesRanged(df: DataFrame, grpCols: Seq[String],
       v: String, qs: Seq[(Double, String)]): DataFrame =
     quantilesRanged(df, grpCols, v, qs, disc = true)
 

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.Relational
+
+/** Adversarial-distribution tests for the bucket_idx ranged-quantile
+  * core: the oracle suite exercises it on well-behaved TPC-H-ish
+  * columns, so the degenerate shapes — constant columns (every sampled
+  * boundary identical → one bucket), heavy ties exactly at quantile
+  * positions, groups too small to sample, single-row groups — are
+  * pinned here against two independent references: the by-group window
+  * implementation (exactQuantilesBy) and a driver-side sort computing
+  * Percentile's interpolation formula directly.
+  */
+class QuantileCoreSpec extends SparkSpec {
+
+  private val qs = Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75")
+
+  /** Percentile/quantile_cont interpolation on a sorted vector —
+    * the exact float shape both engine paths implement.
+    */
+  private def expected(vs: Seq[Double], q: Double): Double = {
+    val s = vs.sorted
+    val p = q * (s.length - 1)
+    val (lo, hi) = (math.floor(p).toInt, math.ceil(p).toInt)
+    val v = if (lo == hi) s(lo)
+    else (hi - p) * s(lo) + (p - math.floor(p)) * s(hi)
+    math.rint(v * 1e6) / 1e6
+  }
+
+  private def checkAgainstReferences(df: DataFrame,
+      data: Map[String, Seq[Double]]): Unit = {
+    val ranged = Relational.exactQuantilesRanged(df, Seq("g"), "v", qs)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byGroup = Relational.exactQuantilesBy(df, Seq("g"), "v", qs)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(ranged.keySet == data.keySet)
+    assert(ranged == byGroup, s"ranged=$ranged byGroup=$byGroup")
+    for ((g, vs) <- data) {
+      val (a, b, c) = ranged(g)
+      assert(a == expected(vs, 0.25), s"$g q25: got $a")
+      assert(b == expected(vs, 0.5), s"$g q50: got $b")
+      assert(c == expected(vs, 0.75), s"$g q75: got $c")
+    }
+  }
+
+  private def toDf(data: Map[String, Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    // 16 partitions in arbitrary interleaving — the core must not care
+    spark.sparkContext
+      .parallelize(data.toSeq.flatMap { case (g, vs) => vs.map((g, _)) }, 16)
+      .toDF("g", "v")
+  }
+
+  test("constant column: every boundary identical, one effective bucket") {
+    val data = Map("a" -> Seq.fill(5000)(42.0))
+    checkAgainstReferences(toDf(data), data)
+  }
+
+  test("heavy ties at the quantile positions") {
+    // 50% of mass is the single value 10.0 — the median and both hinges
+    // land inside tie runs, where rank assignment is arbitrary but the
+    // value at each rank is not
+    val data = Map(
+      "a" -> (Seq.fill(2500)(10.0) ++ (1 to 1250).map(_.toDouble)
+        ++ (1 to 1250).map(i => 10000.0 + i)),
+      "b" -> (Seq.fill(999)(7.0) :+ 8.0))
+    checkAgainstReferences(toDf(data), data)
+  }
+
+  test("groups too small to sample fall back to bucket 0") {
+    val data = Map(
+      "one" -> Seq(3.14),
+      "two" -> Seq(2.0, 1.0),
+      "big" -> (1 to 4000).map(i => math.sin(i).abs * 1000))
+    checkAgainstReferences(toDf(data), data)
+  }
+
+  test("discrete value-at-rank returns actual data values on tie runs") {
+    val data = Map(
+      "a" -> (Seq.fill(100)(5.0) ++ Seq.fill(100)(6.0) ++ Seq.fill(100)(7.0)),
+      "b" -> Seq(9.0))
+    val got = Relational.discQuantilesRanged(toDf(data), Seq("g"), "v",
+        Seq(0.5 -> "p50", 0.9 -> "p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // DuckDB quantile_disc convention: 1-based index ceil(q*n)
+    def disc(vs: Seq[Double], q: Double) =
+      vs.sorted.apply(math.ceil(q * vs.length).toInt - 1)
+    for ((g, vs) <- data) {
+      assert(got(g)._1 == disc(vs, 0.5), s"$g p50: ${got(g)._1}")
+      assert(got(g)._2 == disc(vs, 0.9), s"$g p90: ${got(g)._2}")
+      assert(vs.contains(got(g)._1) && vs.contains(got(g)._2))
+    }
+  }
+}
