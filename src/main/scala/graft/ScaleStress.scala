@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions._
   * and measure a different workload). Embedding vectors get a
   * per-replica constant shift for the same reason.
   *
-  * Usage: runMain graft.ScaleStress [srcSfDir] [workDir] [replicas]
+  * Usage:
+  *   runMain graft.ScaleStress [srcSfDir] [workDir] [replicas]
+  *     [queryCsv] [factTableCsv]
+  * The optional subsets serve deep (100x+) runs where synthesizing
+  * every fact table would dominate the wall clock; queries given must
+  * only touch the listed tables. SPARK_GRAFT_SCALE_OUT overrides the
+  * SCALE_STRESS.json output path.
   */
 object ScaleStress {
 
@@ -64,13 +70,16 @@ object ScaleStress {
     }
   }
 
+  private val Facts = Seq("documents", "embeddings", "orders", "lineitem",
+    "events")
+
   private def synth(spark: SparkSession, src: String, dst: String,
-      replicas: Int): Unit = {
+      replicas: Int, facts: Seq[String]): Unit = {
     Files.createDirectories(Paths.get(dst))
     for (t <- Dims)
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
-    for (t <- Seq("documents", "embeddings", "orders", "lineitem", "events")) {
+    for (t <- facts) {
       (0 until replicas).map(replica(spark, src, t, _))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -97,6 +106,15 @@ object ScaleStress {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.drop(1).headOption.getOrElse("/tmp/graft_scale")
     val replicas = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    // optional subsets for deep (100x+) runs where blowing up every
+    // fact table would dominate the wall clock: arg4 = query csv,
+    // arg5 = fact-table csv (queries must only touch listed tables)
+    val stressSet = args.drop(3).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(StressQueries)
+    val facts = args.drop(4).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Facts)
     val spark = SparkSession.builder()
       .master("local[32]")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -114,8 +132,8 @@ object ScaleStress {
 
     val d1 = s"$work/x1"
     val dN = s"$work/x$replicas"
-    synth(spark, src, d1, 1)
-    synth(spark, src, dN, replicas)
+    synth(spark, src, d1, 1, facts)
+    synth(spark, src, dN, replicas, facts)
 
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -124,9 +142,9 @@ object ScaleStress {
       (System.nanoTime() - t0) / 1e9
     }
     // JIT/codegen warmup on the small dir
-    StressQueries.foreach(run(_, d1))
+    stressSet.foreach(run(_, d1))
     // min of two passes per scale — same noise protocol as Bench
-    val results = StressQueries.map { name =>
+    val results = stressSet.map { name =>
       val t1 = math.min(run(name, d1), run(name, d1))
       val tN = math.min(run(name, dN), run(name, dN))
       val expo = math.log(tN / t1) / math.log(replicas.toDouble)
@@ -139,12 +157,17 @@ object ScaleStress {
       graft.ops.Clusters.connectedComponentsWithRounds(
         pairs, "id_a", "id_b")._2
     }
-    val (r1, rN) = (ccRounds(d1), ccRounds(dN))
-    println(s"SCALE cc_rounds x1=$r1 x$replicas=$rN")
+    val cc =
+      if (facts.contains("documents")) {
+        val (r1, rN) = (ccRounds(d1), ccRounds(dN))
+        println(s"SCALE cc_rounds x1=$r1 x$replicas=$rN")
+        s""","cc_rounds":{"x1":$r1,"x$replicas":$rN}"""
+      } else ""
     val json = results.map { case (n, t1, tN, e) =>
       s""""$n":{"t1":${math.rint(t1 * 1000) / 1000},"t$replicas":${math.rint(tN * 1000) / 1000},"exponent":${math.rint(e * 100) / 100}}"""
-    }.mkString("{", ",", s""","cc_rounds":{"x1":$r1,"x$replicas":$rN}}""")
-    Files.writeString(Paths.get("SCALE_STRESS.json"), json)
+    }.mkString("{", ",", s"$cc}")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_STRESS.json")
+    Files.writeString(Paths.get(outFile), json)
     println(s"SCALE done -> SCALE_STRESS.json")
     spark.stop()
   }
