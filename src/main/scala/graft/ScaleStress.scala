@@ -97,6 +97,7 @@ object ScaleStress {
     "q_ngram_novelty", "q_substring_dup", "q_bigram_lm", "q_bm25",
     // near-dup pipelines (banded LSH, never all-pairs)
     "q_dedup_minhash", "q_dedup_pairs", "q_dedup_clusters", "q_dedup_hamming",
+    "q_dedup_hamming64",
     // ANN (bucketed, never brute-force at scale)
     "q_sim_topk", "q_ann_lsh", "q_ann_ivf",
     // stateful sessionization over events

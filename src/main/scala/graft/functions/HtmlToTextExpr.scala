@@ -91,6 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bucket_idx"),
       BucketIdx.info, BucketIdx.builder))
     ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      SimHash64.info,
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_agg"),
       BloomExprs.aggInfo, BloomExprs.aggBuilder))
     ext.injectFunction((

@@ -35,6 +35,8 @@ object Ext {
   private val PrIters = 3      // damped PageRank power iterations
   private val SimBands = 2     // simhash hamming-LSH bands (8 bits each)
   private val SimBandBits = 16 / SimBands
+  private val Sim64Bands = 4   // 64-bit simhash bands (16 bits each)
+  private val Sim64BandBits = 64 / Sim64Bands
   private val AnnBits = 4      // sign-bucket bits -> 16 buckets
   private val TopK = 10
   private val AnnK = 5
@@ -458,6 +460,62 @@ object Ext {
         .filter(col("hamming") <= SimBands - 1)
         .select(explode(col("ids_a")).as("i"), col("ids_b"),
           col("hamming"))
+        .select(col("i"), explode(col("ids_b")).as("j"), col("hamming"))
+        .select(least(col("i"), col("j")).as("id_a"),
+          greatest(col("i"), col("j")).as("id_b"), col("hamming"))
+      intra.unionByName(cross).orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Production-width hamming LSH: the 100x ScaleStress run measured
+    // the 16-bit pipeline crossing linear (exponent 1.05, BASELINE.md)
+    // because 2^16 signatures saturate near 1e5 documents and the band
+    // buckets densify. 64-bit signatures defer saturation past any
+    // realistic corpus; 16-bit bands keep the pigeonhole guarantee
+    // (hamming <= 3 pairs agree on >= 1 of 4 bands) with 65536-value
+    // band keys. Same collapse-to-distinct-signatures shape as
+    // q_dedup_hamming; the verify xors the signature as two 32-bit
+    // halves (conv of a full 64-char binary string would overflow a
+    // signed long).
+    "q_dedup_hamming64" -> ((s, d) => {
+      val groups = docsWithNearDups(s, d)
+        .select(col("doc_id"),
+          graft.functions.SimHash64(col("text")).as("sig"))
+        .groupBy(col("sig"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .localCheckpoint()
+      val intra = groups
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+      val sigBands = groups.select(col("sig"), col("ids"), explode(array(
+          (0 until Sim64Bands).map(b => struct(lit(b).as("band"),
+            substring(col("sig"), b * Sim64BandBits + 1, Sim64BandBits)
+              .as("bv"))): _*)).as("e"))
+        .select(col("sig"), col("ids"),
+          col("e.band").as("band"), col("e.bv").as("bv"))
+      def half(c: org.apache.spark.sql.Column, i: Int) =
+        conv(substring(c, i * 32 + 1, 32), 2, 10).cast("long")
+      val ham = (0 until 2).map(i =>
+        bit_count(half(col("sig_a"), i).bitwiseXOR(half(col("sig_b"), i))))
+        .reduce(_ + _)
+      val firstAgreeingBand = (0 until Sim64Bands - 1).foldRight(
+        lit(Sim64Bands - 1): org.apache.spark.sql.Column) { case (b, acc) =>
+        when(substring(col("sig_a"), b * Sim64BandBits + 1, Sim64BandBits) ===
+          substring(col("sig_b"), b * Sim64BandBits + 1, Sim64BandBits),
+          b).otherwise(acc)
+      }
+      val cross = sigBands
+        .select(col("sig").as("sig_a"), col("ids").as("ids_a"),
+          col("band"), col("bv"))
+        .join(sigBands.select(col("sig").as("sig_b"),
+          col("ids").as("ids_b"), col("band"), col("bv")),
+          Seq("band", "bv"))
+        .filter(col("sig_a") < col("sig_b") &&
+          col("band") === firstAgreeingBand)
+        .select(col("ids_a"), col("ids_b"), ham.as("hamming"))
+        .filter(col("hamming") <= Sim64Bands - 1)
+        .select(explode(col("ids_a")).as("i"), col("ids_b"), col("hamming"))
         .select(col("i"), explode(col("ids_b")).as("j"), col("hamming"))
         .select(least(col("i"), col("j")).as("id_a"),
           greatest(col("i"), col("j")).as("id_b"), col("hamming"))
@@ -1823,6 +1881,21 @@ object Ext {
        |  THEN '1' ELSE '0' END
        |  for i in range(0, 16)], '')""".stripMargin
 
+  /** DuckDB expression: 64-bit simhash over token-list column t — bit i
+    * is the sign of the vote sum over tokens of md5-digest bit i, read
+    * nibble-wise from the hex digest ((nibble >> (3 - i%4)) & 1), the
+    * exact rule [[graft.functions.SimHash64.compute]] applies byte-wise.
+    */
+  private val sqlSimhash64 =
+    s"""array_to_string([
+       |  CASE WHEN list_sum(list_transform(t, tok ->
+       |    CASE WHEN (((strpos('0123456789abcdef',
+       |            substring(md5(tok), i // 4 + 1, 1)) - 1)
+       |          >> (3 - i % 4)) & 1) = 1
+       |         THEN 1 ELSE -1 END)) > 0
+       |  THEN '1' ELSE '0' END
+       |  for i in range(0, 64)], '')""".stripMargin
+
   /** Shared CTE chain for the LSH candidate-pair pipeline (docs with
     * synthetic near-dups -> signatures -> bands -> candidate pairs ->
     * verified `sim(id_a, id_b, jaccard >= 0.5)`), used by both the pair
@@ -1982,6 +2055,34 @@ object Ext {
          |FROM cand
          |WHERE bit_count(xor(CAST(sig_a AS BIT), CAST(sig_b AS BIT)))
          |  <= ${SimBands - 1}
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_hamming64" ->
+      s"""WITH $sqlDocsCte,
+         |sg AS (SELECT doc_id, $sqlSimhash64 AS sig
+         |  FROM (SELECT doc_id, ${sqlTokens("text")} AS t FROM docs)),
+         |bands AS (SELECT doc_id, sig, b,
+         |    substring(sig, CAST(b * $Sim64BandBits + 1 AS INT),
+         |      $Sim64BandBits) AS bv
+         |  FROM sg, range(0, $Sim64Bands) AS r(b)),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  WHERE a.b = CASE
+         |    WHEN substring(a.sig, 1, $Sim64BandBits)
+         |       = substring(b.sig, 1, $Sim64BandBits) THEN 0
+         |    WHEN substring(a.sig, ${Sim64BandBits + 1}, $Sim64BandBits)
+         |       = substring(b.sig, ${Sim64BandBits + 1}, $Sim64BandBits) THEN 1
+         |    WHEN substring(a.sig, ${2 * Sim64BandBits + 1}, $Sim64BandBits)
+         |       = substring(b.sig, ${2 * Sim64BandBits + 1}, $Sim64BandBits) THEN 2
+         |    ELSE 3 END)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(CAST(sig_a AS BIT), CAST(sig_b AS BIT))) AS INT)
+         |    AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(CAST(sig_a AS BIT), CAST(sig_b AS BIT)))
+         |  <= ${Sim64Bands - 1}
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_jaccard" ->

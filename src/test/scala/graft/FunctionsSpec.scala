@@ -182,6 +182,37 @@ class FunctionsSpec extends SparkSpec {
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(hofPlan).isEmpty, hofPlan)
   }
 
+  test("simhash64: nibble-MSB cross-check vs simhash16, nulls, codegen") {
+    import spark.implicits._
+    val docs = Seq("hello world hello", "", "  double  spaces ",
+      "Unicode café 世界 tokens", "a").toDF("t")
+    val rows = docs.select(
+        graft.functions.SimHash16($"t").as("s16"),
+        graft.functions.SimHash64($"t").as("s64"))
+      .collect()
+    rows.foreach { r =>
+      val (s16, s64) = (r.getString(0), r.getString(1))
+      assert(s64.length == 64 && s64.forall(c => c == '0' || c == '1'))
+      // simhash16 bit j votes on the MSB of md5 nibble j — which IS
+      // digest bit 4j, i.e. bit 4j of the 64-bit signature. Identical
+      // votes, identical signs: an independent cross-implementation
+      // check of the bit indexing both the Scala and SQL sides use.
+      (0 until 16).foreach(j =>
+        assert(s16(j) == s64(4 * j), s"bit $j: s16=$s16 s64=$s64"))
+    }
+    val n = docs.select(graft.functions.SimHash64(lit(null).cast("string")))
+      .collect()(0)
+    assert(n.isNullAt(0))
+    // whole-stage codegen (non-foldable input via range)
+    val plan = spark.range(3)
+      .select(graft.functions.SimHash64(concat(lit("x "), col("id"))).as("s"))
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined, plan)
+    // SQL registration through GraftExtensions
+    assert(spark.sql("SELECT simhash64('a b c')").collect()(0)
+      .getString(0).length == 64)
+  }
+
   test("bucket_idx: lower-bound semantics, edges, codegen participation") {
     import spark.implicits._
     import graft.functions.BucketIdx
