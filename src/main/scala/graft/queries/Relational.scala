@@ -211,38 +211,48 @@ object Relational {
       : (DataFrame, DataFrame) = {
     val gc = grpCols.map(col)
     val base = df.select((grpCols :+ v).map(col): _*)
-    // deterministic ~1 pct sample: a pure value hash (codegen xxhash64
-    // -- the sample only picks bucket BOUNDARIES, never result values,
-    // so any deterministic hash serves), identical on every pass and
-    // every partitioning
-    val sampled = base.filter(
-      pmod(xxhash64((gc :+ col(v)): _*), lit(97)) === 0)
-    // boundary b_i = the sample value at tile edge i: ntile is
-    // positional, and the value AT a sorted position is tie-invariant,
-    // so the boundary set is deterministic regardless of partitioning
-    // or tie order.
-    // bucketing happens on the DOUBLE image of v: decimal->double is
-    // monotone, distinct values that collapse to one double simply share
-    // a bucket — bucket ids never touch result values
-    val wS = Window.partitionBy(gc: _*).orderBy(col(v))
-    val boundRows = sampled
-      .withColumn("_t", ntile(RangeBuckets).over(wS))
-      .groupBy((gc :+ col("_t")): _*)
-      .agg(max(col(v).cast("double")).as("_b"))
-      .filter(col("_t") < RangeBuckets)
+    // Boundary estimation, two deterministic stages: (1) a ~1% pure
+    // value-hash rate sample — a codegen'd filter, so the full-data
+    // pass stays cheap; (2) a FIXED-SIZE refinement per group — the k
+    // sampled rows with the smallest hash keys, via the KMV
+    // bounded-state aggregator (map-side combine, at most 2k buffered
+    // elements per partial). The round-4 shape sorted the rate sample
+    // through an ntile window partitioned BY GROUP: a sample
+    // PROPORTIONAL to the data on one reducer per group — the exact
+    // few-groups bottleneck this core exists to avoid. Here no stage
+    // sorts anything proportional to the input: the aggregation ships k
+    // values per (group, partition) and the final boundary pick runs on
+    // k values per group. The sample only picks bucket BOUNDARIES,
+    // never result values, so any deterministic selection serves;
+    // bucketing happens on the DOUBLE image of v (decimal->double is
+    // monotone; distinct values that collapse to one double simply
+    // share a bucket).
+    val sampleK = RangeBuckets * 100
+    val kmv = graft.ops.Aggregators.kmvSample(sampleK)
+    val sampleHash = xxhash64((gc :+ col(v)): _*)
+    val sampleRows = base
+      .filter(pmod(sampleHash, lit(97)) === 0)
+      .groupBy(gc: _*)
+      .agg(kmv(sampleHash, col(v).cast("double")).as("_s"))
       .collect()
-    val byGroup: Map[Seq[Any], Array[Double]] = boundRows
-      .groupBy(r => grpCols.map(r.getAs[Any]))
-      .view.mapValues { rs =>
-        rs.sortBy(_.getAs[Int]("_t")).map(_.getAs[Double]("_b"))
-          .distinct.toArray
-      }.toMap
     // this core is for FEW-groups-huge-data (many small groups belong in
     // the by-group exactQuantilesBy shape); the group-dispatch plan grows
     // with group count, so fail loudly rather than build a huge CASE
-    require(byGroup.size <= 256,
-      s"rangedCore saw ${byGroup.size} groups; use exactQuantilesBy for " +
-        "many-group quantiles")
+    require(sampleRows.length <= 256,
+      s"rangedCore saw ${sampleRows.length} groups; use exactQuantilesBy " +
+        "for many-group quantiles")
+    // boundary t = the sample value at sorted position floor(m*t/B):
+    // positions are tie-invariant, the sample is deterministic, so the
+    // boundary set is a pure function of the data
+    val byGroup: Map[Seq[Any], Array[Double]] = sampleRows.map { r =>
+      val key = grpCols.map(r.getAs[Any])
+      val s = r.getString(grpCols.size).split(",").filter(_.nonEmpty)
+        .map(_.toDouble)
+      val bs = (1 until RangeBuckets)
+        .map(t => s(math.min(s.length - 1, s.length * t / RangeBuckets)))
+        .distinct.toArray
+      key -> bs
+    }.toMap
     // _pid = |{b in boundaries : b < v}| — monotone in v, equal values
     // share a bucket, groups too small to sample collapse to bucket 0
     // (plain by-group sort, the right degenerate case). The per-group
