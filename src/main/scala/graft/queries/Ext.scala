@@ -424,37 +424,51 @@ object Ext {
     // lists through the join and expand after the hamming verify. A
     // sig pair sharing both bands is kept only at its FIRST agreeing
     // band (per-row predicate — dedup without a distinct shuffle).
+    // Hot-bucket economics (measured, BASELINE.md): simhash BITS ARE
+    // BIASED on natural corpora — each bit is a majority vote over a
+    // largely shared vocabulary — so band values cluster into hot
+    // (band, value) buckets and the join output concentrates on few
+    // tasks. The per-PAIR work must therefore be long-register cheap:
+    // every string->numeric conversion happens per SIGNATURE before the
+    // join (conv of the binary string once per sig row), and the pair
+    // predicates — ordering, first-agreeing-band dedup, hamming — are
+    // pure codegen'd long ops on the carried value.
     "q_dedup_hamming" -> ((s, d) => {
       val groups = docsWithNearDups(s, d)
         .select(col("doc_id"),
           graft.functions.SimHash16(col("text")).as("sig"))
         .groupBy(col("sig"))
         .agg(collect_list(col("doc_id")).as("ids"))
+        // numeric signature value computed ONCE per distinct sig
+        .withColumn("h", conv(col("sig"), 2, 10).cast("long"))
         .localCheckpoint()
       val intra = groups
         .select(explode(col("ids")).as("id_a"), col("ids"))
         .select(col("id_a"), explode(col("ids")).as("id_b"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
-      val sigBands = groups.select(col("sig"), col("ids"), explode(array(
+      // band value = a shifted slice of h (no string substrings anywhere
+      // past this point)
+      def slice(h: org.apache.spark.sql.Column, b: Int) =
+        shiftright(h, (SimBands - 1 - b) * SimBandBits)
+          .bitwiseAND(lit((1 << SimBandBits) - 1))
+      val sigBands = groups.select(col("h"), col("ids"), explode(array(
           (0 until SimBands).map(b => struct(lit(b).as("band"),
-            substring(col("sig"), b * SimBandBits + 1, SimBandBits)
-              .as("bv"))): _*)).as("e"))
-        .select(col("sig"), col("ids"),
+            slice(col("h"), b).as("bv"))): _*)).as("e"))
+        .select(col("h"), col("ids"),
           col("e.band").as("band"), col("e.bv").as("bv"))
-      val ham = bit_count(
-        conv(col("sig_a"), 2, 10).cast("long").bitwiseXOR(
-          conv(col("sig_b"), 2, 10).cast("long")))
+      val ham = bit_count(col("h_a").bitwiseXOR(col("h_b")))
+      // binary-string order == numeric order, so the pair-ordering and
+      // first-agreeing-band dedup ride the carried longs too
       val firstAgreeingBand =
-        when(substring(col("sig_a"), 1, SimBandBits) ===
-          substring(col("sig_b"), 1, SimBandBits), 0).otherwise(1)
+        when(slice(col("h_a"), 0) === slice(col("h_b"), 0), 0).otherwise(1)
       val cross = sigBands
-        .select(col("sig").as("sig_a"), col("ids").as("ids_a"),
+        .select(col("h").as("h_a"), col("ids").as("ids_a"),
           col("band"), col("bv"))
-        .join(sigBands.select(col("sig").as("sig_b"),
+        .join(sigBands.select(col("h").as("h_b"),
           col("ids").as("ids_b"), col("band"), col("bv")),
           Seq("band", "bv"))
-        .filter(col("sig_a") < col("sig_b") &&
+        .filter(col("h_a") < col("h_b") &&
           col("band") === firstAgreeingBand)
         .select(col("ids_a"), col("ids_b"), ham.as("hamming"))
         .filter(col("hamming") <= SimBands - 1)
@@ -482,37 +496,51 @@ object Ext {
           graft.functions.SimHash64(col("text")).as("sig"))
         .groupBy(col("sig"))
         .agg(collect_list(col("doc_id")).as("ids"))
+        // the 64 bits as two unsigned-32 longs, converted ONCE per
+        // distinct sig — per-pair work in the (measured-hot, see
+        // q_dedup_hamming) band buckets is then pure long arithmetic
+        .withColumn("h0", conv(substring(col("sig"), 1, 32), 2, 10)
+          .cast("long"))
+        .withColumn("h1", conv(substring(col("sig"), 33, 32), 2, 10)
+          .cast("long"))
         .localCheckpoint()
       val intra = groups
         .select(explode(col("ids")).as("id_a"), col("ids"))
         .select(col("id_a"), explode(col("ids")).as("id_b"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
-      val sigBands = groups.select(col("sig"), col("ids"), explode(array(
-          (0 until Sim64Bands).map(b => struct(lit(b).as("band"),
-            substring(col("sig"), b * Sim64BandBits + 1, Sim64BandBits)
-              .as("bv"))): _*)).as("e"))
-        .select(col("sig"), col("ids"),
+      // 16-bit band value b = a shifted slice of the owning half
+      def slice(pre: String, b: Int) = {
+        val h = col(pre + (b / 2))
+        shiftright(h, (1 - b % 2) * Sim64BandBits)
+          .bitwiseAND(lit((1 << Sim64BandBits) - 1))
+      }
+      val sigBands = groups.select(col("h0"), col("h1"), col("ids"),
+          explode(array((0 until Sim64Bands).map(b =>
+            struct(lit(b).as("band"), slice("h", b).as("bv"))): _*)).as("e"))
+        .select(col("h0"), col("h1"), col("ids"),
           col("e.band").as("band"), col("e.bv").as("bv"))
-      def half(c: org.apache.spark.sql.Column, i: Int) =
-        conv(substring(c, i * 32 + 1, 32), 2, 10).cast("long")
-      val ham = (0 until 2).map(i =>
-        bit_count(half(col("sig_a"), i).bitwiseXOR(half(col("sig_b"), i))))
-        .reduce(_ + _)
+      val ham = bit_count(col("h0_a").bitwiseXOR(col("h0_b"))) +
+        bit_count(col("h1_a").bitwiseXOR(col("h1_b")))
+      def sliceSide(side: String, b: Int) = {
+        val h = col(s"h${b / 2}_$side")
+        shiftright(h, (1 - b % 2) * Sim64BandBits)
+          .bitwiseAND(lit((1 << Sim64BandBits) - 1))
+      }
       val firstAgreeingBand = (0 until Sim64Bands - 1).foldRight(
         lit(Sim64Bands - 1): org.apache.spark.sql.Column) { case (b, acc) =>
-        when(substring(col("sig_a"), b * Sim64BandBits + 1, Sim64BandBits) ===
-          substring(col("sig_b"), b * Sim64BandBits + 1, Sim64BandBits),
-          b).otherwise(acc)
+        when(sliceSide("a", b) === sliceSide("b", b), b).otherwise(acc)
       }
+      // binary-string order == (h0, h1) lexicographic numeric order
+      val pairOrdered = col("h0_a") < col("h0_b") ||
+        (col("h0_a") === col("h0_b") && col("h1_a") < col("h1_b"))
       val cross = sigBands
-        .select(col("sig").as("sig_a"), col("ids").as("ids_a"),
-          col("band"), col("bv"))
-        .join(sigBands.select(col("sig").as("sig_b"),
+        .select(col("h0").as("h0_a"), col("h1").as("h1_a"),
+          col("ids").as("ids_a"), col("band"), col("bv"))
+        .join(sigBands.select(col("h0").as("h0_b"), col("h1").as("h1_b"),
           col("ids").as("ids_b"), col("band"), col("bv")),
           Seq("band", "bv"))
-        .filter(col("sig_a") < col("sig_b") &&
-          col("band") === firstAgreeingBand)
+        .filter(pairOrdered && col("band") === firstAgreeingBand)
         .select(col("ids_a"), col("ids_b"), ham.as("hamming"))
         .filter(col("hamming") <= Sim64Bands - 1)
         .select(explode(col("ids_a")).as("i"), col("ids_b"), col("hamming"))
