@@ -52,48 +52,4 @@ object Aggregators {
   /** Column function: topKByScore(k)(score, id) -> csv of the k best ids. */
   def topKByScore(k: Int) = udaf(new TopKByScore(k), Encoders.product[ScoredId])
 
-  case class KmvIn(h: Long, v: Double)
-  case class KmvBuffer(items: Seq[KmvIn])
-
-  /** Fixed-size deterministic value sample per group: the k rows with
-    * the SMALLEST (hash, value) keys — the KMV move. Unlike a
-    * rate-based sample (whose size grows with the data and whose
-    * boundary sort becomes a single-reducer bottleneck on a
-    * few-groups-huge-data input), this holds at most 2k buffered
-    * elements per partial aggregate, merges map-side, and ships k rows
-    * per group REGARDLESS of group size. Deterministic under any
-    * partitioning: the k smallest of a union is a subset of the union
-    * of each part's k smallest, so lazy compaction (sort only when the
-    * buffer doubles) never loses a keeper. Emits the sampled values
-    * sorted ascending, csv-rendered (Double.toString round-trips
-    * exactly).
-    */
-  class KmvSample(k: Int)
-      extends Aggregator[KmvIn, KmvBuffer, String] {
-
-    private def compact(items: Seq[KmvIn]): Seq[KmvIn] =
-      items.sortBy(i => (i.h, i.v)).take(k)
-
-    override def zero: KmvBuffer = KmvBuffer(Vector.empty)
-
-    override def reduce(buf: KmvBuffer, in: KmvIn): KmvBuffer = {
-      val grown = buf.items :+ in
-      KmvBuffer(if (grown.size > 2 * k) compact(grown) else grown)
-    }
-
-    override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer =
-      KmvBuffer(compact(a.items ++ b.items))
-
-    override def finish(buf: KmvBuffer): String =
-      compact(buf.items).map(_.v).sorted.mkString(",")
-
-    override def bufferEncoder: Encoder[KmvBuffer] =
-      Encoders.product[KmvBuffer]
-    override def outputEncoder: Encoder[String] = Encoders.STRING
-  }
-
-  /** Column function: kmvSample(k)(hash, value) -> csv of the k sampled
-    * values, ascending.
-    */
-  def kmvSample(k: Int) = udaf(new KmvSample(k), Encoders.product[KmvIn])
 }

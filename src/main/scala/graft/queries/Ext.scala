@@ -1613,19 +1613,29 @@ object Ext {
     // aggregation over those keys.
     "q_substring_dup" -> ((s, d) => {
       val docs = documents(s, d)
-      // materialize the hashed-gram relation once: it feeds BOTH the
-      // duplicated-gram aggregation and the per-doc hit count, and the
-      // explode + md5 pass is the expensive part (same move as the LSH
-      // band materialization in verifiedPairs)
-      val g = docs.select(col("doc_id"),
+      // The hashed-gram relation feeds BOTH the duplicated-gram
+      // aggregation and the per-doc hit count, so it is materialized
+      // once — but COMPACTED first: round-4 checkpointed the raw
+      // exploded (doc, hash) rows; grouping to per-(doc, gram-hash)
+      // counts before the checkpoint shrinks what is written/read and
+      // every downstream shuffle, at the cost of one aggregation the
+      // consumers needed anyway. (Exchange-reuse instead of a
+      // checkpoint does NOT work here: PushDownLeftSemiAntiJoin
+      // rewrites the hit-count branch's aggregate, the two exchange
+      // subtrees stop being identical, and the explode runs twice —
+      // measured 50% slower.)
+      val ghc = docs.select(col("doc_id"),
           explode(TextOps.shingles(col("text"), DupK)).as("x"))
         .select(col("doc_id"), TextOps.hash31(col("x")).as("h"))
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
         .localCheckpoint()
-      val dup = g.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
+      // a gram-hash is duplicated iff it appears in >= 2 docs; ghc is
+      // already distinct on (doc, h), so the doc count is a plain count
+      val dup = ghc.groupBy(col("h"))
+        .agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2).select(col("h"))
-      val hits = g.join(dup, Seq("h"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_raw"))
+      val hits = ghc.join(dup, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_raw"))
       docs.select(col("doc_id"),
           size(TextOps.shingles(col("text"), DupK)).cast("long")
             .as("n_grams"))

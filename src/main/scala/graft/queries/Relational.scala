@@ -211,29 +211,35 @@ object Relational {
       : (DataFrame, DataFrame) = {
     val gc = grpCols.map(col)
     val base = df.select((grpCols :+ v).map(col): _*)
-    // Boundary estimation, two deterministic stages: (1) a ~1% pure
-    // value-hash rate sample — a codegen'd filter, so the full-data
-    // pass stays cheap; (2) a FIXED-SIZE refinement per group — the k
-    // sampled rows with the smallest hash keys, via the KMV
-    // bounded-state aggregator (map-side combine, at most 2k buffered
-    // elements per partial). The round-4 shape sorted the rate sample
-    // through an ntile window partitioned BY GROUP: a sample
-    // PROPORTIONAL to the data on one reducer per group — the exact
-    // few-groups bottleneck this core exists to avoid. Here no stage
-    // sorts anything proportional to the input: the aggregation ships k
-    // values per (group, partition) and the final boundary pick runs on
-    // k values per group. The sample only picks bucket BOUNDARIES,
-    // never result values, so any deterministic selection serves;
-    // bucketing happens on the DOUBLE image of v (decimal->double is
-    // monotone; distinct values that collapse to one double simply
-    // share a bucket).
-    val sampleK = RangeBuckets * 100
-    val kmv = graft.ops.Aggregators.kmvSample(sampleK)
+    // Boundary estimation: a bounded-size uniform sample of each
+    // group's DISTINCT values via hash-bucketed min_by — every (group,
+    // value) hashes to one of SampleBuckets cells and each cell keeps
+    // the value with the smallest hash (hash is value-independent, so
+    // the kept value is a uniform draw among the cell's values; min(v)
+    // instead would skew every candidate toward the low tail). Both
+    // aggregations are hash-based with map-side partials — at most
+    // SampleBuckets x groups rows ship — and, critically, the sample
+    // size ADAPTS DOWN to the value cardinality: a low-cardinality
+    // group (<= SampleBuckets distinct values) contributes every one
+    // of its values. The previous shape rate-filtered on a 1-in-97
+    // VALUE hash before a KMV aggregate, which starved exactly those
+    // groups (a ~50-distinct-value metric passes ~0.5 values, the
+    // group collapses to one bucket, and its entire extent sorts on a
+    // single task — measured 2s of the old q_agg_median at sf0.1, and
+    // a genuine one-task bottleneck at cluster scale). The sample only
+    // picks bucket BOUNDARIES, never result values — value-at-rank is
+    // invariant to the boundary set, so even a hash-collision tie in
+    // min_by could only shift work between buckets, not change any
+    // result; bucketing happens on the DOUBLE image of v
+    // (decimal->double is monotone; distinct values that collapse to
+    // one double simply share a bucket).
+    val SampleBuckets = 1024
     val sampleHash = xxhash64((gc :+ col(v)): _*)
     val sampleRows = base
-      .filter(pmod(sampleHash, lit(97)) === 0)
+      .groupBy(gc :+ pmod(sampleHash, lit(SampleBuckets)).as("_b"): _*)
+      .agg(min_by(col(v).cast("double"), sampleHash).as("_bv"))
       .groupBy(gc: _*)
-      .agg(kmv(sampleHash, col(v).cast("double")).as("_s"))
+      .agg(sort_array(collect_list(col("_bv"))).as("_s"))
       .collect()
     // this core is for FEW-groups-huge-data (many small groups belong in
     // the by-group exactQuantilesBy shape); the group-dispatch plan grows
@@ -242,12 +248,11 @@ object Relational {
       s"rangedCore saw ${sampleRows.length} groups; use exactQuantilesBy " +
         "for many-group quantiles")
     // boundary t = the sample value at sorted position floor(m*t/B):
-    // positions are tie-invariant, the sample is deterministic, so the
-    // boundary set is a pure function of the data
+    // positions are tie-invariant, so the boundary set is a pure
+    // function of the sampled value set
     val byGroup: Map[Seq[Any], Array[Double]] = sampleRows.map { r =>
       val key = grpCols.map(r.getAs[Any])
-      val s = r.getString(grpCols.size).split(",").filter(_.nonEmpty)
-        .map(_.toDouble)
+      val s = r.getSeq[Double](grpCols.size).toArray
       val bs = (1 until RangeBuckets)
         .map(t => s(math.min(s.length - 1, s.length * t / RangeBuckets)))
         .distinct.toArray
@@ -955,30 +960,51 @@ object Relational {
 
     // Column profiler (data-quality sweep): per column, row count, null
     // count, distinct count, min/max — the first query any ingestion
-    // pipeline runs on a new 100 TB drop. ONE scan: all per-column
-    // aggregates ride a single agg (Catalyst plans the multi-distinct
-    // via one Expand pass), then the 1-row result unpivots to a row per
-    // column. Values stringify through DECIMAL so both engines render
-    // identically.
+    // pipeline runs on a new 100 TB drop. TWO passes, each the cheap
+    // shape for its aggregates, instead of one combined agg: mixing
+    // multi-column countDistinct with string-buffered min/max plans as
+    // Expand x4 into a KEYED SortAggregate — string aggregation buffers
+    // are immutable, so hash agg is off the table and the whole
+    // expanded relation full-sorts on (value, gid) before a single
+    // partial aggregate runs (measured 2s+ at sf0.1 for a 150k-row
+    // table). Pass 1 is keyless — string min/max buffers cost nothing
+    // without grouping keys, no sort anywhere. Pass 2 unpivots the
+    // profiled columns through one generator and counts distincts as
+    // groupBy(column, value) -> groupBy(column): values are grouping
+    // KEYS there (var-length keys hash fine), so both aggregates stay
+    // hash + map-side partial. The joined results are single-row/
+    // 3-row relations. Values stringify through DECIMAL so both
+    // engines render identically.
     "q_profile" -> ((s, d) => {
-      val prof = orders(s, d).agg(
+      val o = orders(s, d)
+      val prof = o.agg(
         count(lit(1)).as("n"),
         sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
           .as("nn_s"),
-        countDistinct(col("o_orderstatus")).as("nd_s"),
         min(col("o_orderstatus")).as("mn_s"),
         max(col("o_orderstatus")).as("mx_s"),
         sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
           .as("nn_p"),
-        countDistinct(col("o_orderpriority")).as("nd_p"),
         min(col("o_orderpriority")).as("mn_p"),
         max(col("o_orderpriority")).as("mx_p"),
         sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
           .as("nn_t"),
-        countDistinct(col("o_totalprice")).as("nd_t"),
         min(dec(col("o_totalprice"))).cast("string").as("mn_t"),
         max(dec(col("o_totalprice"))).cast("string").as("mx_t"))
-      prof.select(explode(array(
+      // distinct-per-column: DECIMAL's string image is injective on the
+      // decimal values, so counting distinct strings == distinct values
+      val nd = o.select(explode(map(
+          lit("s"), col("o_orderstatus"),
+          lit("p"), col("o_orderpriority"),
+          lit("t"), dec(col("o_totalprice")).cast("string")))
+          .as(Seq("ck", "cv")))
+        .filter(col("cv").isNotNull) // COUNT(DISTINCT x) ignores nulls
+        .groupBy(col("ck"), col("cv")).agg(count(lit(1)).as("_u"))
+        .groupBy(col("ck")).agg(count(lit(1)).as("nd"))
+        .agg(min(when(col("ck") === "s", col("nd"))).as("nd_s"),
+          min(when(col("ck") === "p", col("nd"))).as("nd_p"),
+          min(when(col("ck") === "t", col("nd"))).as("nd_t"))
+      prof.crossJoin(nd).select(explode(array(
           struct(lit("o_orderstatus").as("col_name"), col("n"),
             col("nn_s").as("n_null"), col("nd_s").as("n_distinct"),
             col("mn_s").as("min_v"), col("mx_s").as("max_v")),
