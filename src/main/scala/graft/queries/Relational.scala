@@ -207,7 +207,7 @@ object Relational {
     * group; ranks are deterministic up to ties, and the VALUE at a rank
     * is unchanged by tie order. Assumes non-null `v`.
     */
-  private def rangedCore(df: DataFrame, grpCols: Seq[String], v: String)
+  private[graft] def rangedCore(df: DataFrame, grpCols: Seq[String], v: String)
       : (DataFrame, DataFrame) = {
     val gc = grpCols.map(col)
     val base = df.select((grpCols :+ v).map(col): _*)

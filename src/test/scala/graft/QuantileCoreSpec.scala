@@ -79,6 +79,33 @@ class QuantileCoreSpec extends SparkSpec {
     checkAgainstReferences(toDf(data), data)
   }
 
+  test("low-cardinality groups fan out across buckets, not one task") {
+    // 50 distinct values across 40k rows: a value-hash RATE sample
+    // (the pre-round-5 shape) passes ~0.5 of the 50 values and the
+    // whole group sorts in one bucket = one task. The bucketed
+    // min_by sample must instead capture every distinct value, so
+    // the bucket relation fans out — this is the invariant that keeps
+    // a low-cardinality metric from becoming a single-task sort at
+    // cluster scale. (Correctness is boundary-invariant and covered
+    // above; this pins the PLAN property.)
+    val data = Map(
+      "lo" -> (1 to 40000).map(i => (i % 50).toDouble),
+      "hi" -> (1 to 40000).map(i => math.sin(i) * 1e6))
+    val (_, offs) = Relational.rangedCore(toDf(data), Seq("g"), "v")
+    val bucketsPerGroup = offs.groupBy(col("g"))
+      .agg(countDistinct(col("_pid")).as("nb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // nearly every distinct value gets its own bucket for the low-card
+    // group (a couple may share a hash cell and drop from the sample —
+    // birthday collisions among 50 values in 1024 cells)
+    assert(bucketsPerGroup("lo") >= 40,
+      s"low-card group buckets: ${bucketsPerGroup("lo")}")
+    // high-cardinality group saturates the configured bucket budget
+    assert(bucketsPerGroup("hi") > 32,
+      s"high-card group buckets: ${bucketsPerGroup("hi")}")
+    checkAgainstReferences(toDf(data), data)
+  }
+
   test("discrete value-at-rank returns actual data values on tie runs") {
     val data = Map(
       "a" -> (Seq.fill(100)(5.0) ++ Seq.fill(100)(6.0) ++ Seq.fill(100)(7.0)),
