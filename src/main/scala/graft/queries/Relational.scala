@@ -146,21 +146,33 @@ object Relational {
     val gc = grpCols.map(col)
     val w = Window.partitionBy(gc: _*).orderBy(col(v))
     val wa = Window.partitionBy(gc: _*)
+    // Rank -> value over the group's DISTINCT-VALUE histogram instead
+    // of a row_number over raw rows: 0-based ranks
+    // [_cum - _vc, _cum - 1] all map to this value, so the window only
+    // ever sorts distinct values — ties collapse in the map-side
+    // partial aggregate, and a tie-heavy group costs its value
+    // cardinality, not its row count (same move as quantilesRanged's
+    // target-bucket histogram).
     val base = df.select((grpCols :+ v).map(col): _*)
-      .withColumn("_rn", (row_number().over(w) - 1).cast("double"))
+      .groupBy(gc :+ col(v): _*)
+      .agg(count(lit(1)).as("_vc"))
+      .withColumn("_cum", sum(col("_vc")).over(w))
       .withColumn("_pos",
         struct(qs.zipWithIndex.map { case ((q, _), i) =>
-          (lit(q) * (count(lit(1)).over(wa) - 1).cast("double")).as(s"p$i")
+          (lit(q) * (sum(col("_vc")).over(wa) - 1).cast("double"))
+            .as(s"p$i")
         }: _*))
+    def covers(r: Column) =
+      col("_cum") - col("_vc") <= r && r < col("_cum")
     val keep = qs.indices.map { i =>
       val p = col(s"_pos.p$i")
-      col("_rn") === floor(p) || col("_rn") === ceil(p)
+      covers(floor(p)) || covers(ceil(p))
     }.reduce(_ || _)
     val aggs = qs.zipWithIndex.flatMap { case ((_, _), i) =>
       val p = col(s"_pos.p$i")
       Seq(
-        min(when(col("_rn") === floor(p), col(v))).as(s"_lo$i"),
-        min(when(col("_rn") === ceil(p), col(v))).as(s"_hi$i"),
+        min(when(covers(floor(p)), col(v))).as(s"_lo$i"),
+        min(when(covers(ceil(p)), col(v))).as(s"_hi$i"),
         first(p).as(s"_p$i"))
     }
     val outs = qs.zipWithIndex.map { case ((_, name), i) =>
@@ -356,11 +368,31 @@ object Relational {
         (col("_r") - col("_off") + 1).cast("int").as("_lrn"),
         col("_role"), col("_p")): _*)
     val tpids = targets.select(col("_pid") +: gc: _*).distinct()
-    val wLocal = Window.partitionBy(col("_pid") +: gc: _*).orderBy(col(v))
-    val vals = data
-      .join(broadcast(tpids), "_pid" +: grpCols) // only target partitions sort
-      .withColumn("_lrn", row_number().over(wLocal))
-      .join(broadcast(targets), ("_pid" +: grpCols) :+ "_lrn")
+    // Rank -> value within a target bucket WITHOUT sorting rows: the
+    // bucket's DISTINCT-VALUE histogram with a cumulative count maps
+    // every local rank to its value (rank r is covered by the first
+    // value whose running count reaches it), so the only sorted
+    // relation is the per-bucket distinct-value set — never the rows.
+    // For all-distinct data that is the same row count the row_number
+    // window sorted; for tie-heavy data the ties collapse in the
+    // MAP-SIDE partial aggregate. This is what keeps a
+    // 99%-of-mass-on-one-value column from one-task-sorting its whole
+    // extent: the heavy value is ONE histogram row no matter how many
+    // billions of rows carry it. (Low-cardinality groups fall out for
+    // free: their bucket-0 fallback becomes a per-value histogram, not
+    // a whole-group sort.)
+    val wCum = Window.partitionBy(col("_pid") +: gc: _*).orderBy(col(v))
+    val hist = data
+      .join(broadcast(tpids), "_pid" +: grpCols) // only target buckets
+      .groupBy((col("_pid") +: gc) :+ col(v): _*)
+      .agg(count(lit(1)).as("_vc"))
+      .withColumn("_cum", sum(col("_vc")).over(wCum))
+    val vals = hist
+      .join(broadcast(targets), "_pid" +: grpCols)
+      // 1-based local rank _lrn is covered by this value iff the
+      // running count first reaches it here
+      .filter(col("_cum") >= col("_lrn") &&
+        col("_cum") - col("_vc") < col("_lrn"))
     val aggs =
       if (disc) qs.zipWithIndex.map { case ((_, name), i) =>
         min(when(col("_role") === s"v$i", col(v))).as(name)

@@ -79,6 +79,21 @@ class QuantileCoreSpec extends SparkSpec {
     checkAgainstReferences(toDf(data), data)
   }
 
+  test("heavy skew: 99% of mass on one value amid high cardinality") {
+    // The hard case for any range-bucketed rank scheme: the heavy
+    // value's bucket holds ~99% of the group, so a row-level
+    // row_number window would sort nearly the whole extent on one
+    // task. The histogram rank lookup collapses the tie run to ONE
+    // per-bucket histogram row; both engine paths must still return
+    // the exact interpolated quantiles (all three land inside or
+    // beside the tie run).
+    val data = Map(
+      "a" -> (Seq.fill(99000)(42.0) ++
+        (1 to 500).map(_.toDouble) ++ (1 to 500).map(i => 1e6 + i)),
+      "b" -> (1 to 1000).map(_.toDouble))
+    checkAgainstReferences(toDf(data), data)
+  }
+
   test("low-cardinality groups fan out across buckets, not one task") {
     // 50 distinct values across 40k rows: a value-hash RATE sample
     // (the pre-round-5 shape) passes ~0.5 of the 50 values and the
