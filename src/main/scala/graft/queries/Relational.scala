@@ -365,7 +365,10 @@ object Relational {
       .filter(col("_r") >= col("_off") &&
         col("_r") < col("_off") + col("_cd"))
       .select((col("_pid") +: gc) ++ Seq(
-        (col("_r") - col("_off") + 1).cast("int").as("_lrn"),
+        // LONG local rank: the histogram lookup compares against a
+        // long cumulative count, so there is no 2^31 rows-per-bucket
+        // ceiling (row_number, which the lookup replaced, was int)
+        (col("_r") - col("_off") + 1).cast("long").as("_lrn"),
         col("_role"), col("_p")): _*)
     val tpids = targets.select(col("_pid") +: gc: _*).distinct()
     // Rank -> value within a target bucket WITHOUT sorting rows: the
