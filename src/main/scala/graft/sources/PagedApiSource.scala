@@ -115,6 +115,17 @@ private[sources] class PagedApiScanBuilder(options: Map[String, String])
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
+  // The limit is only FULLY applicable in listing mode, where the
+  // paginated ids are known to exist. A keyed lookup (static `id IN`
+  // or a runtime join-derived id set — which arrives AFTER planning,
+  // so this cannot be decided per-mode here) takes requested ids whose
+  // existence is only discovered by the GET itself: truncating that
+  // request list would silently return fewer matching rows than exist.
+  // Reporting the push as partial keeps Spark's own limit on top in
+  // every mode, so the source may return extra rows (keyed mode
+  // fetches every requested id) and never too few.
+  override def isPartiallyPushed(): Boolean = true
+
   override def pruneColumns(required: StructType): Unit = {
     // always keep id (it is free — listing yields it); json is the one
     // worth dropping, since absent json means no GET calls at all
@@ -223,21 +234,23 @@ private[sources] class PagedApiScan(options: Map[String, String],
   private def listAndChunk(): Array[InputPartition] = {
     // keyed lookup: pushed id predicates skip the listing entirely;
     // excluded (already-seen) ids are dropped BEFORE partitioning, so
-    // they never cost a GET. Exclusion applies BEFORE the limit: the
-    // pushed limit promises n matching rows if they exist, so excluded
-    // ids must not consume the budget. A runtime (join-derived) id set
-    // composes with static keyed ids by intersection and, alone, turns
-    // the scan into a keyed lookup exactly like a static predicate.
+    // they never cost a GET. The pushed limit is NOT applied to a
+    // keyed request list: requested ids may not exist in the source
+    // (the GET is the existence check), so truncating here would
+    // return fewer matching rows than exist — the limit push is
+    // declared partial (isPartiallyPushed), Spark's limit trims on
+    // top, and a keyed scan fetches every requested id. Listing mode
+    // still stops at the limit, because listed ids do exist. A runtime
+    // (join-derived) id set composes with static keyed ids by
+    // intersection and, alone, turns the scan into a keyed lookup
+    // exactly like a static predicate.
     val keyed: Option[Seq[String]] = (keyedIds, runtimeIds) match {
       case (Some(k), Some(r)) => Some(k.filter(r))
       case (Some(k), None) => Some(k)
       case (None, Some(r)) => Some(r.toSeq.sorted)
       case (None, None) => None
     }
-    val all = keyed.map { ids =>
-      val kept = ids.sorted.filterNot(excludeIds)
-      limit.fold(kept)(kept.take)
-    }.getOrElse(listIds())
+    val all = keyed.map(_.sorted.filterNot(excludeIds)).getOrElse(listIds())
     val chunk = options.getOrElse("idsPerPartition", "512").toInt
     val parts = all.grouped(chunk).map(g =>
       PagedApiPartition(g.toArray, options): InputPartition).toArray

@@ -36,7 +36,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ([[TxJsonSink.read]] with a version), which is the mechanism
   * (manifest list + latest pointer + atomic swap) that Iceberg/Delta
   * commit logs build on. Single-writer by design — concurrent commits
-  * would need a lock or CAS on the pointer, exactly as in the real ones.
+  * would need a lock or CAS on the pointer, exactly as in the real
+  * ones. Single-FILESYSTEM by design too: task files and the driver's
+  * commit renames go through java.nio against one shared path
+  * namespace (true on local[*] and any shared mount); an object-store
+  * deployment would swap the java.nio calls for the Hadoop FileSystem
+  * API — the protocol (tmp file, rename-into-place, versioned
+  * manifest, atomic pointer swing) is unchanged, which is the part
+  * this connector demonstrates.
   *
   * Rows are written as line-JSON of the row's string rendering — the
   * payload format is deliberately minimal: the point of this connector
@@ -150,10 +157,19 @@ private[sources] class TxJsonTable(schema: StructType)
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      // mode("overwrite") plans a truncate because the table declares
+      // the TRUNCATE capability; without this implementation Spark's
+      // V2Writes rule rejects the builder at runtime. Truncation is
+      // snapshot-semantic: the new manifest simply does not inherit
+      // the previous version's file list — prior versions stay
+      // time-travelable until vacuum, exactly like a commit-log table.
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new TxJsonBatchWrite(info.options.get("path"), info.schema())
+          new TxJsonBatchWrite(info.options.get("path"), info.schema(),
+            doTruncate)
       }
     }
 }
@@ -161,8 +177,8 @@ private[sources] class TxJsonTable(schema: StructType)
 private[sources] case class TxFileCommit(tmpPath: String, rows: Long)
     extends WriterCommitMessage
 
-private[sources] class TxJsonBatchWrite(path: String, schema: StructType)
-    extends BatchWrite {
+private[sources] class TxJsonBatchWrite(path: String, schema: StructType,
+    truncate: Boolean = false) extends BatchWrite {
   require(path != null, "TxJsonSink requires a 'path' option")
 
   override def createBatchWriterFactory(
@@ -186,7 +202,8 @@ private[sources] class TxJsonBatchWrite(path: String, schema: StructType)
           StandardCopyOption.ATOMIC_MOVE)
         (Paths.get(visible).getFileName.toString, rows)
     }
-    val all = prev.map(_.files).getOrElse(Seq.empty) ++ entries
+    val all = (if (truncate) Seq.empty
+      else prev.map(_.files).getOrElse(Seq.empty)) ++ entries
     val manifest =
       (s"""{"version":$version}""" +:
         all.map { case (f, n) => s"""{"file":"$f","rows":$n}""" } :+
@@ -224,28 +241,53 @@ private[sources] class TxJsonDataWriter(path: String, schema: StructType,
   private val dir = new File(path)
   dir.mkdirs()
   private val tmp = new File(dir, s"_tmp_$partitionId-$taskId.jsonl")
-  private val out = new java.io.PrintWriter(tmp, "UTF-8")
+  // a THROWING writer, deliberately not PrintWriter: PrintWriter
+  // swallows IOExceptions into an internal flag, so a disk-full task
+  // would still "commit" a truncated file with a full row count — the
+  // one failure mode a transactional sink exists to prevent. Here any
+  // write failure propagates, the task fails, and Spark retries it.
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(tmp), StandardCharsets.UTF_8))
   private var rows = 0L
+
+  /** Line-JSON string escape: backslash, quote, and ALL control chars
+    * (a raw newline in a value would tear the record across physical
+    * lines and corrupt the per-line reader; a raw tab/CR is invalid
+    * JSON).
+    */
+  private def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"'  => b.append("\\\"")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.result()
+  }
 
   override def write(record: InternalRow): Unit = {
     val fields = schema.fields.indices.map { i =>
       val v = record.get(i, schema.fields(i).dataType)
-      val s = if (v == null) "null"
-        else "\"" + v.toString.replace("\\", "\\\\")
-          .replace("\"", "\\\"") + "\""
-      s""""${schema.fields(i).name}":$s"""
+      val s = if (v == null) "null" else "\"" + esc(v.toString) + "\""
+      s""""${esc(schema.fields(i).name)}":$s"""
     }
-    out.println(fields.mkString("{", ",", "}"))
+    out.write(fields.mkString("{", ",", "}"))
+    out.write("\n")
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
+    out.close() // flushes; any buffered-write failure throws here
     TxFileCommit(tmp.getAbsolutePath, rows)
   }
 
   override def abort(): Unit = {
-    out.close()
+    try out.close() catch { case _: java.io.IOException => () }
     tmp.delete()
   }
 

@@ -38,6 +38,11 @@ object Writers {
     require(partCols.nonEmpty, "partCols must be non-empty")
     require(filesPerDir >= 1, "filesPerDir must be >= 1")
     val dataCols = df.columns.filterNot(partCols.contains).toIndexedSeq
+    // fail early with a clear message: Spark itself rejects
+    // all-columns partitioning (ALL_PARTITION_COLUMNS_NOT_ALLOWED),
+    // and a zero-arg hash() would die in analysis before reaching it
+    require(dataCols.nonEmpty,
+      "writePartitioned: at least one non-partition column is required")
     val salt = pmod(hash(dataCols.map(col): _*), lit(filesPerDir))
     df.repartition((partCols.map(col) :+ salt): _*)
       .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
@@ -95,9 +100,13 @@ object Writers {
     * rows per file — the standing compaction job every streaming or
     * incremental sink needs once appends have fragmented the layout.
     * Returns (rowCount, filesBefore). The rewrite goes through a temp
-    * dir so a failed compaction never destroys the source layout
-    * (write-then-swap, the same commit-then-archive order as the
-    * pipeline sink).
+    * dir and swaps via two renames with the original parked at
+    * `._compact_old` — at every instant either the old or the new
+    * layout exists under a recoverable name, so a crash anywhere
+    * leaves the data reachable (a delete-then-rename swap has a
+    * window where the table is simply GONE). The filesystem resolves
+    * FROM the path, not the default scheme, so compacting an
+    * s3a://... table on an hdfs-default cluster works.
     */
   def compact(spark: SparkSession, path: String,
       targetRowsPerFile: Long): (Long, Int) = {
@@ -108,11 +117,18 @@ object Writers {
       targetRowsPerFile).toInt
     val tmp = path.stripSuffix("/") + "._compact_tmp"
     df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "._compact_old")
+    fs.delete(old, true) // leftover from a previous crashed swap
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compact: could not park $dst")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(old, dst) // roll back: restore the original layout
+      throw new java.io.IOException(s"compact: could not publish $tmp")
+    }
+    fs.delete(old, true)
     (rows, filesBefore)
   }
 }

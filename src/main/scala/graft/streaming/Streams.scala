@@ -169,10 +169,15 @@ object Streams {
 
   /** Gap-based sessionization via flatMapGroupsWithState (Append mode,
     * event-time timeout): a session closes when no event arrives within
-    * `gapSeconds` of its last event (emitted once the watermark passes
-    * the gap). The canonical "operator Spark lacks as a built-in,
-    * expressed with the engine's own state machinery" — no custom
-    * SparkPlan needed.
+    * `gapSeconds` of its last event, and is emitted only once the
+    * WATERMARK passes that gap — not at detection — so an admissible
+    * out-of-order event arriving in a later micro-batch can still
+    * extend (or bridge) it. State therefore holds the SET of open
+    * sessions per user; an event merges every session whose
+    * gap-extended extent it touches (merging two sessions it bridges),
+    * else opens its own. The canonical "operator Spark lacks as a
+    * built-in, expressed with the engine's own state machinery" — no
+    * custom SparkPlan needed.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
       lateness: String = "10 seconds"): Dataset[Session] = {
@@ -182,35 +187,36 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(user, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n))
-          } else {
-            val sorted = batch.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
-                case Some(s) =>
-                  closed += Session(user, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
+        (user: Long, batch: Iterator[Event],
+            state: GroupState[Seq[SessionState]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var sessions = state.getOption.getOrElse(Seq.empty)
+          // merge this batch (empty on a pure timeout wake-up)
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            val (touched, rest) = sessions.partition(s =>
+              t >= s.start - gapMs && t <= s.end + gapMs)
+            val merged = touched.foldLeft(SessionState(t, t, 1)) { (a, s) =>
+              SessionState(math.min(a.start, s.start),
+                math.max(a.end, s.end), a.n + s.n)
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.result().iterator
+            sessions = rest :+ merged
           }
+          // a session is sealed once NO admissible event (ts >= wm)
+          // can extend it: end + gap strictly below the watermark
+          val (done, open) = sessions.partition(_.end + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // wake at the earliest possible seal; never at or below
+            // the current watermark (setTimeoutTimestamp rejects that
+            // when the watermark jumps more than the gap in one batch)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.end).min + gapMs, wm + 1))
+          }
+          done.sortBy(_.start).map(s =>
+            Session(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n)).iterator
       }
   }
 

@@ -227,6 +227,20 @@ class SourcesSpec extends SparkSpec {
     assert(read().select("id").where(col("id") === "nope").count() == 0)
   }
 
+  test("keyed IN + limit: missing ids must not consume the limit budget") {
+    // 'aaa' does not exist in the source; the GET is the existence
+    // check. If the scan truncated the sorted REQUEST list at the
+    // limit it would take (aaa, m003), drop aaa, and return 1 row —
+    // silently fewer than the 2 matching rows that exist. The limit
+    // push is partial: the scan fetches every requested id, Spark
+    // trims.
+    val rows = read()
+      .where(col("id").isin("aaa", "m003", "m011"))
+      .limit(2).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).forall(Set("m003", "m011")))
+  }
+
   test("NOT IN pushdown: seen ids are listed but never fetched") {
     CountingApiClient.reset()
     val seen = (1 to 20).map(i => f"m$i%03d")

@@ -183,6 +183,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: admissible out-of-order event extends the session") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS(), gapSeconds = 60,
+        lateness = "300 seconds")
+      .writeStream.format("memory").queryName("oos_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 contains two far-apart events of one user: a
+      // detection-time emitter would close Session(1000, 1000)
+      // immediately; watermark after this batch = 1300 - 300 = 1000
+      in.addData(ev(1, 1000, 1), ev(2, 1300, 1))
+      q.processAllAvailable()
+      // batch 2: an ADMISSIBLE out-of-order event (1050 >= the 1000
+      // watermark, so the late filter passes it) lands within gap of
+      // the FIRST extent — it must extend 1000's session, not be
+      // mis-merged into 1300's (the old negative-delta bug) or lost
+      in.addData(ev(3, 1050, 1))
+      q.processAllAvailable()
+      // advance the watermark far past both extents to seal them
+      in.addData(ev(4, 8000, 2))
+      q.processAllAvailable()
+      in.addData(ev(5, 9000, 2))
+      q.processAllAvailable()
+      val sessions = spark.table("oos_sessions").as[Session].collect()
+        .filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(sessions.length == 2, s"got ${sessions.toSeq}")
+      assert(sessions(0).session_start == ts(1000) &&
+        sessions(0).session_end == ts(1050) && sessions(0).n_events == 2,
+        s"got ${sessions(0)}")
+      assert(sessions(1).session_start == ts(1300) &&
+        sessions(1).n_events == 1, s"got ${sessions(1)}")
+    } finally q.stop()
+  }
+
+  test("sessionize: survives a watermark jump larger than the gap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS(), gapSeconds = 60,
+        lateness = "5 seconds")
+      .writeStream.format("memory").queryName("jump_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, 1000, 1))
+      q.processAllAvailable()
+      // one batch advances the watermark by hours — far more than the
+      // gap; setTimeoutTimestamp(end + gap) would be below the new
+      // watermark and used to throw, killing the query
+      in.addData(ev(2, 20000, 1))
+      q.processAllAvailable()
+      in.addData(ev(3, 40000, 1))
+      q.processAllAvailable()
+      val sessions = spark.table("jump_sessions").as[Session].collect()
+      assert(sessions.exists(s => s.user_id == 1 &&
+        s.session_start == ts(1000) && s.n_events == 1),
+        s"got ${sessions.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming near-dup dedup: fingerprint + dropDuplicates composes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -67,6 +67,40 @@ class TxJsonSinkSpec extends SparkSpec {
     assert(graft.sources.TxJsonSink.read(spark, out).count() == 80)
   }
 
+  test("control characters in values round-trip intact") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-txesc").toString + "/t"
+    // a raw newline would tear the line-JSON record across physical
+    // lines (extra/corrupt rows on read); tab and CR are invalid JSON
+    // unescaped; backslash+quote exercise the double-escape order
+    val nasty = "line1\nline2\tmid\rend \\ \"quoted\" "
+    Seq((1L, nasty), (2L, "plain")).toDF("id", "body").coalesce(1)
+      .write.format("graft.sources.TxJsonSink")
+      .option("path", out).mode("append").save()
+    val back = graft.sources.TxJsonSink.read(spark, out)
+    assert(back.count() == 2) // no torn records
+    val got = back.filter(col("id") === "1")
+      .select("body").collect()(0).getString(0)
+    assert(got == nasty, s"round-trip mismatch: ${got.getBytes.toSeq}")
+  }
+
+  test("mode(overwrite) truncates snapshot-semantically") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-txtrunc").toString + "/t"
+    def df(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"b$i")).toDF("id", "body").coalesce(1)
+    df(1, 50).write.format("graft.sources.TxJsonSink")
+      .option("path", out).mode("append").save()
+    df(51, 60).write.format("graft.sources.TxJsonSink")
+      .option("path", out).mode("overwrite").save()
+    // latest snapshot holds ONLY the overwrite's rows...
+    assert(graft.sources.TxJsonSink.read(spark, out).count() == 10)
+    val m2 = graft.sources.TxJsonSink.manifest(out).get
+    assert(m2.version == 2 && m2.totalRows == 10 && m2.files.size == 1)
+    // ...while the pre-overwrite snapshot stays time-travelable
+    assert(graft.sources.TxJsonSink.read(spark, out, Some(1)).count() == 50)
+  }
+
   test("vacuum drops expired snapshots and their unshared files only") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-txvac").toString + "/t"

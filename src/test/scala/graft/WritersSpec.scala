@@ -47,6 +47,18 @@ class WritersSpec extends SparkSpec {
     }
   }
 
+  test("writePartitioned rejects all-columns partitioning up front") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-write-all").toString
+    // Spark disallows partitioning by every column; the writer must
+    // say so clearly instead of dying in analysis on a zero-arg hash()
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Writers.writePartitioned(df, out, Seq("k", "v"), filesPerDir = 3)
+    }
+    assert(e.getMessage.contains("non-partition column"))
+  }
+
   test("writeZOrdered clusters BOTH columns; lexicographic sorts only the first") {
     val d = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, d).select(col("l_orderkey"),
