@@ -28,12 +28,23 @@ object BloomExprs {
     new ExpressionInfo(classOf[BloomFilterMightContain].getName,
       "bloom_contains")
 
+  // support the same 1/2/3-arg forms as Spark's internal
+  // bloom_filter_agg (defaults for expected items / bits) instead of
+  // an IndexOutOfBoundsException on the natural short calls
   private[functions] val aggBuilder =
-    (children: Seq[Expression]) =>
-      new BloomFilterAggregate(children(0), children(1), children(2))
+    (children: Seq[Expression]) => children match {
+      case Seq(c)       => new BloomFilterAggregate(c)
+      case Seq(c, n)    => new BloomFilterAggregate(c, n)
+      case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+      case cs => throw new IllegalArgumentException(
+        s"bloom_agg expects 1 to 3 arguments, got ${cs.length}")
+    }
   private[functions] val mightBuilder =
-    (children: Seq[Expression]) =>
-      BloomFilterMightContain(children(0), children(1))
+    (children: Seq[Expression]) => children match {
+      case Seq(b, v) => BloomFilterMightContain(b, v)
+      case cs => throw new IllegalArgumentException(
+        s"bloom_contains expects 2 arguments, got ${cs.length}")
+    }
 
   /** Registers both functions on the active session if missing (for
     * sessions not built with [[GraftExtensions]]).

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** `bucket_idx(v, boundaries)` — the number of boundaries strictly less
   * than `v`, i.e. the index of v's value-range bucket given the sorted
@@ -31,6 +32,26 @@ case class BucketIdx(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "bucket_idx"
+
+  // explicit validation instead of ClassCastException / unbound-
+  // attribute errors deep in eval: the value must be a DOUBLE, the
+  // boundaries a foldable ARRAY<DOUBLE> literal (an array<int> literal
+  // would be silently misread by toDoubleArray; a non-foldable
+  // boundary child cannot be baked into the codegen reference object)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bucket_idx value must be DOUBLE, got ${left.dataType.sql}")
+    else if (right.dataType != ArrayType(DoubleType, containsNull = false) &&
+        right.dataType != ArrayType(DoubleType, containsNull = true))
+      TypeCheckResult.TypeCheckFailure(
+        s"bucket_idx boundaries must be ARRAY<DOUBLE>, got " +
+          right.dataType.sql)
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "bucket_idx boundaries must be a literal (foldable) array")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   @transient private lazy val bounds: Array[Double] =
     right.eval(null) match {

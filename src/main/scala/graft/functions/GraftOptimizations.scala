@@ -24,6 +24,11 @@ case class GraftOptimizations(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case SimHash16(Lower(child)) => SimHash16(child)
+      case SimHash64(Lower(child)) => SimHash64(child)
+      case e: MinHashSig => e.child match {
+        case Lower(inner) => e.withNewChildren(Seq(inner)).asInstanceOf[MinHashSig]
+        case _ => e
+      }
       case HtmlToText(inner @ HtmlToText(_)) => inner
     }
 }

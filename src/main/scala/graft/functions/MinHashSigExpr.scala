@@ -36,6 +36,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression {
 
+  // fail at construction (plan time), not per-row at execution: an
+  // oversized numHashes would otherwise die mid-job with an
+  // ArrayIndexOutOfBoundsException inside the seed tables
+  require(k >= 1, s"minhash_sig: k must be >= 1, got $k")
+  require(numHashes >= 1 && numHashes <= graft.ext.TextOps.MaxHashes,
+    s"minhash_sig: numHashes must be in [1, " +
+      s"${graft.ext.TextOps.MaxHashes}], got $numHashes")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 

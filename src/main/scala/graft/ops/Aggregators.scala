@@ -30,19 +30,25 @@ object Aggregators {
 
     override def zero: TopKBuffer = TopKBuffer(Seq.empty)
 
-    override def reduce(buf: TopKBuffer, in: ScoredId): TopKBuffer =
-      insert(buf, in)
+    // amortized O(1) per row: append, and only sort+trim when the
+    // buffer doubles past k (a fresh k-element sort per input row —
+    // the naive shape — is O(k log k) allocation+sort on the exact
+    // hot path this aggregator exists to bound). The k best of a
+    // union survive in the union of each part's buffered 2k, so lazy
+    // compaction never loses a keeper.
+    private def compact(items: Seq[ScoredId]): Seq[ScoredId] =
+      items.sorted(ord).take(k)
 
-    override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer =
-      b.items.foldLeft(a)(insert)
-
-    private def insert(buf: TopKBuffer, in: ScoredId): TopKBuffer = {
-      val merged = (buf.items :+ in).sorted(ord)
-      TopKBuffer(if (merged.size > k) merged.take(k) else merged)
+    override def reduce(buf: TopKBuffer, in: ScoredId): TopKBuffer = {
+      val grown = buf.items :+ in
+      TopKBuffer(if (grown.size > 2 * k) compact(grown) else grown)
     }
 
+    override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer =
+      TopKBuffer(compact(a.items ++ b.items))
+
     override def finish(buf: TopKBuffer): String =
-      buf.items.sorted(ord).map(_.id).mkString(",")
+      compact(buf.items).map(_.id).mkString(",")
 
     override def bufferEncoder: Encoder[TopKBuffer] =
       Encoders.product[TopKBuffer]

@@ -59,15 +59,16 @@ object KMeansFit {
       centroids = centroids.unionByName(far).localCheckpoint()
     }
 
-    var assigned: DataFrame = null
+    def eStep(cs: DataFrame): DataFrame = pts.crossJoin(broadcast(cs))
+      .select(col(idCol), col("_v"),
+        struct(dist2(col("_v"), col("_c")).as("d"), col("_cid").as("cid"))
+          .as("_dc"))
+      .groupBy(col(idCol))
+      .agg(first(col("_v")).as("_v"), min(col("_dc")).as("_best"))
+      .select(col(idCol), col("_v"), col("_best.cid").as("_cid"))
+
     for (_ <- 1 to iters) {
-      assigned = pts.crossJoin(broadcast(centroids))
-        .select(col(idCol), col("_v"),
-          struct(dist2(col("_v"), col("_c")).as("d"), col("_cid").as("cid"))
-            .as("_dc"))
-        .groupBy(col(idCol))
-        .agg(first(col("_v")).as("_v"), min(col("_dc")).as("_best"))
-        .select(col(idCol), col("_v"), col("_best.cid").as("_cid"))
+      val assigned = eStep(centroids)
       val next = assigned
         .select(col("_cid"), posexplode(col("_v")))
         .select(col("_cid"), col("pos").cast("long").as("_dim"),
@@ -77,8 +78,20 @@ object KMeansFit {
         .groupBy(col("_cid"))
         .agg(transform(array_sort(collect_list(struct(col("_dim"),
           col("_m")))), e => e.getField("_m")).as("_c"))
-      centroids = next.localCheckpoint()
+      // a cluster that captured zero points this round keeps its
+      // previous centroid (standard Lloyd handling) — without the
+      // join-back it would silently VANISH and the fit would return
+      // fewer than k centroids
+      centroids = centroids.select(col("_cid"), col("_c").as("_prev"))
+        .join(next, Seq("_cid"), "left")
+        .select(col("_cid"), coalesce(col("_c"), col("_prev")).as("_c"))
+        .localCheckpoint()
     }
+    // final assignment is computed against the RETURNED centroids (the
+    // in-loop one preceded the last M-step — off by one Lloyd round,
+    // so a boundary point could disagree with an argmin recomputed
+    // from the returned centroid table)
+    val assigned = eStep(centroids)
     (assigned.select(col(idCol), col("_cid").as("cluster")),
       centroids.select(col("_cid").as("cluster"), col("_c").as("centroid")))
   }

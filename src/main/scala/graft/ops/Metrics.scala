@@ -24,9 +24,13 @@ object Metrics {
   }
 
   /** Runs `body`, returns (result, metrics aggregated over every task
-    * the block scheduled). The listener is registered for the duration
-    * of the block only; a final listener-bus flush makes late task-end
-    * events count.
+    * that ENDED during the block). The listener is registered for the
+    * duration of the block only; a final listener-bus flush makes late
+    * task-end events count. CAVEAT: the listener is context-global —
+    * tasks of concurrently running jobs on the same SparkContext (a
+    * live streaming query, a parallel benchmark) are counted too, so
+    * measure() assumes the context is otherwise quiet, which is how
+    * the spec harness uses it.
     */
   def measure[T](spark: SparkSession)(body: => T): (T, Report) = {
     val input = new LongAdder; val sr = new LongAdder

@@ -74,8 +74,12 @@ object Quality {
     }
     val pieces = Seq.newBuilder[DataFrame]
     if (rowLocal.nonEmpty) {
+      // coalesce: sum() over ZERO rows is null, and a null violation
+      // count makes pass null too — an empty batch must audit as
+      // 0 violations / pass=true, not as neither-pass-nor-fail
       val aggs = rowLocal.map(c =>
-        sum(when(violated(c), 1L).otherwise(0L)).as(c.name))
+        coalesce(sum(when(violated(c), 1L).otherwise(0L)), lit(0L))
+          .as(c.name))
       val wide = df.agg(aggs.head, aggs.tail: _*)
       pieces += wide.select(explode(map(
         rowLocal.flatMap(c => Seq(lit(c.name), col(c.name))): _*))

@@ -26,11 +26,17 @@ object Skew {
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
       numSalts: Int): DataFrame = {
     require(numSalts > 0)
-    val saltedBig = big.withColumn("_salt",
+    // a name no input can collide with: withColumn would silently
+    // REPLACE a user column named "_salt" (and the final drop would
+    // then destroy it), breaking the equals-the-plain-join contract
+    var salt = "_salt"
+    while (big.columns.contains(salt) || small.columns.contains(salt))
+      salt += "_"
+    val saltedBig = big.withColumn(salt,
       pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(numSalts)))
-    val saltedSmall = small.withColumn("_salt",
+    val saltedSmall = small.withColumn(salt,
       explode(array((0 until numSalts).map(s => lit(s.toLong)): _*)))
-    saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+    saltedBig.join(saltedSmall, Seq(key, salt)).drop(salt)
   }
 
   /** Per-key frequency above a threshold — the cheap pre-pass that

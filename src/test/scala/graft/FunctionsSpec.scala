@@ -126,6 +126,36 @@ class FunctionsSpec extends SparkSpec {
     assert("html_to_text\\(".r.findAllIn(opt).size == 1, opt)
   }
 
+  test("lower() elision also covers simhash64 and minhash_sig") {
+    val base = spark.range(8).select(concat(lit("A b C d E "), col("id")).as("t"))
+    val redundant = base.select(
+      graft.functions.SimHash64(lower(col("t"))).as("s64"),
+      graft.functions.MinHashSig(lower(col("t")), 3, 16).as("mh"))
+    val clean = base.select(
+      graft.functions.SimHash64(col("t")).as("s64"),
+      graft.functions.MinHashSig(col("t"), 3, 16).as("mh"))
+    assert(redundant.collect().toSeq == clean.collect().toSeq)
+    val opt = redundant.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("lower("), opt)
+  }
+
+  test("bucket_idx rejects wrong types at analysis, not mid-execution") {
+    import spark.implicits._
+    val df = Seq(2.5).toDF("v")
+    // array<int> boundaries: must be a type-check error, not a
+    // ClassCastException (or silent byte misread) inside eval
+    val e = intercept[Exception] {
+      df.select(expr("bucket_idx(v, array(1, 2, 3))")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<double>") ||
+      e.getMessage.contains("ARRAY<DOUBLE>"), e.getMessage)
+    // the valid form still works
+    val ok = df.select(
+      graft.functions.BucketIdx(col("v"), Array(1.0, 2.0, 3.0)).as("b"))
+      .collect()(0).getInt(0)
+    assert(ok == 2)
+  }
+
   test("vector kernels: null array, length mismatch, null element -> null") {
     import graft.ext.VectorOps
     import spark.implicits._

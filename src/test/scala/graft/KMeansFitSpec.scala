@@ -37,6 +37,41 @@ class KMeansFitSpec extends SparkSpec {
     assert(cs == Set((0L, 0L), (10L, 10L), (20L, 0L)))
   }
 
+  test("an empty cluster keeps its centroid; k never silently shrinks") {
+    import spark.implicits._
+    // only 2 distinct locations but k=3: farthest-first seeds the third
+    // centroid on top of an existing one, it captures no points, and
+    // the fit must still return 3 centroids (the empty cluster keeps
+    // its previous centroid) rather than silently returning 2
+    val degenerate = (0 until 100).map { i =>
+      val (cx, cy) = if (i % 2 == 0) (0.0, 0.0) else (10.0, 10.0)
+      (i.toLong, Array(cx.toFloat, cy.toFloat))
+    }.toDF("id", "vec")
+    val (assigned, centroids) = KMeansFit.fit(degenerate, "id", "vec", 3, 3)
+    assert(centroids.count() == 3)
+    assert(assigned.count() == 100)
+  }
+
+  test("returned assignments are the argmin of the returned centroids") {
+    val (assigned, centroids) = KMeansFit.fit(blobs, "id", "vec", 3, 2)
+    // recompute argmin driver-side from the RETURNED centroid table;
+    // any disagreement means the pair is internally inconsistent (the
+    // old shape returned assignments one Lloyd round behind)
+    val cs = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val pts = blobs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val got = assigned.collect().map(r => r.getLong(0) -> r.getLong(1))
+    got.foreach { case (id, cid) =>
+      val p = pts(id)
+      val best = cs.minBy { case (c, v) =>
+        (v.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }._1
+      assert(best == cid, s"point $id assigned $cid but argmin is $best")
+    }
+  }
+
   test("centroids are bit-identical under different partitionings") {
     val a = KMeansFit.fit(blobs.repartition(3), "id", "vec", 3, 3)._2
     val b = KMeansFit.fit(blobs.repartition(11), "id", "vec", 3, 3)._2

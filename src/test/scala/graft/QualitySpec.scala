@@ -26,6 +26,22 @@ class QualitySpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) == 0L))
   }
 
+  test("an empty table audits as zero violations, pass=true") {
+    // sum() over zero rows is null; uncoalesced, an empty batch used
+    // to report violations=null / pass=null — a gate on pass===false
+    // AND a gate on pass===true would both wave it through/block it
+    val empty = Tables.orders(spark, d).filter(lit(false))
+    val rows = Quality.audit(empty, Seq(
+      NotNull("o_custkey"),
+      InRange("o_totalprice", 0.0, 1e9),
+      Unique(Seq("o_orderkey")))).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && r.getLong(1) == 0L, r.toString)
+      assert(!r.isNullAt(2) && r.getBoolean(2), r.toString)
+    }
+  }
+
   test("each violation kind lands on exactly its own check") {
     import spark.implicits._
     val base = Seq(
