@@ -146,7 +146,9 @@ object Multimodal {
       Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
+      // null payloads (mediaSchema declares media nullable; a null
+      // source text yields one) are skipped, not NPE'd mid-job
+      rows.filter(_.media != null).grouped(batchSize).flatMap { batch =>
         // one codec call per batch (amortizes model/codec setup)
         batch.map { r =>
           MediaFeatures(r.doc_id, r.media.length.toLong,
@@ -167,7 +169,7 @@ object Multimodal {
       batchSize: Int = 64): Dataset[MediaFeaturesPortable] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
+      rows.filter(_.media != null).grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           MediaFeaturesPortable(r.doc_id, r.media.length.toLong,
             StubCodec.decodeToFeaturesPortable(r.media, dim))
@@ -182,7 +184,8 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[MediaFrames] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      StubCodec.sampleFrames(r.media, n).zipWithIndex.map {
+      if (r.media == null) Seq.empty
+      else StubCodec.sampleFrames(r.media, n).zipWithIndex.map {
         case (frame, i) => MediaFrames(r.doc_id, i, frame)
       }
     }
@@ -202,6 +205,7 @@ object Multimodal {
       hop: Int): Dataset[MediaWindow] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
+      if (r.media == null) Seq.empty[MediaWindow] else {
       val len = r.media.length
       val n = if (len >= frame) (len - frame) / hop + 1 else 0
       (0 until n).map { i =>
@@ -210,6 +214,7 @@ object Multimodal {
         val end = j + frame
         while (j < end) { e += r.media(j) & 0xff; j += 1 }
         MediaWindow(r.doc_id, i, e)
+      }
       }
     }
   }

@@ -30,7 +30,17 @@ object TextOps {
   def let(value: Column)(body: Column => Column): Column =
     element_at(transform(array(value), body), 1)
 
-  /** Whitespace tokenization, lowercased. */
+  /** Single-space tokenization, lowercased. DELIBERATE CONTRACT, not
+    * general whitespace handling: every signature (minhash, simhash,
+    * fingerprint), metric, and the DuckDB oracle recompute exactly
+    * `split(lower(text), ' ')`, and the native expressions
+    * ([[graft.functions.MinHashSig]]) rely on shingles being contiguous
+    * substrings of the single-space-joined text. Corpus text is
+    * expected to be whitespace-normalized first (see the q_normalize
+    * canonical-form pass) — tabs/newlines inside a "token" and empty
+    * tokens from runs of spaces are passed through verbatim on both
+    * engines, by design.
+    */
   def tokens(c: Column): Column = split(lower(c), " ")
 
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
@@ -90,14 +100,20 @@ object TextOps {
 
   /** LSH band keys: band i is md5(i + "|" + csv of its r signature
     * rows). Docs sharing ANY band key are near-dup candidates. The band
-    * index is baked into the key so a single equi-join on the key suffices.
+    * index is baked into the key so a single equi-join on the key
+    * suffices. A band whose slice would run past the signature yields a
+    * NULL key (dropped by any equi-join) — without the guard, every
+    * document would share the identical md5-of-empty key for that band
+    * and the candidate join would degenerate to the full N x N cross
+    * product.
     */
   def lshBands(sig: Column, bands: Int = 4, rowsPerBand: Int = 4): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      i => md5(concat(i.cast("string"), lit("|"),
-        array_join(transform(
-          slice(sig, i * rowsPerBand + 1, lit(rowsPerBand)),
-          _.cast("string")), ","))))
+      i => when(size(sig) >= (i + lit(1)) * rowsPerBand,
+        md5(concat(i.cast("string"), lit("|"),
+          array_join(transform(
+            slice(sig, i * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string")), ",")))))
 
   /** 16-bit SimHash over the (frequency-weighted) token stream: bit i is
     * the sign of sum over tokens of ±1, where +1 iff the i-th hex nibble
@@ -160,8 +176,12 @@ object TextOps {
     * the length/punct/stopword heuristics of LLM-corpus filtering.
     */
   def alphaRatio(c: Column): Column =
-    length(regexp_replace(lower(c), "[^a-z]", "")).cast("double") /
-      length(c).cast("double")
+    // empty text is 0.0 by definition, not 0/0: a NaN here slips past
+    // every `< threshold` quality gate (NaN comparisons are false), so
+    // the emptiest possible document would escape the alpha filter
+    when(length(c) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(lower(c), "[^a-z]", "")).cast("double") /
+        length(c).cast("double"))
 
   def stopwordRatio(c: Column): Column = {
     val stops = langMarkers.toMap.apply("en")

@@ -89,8 +89,11 @@ object GmailPipeline {
     */
   def newMessagesWithSourceSkip(incoming: DataFrame, state: DataFrame,
       maxInlineIds: Int = 10000): DataFrame = {
+    // drop null ids from the inlined set: one null in `NOT id IN (...)`
+    // makes the predicate NULL for every unseen row — filter() treats
+    // that as false and ingestion silently halts forever
     val ids = state.select(col("id")).limit(maxInlineIds + 1)
-      .collect().map(_.getString(0))
+      .collect().map(_.getString(0)).filter(_ != null)
     if (ids.length > maxInlineIds) newMessages(incoming, state)
     else if (ids.isEmpty) incoming
     else incoming.filter(!col("id").isin(ids.toIndexedSeq: _*))
@@ -109,25 +112,39 @@ object GmailPipeline {
     */
   def extract(spark: SparkSession, incoming: DataFrame, cfg: Config,
       today: java.sql.Date): Long = {
+    // Crash recovery BEFORE anything else: a compaction that died
+    // between its two renames leaves stateDir missing with
+    // `.compact-old` holding the full state. readState would fall back
+    // correctly, but the append below would then RECREATE stateDir
+    // containing only today's ids — permanently shadowing the fallback
+    // and silently dropping the whole dedup history.
+    recoverState(spark, cfg.stateDir)
     val state = readState(spark, cfg.stateDir)
     // The budget counts only NEW messages (reference increments `count`
     // only on fetch, gmail_functions.py:182) — so limit AFTER the anti-join.
     // Within-batch duplicates also collapse (the reference's uncommitted
     // state insert is visible to its own later probes,
-    // gmail_functions.py:118-126).
-    val fresh = newMessages(incoming, state)
-      .dropDuplicates("id").limit(cfg.limit).cache()
-    try {
-      val n = fresh.count()
-      if (n > 0) {
-        // Raw sink first; the state append below only runs if this
-        // succeeded (reference commit protocol, gmail_functions.py:131-137).
-        fresh.write.mode(SaveMode.Append).json(cfg.rawDir)
-        fresh.select(col("id"), lit(today).as("date"))
-          .write.mode(SaveMode.Append).parquet(cfg.stateDir)
-      }
-      n
-    } finally fresh.unpersist()
+    // gmail_functions.py:118-126). Malformed blobs parse to all-null
+    // rows; a null id must not enter the state table (it would poison
+    // the inlined NOT IN skip) or consume budget.
+    // localCheckpoint, NOT cache: dropDuplicates+limit is a
+    // plan-NONDETERMINISTIC selection and cache() is best-effort — an
+    // evicted block would let the state append recompute a DIFFERENT
+    // subset than the raw write just published (ids recorded in state
+    // but absent from raw are dedup-filtered forever = silent loss).
+    // The checkpoint materializes the chosen subset once; losing its
+    // blocks fails the job (fail-stop) instead of diverging.
+    val fresh = newMessages(incoming.filter(col("id").isNotNull), state)
+      .dropDuplicates("id").limit(cfg.limit).localCheckpoint()
+    val n = fresh.count()
+    if (n > 0) {
+      // Raw sink first; the state append below only runs if this
+      // succeeded (reference commit protocol, gmail_functions.py:131-137).
+      fresh.write.mode(SaveMode.Append).json(cfg.rawDir)
+      fresh.select(col("id"), lit(today).as("date"))
+        .write.mode(SaveMode.Append).parquet(cfg.stateDir)
+    }
+    n
   }
 
   /** State compaction: every extract appends one more parquet file to
@@ -138,6 +155,30 @@ object GmailPipeline {
     * path does not need it — dropDuplicates state lives in the state
     * store). Returns the compacted row count.
     */
+  /** Hadoop rename returns FALSE for many failure modes instead of
+    * throwing; an unchecked false mid-swap corrupts the protocol (e.g.
+    * a failed cur->old followed by tmp->cur moves tmp INSIDE the still-
+    * existing state dir as a child). Fail loudly instead.
+    */
+  private def checkedRename(fs: org.apache.hadoop.fs.FileSystem,
+      src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  /** Restore the state dir from a compaction that crashed between its
+    * two renames (cur missing, `.compact-old` holding the full state).
+    * Called by both [[compactState]] and [[extract]] — the extract-side
+    * call matters because an APPEND to a missing stateDir would
+    * recreate it and shadow the fallback.
+    */
+  private def recoverState(spark: SparkSession, stateDir: String): Unit = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(stateDir)
+    val old = new Path(stateDir + ".compact-old")
+    if (!fs.exists(cur) && fs.exists(old)) checkedRename(fs, old, cur)
+  }
+
   def compactState(spark: SparkSession, stateDir: String,
       rowsPerFile: Long = 4000000L): Long = {
     val fs = new Path(stateDir)
@@ -149,7 +190,7 @@ object GmailPipeline {
     // renames leaves cur missing and old holding the full state — restore
     // it before doing anything else. (tmp may also linger; it is rewritten
     // below with Overwrite.)
-    if (!fs.exists(cur) && fs.exists(old)) fs.rename(old, cur)
+    recoverState(spark, stateDir)
     val state = readState(spark, stateDir)
     val n = state.count()
     if (n == 0) return 0L
@@ -167,8 +208,8 @@ object GmailPipeline {
     // Readers are safe; writers need external mutual exclusion (the
     // reference serializes runs via the daily scheduler; gmail_dag.py:5).
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(cur, old)
-    fs.rename(tmp, cur)
+    checkedRename(fs, cur, old)
+    checkedRename(fs, tmp, cur)
     n
   }
 
@@ -237,7 +278,13 @@ object GmailPipeline {
     blobs.foreach { b =>
       if (fs.rename(b, new Path(processed, b.getName))) moved += 1
     }
+    // count what actually LANDED (not the lazy plan) — with
+    // multiLine=true, because quoteAll writes any embedded newline in
+    // subject/from as a quoted multi-line field, and the default
+    // per-physical-line read would split it into extra records and
+    // inflate the count
     (formatted.sparkSession.read.option("header", true)
+      .option("multiLine", true)
       .csv(s"${cfg.stage1Dir}/$outName").count(), moved)
   }
 }

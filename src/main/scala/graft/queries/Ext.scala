@@ -2263,8 +2263,9 @@ object Ext {
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  $sqlLangId AS lang_pred,
-         |  round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-         |    / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+         |  round(CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE) END, 6) AS alpha_ratio,
          |  round(CAST(len(list_filter(t, x -> x IN ($enStops))) AS DOUBLE)
          |    / CAST(len(t) AS DOUBLE), 6) AS stop_ratio,
          |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
@@ -2284,8 +2285,9 @@ object Ext {
          |FROM (
          |  SELECT doc_id, concat_ws(',',
          |    CASE WHEN len(t) < 10 THEN 'short' END,
-         |    CASE WHEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-         |           / CAST(length(text) AS DOUBLE) < 0.7 THEN 'low_alpha' END,
+         |    CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) END) < 0.7 THEN 'low_alpha' END,
          |    CASE WHEN CAST(len(list_filter(t, x -> x IN ($enStops))) AS DOUBLE)
          |           / CAST(len(t) AS DOUBLE) <= 0.0 THEN 'no_stopwords' END,
          |    CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
@@ -2635,8 +2637,9 @@ object Ext {
 
     "q_quality_score" ->
       s"""WITH sig AS (SELECT doc_id,
-         |    round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-         |      / CAST(length(text) AS DOUBLE), 6) AS alpha,
+         |    round(CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) END, 6) AS alpha,
          |    round(CAST(len(list_filter(t, x -> x IN ($enStops))) AS DOUBLE)
          |      / CAST(len(t) AS DOUBLE), 6) AS stop,
          |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
