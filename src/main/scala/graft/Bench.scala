@@ -19,14 +19,36 @@ object Bench {
     * BenchLineSpec asserts the worst-case rendered line stays under it. */
   val MaxStdoutLineBytes = 1900
 
-  private def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-    .replaceAll("[\\r\\n\\t]", " ") + "\""
+  /** Full JSON string escape (same contract as Verify's): backslash,
+    * quote, and EVERY control char below 0x20 — a stray \b/ESC/
+    * in an error message would otherwise make the driver's json.load
+    * reject the whole line exactly when a failure needs surfacing. */
+  private def jstr(s: String) = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
   private def r3(v: Double) = math.rint(v * 1000) / 1000
   private def qmap(rs: Iterable[(String, Double)]) =
     rs.map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
 
+  /** One error entry, budgeted AFTER escaping: a quote/backslash-heavy
+    * message truncated before escaping could double in rendered size
+    * and push the headline past the driver's tail window. */
+  private def errEntry(k: String, e: String): String = {
+    // shrink the RAW message until the ESCAPED rendering fits (cutting
+    // the rendered string could split a \uXXXX escape mid-sequence)
+    var raw = e.take(200)
+    while (jstr(raw).length > 202 && raw.nonEmpty) raw = raw.dropRight(8)
+    jstr(k) + ":" + jstr(raw)
+  }
+
   private def errEntries(results: Seq[(String, (Double, Option[String]))]) =
-    results.collect { case (k, (_, Some(e))) => jstr(k) + ":" + jstr(e) }
+    results.collect { case (k, (_, Some(e))) => errEntry(k, e) }
 
   /** The single stdout line the driver parses. Inline errors are capped
     * at 3 (full detail still lands in BENCH_DETAIL.json) with the total
@@ -88,7 +110,7 @@ object Bench {
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case t: Throwable =>
-          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
+          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}")
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }
@@ -104,7 +126,11 @@ object Bench {
       if (t1 <= 0.8 || e1.isDefined) name -> (t1, e1)
       else {
         val (t2, e2) = once(queries(name))
-        name -> (math.min(t1, t2), e1.orElse(e2))
+        // keep the min ONLY over error-free runs: a flaky failed
+        // re-measure must not replace a full successful measurement
+        // with its short duration and flag the query failed
+        if (e2.isDefined) name -> (t1, e1)
+        else name -> (math.min(t1, t2), None)
       }
     }.toSeq
     // Anchor the detail file to the repo root (or an explicit override),

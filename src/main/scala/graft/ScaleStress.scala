@@ -136,15 +136,25 @@ object ScaleStress {
     synth(spark, src, d1, 1, facts)
     synth(spark, src, dN, replicas, facts)
 
-    def run(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // A single failed query (OOM at the deep scale after hours of
+    // synthesis) must not abort the run and lose every other
+    // measurement: failures record NaN (rendered as an "error" entry)
+    // and the sweep continues.
+    def run(name: String, dir: String): Double =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"SCALE $name FAILED in $dir: ${t.getMessage}")
+          Double.NaN
+      }
     // JIT/codegen warmup on the small dir
     stressSet.foreach(run(_, d1))
-    // min of two passes per scale — same noise protocol as Bench
+    // min of two passes per scale (NaN-propagating: any failed pass
+    // marks the query failed) — same noise protocol as Bench
     val results = stressSet.map { name =>
       val t1 = math.min(run(name, d1), run(name, d1))
       val tN = math.min(run(name, dN), run(name, dN))
@@ -160,16 +170,31 @@ object ScaleStress {
     }
     val cc =
       if (facts.contains("documents")) {
-        val (r1, rN) = (ccRounds(d1), ccRounds(dN))
-        println(s"SCALE cc_rounds x1=$r1 x$replicas=$rN")
-        s""","cc_rounds":{"x1":$r1,"x$replicas":$rN}"""
+        try {
+          val (r1, rN) = (ccRounds(d1), ccRounds(dN))
+          println(s"SCALE cc_rounds x1=$r1 x$replicas=$rN")
+          s""","cc_rounds":{"x1":$r1,"x$replicas":$rN}"""
+        } catch { case t: Throwable =>
+          System.err.println(s"SCALE cc_rounds FAILED: ${t.getMessage}")
+          ""
+        }
       } else ""
+    def num(v: Double, scale: Int) =
+      if (v.isNaN) "\"error\"" else (math.rint(v * scale) / scale).toString
     val json = results.map { case (n, t1, tN, e) =>
-      s""""$n":{"t1":${math.rint(t1 * 1000) / 1000},"t$replicas":${math.rint(tN * 1000) / 1000},"exponent":${math.rint(e * 100) / 100}}"""
+      s""""$n":{"t1":${num(t1, 1000)},"t$replicas":${num(tN, 1000)},"exponent":${num(e, 100)}}"""
     }.mkString("{", ",", s"$cc}")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_STRESS.json")
+    // anchor to the repo root (or an explicit override), not the cwd —
+    // same rule as Bench's detail file: a run launched elsewhere must
+    // not leave the committed results file silently stale
+    val outFile = sys.env.get("SPARK_GRAFT_SCALE_OUT").getOrElse {
+      val cwd = Paths.get("").toAbsolutePath
+      val root = if (Files.exists(cwd.resolve("build.sbt"))) cwd.toString
+        else "/root/repo"
+      s"$root/SCALE_STRESS.json"
+    }
     Files.writeString(Paths.get(outFile), json)
-    println(s"SCALE done -> SCALE_STRESS.json")
+    println(s"SCALE done -> $outFile")
     spark.stop()
   }
 }

@@ -1737,11 +1737,28 @@ object Ext {
     // shingle-set reuse as q_dedup_jaccard; containment both ways plus
     // the subset flag.
     "q_dedup_containment" -> ((s, d) => {
-      val t = documents(s, d).select(col("doc_id"),
-        TextOps.distinctShingles(col("text"), K).as("sh"))
-      val a = t.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = t.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, col("id_b") === col("id_a") + 1)
+      // pair assembly by double-emission (the q_dedup_jaccard shape):
+      // one shuffle, shingle sets computed ONCE — the previous
+      // id/id+1 self-join re-shingled every document on both sides
+      // (exchange reuse does not fire across the shifted keys)
+      documents(s, d)
+        .select(col("doc_id"),
+          TextOps.distinctShingles(col("text"), K).as("sh"))
+        .select(explode(array(
+          struct(col("doc_id").as("pair_id"), lit(0).as("side"),
+            col("doc_id"), col("sh")),
+          struct((col("doc_id") - 1).as("pair_id"), lit(1).as("side"),
+            col("doc_id"), col("sh")))).as("e"))
+        .select(col("e.*"))
+        .groupBy(col("pair_id"))
+        .agg(
+          min(when(col("side") === 0, col("doc_id"))).as("id_a"),
+          first(when(col("side") === 0, col("sh")), ignoreNulls = true)
+            .as("sh_a"),
+          min(when(col("side") === 1, col("doc_id"))).as("id_b"),
+          first(when(col("side") === 1, col("sh")), ignoreNulls = true)
+            .as("sh_b"))
+        .filter(col("id_a").isNotNull && col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"),
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
             .as("n_common"),

@@ -259,6 +259,16 @@ object Relational {
     require(sampleRows.length <= 256,
       s"rangedCore saw ${sampleRows.length} groups; use exactQuantilesBy " +
         "for many-group quantiles")
+    // null group keys are unsupported LOUDLY: the consumers join data
+    // to the offset/target relations on the group columns with
+    // null-UNSAFE equality, so a null group would get a correct _pid
+    // here and then silently vanish from the joined output — a wrong
+    // answer, not an error. Coalesce or filter nullable group keys
+    // before calling.
+    require(sampleRows.forall(r =>
+      (0 until grpCols.size).forall(i => !r.isNullAt(i))),
+      "rangedCore: null group-key values unsupported (downstream " +
+        "joins are null-unsafe); coalesce or filter them first")
     // boundary t = the sample value at sorted position floor(m*t/B):
     // positions are tie-invariant, so the boundary set is a pure
     // function of the sampled value set
@@ -277,9 +287,10 @@ object Relational {
     // [[graft.functions.BucketIdx]] for why neither a HOF nor an
     // unrolled literal chain survives here.
     val vd = col(v).cast("double")
+    // group keys are non-null (required above), so plain equality
     val pidExpr = byGroup.foldLeft(lit(0)) { case (acc, (gkey, bs)) =>
       val cond = grpCols.zip(gkey).map { case (c, k) =>
-        if (k == null) col(c).isNull else col(c) === lit(k)
+        col(c) === lit(k)
       }.reduce(_ && _)
       when(cond, graft.functions.BucketIdx(vd, bs)).otherwise(acc)
     }

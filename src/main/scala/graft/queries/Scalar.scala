@@ -222,8 +222,13 @@ object Scalar {
           pow(col("l_quantity"), 2).as("qty_sq"),
           (col("l_linenumber") % 3).cast("long").as("mod3"),
           greatest(col("l_tax"), col("l_discount")).as("max_rate"))
+        // FULL-output order (see q_scan): floor_p/ceil_p are pinned only
+        // to 4-decimal granularity by sqrt_p, so omitting them leaves a
+        // legal tie where the two engines could order value-distinct
+        // rows differently
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("abs_d"),
-          col("sqrt_p"), col("qty_sq"), col("max_rate")))
+          col("floor_p"), col("ceil_p"), col("sqrt_p"), col("qty_sq"),
+          col("max_rate")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -339,6 +344,7 @@ object Scalar {
         |  l_linenumber % 3 AS mod3,
         |  greatest(l_tax, l_discount) AS max_rate
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, abs_d, sqrt_p, qty_sq, max_rate""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, abs_d, floor_p, ceil_p,
+        |  sqrt_p, qty_sq, max_rate""".stripMargin
   )
 }
