@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -114,11 +114,32 @@ object Ext {
     val base = documents(s, d).select(col("doc_id"), col("text"))
     val mutated = base.filter(col("doc_id") < 20)
       .select((col("doc_id") + 100000).as("doc_id"),
-        TextOps.let(TextOps.tokens(col("text"))) { t =>
-          array_join(slice(t, lit(1), size(t) - 2), " ")
-        }.as("text"))
+        truncTail2(col("text")).as("text"))
     base.unionByName(mutated)
   }
+
+  /** Drop-the-last-2-tokens mutation, mirroring the oracle's
+    * array_to_string(t[1:len(t)-2], ' ') exactly INCLUDING its
+    * degenerate lengths (measured in DuckDB): a 1-token list stays
+    * whole (the negative end index counts from the end, so t[1:-1] is
+    * the full list); len 0 or 2 slice to [], and DuckDB's
+    * array_to_string([]) is NULL where Spark's array_join is '' — so
+    * the empty slice maps to NULL explicitly. Spark's slice() also
+    * THROWS on a negative length, so without the clamp + len=1 case
+    * one sub-2-token doc would abort the whole near-dup query family
+    * instead of degrading like the oracle. ExtOpsSpec pins these edge
+    * lengths.
+    */
+  private[graft] def truncTail2(text: Column): Column =
+    TextOps.let(TextOps.tokens(text)) { t =>
+      TextOps.let(
+        when(size(t) === 1, t)
+          .otherwise(slice(t, lit(1), greatest(size(t) - 2, lit(0))))) {
+        kept =>
+          when(size(kept) === 0, lit(null).cast("string"))
+            .otherwise(array_join(kept, " "))
+      }
+    }
 
   /** Signature array rendered as the canonical csv string (shared by the
     * digest and the oracle; Spark long and DuckDB BIGINT stringify
@@ -126,6 +147,40 @@ object Ext {
     */
   private def sigCsv(sig: org.apache.spark.sql.Column) =
     array_join(transform(sig, _.cast("string")), ",")
+
+  /** Adjacent-pair assembly (doc i vs i+1) by double-emission, the ONE
+    * implementation behind q_dedup_jaccard / q_minhash_est /
+    * q_dedup_containment: each doc emits itself into its own pair slot
+    * and its predecessor's, so one 2x explode and ONE shuffle on
+    * pair_id assemble every pair from payloads computed once. Neither
+    * of the obvious alternatives survives at scale: a shifted-key
+    * self-join computes every payload twice (exchange reuse does not
+    * fire across the differing id/id+1 shuffle keys), and a
+    * global-order lead() window serializes all rows through one
+    * partition. Input must carry a unique long `doc_id` plus the named
+    * payload columns; output has `id_a`, `id_b` = id_a + 1, and each
+    * payload p as `p_a` / `p_b` (boundary ids with no partner are
+    * dropped by the adjacency filter).
+    */
+  private def adjacentPairs(df: DataFrame, payloads: String*): DataFrame = {
+    def emit(pairId: Column, side: Int) =
+      struct(pairId.as("pair_id") +: lit(side).as("side") +:
+        col("doc_id") +: payloads.map(col): _*)
+    val aggs =
+      min(when(col("side") === 0, col("doc_id"))).as("id_a") +:
+        min(when(col("side") === 1, col("doc_id"))).as("id_b") +:
+        payloads.flatMap(p => Seq(
+          first(when(col("side") === 0, col(p)), ignoreNulls = true)
+            .as(s"${p}_a"),
+          first(when(col("side") === 1, col(p)), ignoreNulls = true)
+            .as(s"${p}_b")))
+    df.select(explode(array(
+        emit(col("doc_id"), 0), emit(col("doc_id") - 1, 1))).as("e"))
+      .select(col("e.*"))
+      .groupBy(col("pair_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("id_a").isNotNull && col("id_b") === col("id_a") + 1)
+  }
 
   /** The COMPLETE near-dup pipeline: shingle -> minhash -> band ->
     * bucket-join producing candidate pairs -> exact-Jaccard
@@ -174,13 +229,16 @@ object Ext {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** Deterministic medoid quantizer shared by the IVF ANN family and
-    * semantic dedup: reps = min vec_id per label (broadcast — they are
-    * few), every vector assigned to its best-scoring rep's cell. One
-    * broadcast join + one per-vector bounded window; vectors never
-    * shuffle by cell here.
+  /** Scored (vector, rep-cell) relation behind the IVF quantizer,
+    * shared by [[ivfAssign]] and the nprobe probe list: reps = min
+    * vec_id per label (broadcast — they are few), every vector scored
+    * against every rep, `cell_rn` ranking the cells per vector (1 =
+    * best). One broadcast join + one per-vector bounded window;
+    * vectors never shuffle by cell here. Kept as the ONE quantizer
+    * definition so the index the queries build and the cells the
+    * nprobe variant probes can never drift apart.
     */
-  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
+  private def ivfScoredCells(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("label"),
       VectorOps.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
@@ -196,10 +254,21 @@ object Ext {
         (VectorOps.dot(col("v"), col("rv")) / (col("nrm") * col("rn_")))
           .as("rep_score"))
       .withColumn("cell_rn", row_number().over(wCell))
-      .filter(col("cell_rn") === 1)
+  }
+
+  /** Best-cell assignment from [[ivfScoredCells]]: every vector in its
+    * top-scoring rep's cell.
+    */
+  private def ivfCells(scored: DataFrame): DataFrame =
+    scored.filter(col("cell_rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"),
         col("rep_id").as("cell"))
-  }
+
+  /** Deterministic medoid quantizer shared by the IVF ANN family and
+    * semantic dedup (see [[ivfScoredCells]] for the plan shape).
+    */
+  private def ivfAssign(s: SparkSession, d: String): DataFrame =
+    ivfCells(ivfScoredCells(s, d))
 
   /** IVF-style cell-restricted ANN top-k (the q_ann_ivf plan, shared
     * with the recall audit): deterministic medoid quantizer (min vec_id
@@ -552,27 +621,14 @@ object Ext {
 
     // n-gram Jaccard over a deterministic linear pair set (doc i vs i+1):
     // the resemblance measure LSH approximates, computed exactly. Pair
-    // assembly by double-emission (see q_minhash_est): one shuffle,
+    // assembly by double-emission ([[adjacentPairs]]): one shuffle,
     // shingle sets computed once — a self-join on id/id+1 would
     // re-shingle every document on both sides.
     "q_dedup_jaccard" -> ((s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), TextOps.distinctShingles(col("text"), K).as("sh"))
-        .select(explode(array(
-          struct(col("doc_id").as("pair_id"), lit(0).as("side"),
-            col("doc_id"), col("sh")),
-          struct((col("doc_id") - 1).as("pair_id"), lit(1).as("side"),
-            col("doc_id"), col("sh")))).as("e"))
-        .select(col("e.*"))
-        .groupBy(col("pair_id"))
-        .agg(
-          min(when(col("side") === 0, col("doc_id"))).as("id_a"),
-          first(when(col("side") === 0, col("sh")), ignoreNulls = true)
-            .as("sh_a"),
-          min(when(col("side") === 1, col("doc_id"))).as("id_b"),
-          first(when(col("side") === 1, col("sh")), ignoreNulls = true)
-            .as("sh_b"))
-        .filter(col("id_a").isNotNull && col("id_b") === col("id_a") + 1)
+      adjacentPairs(
+        documents(s, d).select(col("doc_id"),
+          TextOps.distinctShingles(col("text"), K).as("sh")),
+        "sh")
         .select(col("id_a"), col("id_b"),
           round(size(array_intersect(col("sh_a"), col("sh_b")))
             .cast("double") /
@@ -747,24 +803,11 @@ object Ext {
     // probe list is a broadcast-side explosion (|queries| x NProbe rows),
     // the 100 TB side is still one equi-join on cell id.
     "q_ann_ivf_nprobe" -> ((s, d) => {
-      val e = embeddings(s, d).select(col("vec_id"), col("label"),
-        VectorOps.toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", VectorOps.norm(col("v")))
-      val reps = e.groupBy(col("label")).agg(min(col("vec_id")).as("rep_id"))
-        .join(e.select(col("vec_id").as("rep_id"), col("v").as("rv"),
-          col("nrm").as("rn_")), Seq("rep_id"))
-        .select(col("rep_id"), col("rv"), col("rn_"))
-      val wCell = Window.partitionBy(col("vec_id"))
-        .orderBy(col("rep_score").desc, col("rep_id"))
-      val scoredCells = e.join(broadcast(reps))
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("rep_id"),
-          (VectorOps.dot(col("v"), col("rv")) / (col("nrm") * col("rn_")))
-            .as("rep_score"))
-        .withColumn("cell_rn", row_number().over(wCell))
-      val assigned = scoredCells.filter(col("cell_rn") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("rep_id").as("cell"))
+      // ONE quantizer lineage (ivfScoredCells) feeds both the index
+      // cells and the probe list, so exchange reuse fires on the
+      // shared subtree and the two sides cannot use different indexes
+      val scoredCells = ivfScoredCells(s, d)
+      val assigned = ivfCells(scoredCells)
       val qProbes = scoredCells
         .filter(col("vec_id") < 5 && col("cell_rn") <= NProbe)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -1477,35 +1520,12 @@ object Ext {
     // dial every LSH deployment needs measured before trusting it at
     // 100 TB (where only the estimate is affordable).
     "q_minhash_est" -> ((s, d) => {
-      // adjacent-pair assembly WITHOUT a self-join (which would compute
-      // every signature twice — exchange reuse doesn't fire across the
-      // differing id/id+1 shuffle keys) and WITHOUT a global-order
-      // lead() window (which serializes all rows through ONE partition):
-      // each doc emits itself to its own pair slot and its
-      // predecessor's, so one 2x explode and ONE shuffle on pair_id
-      // assemble every pair from signatures computed once.
+      // adjacent-pair assembly by double-emission ([[adjacentPairs]]):
+      // signatures and shingle sets computed once, ONE shuffle.
       val sigsh = minhashSig(s, d)
         .join(documents(s, d).select(col("doc_id"),
           TextOps.distinctShingles(col("text"), K).as("sh")), Seq("doc_id"))
-      sigsh.select(explode(array(
-          struct(col("doc_id").as("pair_id"), lit(0).as("side"),
-            col("doc_id"), col("sig"), col("sh")),
-          struct((col("doc_id") - 1).as("pair_id"), lit(1).as("side"),
-            col("doc_id"), col("sig"), col("sh")))).as("e"))
-        .select(col("e.*"))
-        .groupBy(col("pair_id"))
-        .agg(
-          min(when(col("side") === 0, col("doc_id"))).as("id_a"),
-          first(when(col("side") === 0, col("sig")), ignoreNulls = true)
-            .as("sig_a"),
-          first(when(col("side") === 0, col("sh")), ignoreNulls = true)
-            .as("sh_a"),
-          min(when(col("side") === 1, col("doc_id"))).as("id_b"),
-          first(when(col("side") === 1, col("sig")), ignoreNulls = true)
-            .as("sig_b"),
-          first(when(col("side") === 1, col("sh")), ignoreNulls = true)
-            .as("sh_b"))
-        .filter(col("id_a").isNotNull && col("id_b") === col("id_a") + 1)
+      adjacentPairs(sigsh, "sig", "sh")
         .select(col("id_a"), col("id_b"),
           round(aggregate(
             zip_with(col("sig_a"), col("sig_b"),
@@ -1737,28 +1757,14 @@ object Ext {
     // shingle-set reuse as q_dedup_jaccard; containment both ways plus
     // the subset flag.
     "q_dedup_containment" -> ((s, d) => {
-      // pair assembly by double-emission (the q_dedup_jaccard shape):
-      // one shuffle, shingle sets computed ONCE — the previous
-      // id/id+1 self-join re-shingled every document on both sides
-      // (exchange reuse does not fire across the shifted keys)
-      documents(s, d)
-        .select(col("doc_id"),
-          TextOps.distinctShingles(col("text"), K).as("sh"))
-        .select(explode(array(
-          struct(col("doc_id").as("pair_id"), lit(0).as("side"),
-            col("doc_id"), col("sh")),
-          struct((col("doc_id") - 1).as("pair_id"), lit(1).as("side"),
-            col("doc_id"), col("sh")))).as("e"))
-        .select(col("e.*"))
-        .groupBy(col("pair_id"))
-        .agg(
-          min(when(col("side") === 0, col("doc_id"))).as("id_a"),
-          first(when(col("side") === 0, col("sh")), ignoreNulls = true)
-            .as("sh_a"),
-          min(when(col("side") === 1, col("doc_id"))).as("id_b"),
-          first(when(col("side") === 1, col("sh")), ignoreNulls = true)
-            .as("sh_b"))
-        .filter(col("id_a").isNotNull && col("id_b") === col("id_a") + 1)
+      // pair assembly by double-emission ([[adjacentPairs]]): one
+      // shuffle, shingle sets computed ONCE — the previous id/id+1
+      // self-join re-shingled every document on both sides (exchange
+      // reuse does not fire across the shifted keys)
+      adjacentPairs(
+        documents(s, d).select(col("doc_id"),
+          TextOps.distinctShingles(col("text"), K).as("sh")),
+        "sh")
         .select(col("id_a"), col("id_b"),
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
             .as("n_common"),

@@ -23,12 +23,18 @@ object Relational {
   /** Time-band width for the range join, in microseconds (1 hour). */
   private val BandUs = 3600L * 1000000L
 
-  /** TPC-H Q3 in dialect-common ANSI SQL — this ONE string runs
-    * verbatim through BOTH spark.sql (Catalyst's parser/analyzer path,
-    * otherwise untouched by the DataFrame queries) and the DuckDB
-    * oracle. The strongest parity statement in the suite: same text,
-    * two engines, identical hashes.
+  /** Scratch dir for the sink-roundtrip queries. Keyed by (kind,
+    * dataset) so repeated runs in one process overwrite in place, and
+    * by process id so two concurrent graft processes on the same
+    * dataset (a bench running next to a verify) never share a
+    * directory — with a shared dir, one process's read could see the
+    * other's half-committed overwrite and aggregate a partially
+    * rewritten directory into a plausible-but-wrong result.
     */
+  private def rtDir(kind: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${kind}_" +
+      s"${d.hashCode.toHexString}_p${ProcessHandle.current().pid}"
+
   /** Shared ANSI windowed-SQL text (see [[SqlQ3]]'s contract): named
     * WINDOW clause, rank and a running decimal frame, one string
     * through both spark.sql and the DuckDB oracle.
@@ -81,6 +87,12 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q3 in dialect-common ANSI SQL — this ONE string runs
+    * verbatim through BOTH spark.sql (Catalyst's parser/analyzer path,
+    * otherwise untouched by the DataFrame queries) and the DuckDB
+    * oracle. The strongest parity statement in the suite: same text,
+    * two engines, identical hashes.
+    */
   private val SqlQ3 =
     """SELECT l_orderkey,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -247,17 +259,23 @@ object Relational {
     // one double simply share a bucket).
     val SampleBuckets = 1024
     val sampleHash = xxhash64((gc :+ col(v)): _*)
+    // this core is for FEW-groups-huge-data (many small groups belong in
+    // the by-group exactQuantilesBy shape); the group-dispatch plan grows
+    // with group count, so fail loudly rather than build a huge CASE.
+    // The limit(257) bounds what ever reaches the driver: a
+    // high-cardinality misuse (say a 150k-group key) must hit the
+    // require below as a clear error, not first collect groups x 1024
+    // doubles and die as a driver OOM. When the precondition holds
+    // (groups <= 256) the limit is a no-op.
     val sampleRows = base
       .groupBy(gc :+ pmod(sampleHash, lit(SampleBuckets)).as("_b"): _*)
       .agg(min_by(col(v).cast("double"), sampleHash).as("_bv"))
       .groupBy(gc: _*)
       .agg(sort_array(collect_list(col("_bv"))).as("_s"))
+      .limit(257)
       .collect()
-    // this core is for FEW-groups-huge-data (many small groups belong in
-    // the by-group exactQuantilesBy shape); the group-dispatch plan grows
-    // with group count, so fail loudly rather than build a huge CASE
     require(sampleRows.length <= 256,
-      s"rangedCore saw ${sampleRows.length} groups; use exactQuantilesBy " +
+      "rangedCore saw more than 256 groups; use exactQuantilesBy " +
         "for many-group quantiles")
     // null group keys are unsupported LOUDLY: the consumers join data
     // to the offset/target relations on the group columns with
@@ -1347,7 +1365,7 @@ object Relational {
     // roundtrip fails the hash. Text formats never carry binary doubles,
     // so the decimal-string encoding IS the portability contract.
     "q_csv_roundtrip" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_csv_${d.hashCode.toHexString}"
+      val dir = rtDir("csv", d)
       orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("string")
@@ -1373,7 +1391,7 @@ object Relational {
     // and all of it). The oracle computes the same aggregate from the
     // unpartitioned source, so layout round-trip errors fail the hash.
     "q_partition_pruned" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_part_${d.hashCode.toHexString}"
+      val dir = rtDir("part", d)
       orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice").cast("decimal(18,2)").as("price"),
@@ -1394,7 +1412,7 @@ object Relational {
     // price survives as a JSON decimal literal re-read under an explicit
     // DECIMAL(18,2) schema.
     "q_json_roundtrip" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_json_${d.hashCode.toHexString}"
+      val dir = rtDir("json", d)
       orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_totalprice").cast("decimal(18,2)").as("price"),
@@ -1450,7 +1468,7 @@ object Relational {
     // oracle knows exactly which rows were bad and checks both the
     // quarantine count and that revenue aggregates ONLY good rows.
     "q_json_corrupt" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_corrupt_${d.hashCode.toHexString}"
+      val dir = rtDir("corrupt", d)
       orders(s, d)
         .select(
           when(col("o_orderkey") % 10 === 0,

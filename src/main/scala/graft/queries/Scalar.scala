@@ -42,12 +42,16 @@ object Scalar {
       // NumberFormatException per cast (~2x wall-clock on this data).
       // A SOUND invalidity guard (empty, or any character that can
       // never appear in a numeric literal) short-circuits those rows
-      // to NULL without attempting the parse; guarded rows are exactly
-      // rows try_cast would null anyway, so semantics are unchanged
-      // and the residue still gets full try_cast behavior (overflow,
-      // exotic forms).
+      // to NULL without attempting the parse, and the residue still
+      // gets full try_cast behavior (overflow, exotic forms). The
+      // letter test alone is NOT sound: both Spark's cast and DuckDB's
+      // TRY_CAST parse the float special literals 'inf'/'Infinity'/
+      // 'NaN' (any case, optional sign), which are all letters — so
+      // those are carved out of the guard rather than nulled. With the
+      // carve-out, every guarded string is one both engines null.
       def certainlyBad(c: Column) =
-        c === "" || c.rlike("[^0-9eE+\\-. \\t]")
+        (c === "" || c.rlike("[^0-9eE+\\-. \\t]")) &&
+          !c.rlike("(?i)^\\s*[+-]?(inf(inity)?|nan)\\s*$")
       orders(s, d)
         .select(col("o_orderkey"),
           when(col("o_orderkey") % 3 === 0, col("o_orderkey").cast("string"))

@@ -27,6 +27,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(one(short, TextOps.shingles(col("text"), 3)) == Seq("a b"))
   }
 
+  test("truncTail2: DuckDB slice/array_to_string parity on edge lengths") {
+    // Expected values measured in DuckDB (the oracle's
+    // array_to_string(t[1:len(t)-2], ' ') over string_split tokens):
+    // a 1-token list stays whole (negative end index counts from the
+    // end), an empty slice renders NULL (array_to_string([]) is NULL,
+    // where Spark's array_join would give ''), and '' tokenizes to
+    // [''] — one token, so it survives whole. Spark's slice() throws
+    // on negative lengths, so without the clamp these inputs would
+    // abort the near-dup family instead of matching the oracle.
+    val df = textDf("", "one", "one two", "a b c", "a b c d e", "x  y")
+    val got = df.orderBy(col("id"))
+      .select(graft.queries.Ext.truncTail2(col("text")).as("t"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(Some(""), Some("one"), None, Some("a"),
+      Some("a b c"), Some("x")))
+  }
+
   test("minhash: permutation-invariant, content-sensitive") {
     val df = textDf("w x y z q r s t")
     val perm = textDf("q r s t w x y z")  // same token set, diff shingles

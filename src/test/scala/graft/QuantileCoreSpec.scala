@@ -138,4 +138,20 @@ class QuantileCoreSpec extends SparkSpec {
       assert(vs.contains(got(g)._1) && vs.contains(got(g)._2))
     }
   }
+
+  test("many-group misuse fails loudly, not as a driver collect blowup") {
+    // rangedCore is a FEW-groups-huge-data core; pointing it at a
+    // high-cardinality key must hit the require (with the
+    // exactQuantilesBy redirect in the message), and must get there
+    // WITHOUT collecting groups x 1024 boundary samples to the driver
+    // first — the collect is limit(257)-bounded, so this failing fast
+    // (instead of OOMing first) is the behavior under test.
+    import spark.implicits._
+    val manyGroups = (1 to 5000)
+      .map(i => (s"g$i", i.toDouble)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Relational.rangedCore(manyGroups, Seq("g"), "v")
+    }
+    assert(e.getMessage.contains("exactQuantilesBy"))
+  }
 }
