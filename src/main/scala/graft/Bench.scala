@@ -19,31 +19,22 @@ object Bench {
     * BenchLineSpec asserts the worst-case rendered line stays under it. */
   val MaxStdoutLineBytes = 1900
 
-  /** Full JSON string escape (same contract as Verify's): backslash,
-    * quote, and EVERY control char below 0x20 — a stray \b/ESC/
-    * in an error message would otherwise make the driver's json.load
-    * reject the whole line exactly when a failure needs surfacing. */
-  private def jstr(s: String) = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def jstr(s: String) = Jsons.jstr(s)
   private def r3(v: Double) = math.rint(v * 1000) / 1000
   private def qmap(rs: Iterable[(String, Double)]) =
     rs.map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
 
-  /** One error entry, budgeted AFTER escaping: a quote/backslash-heavy
-    * message truncated before escaping could double in rendered size
-    * and push the headline past the driver's tail window. */
+  /** One error entry, budgeted AFTER escaping and in UTF-8 BYTES: the
+    * driver's tail window is a byte count, and a message quoting
+    * corpus text (CJK, emoji) renders up to 4 bytes per char while
+    * passing through jstr unescaped — a char-counted budget would let
+    * three such errors blow the line past the window. Shrinking the
+    * RAW message (not the rendering) also avoids splitting a \uXXXX
+    * escape mid-sequence. */
   private def errEntry(k: String, e: String): String = {
-    // shrink the RAW message until the ESCAPED rendering fits (cutting
-    // the rendered string could split a \uXXXX escape mid-sequence)
     var raw = e.take(200)
-    while (jstr(raw).length > 202 && raw.nonEmpty) raw = raw.dropRight(8)
+    while (jstr(raw).getBytes("UTF-8").length > 202 && raw.nonEmpty)
+      raw = raw.dropRight(8)
     jstr(k) + ":" + jstr(raw)
   }
 
@@ -64,7 +55,7 @@ object Bench {
     val byName = results.toMap
     val head = Headline.flatMap(n => byName.get(n).map(n -> _._1))
     val total = r3(results.map(_._2._1).sum)
-    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(head)}$errField,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(head)}$errField,"sf":${jstr(sfDir)}}"""
   }
 
   /** Full per-query map for the judge — no size constraint. */
@@ -74,24 +65,18 @@ object Bench {
     val errFieldFull =
       if (errors.isEmpty) "" else errors.mkString(",\"errors\":{", ",", "}")
     val total = results.map(_._2._1).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(results.map { case (k, v) => k -> v._1 })}$errFieldFull,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(results.map { case (k, v) => k -> v._1 })}$errFieldFull,"sf":${jstr(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      // test tables are single parquet files; split them so scans use
-      // every core (at cluster scale files are already multi-block)
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // test tables are single parquet files; the small maxPartitionBytes
+    // splits them so scans use every core (at cluster scale files are
+    // already multi-block)
+    val spark = Graft.localSession(cpus.toInt, "graft-bench",
+      Map("spark.sql.files.maxPartitionBytes" -> "4m"))
     // Opt-in local-iteration filter (comma-separated query names). The
     // driver never sets it, so per-round runs always cover the suite.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -144,10 +129,21 @@ object Bench {
         if (Files.exists(cwd.resolve("build.sbt"))) cwd.toString
         else "/root/repo"
       }
-    Files.writeString(Paths.get(detailDir).resolve("BENCH_DETAIL.json"),
-      detailLine(results, sfDir))
+    // The headline prints BEFORE the detail write: the stdout line is
+    // the driver's only record of the run, and a bad detail dir (env
+    // override pointing nowhere, read-only fs) throwing after a full
+    // measured suite must not replace that record with a stack trace.
     val line = headlineLine(results, sfDir)
     println(line)
+    try {
+      val dir = Paths.get(detailDir)
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("BENCH_DETAIL.json"),
+        detailLine(results, sfDir))
+    } catch { case t: Throwable =>
+      System.err.println(s"BENCH: detail write to $detailDir failed: " +
+        s"${t.getMessage} (headline already printed)")
+    }
     val errors = errEntries(results)
     if (errors.nonEmpty)
       System.err.println(s"BENCH: ${errors.size} queries FAILED (see errors field)")

@@ -32,13 +32,21 @@ object Graft {
   /** Local single-JVM session (tests, CLI mains, dev loops): shuffle
     * width = core count, because the 200-partition default is sized for
     * a cluster and turns every local shuffle into mostly-empty tasks.
+    * The CLI mains (Bench/Verify/RunOne/ProfileQuery/ScaleStress) all
+    * route through here so a conf added to [[configure]] reaches the
+    * whole harness; `extraConfs` carries per-main settings (e.g. the
+    * bench's small maxPartitionBytes that splits single-file local
+    * tables across every core).
     */
-  def localSession(cores: Int, appName: String = "graft"): SparkSession = {
-    val spark = configure(SparkSession.builder())
+  def localSession(cores: Int, appName: String = "graft",
+      extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val base = configure(SparkSession.builder())
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.ui.enabled", "false")
+    val spark = extraConfs
+      .foldLeft(base) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -107,6 +107,11 @@ object ScaleStress {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.drop(1).headOption.getOrElse("/tmp/graft_scale")
     val replicas = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    // replicas=1 would make dN the same directory as x1 and the scaling
+    // exponent log(ratio)/log(1) = ±Infinity, which renders as invalid
+    // JSON (and a duplicated "x1" cc_rounds key) — fail up front
+    require(replicas >= 2,
+      s"replicas must be >= 2 (x1 is the baseline); got $replicas")
     // optional subsets for deep (100x+) runs where blowing up every
     // fact table would dominate the wall clock: arg4 = query csv,
     // arg5 = fact-table csv (queries must only touch listed tables)
@@ -116,15 +121,8 @@ object ScaleStress {
     val facts = args.drop(4).headOption
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Facts)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Graft.localSession(32, "graft-scale",
+      Map("spark.sql.files.maxPartitionBytes" -> "4m"))
     // events.ts is parquet TIMESTAMP(NANOS): read it as a raw long (the
     // same legacy conf Tables.events uses); the replica then round-trips
     // the nanos as INT64, which Tables.events' `ts div 1000` treats
@@ -180,7 +178,8 @@ object ScaleStress {
         }
       } else ""
     def num(v: Double, scale: Int) =
-      if (v.isNaN) "\"error\"" else (math.rint(v * scale) / scale).toString
+      if (v.isNaN || v.isInfinite) "\"error\""
+      else (math.rint(v * scale) / scale).toString
     val json = results.map { case (n, t1, tN, e) =>
       s""""$n":{"t1":${num(t1, 1000)},"t$replicas":${num(tN, 1000)},"exponent":${num(e, 100)}}"""
     }.mkString("{", ",", s"$cc}")

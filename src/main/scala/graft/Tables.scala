@@ -44,11 +44,15 @@ object Tables {
   def sumDec(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
-  /** Order-independent average: exact decimal sum / count, evaluated as one
-    * double division (identical in DuckDB).
+  /** Order-independent average: exact decimal sum / count, evaluated as
+    * one double division (identical in DuckDB). The denominator is
+    * count(c) — non-null rows only — so this IS AVG semantics on a
+    * nullable column too: sum() skips nulls, and dividing by an
+    * all-rows count would silently deflate the average relative to an
+    * oracle written with AVG(...).
     */
   def avgDec(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1))
+    sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)
 
   /** Decimal cast shorthand for exact products, e.g. price * (1 - disc). */
   def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))

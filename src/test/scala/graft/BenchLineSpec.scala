@@ -35,6 +35,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"n_errors\":" + SparkEntry.queries.size))
   }
 
+  test("all-failed line with multi-byte error text fits (byte-budgeted)") {
+    // Error messages can quote corpus text: CJK renders 3 bytes per
+    // char and passes through the escape unchanged, so the error
+    // budget must count UTF-8 bytes, not chars — a char-counted budget
+    // let three such errors blow the tail window.
+    val err = Some("AnalysisException: " + ("文字化け" * 50))
+    val line = Bench.headlineLine(worstCase(err), "/root/testdata/sf0.1")
+    assert(line.getBytes("UTF-8").length <= Bench.MaxStdoutLineBytes,
+      s"line is ${line.getBytes("UTF-8").length} bytes:\n$line")
+  }
+
+  test("sf dir with JSON-hostile chars renders an escaped, parseable line") {
+    val line = Bench.headlineLine(worstCase(None), "/tmp/we\"ird\\dir")
+    assert(line.contains("\"sf\":\"/tmp/we\\\"ird\\\\dir\""))
+  }
+
   test("headline names all exist in the query registry") {
     val missing = Bench.Headline.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"headline references unknown queries: $missing")
