@@ -1010,6 +1010,54 @@ object Ext {
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(col("tok"))),
 
+    // BPE-style regex pre-tokenization (the GPT-2 pre-tokenizer shape,
+    // written lookahead-free so Spark's Java regex and DuckDB's RE2
+    // segment identically): a run of letters / digits / punctuation
+    // each claims one preceding space, multi-space runs stand alone.
+    // This is the segmentation every byte-pair tokenizer applies
+    // before merges — the unit "token count" budgets (context packing,
+    // cost estimates) are quoted in. Per doc: total pre-tokens and the
+    // class mix. One map-side explode + per-doc aggregate — a single
+    // pass at any corpus size.
+    "q_tokens_bpe" -> ((s, d) => {
+      val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+            .as("t"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          count(when(col("t").rlike("^ ?[a-z]"), 1)).as("n_word"),
+          count(when(col("t").rlike("^ ?[0-9]"), 1)).as("n_num"),
+          count(when(col("t").rlike("^ ?[^a-z0-9 ]"), 1)).as("n_punct"),
+          count(when(col("t").rlike("^ +$"), 1)).as("n_space"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-scaled mixing weights (the UNIMAX / alpha-sampling
+    // move a multilingual data pipeline applies): per-language
+    // sampling weight ∝ n_docs^alpha at alpha=0.5, upweighting tail
+    // languages relative to raw frequency. The arithmetic stays
+    // engine-exact by construction: sqrt is correctly-rounded IEEE in
+    // both engines, each weight floor-quantizes to an integer
+    // INDEPENDENTLY (never a cross-group float sum, whose order would
+    // be partitioning-dependent), and the final share is integer
+    // division over the exact integer total — bit-identical at any
+    // partitioning or scale. The total joins back via a broadcast
+    // 1-row cross join (deliberate BroadcastNestedLoopJoin).
+    "q_mix_temperature" -> ((s, d) => {
+      val counts = documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w",
+          floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      val tot = counts.agg(sum(col("w")).as("tw"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          expr("w * 1000000L div tw").as("share_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // Deterministic hash-based sampling: the reproducible "10% of the
     // corpus" every 100 TB dev loop needs — engine-portable (unlike
     // TABLESAMPLE/rand), stable across runs, partitioning and engines.
@@ -2331,6 +2379,29 @@ object Ext {
       s"""SELECT tok, count(*) AS n FROM (
          |  SELECT unnest(${sqlTokens("text")}) AS tok FROM documents)
          |GROUP BY tok ORDER BY tok""".stripMargin,
+
+    "q_tokens_bpe" ->
+      """SELECT doc_id,
+        |  count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE regexp_matches(t, '^ ?[a-z]')) AS n_word,
+        |  count(*) FILTER (WHERE regexp_matches(t, '^ ?[0-9]')) AS n_num,
+        |  count(*) FILTER (WHERE regexp_matches(t, '^ ?[^a-z0-9 ]'))
+        |    AS n_punct,
+        |  count(*) FILTER (WHERE regexp_matches(t, '^ +$')) AS n_space
+        |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |  ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS t FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_mix_temperature" ->
+      """SELECT lang, n_docs,
+        |  CAST(w * 1000000 // tw AS BIGINT) AS share_ppm
+        |FROM (
+        |  SELECT lang, n_docs, w, sum(w) OVER () AS tw FROM (
+        |    SELECT lang, count(*) AS n_docs,
+        |      CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000)
+        |        AS BIGINT) AS w
+        |    FROM documents GROUP BY lang))
+        |ORDER BY lang""".stripMargin,
 
     "q_sample" ->
       s"""SELECT doc_id, lang FROM documents
