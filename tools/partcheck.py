@@ -27,10 +27,19 @@ B = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out3"
 
 con = duckdb.connect()
 dirs = sorted(d for d in os.listdir(A) if os.path.isdir(os.path.join(A, d)))
-bad = []
+only_b = sorted(d for d in os.listdir(B)
+                if os.path.isdir(os.path.join(B, d)) and d not in dirs)
+bad = [(n, "present only in B") for n in only_b]
 for name in dirs:
-    a = con.execute(f"SELECT * FROM read_parquet('{A}/{name}/*.parquet')").fetchdf()
-    b = con.execute(f"SELECT * FROM read_parquet('{B}/{name}/*.parquet')").fetchdf()
+    # a dump missing on one side (Verify deletes a failing query's stale
+    # dump, so a one-sided failure shows up as absence) must be REPORTED
+    # as a divergence, not crash the audit mid-list
+    try:
+        a = con.execute(f"SELECT * FROM read_parquet('{A}/{name}/*.parquet')").fetchdf()
+        b = con.execute(f"SELECT * FROM read_parquet('{B}/{name}/*.parquet')").fetchdf()
+    except Exception as e:
+        bad.append((name, f"read error: {e}"))
+        continue
     a = a[sorted(a.columns)]
     b = b[sorted(b.columns)]
     if list(a.columns) != list(b.columns) or len(a) != len(b):
