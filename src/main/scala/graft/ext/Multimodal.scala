@@ -142,13 +142,23 @@ object Multimodal {
     * Lazy iterators end-to-end: only one batch of payloads is resident
     * per task at a time.
     */
+  /** The ONE batching seam the decode paths share: a partition's
+    * non-null payload rows chunked into batchSize slices (null payloads
+    * — mediaSchema declares media nullable; a null source text yields
+    * one — are skipped, not NPE'd mid-job). MultimodalSpec drives this
+    * exact function through mapPartitions and asserts the slice shape,
+    * so a regression to whole-partition slices (unbounded peak memory)
+    * fails the spec instead of only showing up as an executor OOM.
+    */
+  private[graft] def batches(rows: Iterator[MediaRow],
+      batchSize: Int): Iterator[Seq[MediaRow]] =
+    rows.filter(_.media != null).grouped(batchSize)
+
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64):
       Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // null payloads (mediaSchema declares media nullable; a null
-      // source text yields one) are skipped, not NPE'd mid-job
-      rows.filter(_.media != null).grouped(batchSize).flatMap { batch =>
+      batches(rows, batchSize).flatMap { batch =>
         // one codec call per batch (amortizes model/codec setup)
         batch.map { r =>
           MediaFeatures(r.doc_id, r.media.length.toLong,
@@ -169,7 +179,7 @@ object Multimodal {
       batchSize: Int = 64): Dataset[MediaFeaturesPortable] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.filter(_.media != null).grouped(batchSize).flatMap { batch =>
+      batches(rows, batchSize).flatMap { batch =>
         batch.map { r =>
           MediaFeaturesPortable(r.doc_id, r.media.length.toLong,
             StubCodec.decodeToFeaturesPortable(r.media, dim))

@@ -23,6 +23,16 @@ object Skew {
     * partitions at the cost of a `numSalts`x replication of the small
     * side — same trade Spark's own skew hints make.
     */
+  /** The salt the big side is scattered by: a whole-row hash mod
+    * numSalts, so identical-key rows (the hot key's) land on different
+    * salts as long as any payload column differs. Exposed as the one
+    * seam SkewSpec's spread test drives — hashing only the key column
+    * here would collapse every hot-key row onto one salt and break the
+    * whole point of salting, and the spec must fail when that happens.
+    */
+  private[graft] def saltCol(df: DataFrame, numSalts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(numSalts))
+
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
       numSalts: Int): DataFrame = {
     require(numSalts > 0)
@@ -32,8 +42,7 @@ object Skew {
     var salt = "_salt"
     while (big.columns.contains(salt) || small.columns.contains(salt))
       salt += "_"
-    val saltedBig = big.withColumn(salt,
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(numSalts)))
+    val saltedBig = big.withColumn(salt, saltCol(big, numSalts))
     val saltedSmall = small.withColumn(salt,
       explode(array((0 until numSalts).map(s => lit(s.toLong)): _*)))
     saltedBig.join(saltedSmall, Seq(key, salt)).drop(salt)

@@ -35,14 +35,6 @@ class AsofNativeSpec extends SparkSpec {
     (6L, "C", ts("2024-01-01 10:00:00")) // no quotes for key: dropped
   ).toDF("id", "k", "lts")
 
-  /** Inner-filtered brute force: the executable spec for asofInner. */
-  private def bruteInner(left: DataFrame, right: DataFrame, keys: Seq[String],
-      lts: String, rts: String): DataFrame = {
-    val matched = AsOfJoin.asofBruteForce(left, right, keys, lts, rts)
-    val payload = right.columns.filterNot(keys.contains).filterNot(_ == rts)
-    matched.filter(payload.map(col(_).isNotNull).reduce(_ || _))
-  }
-
   test("asofInner: backward-inclusive inner semantics on the fixture") {
     val got = AsofNative.asofInner(trades, quotes, Seq("k"), "lts", "rts")
       .select($"id", $"px").orderBy("id").as[(Long, Double)].collect()
@@ -65,8 +57,8 @@ class AsofNativeSpec extends SparkSpec {
     val fast = AsofNative.asofInner(left, right, Seq("k"), "lts", "rts")
       .select(left("id"), left("k"), left("lts"), right("rts"), right("px"))
       .orderBy("id").collect().toSeq
-    val slow = bruteInner(left, right, Seq("k"), "lts", "rts")
-      .withColumnRenamed("rts", "rts2") // align: brute drops build key/ts
+    // the brute-force arm: asofBruteForce + inner filter (px non-null
+    // is the only payload, so this IS the inner-filtered spec)
     val slowRows = AsOfJoin.asofBruteForce(left, right, Seq("k"), "lts", "rts")
       .filter(col("px").isNotNull).orderBy("id").collect().toSeq
     // brute force emits left.* ++ payload; re-derive rts via the window

@@ -155,12 +155,38 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("knn: predicted label owns a plurality of the neighbor votes") {
-    for (r <- SparkEntry.queries("q_knn_classify")(spark, d).collect()) {
-      // votes for the winner are at least ceil(k / n_labels) and at
-      // most k; the winner is a real label value
-      val votes = r.getLong(3)
-      assert(votes >= 1 && votes <= 10)
-      assert(r.getInt(2) >= 0)
+    // independent brute force in plain Scala over the collected
+    // embeddings — cosine top-10 (ties by vec_id), majority vote, ties
+    // to the smallest label — so a regression in the query's argmax /
+    // tie handling fails here rather than slipping under a loose
+    // bounds check (votes in [1,10] holds for ANY label the query
+    // could emit)
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val got = SparkEntry.queries("q_knn_classify")(spark, d).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val qId = r.getLong(0)
+      val (_, qLabel, qv) = emb.find(_._1 == qId).get
+      val neigh = emb.filter(_._1 != qId)
+        .map { case (id, lbl, v) =>
+          (id, lbl, dot(qv, v) / (nrm(qv) * nrm(v))) }
+        .sortBy { case (id, _, s) => (-s, id) }
+        .take(10)
+      val byLabel = neigh.groupBy(_._2).map { case (l, xs) => l -> xs.length }
+      val maxVotes = byLabel.values.max
+      val expectedPred = byLabel.filter(_._2 == maxVotes).keys.min
+      assert(r.getInt(1) == qLabel, s"q_label for $qId")
+      assert(r.getInt(2) == expectedPred,
+        s"pred_label for $qId: got ${r.getInt(2)}, brute=$expectedPred")
+      assert(r.getLong(3) == maxVotes.toLong,
+        s"votes for $qId: got ${r.getLong(3)}, brute=$maxVotes")
     }
   }
 

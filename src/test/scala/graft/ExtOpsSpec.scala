@@ -69,11 +69,19 @@ class ExtOpsSpec extends SparkSpec {
     val h = one(textDf("some sample text tokens"),
       TextOps.simhash16(col("text"))).asInstanceOf[String]
     assert(h.length == 16 && h.forall(c => c == '0' || c == '1'))
-    // frequency weighting: repeating a token can change the signature
+    // frequency weighting, pinned sharply: with "tokens" repeated 13x
+    // against 3 singleton tokens, every bit's vote is decided by the
+    // dominant token (13 > 3), so the signature must equal
+    // simhash16("tokens") exactly — and must differ from the
+    // unrepeated mix. A regression that deduplicates tokens before
+    // voting (losing frequency weighting) fails both assertions.
     val h2 = one(textDf("some sample text tokens tokens tokens tokens " +
       "tokens tokens tokens tokens tokens tokens tokens tokens tokens"),
       TextOps.simhash16(col("text"))).asInstanceOf[String]
-    assert(h2.length == 16)
+    val hDom = one(textDf("tokens"),
+      TextOps.simhash16(col("text"))).asInstanceOf[String]
+    assert(h2 == hDom)
+    assert(h2 != h)
   }
 
   test("fingerprint: equal iff same distinct token set") {

@@ -9,7 +9,28 @@ import org.apache.spark.sql.functions._
 class GraftSpec extends SparkSpec {
 
   test("configured session exposes the native functions through SQL") {
-    val s = Graft.localSession(2, "graft-entry")
+    // getOrCreate returns the suite's shared session if one is active,
+    // and THAT session already has the extensions from SparkSpec's own
+    // builder — which would make this test pass even if Graft.configure
+    // dropped withExtensions entirely. Clear the active/default session
+    // so localSession genuinely builds a fresh one (sharing the
+    // existing SparkContext) whose function registry comes from
+    // Graft.configure alone, then restore the suite session.
+    val prev = org.apache.spark.sql.SparkSession.getDefaultSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s =
+      try Graft.localSession(2, "graft-entry")
+      finally {
+        val restore = prev
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+        restore.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+        restore.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      }
+    assert(!prev.contains(s),
+      "localSession must have built a fresh session for this test to " +
+        "exercise Graft.configure's extension wiring")
     // 16-bit simhash comes back as a 16-char bitstring
     assert(s.sql("SELECT simhash16('spark catalyst tungsten') AS h")
       .head.getString(0).matches("[01]{16}"))

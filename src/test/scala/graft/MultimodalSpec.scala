@@ -37,11 +37,16 @@ class MultimodalSpec extends SparkSpec {
 
   test("batch shape: codec sees batches of at most batchSize") {
     import spark.implicits._
+    // drives Multimodal.batches — the SAME seam extractFeatures and
+    // extractFeaturesPortable chunk through — not a test-local
+    // re-grouping, so a production change to whole-partition slices
+    // fails here
     val sizes = Multimodal
       .repartitionForDecode(media, 4)
-      .mapPartitions(rows => rows.grouped(8).map(_.size))
+      .mapPartitions(rows => Multimodal.batches(rows, 8).map(_.size))
       .collect()
     assert(sizes.forall(_ <= 8))
+    assert(sizes.exists(_ == 8)) // partitions are big enough to fill one
     assert(sizes.sum == media.count())
   }
 

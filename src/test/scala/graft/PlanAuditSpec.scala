@@ -22,15 +22,19 @@ class PlanAuditSpec extends SparkSpec {
     * `*(n)` prefixes in the executed plan; the formatted explain carries
     * untruncated PushedFilters/ReadSchema.
     */
-  private def planOf(name: String): (String, String) = {
+  private def planOf(name: String): (String, () => String) = {
     val df = SparkEntry.queries(name)(spark, d)
     df.collect() // materialize so AQE finalizes its plan
     val executed = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p: SparkPlan => p
     }
+    // the formatted explain re-traverses and re-renders the whole
+    // finalized plan; only two tests read it, while the ~178-query
+    // no-cartesian sweep discards it — so it renders on demand, not
+    // eagerly per query
     (executed.toString,
-      df.queryExecution.explainString(
+      () => df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
   }
 
@@ -39,7 +43,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("filters and projections reach the parquet scan") {
-    val (_, f) = planOf("q_filter_project")
+    val (_, fThunk) = planOf("q_filter_project")
+    val f = fThunk()
     assert(f.contains("EqualTo(l_returnflag,R)"), f.take(3000))
     assert(f.contains("GreaterThan(l_quantity,30.0)"), f.take(3000))
     // column pruning: the scan never reads l_tax
@@ -251,7 +256,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("partitioned layout prunes: the status predicate becomes a PartitionFilter") {
-    val (_, f) = planOf("q_partition_pruned")
+    val (_, fThunk) = planOf("q_partition_pruned")
+    val f = fThunk()
     val pf = f.linesIterator.filter(_.contains("PartitionFilters")).mkString
     assert(pf.contains("o_orderstatus"), f.take(3000))
     // and the pruned column never appears as a pushed DATA filter — it

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import graft.ops.EmailOps
 
 /** Property tests (SURVEY.md §5.4): engine column ops vs a direct Scala
@@ -9,6 +10,14 @@ import graft.ops.EmailOps
   * deterministic sampling (no scalatestplus bridge in the offline cache).
   */
 class PropertySpec extends SparkSpec {
+
+  /** Fixed-seed draw: Gen.sample would seed from Seed.random() per run,
+    * so a generator-found failure could never be reproduced — every run
+    * here draws the SAME inputs, making the file's "deterministic
+    * sampling" header actually true.
+    */
+  private def sampled[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
 
   /** Scala model of gmail_functions.py:281-283:
     * split('<') → last → replace('>','') → strip().
@@ -29,7 +38,7 @@ class PropertySpec extends SparkSpec {
   }
 
   test("fromAddr column op == Python-semantics model") {
-    val inputs = Gen.listOfN(200, addrGen).sample.get
+    val inputs = sampled(Gen.listOfN(200, addrGen), 11L)
     import spark.implicits._
     val got = inputs.toDF("s")
       .select(EmailOps.fromAddr(col("s")).as("x"))
@@ -47,7 +56,7 @@ class PropertySpec extends SparkSpec {
       1 -> Gen.oneOf("É", "中文", "a-b", "X_Y"))
     val docGen = Gen.chooseNum(0, 30)
       .flatMap(n => Gen.listOfN(n, tokGen).map(_.mkString(" ")))
-    val inputs = Gen.listOfN(150, docGen).sample.get
+    val inputs = sampled(Gen.listOfN(150, docGen), 12L)
     import spark.implicits._
     val rows = inputs.toDF("text")
       .select(graft.functions.SimHash16(col("text")).as("native"),
@@ -62,7 +71,7 @@ class PropertySpec extends SparkSpec {
       8 -> Gen.alphaNumChar,
       2 -> Gen.oneOf('é', 'þ', 'ÿ', '中', ' ', '>', '<', '-', '_')))
       .map(_.mkString)
-    val inputs = Gen.listOfN(100, strGen).sample.get
+    val inputs = sampled(Gen.listOfN(100, strGen), 13L)
     val encoded = inputs.map(Fixtures.b64url)
     import spark.implicits._
     val got = encoded.toDF("e")
@@ -84,7 +93,7 @@ class PropertySpec extends SparkSpec {
       (f"$dow, $d $mon $y $h%02d:$mi%02d:$s%02d $off".trim,
         f"$mo%02d/$d%02d/${y % 100}%02d $h%02d:$mi%02d:$s%02d")
     }
-    val cases = Gen.listOfN(120, gen).sample.get
+    val cases = sampled(Gen.listOfN(120, gen), 14L)
     import spark.implicits._
     val got = cases.map(_._1).toDF("s")
       .select(EmailOps.formatDateString(col("s")).as("x"))
@@ -101,7 +110,7 @@ class PropertySpec extends SparkSpec {
   test("minhash union law: sig(A ∪ B) == elementwise min(sig(A), sig(B))") {
     import graft.ext.TextOps
     import spark.implicits._
-    val pairs = Gen.listOfN(40, Gen.zip(tokenSetGen, tokenSetGen)).sample.get
+    val pairs = sampled(Gen.listOfN(40, Gen.zip(tokenSetGen, tokenSetGen)), 15L)
     val df = pairs.toDF("a", "b")
       .select(
         TextOps.minhashSignature(col("a"), 8).as("sa"),
@@ -116,9 +125,9 @@ class PropertySpec extends SparkSpec {
   test("fingerprint is permutation- and duplication-invariant") {
     import graft.ext.TextOps
     import spark.implicits._
-    val sets = Gen.listOfN(40, tokenSetGen).sample.get
+    val sets = sampled(Gen.listOfN(40, tokenSetGen), 16L)
     val texts = sets.map(_.mkString(" "))
-    val permuted = sets.map(s => (scala.util.Random.shuffle(s) ++ s.take(1))
+    val permuted = sets.map(s => (new scala.util.Random(7L + s.length).shuffle(s) ++ s.take(1))
       .mkString(" "))
     val fp = texts.zip(permuted).toDF("a", "b")
       .select(TextOps.fingerprint(lower(col("a"))).as("fa"),
@@ -132,7 +141,7 @@ class PropertySpec extends SparkSpec {
     val vecGen = Gen.listOfN(16,
       Gen.chooseNum(-100, 100).map(_.toFloat / 10f))
       .suchThat(_.exists(_ != 0f)).map(_.toArray)
-    val pairs = Gen.listOfN(40, Gen.zip(vecGen, vecGen)).sample.get
+    val pairs = sampled(Gen.listOfN(40, Gen.zip(vecGen, vecGen)), 17L)
     val df = pairs.toDF("a", "b")
       .select(VectorOps.toDouble(col("a")).as("a"),
         VectorOps.toDouble(col("b")).as("b"))

@@ -24,10 +24,13 @@ class SkewSpec extends SparkSpec {
 
   test("hot key rows spread across several salts") {
     import spark.implicits._
-    // one pathological key with 10k rows, distinct payloads
+    // one pathological key with 10k rows, distinct payloads — salted
+    // through Skew.saltCol, the SAME expression saltedEquiJoin scatters
+    // the big side with (a test-local copy of the formula would keep
+    // passing if the library regressed to hashing only the key, which
+    // puts all 10k hot rows on one salt)
     val big = (1 to 10000).map(i => (42L, i.toLong)).toDF("k", "payload")
-    val salts = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(8)))
+    val salts = big.withColumn("_salt", Skew.saltCol(big, 8))
       .select("_salt").distinct().count()
     assert(salts == 8)
   }
