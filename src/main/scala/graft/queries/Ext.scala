@@ -378,12 +378,20 @@ object Ext {
 
     // The actual curation decision a dedup pipeline ships: per near-dup
     // cluster, keep the best document (most tokens, ties to the lowest
-    // doc_id) and report what it displaced. Composes the verified-pair
-    // clustering with a quality signal in two deterministic steps (max
-    // count per cluster, then min id among the maximal) instead of an
-    // engine-specific arg_max tie rule. Every cluster here has >= 2
-    // members by construction (components of the pair graph), so the
-    // output is exactly the "what did dedup keep vs drop" report.
+    // doc_id) and report what it displaced. The (max tokens, ties to
+    // min id) selection is ONE hash aggregate: (n_tokens, doc_id) pack
+    // into a single long — (n_tokens << 40) | (2^40-1 - doc_id) — whose
+    // plain max is exactly "max n_tokens, then min doc_id", so the
+    // per-cluster argmax costs one shuffle of 8-byte keys instead of
+    // the textbook agg + join-back + re-agg (three exchanges plus a
+    // join on the full scored relation). A long-typed max also stays in
+    // hash aggregation, where max-of-struct would fall back to
+    // sort-agg's immutable buffers. Packed domain (n_tokens < 2^22,
+    // 0 <= doc_id < 2^40) holds for any real corpus; CurationOpsSpec
+    // re-derives the keeper independently, so a packing regression
+    // fails the spec, not just the oracle hash. Every cluster here has
+    // >= 2 members by construction (components of the pair graph), so
+    // the output is exactly the "what did dedup keep vs drop" report.
     "q_dedup_keep_best" -> ((s, d) => {
       val clusters = graft.ops.Clusters.connectedComponents(
           verifiedPairs(s, d).select(col("id_a"), col("id_b")),
@@ -392,16 +400,17 @@ object Ext {
       val toks = docsWithNearDups(s, d)
         .select(col("doc_id"),
           size(TextOps.tokens(col("text"))).as("n_tokens"))
-      val scored = clusters.join(toks, "doc_id")
-      val best = scored.groupBy(col("cluster"))
+      val mask = (1L << 40) - 1
+      clusters.join(toks, "doc_id")
+        .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"),
-          max(col("n_tokens")).as("best_tokens"))
-      scored.join(best, "cluster")
-        .filter(col("n_tokens") === col("best_tokens"))
-        .groupBy(col("cluster"), col("n_members"), col("best_tokens"))
-        .agg(min(col("doc_id")).as("keep_doc_id"))
-        .select(col("cluster"), col("keep_doc_id"), col("n_members"),
-          col("best_tokens"))
+          max(shiftleft(col("n_tokens").cast("long"), 40)
+            .bitwiseOR(lit(mask) - col("doc_id"))).as("packed"))
+        .select(col("cluster"),
+          (lit(mask) - col("packed").bitwiseAND(lit(mask)))
+            .as("keep_doc_id"),
+          col("n_members"),
+          shiftright(col("packed"), 40).cast("int").as("best_tokens"))
         .orderBy(col("cluster"))
     }),
 

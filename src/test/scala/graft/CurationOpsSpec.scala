@@ -57,11 +57,38 @@ class CurationOpsSpec extends SparkSpec {
     val best = SparkEntry.queries("q_dedup_keep_best")(spark, d).collect()
     assert(best.nonEmpty)
     val sizes = clusters.groupBy(_._2).view.mapValues(_.size).toMap
+    // independent token counts over the SAME relation the query scores
+    // (base docs plus the truncTail2-mutated near-dup copies), so the
+    // keeper rule — max n_tokens, ties to the lowest doc_id — is
+    // re-derived brute-force per cluster; a regression in the query's
+    // packed-long argmax (e.g. a shift that truncates n_tokens, or a
+    // tie rule that flips to max doc_id) fails here on exact values,
+    // not just on membership. NULL text (a degenerate mutation) counts
+    // as no tokens: SQL max ignores it, so it can never win.
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val union = docs.unionByName(docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        graft.queries.Ext.truncTail2(col("text")).as("text")))
+    val nTokens = union
+      .select(col("doc_id"),
+        size(graft.ext.TextOps.tokens(col("text"))).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1)))
+      .toMap
+    val byCluster = clusters.toSeq.groupBy(_._2)
     for (r <- best) {
-      val (cluster, keeper, nMembers) =
-        (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (cluster, keeper, nMembers, bestTokens) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
       assert(clusters(keeper) == cluster)
       assert(nMembers == sizes(cluster) && nMembers >= 2)
+      val members = byCluster(cluster).map(_._1)
+      val maxTok = members.map(nTokens).max
+      val expectKeeper = members.filter(nTokens(_) == maxTok).min
+      assert(maxTok >= 0, s"cluster $cluster has only NULL-text members")
+      assert(bestTokens == maxTok, s"best_tokens for cluster $cluster")
+      assert(keeper == expectKeeper,
+        s"keeper for cluster $cluster: got $keeper, brute=$expectKeeper")
     }
   }
 
