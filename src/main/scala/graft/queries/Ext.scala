@@ -1067,6 +1067,63 @@ object Ext {
         .orderBy(col("lang"))
     }),
 
+    // DSIR-shaped data selection (hashed n-gram importance weighting,
+    // after Xie et al., "Data Selection for Language Models via
+    // Importance Resampling", 2023): score each document by how much
+    // more likely its hashed-bigram features are under a target corpus
+    // (here the 'en' slice) than under the raw corpus, keep the top-K.
+    // Features are hash31(bigram) mod 1024 buckets; both bucket models
+    // add-1 smoothed. Portability discipline (the BM25/TF-IDF rule in
+    // this file): the per-bucket importance is the smoothed RATIO
+    // floor-quantized to micro-units via nested integer division — not
+    // its log — so the per-doc accumulation is exact BIGINT arithmetic
+    // with no ln() and no float summation order; the ranking it induces
+    // is the high-vs-low importance ordering DSIR resamples from. Scale
+    // shape: ONE exploded pass builds the (doc, lang, bucket) counts;
+    // the raw/target/total models are aggregates OF that aggregate
+    // (tiny, exchange-reused), and the 1024-row weight table broadcasts
+    // back onto the per-doc counts — the corpus is never reshuffled.
+    // (s_raw + B) * 1e6 stays in long up to ~9e12 corpus grams; past
+    // that the same expressions run in DECIMAL(38,0) unchanged.
+    "q_dsir_select" -> ((s, d) => {
+      val B = 1024
+      val pd = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.shingles(col("text"), 2)).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          (TextOps.hash31(col("bg")) % B).as("b"))
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("c_doc"))
+      // raw and target bucket counts in ONE aggregate (a conditional
+      // sum, not a filtered second branch: a filter would be pushed
+      // below pd's aggregate and the rewritten subtree would defeat
+      // exchange reuse — the corpus would explode once per model), and
+      // the corpus totals come from the 1024-row weight relation, not
+      // another corpus pass
+      // <= 1024 rows: checkpointing is ~free and stops the totals
+      // aggregate below from re-running w0's whole corpus subtree
+      // (lineage reuse would cost a third explode+hash pass)
+      val w0 = pd.groupBy(col("b"))
+        .agg(sum(col("c_doc")).as("c_raw"),
+          sum(when(col("lang") === "en", col("c_doc"))).as("c_tgt"))
+        .localCheckpoint()
+      val tots = w0.agg(sum(col("c_raw")).as("s_raw"),
+        sum(col("c_tgt")).as("s_tgt"))
+      val w = w0.crossJoin(broadcast(tots))
+        .select(col("b"), expr(
+          s"(coalesce(c_tgt, 0L) + 1L) * " +
+            s"((s_raw + $B) * 1000000L div (s_tgt + $B)) div (c_raw + 1L)")
+          .as("w_micro"))
+      pd.join(broadcast(w), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c_doc")).as("n_grams"),
+          sum(col("c_doc") * col("w_micro")).as("s"))
+        .select(col("doc_id"), col("n_grams"),
+          expr("s div n_grams").as("imp_micro"))
+        .orderBy(col("imp_micro").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // Deterministic hash-based sampling: the reproducible "10% of the
     // corpus" every 100 TB dev loop needs — engine-portable (unlike
     // TABLESAMPLE/rand), stable across runs, partitioning and engines.
@@ -2411,6 +2468,32 @@ object Ext {
         |        AS BIGINT) AS w
         |    FROM documents GROUP BY lang))
         |ORDER BY lang""".stripMargin,
+
+    "q_dsir_select" ->
+      s"""WITH tok AS (SELECT doc_id, lang, ${sqlTokens("text")} AS t
+         |  FROM documents),
+         |g0 AS (SELECT doc_id, lang, unnest(${sqlShinglesAllK(2)}) AS x
+         |  FROM tok),
+         |pd AS (SELECT doc_id, lang, ($sqlHash31) % 1024 AS b,
+         |    count(*) AS c_doc
+         |  FROM g0 GROUP BY doc_id, lang, b),
+         |raw AS (SELECT b, sum(c_doc) AS c_raw FROM pd GROUP BY b),
+         |tgt AS (SELECT b, sum(c_doc) AS c_tgt FROM pd
+         |  WHERE lang = 'en' GROUP BY b),
+         |tots AS (SELECT sum(c_doc) AS s_raw,
+         |    sum(CASE WHEN lang = 'en' THEN c_doc END) AS s_tgt FROM pd),
+         |w AS (SELECT r.b,
+         |    (coalesce(t.c_tgt, 0) + 1) *
+         |      ((s_raw + 1024) * 1000000 // (s_tgt + 1024)) // (r.c_raw + 1)
+         |      AS w_micro
+         |  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots),
+         |sc AS (SELECT doc_id, sum(c_doc) AS n_grams,
+         |    sum(c_doc * w_micro) AS s
+         |  FROM pd JOIN w USING (b) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(s // n_grams AS BIGINT) AS imp_micro
+         |FROM sc
+         |ORDER BY imp_micro DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_sample" ->
       s"""SELECT doc_id, lang FROM documents

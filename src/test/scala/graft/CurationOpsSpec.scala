@@ -92,6 +92,30 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("dsir: selection enriches the target language vs the corpus rate") {
+    // the whole point of importance weighting: the top-K under the
+    // target='en' bucket model must hold MORE English than a uniform
+    // draw would. Oracle hashing pins the exact values; this pins the
+    // semantics (a sign flip in the ratio — raw/target instead of
+    // target/raw — would still oracle-match if both sides flipped, but
+    // it would DE-enrich and fail here).
+    val langs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sel = SparkEntry.queries("q_dsir_select")(spark, d).collect()
+    assert(sel.length == math.min(100, langs.size))
+    val enSel = sel.count(r => langs(r.getLong(0)) == "en").toDouble / sel.length
+    val enAll = langs.valuesIterator.count(_ == "en").toDouble / langs.size
+    assert(enSel > enAll,
+      f"top-${sel.length} en share $enSel%.3f <= corpus share $enAll%.3f")
+    // scores arrive ranked: non-increasing importance, ties by doc_id
+    val scores = sel.map(r => (r.getLong(2), r.getLong(0)))
+    assert(scores.sliding(2).forall {
+      case Array((s1, i1), (s2, i2)) => s1 > s2 || (s1 == s2 && i1 < i2)
+      case _ => true
+    })
+  }
+
   test("pagerank step: scaled mass is conserved up to integer-div loss") {
     val pr = SparkEntry.queries("q_pagerank_step")(spark, d).collect()
     assert(pr.nonEmpty)
