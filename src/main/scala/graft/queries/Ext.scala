@@ -758,6 +758,50 @@ object Ext {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // Greedy k-center coreset selection (the Sener & Savarese 2018
+    // diversity-pruning move): pick 6 centers that maximize coverage of
+    // the embedding space — seed = min vec_id, then 5 rounds of
+    // "farthest point from the chosen set" in cosine distance, ties to
+    // the smallest vec_id. Each round's radius (the distance at which
+    // the previous set covered the new pick) is the shrinking coverage
+    // curve a data-pruning pipeline reads. Scale shape: each round is
+    // one MAP-ONLY pass (distances to a handful of literal center
+    // vectors, incremental least() against the running minimum) plus a
+    // global 1-row TakeOrdered — the corpus never shuffles, and the
+    // driver holds only k center vectors (the sanctioned tiny-collect).
+    // Float portability: distances are 1 - dot/(nrm*nrm) with the same
+    // strict fold as q_sim_topk, so argmax decisions are bit-identical
+    // to the DuckDB unrolled-CTE oracle; only the reported radius is
+    // rounded.
+    "q_coreset_kcenter" -> ((s, d) => {
+      import s.implicits._
+      val k = 6
+      val e = embeddings(s, d).select(col("vec_id"),
+          VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+      def litVec(a: Seq[Double]) = array(a.map(lit): _*)
+      def distTo(vec: Seq[Double], nrm: Double) =
+        lit(1.0) - VectorOps.dot(col("v"), litVec(vec)) /
+          (col("nrm") * lit(nrm))
+      val seed = e.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v"), col("nrm")).collect()(0)
+      var picks = List((1L, seed.getLong(0), 0.0))
+      var cur = e.withColumn("md",
+        distTo(seed.getSeq[Double](1), seed.getDouble(2)))
+      for (r <- 2 to k) {
+        val p = cur.orderBy(col("md").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("md"), col("v"), col("nrm"))
+          .collect()(0)
+        picks ::= ((r.toLong, p.getLong(0), p.getDouble(1)))
+        cur = cur.withColumn("md", least(col("md"),
+          distTo(p.getSeq[Double](2), p.getDouble(3))))
+      }
+      picks.reverse.toDF("round", "center_id", "radius")
+        .select(col("round"), col("center_id"),
+          round(col("radius"), 6).as("radius"))
+        .orderBy(col("round"))
+    }),
+
     // Matryoshka-style truncation: keep the first 16 of 64 dims and
     // renormalize — the storage/latency knob of MRL-trained embeddings.
     // Map-only; the audit values (truncated norm, first renormalized
@@ -2349,6 +2393,44 @@ object Ext {
          |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, neg_label,
          |  round(score, 6) AS score
          |FROM r WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    "q_coreset_kcenter" -> {
+      // the greedy loop unrolled as CTE stages (the q_pagerank_iter
+      // move): m_r carries each point's running min distance to the
+      // first r centers, p_r is the argmax pick that becomes center r+1
+      val rounds = (2 to 6).map { r =>
+        s"""m$r AS (SELECT m.vec_id, m.v, m.nrm,
+           |    least(m.md, 1 - list_dot_product(m.v, c.v) / (m.nrm * c.nrm))
+           |      AS md
+           |  FROM m${r - 1} m, (SELECT e2.v, e2.nrm FROM e e2
+           |    JOIN p$r ON e2.vec_id = p$r.cid) c)""".stripMargin
+      }
+      val pickRounds = (2 to 6).map { r =>
+        s"""p$r AS (SELECT vec_id AS cid, md FROM m${r - 1}
+           |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+      }
+      // interleave: p2 picks from m1, m2 folds p2's center in, ...
+      val chain = (2 to 6).flatMap(r =>
+        Seq(pickRounds(r - 2)) ++ (if (r < 6) Seq(rounds(r - 2)) else Nil))
+        .mkString(",\n")
+      val out = (2 to 6).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, cid AS center_id, " +
+          s"round(md, 6) AS radius FROM p$r").mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |p1 AS (SELECT min(vec_id) AS cid FROM e),
+         |m1 AS (SELECT e.vec_id, e.v, e.nrm,
+         |    1 - list_dot_product(e.v, c.v) / (e.nrm * c.nrm) AS md
+         |  FROM e, (SELECT e2.v, e2.nrm FROM e e2
+         |    JOIN p1 ON e2.vec_id = p1.cid) c),
+         |$chain
+         |SELECT CAST(1 AS BIGINT) AS round, cid AS center_id,
+         |  round(CAST(0 AS DOUBLE), 6) AS radius FROM p1
+         |UNION ALL $out
+         |ORDER BY round""".stripMargin
+    },
 
     "q_embed_truncate" ->
       """WITH e AS (SELECT vec_id,

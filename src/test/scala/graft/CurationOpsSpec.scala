@@ -116,6 +116,43 @@ class CurationOpsSpec extends SparkSpec {
     })
   }
 
+  test("coreset: picks equal a brute-force greedy k-center replay") {
+    // plain-Scala replay of the greedy loop with the SAME left-to-right
+    // fold the engine kernel uses, so every argmax decision (and each
+    // reported radius) is checked bit-for-bit — a tie-rule or running-
+    // minimum regression fails on exact values
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val nrm = emb.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val vecs = emb.toMap
+    var centers = List(emb.head._1) // seed = min vec_id
+    var md = emb.map { case (id, v) =>
+      id -> (1.0 - dot(v, vecs(centers.head)) /
+        (nrm(id) * nrm(centers.head)))
+    }.toMap
+    var expect = List((1L, emb.head._1, 0.0))
+    for (r <- 2 to 6) {
+      val (pid, prad) = md.toSeq.maxBy { case (id, dd) => (dd, -id) }
+      expect ::= ((r.toLong, pid, prad))
+      centers ::= pid
+      md = md.map { case (id, dd) =>
+        id -> math.min(dd,
+          1.0 - dot(vecs(id), vecs(pid)) / (nrm(id) * nrm(pid)))
+      }
+    }
+    val got = SparkEntry.queries("q_coreset_kcenter")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = expect.reverse
+      .map { case (r, id, rad) =>
+        (r, id, BigDecimal(rad).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(got.toList == want, s"got ${got.toList}, want $want")
+  }
+
   test("pagerank step: scaled mass is conserved up to integer-div loss") {
     val pr = SparkEntry.queries("q_pagerank_step")(spark, d).collect()
     assert(pr.nonEmpty)
