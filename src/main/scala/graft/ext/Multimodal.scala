@@ -136,12 +136,6 @@ object Multimodal {
       Dataset[MediaRow] =
     media.repartition(partitions)
 
-  /** Batched feature extraction: the per-partition iterator is chunked
-    * into batchSize groups, each handed to the codec as one slice — the
-    * execution shape a vectorized decoder / GPU inference batch needs.
-    * Lazy iterators end-to-end: only one batch of payloads is resident
-    * per task at a time.
-    */
   /** The ONE batching seam the decode paths share: a partition's
     * non-null payload rows chunked into batchSize slices (null payloads
     * — mediaSchema declares media nullable; a null source text yields
@@ -154,6 +148,12 @@ object Multimodal {
       batchSize: Int): Iterator[Seq[MediaRow]] =
     rows.filter(_.media != null).grouped(batchSize)
 
+  /** Batched feature extraction: the per-partition iterator is chunked
+    * into batchSize groups, each handed to the codec as one slice — the
+    * execution shape a vectorized decoder / GPU inference batch needs.
+    * Lazy iterators end-to-end: only one batch of payloads is resident
+    * per task at a time.
+    */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64):
       Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

@@ -15,14 +15,6 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Equi-join `big ⋈ small` on `key`, salted: the big side gets a
-    * deterministic salt derived from its whole row (identical-key rows
-    * spread across salts), the small side is replicated once per salt,
-    * and the join key becomes (key, salt). Result equals the plain
-    * inner equi-join; the shuffle spreads each hot key over `numSalts`
-    * partitions at the cost of a `numSalts`x replication of the small
-    * side — same trade Spark's own skew hints make.
-    */
   /** The salt the big side is scattered by: a whole-row hash mod
     * numSalts, so identical-key rows (the hot key's) land on different
     * salts as long as any payload column differs. Exposed as the one
@@ -33,6 +25,14 @@ object Skew {
   private[graft] def saltCol(df: DataFrame, numSalts: Int): Column =
     pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(numSalts))
 
+  /** Equi-join `big ⋈ small` on `key`, salted: the big side gets a
+    * deterministic salt derived from its whole row (identical-key rows
+    * spread across salts), the small side is replicated once per salt,
+    * and the join key becomes (key, salt). Result equals the plain
+    * inner equi-join; the shuffle spreads each hot key over `numSalts`
+    * partitions at the cost of a `numSalts`x replication of the small
+    * side — same trade Spark's own skew hints make.
+    */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
       numSalts: Int): DataFrame = {
     require(numSalts > 0)

@@ -1123,10 +1123,11 @@ object Ext {
     // its log — so the per-doc accumulation is exact BIGINT arithmetic
     // with no ln() and no float summation order; the ranking it induces
     // is the high-vs-low importance ordering DSIR resamples from. Scale
-    // shape: ONE exploded pass builds the (doc, lang, bucket) counts;
-    // the raw/target/total models are aggregates OF that aggregate
-    // (tiny, exchange-reused), and the 1024-row weight table broadcasts
-    // back onto the per-doc counts — the corpus is never reshuffled.
+    // shape: the corpus explodes exactly TWICE — once to build the
+    // bucket models (materialized through the checkpoint below), once
+    // to score — and never reshuffles; the raw and target models are
+    // one conditional-sum aggregate, and the 1024-row weight table
+    // broadcasts back onto the per-doc counts.
     // (s_raw + B) * 1e6 stays in long up to ~9e12 corpus grams; past
     // that the same expressions run in DECIMAL(38,0) unchanged.
     "q_dsir_select" -> ((s, d) => {
