@@ -1088,6 +1088,66 @@ object Ext {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE merge training (Sennrich et al. 2016, the tokenizer-induction
+    // step): three greedy merge rounds over the corpus, each picking the
+    // highest-weight adjacent symbol pair (weight = sum of word-type
+    // frequencies per occurrence; ties to the lexicographically first
+    // pair) and fusing it corpus-wide. The classic trainer trick keeps
+    // this corpus-scale: statistics run over distinct WORD TYPES with
+    // frequencies, never the token stream, so the relation is vocabulary-
+    // sized. Merge application is pure windows — greedy leftmost
+    // non-overlap via gaps-and-islands (runs of consecutive matches
+    // merge at even offsets), the matched symbol's right neighbor drops
+    // via lag() — because a string replace() would hinge on each
+    // engine's overlap semantics, and windows are deterministic in both.
+    // Each round's one-row top-pair pick is the sanctioned tiny collect
+    // (coreset/range-partitioner pattern); the per-round symbol relation
+    // is checkpointed so round r+1 does not replay rounds 1..r.
+    "q_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      val wOrd = Window.partitionBy(col("w")).orderBy(col("pos"))
+      val words = documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]{2,12}$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      // split(w, "") under Spark's limit=-1 regex emits a trailing ""
+      var syms = words
+        .select(col("w"), col("freq"),
+          posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
+        .filter(col("sym") =!= "")
+        .localCheckpoint()
+      var merges = List.empty[(Long, String, String, Long)]
+      for (r <- 1 to 3) {
+        val withNxt = syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+        val top = withNxt.filter(col("nxt").isNotNull)
+          .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("wt"))
+          .orderBy(col("wt").desc, col("sym"), col("nxt")).limit(1)
+          .collect()(0)
+        val (a, b, wt) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges ::= ((r.toLong, a, b, wt))
+        val t = withNxt
+          .withColumn("m", coalesce(
+            col("sym") === a && col("nxt") === b, lit(false)))
+          .withColumn("isl", col("pos") -
+            sum(when(col("m"), 1).otherwise(0))
+              .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("merged", col("m") &&
+            (col("pos") - min(col("pos"))
+              .over(Window.partitionBy(col("w"), col("m"), col("isl"))))
+              % 2 === 0)
+          .withColumn("kept",
+            !coalesce(lag(col("merged"), 1).over(wOrd), lit(false)))
+        syms = t.filter(col("kept"))
+          .select(col("w"), col("freq"),
+            (row_number().over(wOrd) - 1).as("pos"),
+            when(col("merged"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+          .localCheckpoint()
+      }
+      merges.reverse.toDF("round", "lhs", "rhs", "weight")
+        .orderBy(col("round"))
+    }),
+
     // Temperature-scaled mixing weights (the UNIMAX / alpha-sampling
     // move a multilingual data pipeline applies): per-language
     // sampling weight ∝ n_docs^alpha at alpha=0.5, upweighting tail
@@ -2540,6 +2600,48 @@ object Ext {
         |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
         |  ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS t FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_merges" -> {
+      // three greedy rounds unrolled as CTE stages; the merge
+      // application mirrors the Spark windows exactly (islands of
+      // consecutive matches, even offsets merge, right neighbor drops)
+      val rounds = (1 to 3).map { r =>
+        s"""t$r AS (SELECT w, freq, pos, sym,
+           |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+           |  FROM s${r - 1}),
+           |p$r AS (SELECT sym AS a, nxt AS b, sum(freq) AS wt FROM t$r
+           |  WHERE nxt IS NOT NULL GROUP BY sym, nxt
+           |  ORDER BY wt DESC, sym, nxt LIMIT 1),
+           |u$r AS (SELECT t.*, coalesce(t.sym = p.a AND t.nxt = p.b,
+           |    false) AS m FROM t$r t, p$r p),
+           |v$r AS (SELECT *, pos - sum(CASE WHEN m THEN 1 ELSE 0 END)
+           |    OVER (PARTITION BY w ORDER BY pos
+           |          ROWS UNBOUNDED PRECEDING) AS isl FROM u$r),
+           |x$r AS (SELECT *, m AND (pos - min(pos)
+           |    OVER (PARTITION BY w, m, isl)) % 2 = 0 AS merged
+           |  FROM v$r),
+           |y$r AS (SELECT *, NOT coalesce(lag(merged)
+           |    OVER (PARTITION BY w ORDER BY pos), false) AS kept
+           |  FROM x$r),
+           |s$r AS (SELECT w, freq,
+           |    row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+           |    CASE WHEN merged THEN sym || nxt ELSE sym END AS sym
+           |  FROM y$r WHERE kept)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 3).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, " +
+          s"CAST(wt AS BIGINT) AS weight FROM p$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH w0 AS (SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(${sqlTokens("text")}) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]{2,12}$$') GROUP BY w),
+         |s0 AS (SELECT w, freq, unnest(range(len(cs))) AS pos,
+         |    unnest(cs) AS sym
+         |  FROM (SELECT w, freq, string_split(w, '') AS cs FROM w0)),
+         |$rounds
+         |$out
+         |ORDER BY round""".stripMargin
+    },
 
     "q_mix_temperature" ->
       """SELECT lang, n_docs,

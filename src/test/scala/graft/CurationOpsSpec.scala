@@ -116,6 +116,44 @@ class CurationOpsSpec extends SparkSpec {
     })
   }
 
+  test("bpe: merges equal a brute-force greedy trainer replay") {
+    // reference BPE trainer in plain Scala: word-type frequencies,
+    // per-round pair weights (every adjacent occurrence counts), top
+    // pair by (weight desc, pair asc), greedy LEFTMOST non-overlapping
+    // application — the exact semantics the windowed islands encode, so
+    // an off-by-one in the island/offset logic fails on real values
+    val words = Tables.documents(spark, d)
+      .select(explode(graft.ext.TextOps.tokens(col("text"))).as("w"))
+      .collect().map(_.getString(0))
+      .filter(_.matches("^[a-z]{2,12}$"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var syms: Map[List[String], Long] =
+      words.map { case (w, f) => w.split("").toList -> f }
+        .groupBy(_._1).view.mapValues(_.values.sum).toMap
+    def applyMerge(s: List[String], a: String, b: String): List[String] =
+      s match {
+        case x :: y :: rest if x == a && y == b =>
+          (a + b) :: applyMerge(rest, a, b)
+        case x :: rest => x :: applyMerge(rest, a, b)
+        case Nil => Nil
+      }
+    var expect = List.empty[(Long, String, String, Long)]
+    for (r <- 1 to 3) {
+      val pairCnt = syms.toSeq.flatMap { case (s, f) =>
+        s.zip(s.drop(1)).map(p => p -> f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val (a, b, wt) = pairCnt.toSeq
+        .map { case ((x, y), n) => (x, y, n) }
+        .sortBy { case (x, y, n) => (-n, x, y) }.head
+      expect ::= ((r.toLong, a, b, wt))
+      syms = syms.toSeq.map { case (s, f) => applyMerge(s, a, b) -> f }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    val got = SparkEntry.queries("q_bpe_merges")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toList == expect.reverse, s"got ${got.toList}")
+  }
+
   test("coreset: picks equal a brute-force greedy k-center replay") {
     // plain-Scala replay of the greedy loop with the SAME left-to-right
     // fold the engine kernel uses, so every argmax decision (and each
