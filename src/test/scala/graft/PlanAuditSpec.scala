@@ -197,6 +197,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("DSIR scores through broadcasts only — the corpus never shuffle-joins") {
+    val (p, _) = planOf("q_dsir_select")
+    // the 1024-row weight table broadcasts onto the per-doc counts; a
+    // regression to a shuffle join would reshuffle the whole exploded
+    // corpus relation on the bucket key
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(3000))
+  }
+
   test("skyline resolves dominance on the pruned relation, winners broadcast back") {
     val (p, _) = planOf("q_skyline")
     // the dominance window runs over the per-n candidate relation, and
