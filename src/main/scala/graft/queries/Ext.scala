@@ -1106,9 +1106,13 @@ object Ext {
     "q_bpe_merges" -> ((s, d) => {
       import s.implicits._
       val wOrd = Window.partitionBy(col("w")).orderBy(col("pos"))
+      // \z, not $: Java's $ matches before a final line terminator, so
+      // a token like "ab\n" would pass here but fail the oracle's RE2 $
+      // (absolute end) — a latent engine divergence on any corpus with
+      // trailing-newline tokens
       val words = documents(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z]{2,12}$"))
+        .filter(col("w").rlike("^[a-z]{2,12}\\z"))
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       // split(w, "") under Spark's limit=-1 regex emits a trailing ""
       var syms = words
@@ -1117,32 +1121,47 @@ object Ext {
         .filter(col("sym") =!= "")
         .localCheckpoint()
       var merges = List.empty[(Long, String, String, Long)]
-      for (r <- 1 to 3) {
+      var r = 1
+      var exhausted = false
+      while (r <= 3 && !exhausted) {
         val withNxt = syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
         val top = withNxt.filter(col("nxt").isNotNull)
           .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("wt"))
           .orderBy(col("wt").desc, col("sym"), col("nxt")).limit(1)
-          .collect()(0)
-        val (a, b, wt) = (top.getString(0), top.getString(1), top.getLong(2))
-        merges ::= ((r.toLong, a, b, wt))
-        val t = withNxt
-          .withColumn("m", coalesce(
-            col("sym") === a && col("nxt") === b, lit(false)))
-          .withColumn("isl", col("pos") -
-            sum(when(col("m"), 1).otherwise(0))
-              .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("merged", col("m") &&
-            (col("pos") - min(col("pos"))
-              .over(Window.partitionBy(col("w"), col("m"), col("isl"))))
-              % 2 === 0)
-          .withColumn("kept",
-            !coalesce(lag(col("merged"), 1).over(wOrd), lit(false)))
-        syms = t.filter(col("kept"))
-          .select(col("w"), col("freq"),
-            (row_number().over(wOrd) - 1).as("pos"),
-            when(col("merged"), concat(col("sym"), col("nxt")))
-              .otherwise(col("sym")).as("sym"))
-          .localCheckpoint()
+          .collect()
+        if (top.isEmpty) {
+          // no adjacent pairs left (degenerate corpus): the oracle's
+          // LIMIT 1 CTEs go empty from this round on, so stop emitting
+          // rather than crash on collect()(0)
+          exhausted = true
+        } else {
+          val (a, b, wt) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges ::= ((r.toLong, a, b, wt))
+          // the last round's pick needs no merge application: nothing
+          // reads the post-round-3 symbol relation
+          if (r < 3) {
+            val t = withNxt
+              .withColumn("m", coalesce(
+                col("sym") === a && col("nxt") === b, lit(false)))
+              .withColumn("isl", col("pos") -
+                sum(when(col("m"), 1).otherwise(0))
+                  .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+              .withColumn("merged", col("m") &&
+                (col("pos") - min(col("pos"))
+                  .over(Window.partitionBy(col("w"), col("m"), col("isl"))))
+                  % 2 === 0)
+              .withColumn("kept",
+                !coalesce(lag(col("merged"), 1).over(wOrd), lit(false)))
+            syms = t.filter(col("kept"))
+              .select(col("w"), col("freq"),
+                (row_number().over(wOrd) - 1).as("pos"),
+                when(col("merged"), concat(col("sym"), col("nxt")))
+                  .otherwise(col("sym")).as("sym"))
+              .localCheckpoint()
+          }
+          r += 1
+        }
       }
       merges.reverse.toDF("round", "lhs", "rhs", "weight")
         .orderBy(col("round"))

@@ -154,6 +154,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.toList == expect.reverse, s"got ${got.toList}")
   }
 
+  test("bpe: a corpus with no mergeable words yields an empty merges table") {
+    // all-numeric tokens: the word filter leaves nothing, so every
+    // round's top-pair relation is empty — the query must degrade to
+    // zero rows exactly like the oracle's empty LIMIT 1 CTEs, not
+    // crash on collect()(0)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_degenerate")
+      .toString
+    Seq((1L, "123 456 789", "en", "src0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_bpe_merges")(spark, dir)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq ==
+      Seq("round", "lhs", "rhs", "weight"))
+  }
+
   test("coreset: picks equal a brute-force greedy k-center replay") {
     // plain-Scala replay of the greedy loop with the SAME left-to-right
     // fold the engine kernel uses, so every argmax decision (and each
