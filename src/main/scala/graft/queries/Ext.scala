@@ -1084,7 +1084,11 @@ object Ext {
           count(when(col("t").rlike("^ ?[a-z]"), 1)).as("n_word"),
           count(when(col("t").rlike("^ ?[0-9]"), 1)).as("n_num"),
           count(when(col("t").rlike("^ ?[^a-z0-9 ]"), 1)).as("n_punct"),
-          count(when(col("t").rlike("^ +$"), 1)).as("n_space"))
+          // \z, not $: Java's $ would also accept " \n" (matching
+          // before the final line terminator) where the oracle's RE2 $
+          // would not — same latent divergence class fixed in
+          // q_bpe_merges
+          count(when(col("t").rlike("^ +\\z"), 1)).as("n_space"))
         .orderBy(col("doc_id"))
     }),
 
