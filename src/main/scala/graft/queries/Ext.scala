@@ -64,6 +64,23 @@ object Ext {
   private val CmsD = 3         // count-min sketch depth (hash rows)
   private val CmsW = 64        // count-min sketch width (buckets per row)
   private val SemThr = 0.3     // semantic-dedup cosine cutoff (within-cell)
+  private val MmrK = 5         // MMR picks
+  private val MmrLam = 0.7     // MMR relevance weight (redundancy = 0.3;
+  private val MmrMu = 0.3      // kept as its OWN literal — 1 - 0.7 is
+                               // 0.30000000000000004 in binary64, which
+                               // would diverge from the oracle's 0.3)
+  private val EmbDim = 64      // embedding width (FIXTURES.md §1)
+  private val ProjDims = 8     // JL sign-projection output width
+  private val WinnowW = 4      // winnowing window (grams per window)
+
+  /** ±1 entry (j = 0-based input dim, k = output dim) of the
+    * deterministic Johnson-Lindenstrauss sign matrix: a fixed quadratic
+    * integer formula, NOT a library PRNG, so the DuckDB oracle can
+    * regenerate the identical matrix from the same closed form.
+    */
+  private def projSign(j: Int, k: Int): Double =
+    if (((j * j * 13 + k * k * 7 + j * k * 3 + j * 5 + k * 11) % 17) % 2 == 0)
+      1.0 else -1.0
 
   /** Per-doc minhash signature via the NATIVE fused expression
     * (functions.MinHashSig): the whole signature in one codegen'd
@@ -800,6 +817,155 @@ object Ext {
         .select(col("round"), col("center_id"),
           round(col("radius"), 6).as("radius"))
         .orderBy(col("round"))
+    }),
+
+    // Maximal-marginal-relevance selection (Carbonell & Goldstein 1998,
+    // the diversified-retrieval / diverse-example-selection move): query
+    // = vec 0, then 5 greedy picks maximizing 0.7*relevance -
+    // 0.3*max-similarity-to-already-picked, ties to the smallest vec_id.
+    // Same driver-loop shape as q_coreset_kcenter: each round is one
+    // MAP-ONLY pass (cosines against a literal pick vector folded into
+    // the running `ms` max) plus a global 1-row TakeOrdered — the corpus
+    // never shuffles and the driver holds only the k pick vectors. The
+    // 0.3 coefficient is its own literal (NOT 1 - 0.7, which is off by
+    // one ulp in binary64), so the score doubles match the oracle's.
+    "q_mmr_select" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d).select(col("vec_id"),
+          VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+      def litVec(a: Seq[Double]) = array(a.map(lit): _*)
+      def cosTo(vec: Seq[Double], nrm: Double) =
+        VectorOps.dot(col("v"), litVec(vec)) / (col("nrm") * lit(nrm))
+      val qrow = e.filter(col("vec_id") === 0)
+        .select(col("v"), col("nrm")).collect()(0)
+      var cur = e.filter(col("vec_id") =!= 0)
+        .withColumn("rel",
+          cosTo(qrow.getSeq[Double](0), qrow.getDouble(1)))
+        .withColumn("ms", lit(0.0))
+      var picks = List.empty[(Long, Long, Double)]
+      for (r <- 1 to MmrK) {
+        val p = cur.select(col("vec_id"),
+            (lit(MmrLam) * col("rel") - lit(MmrMu) * col("ms")).as("score"),
+            col("v"), col("nrm"))
+          .orderBy(col("score").desc, col("vec_id")).limit(1).collect()(0)
+        picks ::= ((r.toLong, p.getLong(0), p.getDouble(1)))
+        cur = cur.filter(col("vec_id") =!= p.getLong(0))
+          .withColumn("ms", greatest(col("ms"),
+            cosTo(p.getSeq[Double](2), p.getDouble(3))))
+      }
+      picks.reverse.toDF("rank", "vec_id", "score")
+        .select(col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("rank"))
+    }),
+
+    // Johnson-Lindenstrauss ±1 sign projection to 8 dims (Achlioptas
+    // 2003 database-friendly random projections): the cheap
+    // dimensionality-reduction front of an ANN / clustering pipeline.
+    // The sign matrix comes from [[projSign]]'s closed-form integer
+    // formula, baked in as 8 LITERAL sign vectors, so the projection is
+    // 8 codegen'd dot products — map-only, zero shuffle, and the oracle
+    // regenerates the identical matrix symbolically. Output in long form
+    // (vec_id, k, p) keeps the schema stable if ProjDims changes.
+    "q_embed_project" -> ((s, d) => {
+      val projs = (0 until ProjDims).map { k =>
+        val sv = array((0 until EmbDim).map(j => lit(projSign(j, k))): _*)
+        (VectorOps.dot(col("v"), sv) / sqrt(lit(8.0))).as(s"p$k")
+      }
+      embeddings(s, d)
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .select(col("vec_id") +: projs: _*)
+        .select(col("vec_id"), posexplode(
+          array((0 until ProjDims).map(k => col(s"p$k")): _*)))
+        .select(col("vec_id"), col("pos").cast("long").as("k"),
+          round(col("col"), 6).as("p"))
+        .orderBy(col("vec_id"), col("k"))
+    }),
+
+    // Prototype-distance pruning (SSL-prototypes, Sorscher et al. 2022 /
+    // the D4 recipe): per-label centroid, cosine distance of every
+    // vector to its OWN centroid, keep the hardest (farthest) half of
+    // each label — dropping the most prototypical examples is the
+    // data-pruning schedule that beats random at scale. Centroid
+    // component sums are DECIMAL(18,9) (the q_kmeans_step move) so the
+    // means cannot drift with partitioning; the tiny per-label centroid
+    // relation is BROADCAST back and the distance pass is map-only. The
+    // keep rule is rn*2 <= cnt (integer arithmetic — no float ratio).
+    "q_prune_prototypes" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("label"),
+          VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+      val cent = e.select(col("label"), posexplode(col("v")))
+        .select(col("label"), col("pos").as("dim"),
+          col("col").cast(org.apache.spark.sql.types.DecimalType(18, 9))
+            .as("xd"))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(col("xd")).cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("cv"))
+        .withColumn("cn", VectorOps.norm(col("cv")))
+      e.join(broadcast(cent), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          (lit(1.0) - VectorOps.dot(col("v"), col("cv"))
+            / (col("nrm") * col("cn"))).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(col("dist").desc, col("vec_id"))).cast("long"))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("label"))))
+        .select(col("vec_id"), col("label"),
+          round(col("dist"), 6).as("dist"), col("rn"),
+          (col("rn") * 2 <= col("cnt")).as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    // document-fingerprint scheme): hash every K-token gram, slide a
+    // W-gram window, keep each window's minimal hash (rightmost on
+    // ties), distinct the survivors — a position-robust fingerprint set
+    // whose density is guaranteed ~2/(W+1). The rightmost-argmin per
+    // window is ONE packed-long max() in a hash aggregate — pk =
+    // (2^31-1 - h)*2^32 + pos makes plain max() compute (min h, max
+    // pos) — the q_dedup_keep_best move, so no struct/SortAggregate and
+    // no per-window sort. Shuffles carry only (doc, window, packed-long)
+    // triples — W 8-byte copies per gram, never text. Output is the
+    // per-doc fingerprint profile; density in ppm by INTEGER division
+    // (no float rounding hazard).
+    "q_fingerprint_winnow" -> ((s, d) => {
+      val grams = documents(s, d)
+        .select(col("doc_id"), TextOps.shingles(col("text"), K).as("sh"))
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+          posexplode(col("sh")))
+        .select(col("doc_id"), col("n_grams"),
+          (col("pos") + 1).cast("long").as("p"),
+          TextOps.hash31(col("col")).as("h"))
+      // window starts covering gram p: [max(1, p-W+1), min(p, Q)] where
+      // Q = max(1, n_grams-W+1) — short docs still get one window.
+      // n_grams (functionally dependent on doc_id) rides along as a
+      // grouping key — 8 bytes per shuffled row instead of a SECOND
+      // full text scan + join to recover it at the end.
+      val wins = grams.select(col("doc_id"), col("n_grams"),
+        explode(sequence(
+          greatest(lit(1L), col("p") - (WinnowW - 1)),
+          least(col("p"),
+            greatest(lit(1L), col("n_grams") - (WinnowW - 1))))).as("q"),
+        ((lit(2147483647L) - col("h")) * lit(4294967296L) + col("p"))
+          .as("pk"))
+      val fp = wins.groupBy(col("doc_id"), col("n_grams"), col("q"))
+        .agg(max(col("pk")).as("pk"))
+        .select(col("doc_id"), col("n_grams"), col("pk")).distinct()
+        .select(col("doc_id"), col("n_grams"),
+          (lit(2147483647L) - shiftright(col("pk"), 32)).as("h_sel"))
+      fp.groupBy(col("doc_id"), col("n_grams")).agg(
+          count(lit(1)).as("n_fp"), min(col("h_sel")).as("h_min"),
+          max(col("h_sel")).as("h_max"), sum(col("h_sel")).as("h_sum"))
+        .select(col("doc_id"), col("n_grams"), col("n_fp"),
+          expr("n_fp * 1000000 div n_grams").as("density_ppm"),
+          col("h_min"), col("h_max"), col("h_sum"))
+        .orderBy(col("doc_id"))
     }),
 
     // Matryoshka-style truncation: keep the first 16 of 64 dims and
@@ -2515,6 +2681,117 @@ object Ext {
          |UNION ALL $out
          |ORDER BY round""".stripMargin
     },
+
+    "q_mmr_select" -> {
+      // greedy MMR unrolled as CTE stages (the q_coreset_kcenter move):
+      // m_r carries each candidate's running max similarity to the
+      // first r picks, p_r is the argmax of lam*rel - mu*ms.
+      val picks = (1 to MmrK).map { r =>
+        s"""p$r AS (SELECT vec_id,
+           |    CAST($MmrLam AS DOUBLE) * rel - CAST($MmrMu AS DOUBLE) * ms
+           |      AS score, v, nrm
+           |  FROM m${r - 1} ORDER BY score DESC, vec_id LIMIT 1)"""
+          .stripMargin
+      }
+      val folds = (1 until MmrK).map { r =>
+        s"""m$r AS (SELECT m.vec_id, m.v, m.nrm, m.rel,
+           |    greatest(m.ms, list_dot_product(m.v, p.v) / (m.nrm * p.nrm))
+           |      AS ms
+           |  FROM m${r - 1} m, p$r p WHERE m.vec_id <> p.vec_id)"""
+          .stripMargin
+      }
+      val chain = (1 to MmrK).flatMap(r =>
+        Seq(picks(r - 1)) ++ (if (r < MmrK) Seq(folds(r - 1)) else Nil))
+        .mkString(",\n")
+      val out = (1 to MmrK).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, vec_id, " +
+          s"round(score, 6) AS score FROM p$r").mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT v, nrm FROM e WHERE vec_id = 0),
+         |m0 AS (SELECT e.vec_id, e.v, e.nrm,
+         |    list_dot_product(e.v, q.v) / (e.nrm * q.nrm) AS rel,
+         |    CAST(0.0 AS DOUBLE) AS ms
+         |  FROM e, q WHERE e.vec_id <> 0),
+         |$chain
+         |$out
+         |ORDER BY rank""".stripMargin
+    },
+
+    "q_embed_project" -> {
+      // the identical sign matrix regenerated symbolically: k is baked
+      // into each list comprehension, j runs over the 64 input dims.
+      val ks = (0 until ProjDims).map { k =>
+        val signs = s"[CASE WHEN (((j*j*13 + ${k * k * 7} + j*${k * 3}" +
+          s" + j*5 + ${k * 11}) % 17) % 2) = 0 THEN CAST(1.0 AS DOUBLE)" +
+          s" ELSE CAST(-1.0 AS DOUBLE) END for j in range($EmbDim)]"
+        s"""SELECT vec_id, CAST($k AS BIGINT) AS k,
+           |  round(list_dot_product(v, $signs) / sqrt(8), 6) AS p
+           |  FROM e""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings)
+         |$ks
+         |ORDER BY vec_id, k""".stripMargin
+    },
+
+    "q_prune_prototypes" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |x AS (SELECT label,
+        |    unnest([{'d': i - 1,
+        |             'x': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))}
+        |            for i in range(1, len(embedding) + 1)]) AS u
+        |  FROM embeddings),
+        |cm AS (SELECT label, u.d AS dim,
+        |    CAST(SUM(u.x) AS DOUBLE) / COUNT(*) AS m
+        |  FROM x GROUP BY 1, 2),
+        |c AS (SELECT label, list(m ORDER BY dim) AS cv FROM cm GROUP BY 1),
+        |cn AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn
+        |  FROM c),
+        |sc AS (SELECT e.vec_id, e.label,
+        |    1 - list_dot_product(e.v, cn.cv) / (e.nrm * cn.cn) AS dist
+        |  FROM e JOIN cn ON e.label = cn.label),
+        |r AS (SELECT vec_id, label, dist,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY dist DESC, vec_id) AS rn,
+        |    count(*) OVER (PARTITION BY label) AS cnt FROM sc)
+        |SELECT vec_id, label, round(dist, 6) AS dist, rn,
+        |  (rn * 2 <= cnt) AS kept
+        |FROM r ORDER BY vec_id""".stripMargin,
+
+    "q_fingerprint_winnow" ->
+      s"""WITH d0 AS (SELECT doc_id,
+         |    CASE WHEN len(t) >= $K
+         |      THEN [{'p': i, 'g': array_to_string(t[i:i+${K - 1}], ' ')}
+         |            for i in range(1, len(t) - ${K - 2})]
+         |      ELSE [{'p': 1, 'g': array_to_string(t, ' ')}] END AS ps
+         |  FROM (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents)),
+         |g AS (SELECT doc_id, len(ps) AS n_grams, unnest(ps) AS u FROM d0),
+         |h AS (SELECT doc_id, n_grams, u.p AS p, u.g AS x FROM g),
+         |hh AS (SELECT doc_id, n_grams, p, $sqlHash31 AS h FROM h),
+         |w AS (SELECT doc_id,
+         |    unnest(range(greatest(1, p - ${WinnowW - 1}),
+         |      least(p, greatest(1, n_grams - ${WinnowW - 1})) + 1)) AS q,
+         |    (2147483647 - h) * 4294967296 + p AS pk
+         |  FROM hh),
+         |sel AS (SELECT doc_id, q, max(pk) AS pk FROM w GROUP BY 1, 2),
+         |fp AS (SELECT DISTINCT doc_id, pk FROM sel),
+         |fh AS (SELECT doc_id, 2147483647 - (pk // 4294967296) AS h_sel
+         |  FROM fp),
+         |agg AS (SELECT doc_id, count(*) AS n_fp, min(h_sel) AS h_min,
+         |    max(h_sel) AS h_max, CAST(sum(h_sel) AS BIGINT) AS h_sum
+         |  FROM fh GROUP BY 1),
+         |gc AS (SELECT doc_id, len(ps)::BIGINT AS n_grams FROM d0)
+         |SELECT gc.doc_id, gc.n_grams, agg.n_fp,
+         |  (agg.n_fp * 1000000) // gc.n_grams AS density_ppm,
+         |  agg.h_min, agg.h_max, agg.h_sum
+         |FROM gc JOIN agg ON gc.doc_id = agg.doc_id
+         |ORDER BY gc.doc_id""".stripMargin,
 
     "q_embed_truncate" ->
       """WITH e AS (SELECT vec_id,
