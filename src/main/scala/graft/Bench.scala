@@ -44,28 +44,36 @@ object Bench {
   /** The single stdout line the driver parses. Inline errors are capped
     * at 3 (full detail still lands in BENCH_DETAIL.json) with the total
     * failure count always carried, so even a catastrophic run stays
-    * inside the tail window. */
+    * inside the tail window.
+    *
+    * `value`/`n_queries` count SUCCEEDED queries only: a failed query
+    * aborts in ~0.1 s, so summing it in would make a broken round read
+    * as a speedup in round-over-round artifact diffs (the r5 lesson —
+    * 28 analysis-time failures shrank the total by ~17 s while delivered
+    * coverage dropped 15%). `n_errors` carries the failure count. */
   def headlineLine(results: Seq[(String, (Double, Option[String]))],
                    sfDir: String): String = {
     val errors = errEntries(results)
     val errField =
       if (errors.isEmpty) ""
-      else errors.take(3).mkString(
-        s""",\"n_errors\":${errors.size},\"errors\":{""", ",", "}")
+      else errors.take(3).mkString(s""",\"errors\":{""", ",", "}")
     val byName = results.toMap
     val head = Headline.flatMap(n => byName.get(n).map(n -> _._1))
-    val total = r3(results.map(_._2._1).sum)
-    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(head)}$errField,"sf":${jstr(sfDir)}}"""
+    val ok = results.filter(_._2._2.isEmpty)
+    val total = r3(ok.map(_._2._1).sum)
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${results.size - ok.size},"queries":${qmap(head)}$errField,"sf":${jstr(sfDir)}}"""
   }
 
-  /** Full per-query map for the judge — no size constraint. */
+  /** Full per-query map for the judge — no size constraint. Same
+    * succeeded-only `value`/`n_queries` semantics as the headline. */
   def detailLine(results: Seq[(String, (Double, Option[String]))],
                  sfDir: String): String = {
     val errors = errEntries(results)
     val errFieldFull =
       if (errors.isEmpty) "" else errors.mkString(",\"errors\":{", ",", "}")
-    val total = results.map(_._2._1).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(results.map { case (k, v) => k -> v._1 })}$errFieldFull,"sf":${jstr(sfDir)}}"""
+    val ok = results.filter(_._2._2.isEmpty)
+    val total = ok.map(_._2._1).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${results.size - ok.size},"queries":${qmap(ok.map { case (k, v) => k -> v._1 })}$errFieldFull,"sf":${jstr(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {

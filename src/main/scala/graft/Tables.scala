@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession, Column}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver test tables (TESTDATA.md) plus shared
   * determinism helpers used by every verify query.
@@ -24,15 +24,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects.
-    * Read nanos as long (legacy conf), then truncate to a micros TIMESTAMP —
-    * exactly what DuckDB does when it coerces TIMESTAMP_NS to its native
-    * micros TIMESTAMP, so oracle comparisons stay bit-identical.
+  /** events.ts has shipped in two parquet physical types across testdata
+    * generations: TIMESTAMP(NANOS) (which vanilla Spark rejects — read the
+    * nanos as long via the legacy conf, then truncate to a micros
+    * TIMESTAMP, exactly DuckDB's TIMESTAMP_NS→TIMESTAMP coercion) and
+    * TIMESTAMP(MICROS) (pass through). Branch on the schema actually read
+    * so either generation yields the identical micros TIMESTAMP column.
+    * A non-UTC-adjusted micros file arrives as TIMESTAMP_NTZ; the session
+    * zone is pinned UTC (Graft.configure), so the NTZ→LTZ cast is
+    * value-preserving and matches DuckDB's naive read.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType        => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType   => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other (expected nanos-long or micros timestamp)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

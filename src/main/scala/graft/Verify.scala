@@ -9,11 +9,13 @@ object Verify {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = Graft.localSession(cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         // A query failing BEFORE its overwrite starts (analysis-time
         // error) leaves any dump from an earlier run in place, and the
         // compare would then grade the broken query against stale data
@@ -36,6 +38,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A failed query's dump is deleted above, so its failure would otherwise
+    // be visible only as ABSENCE in the compare. Enumerate failures as data
+    // so the driver/judge see name → message directly.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -53,6 +53,9 @@ class TxJsonSinkSpec extends SparkSpec {
     // immutable per-version manifests plus the latest pointer
     val names = ls(out)
     assert(names.contains("_COMMIT-v1") && names.contains("_COMMIT-v2"), names)
+    // every manifest (versioned and pointer) lands via tmp + ATOMIC_MOVE;
+    // a leftover *.tmp would mean a torn write is reachable again
+    assert(!names.exists(_.endsWith(".tmp")), names)
     val m1 = graft.sources.TxJsonSink.manifest(out, Some(1)).get
     val m2 = graft.sources.TxJsonSink.manifest(out, Some(2)).get
     val latest = graft.sources.TxJsonSink.manifest(out).get
