@@ -123,10 +123,10 @@ object ScaleStress {
       .getOrElse(Facts)
     val spark = Graft.localSession(32, "graft-scale",
       Map("spark.sql.files.maxPartitionBytes" -> "4m"))
-    // events.ts is parquet TIMESTAMP(NANOS): read it as a raw long (the
-    // same legacy conf Tables.events uses); the replica then round-trips
-    // the nanos as INT64, which Tables.events' `ts div 1000` treats
-    // identically to the original annotation
+    // events.ts generations vary (TIMESTAMP(NANOS) vs timestamp[us]); the
+    // legacy conf makes a nanos source readable as INT64, and the replica
+    // round-trips whichever physical type it read — Tables.events branches
+    // on the replica's actual schema either way
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val d1 = s"$work/x1"
@@ -140,6 +140,10 @@ object ScaleStress {
     // and the sweep continues.
     def run(name: String, dir: String): Double =
       try {
+        // each pass must pay the full pipeline build: the shared pair
+        // graph is memoized per (session, dir) for the verify/bench
+        // suites, and a cache hit here would hollow out the exponent
+        graft.queries.Ext.invalidatePairGraph()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()

@@ -225,6 +225,13 @@ object Ext {
   private def verifiedPairs(s: SparkSession, d: String): DataFrame =
     pairMemo.getOrElseUpdate((s, d), computeVerifiedPairs(s, d).localCheckpoint())
 
+  /** Stress-harness hook: drop every memoized pair graph so a timed pass
+    * measures the full shingle->LSH->verify build, not a cache hit —
+    * ScaleStress invalidates before each pass, otherwise the scaling
+    * exponents of the pair family would measure graph CONSUMPTION only.
+    */
+  private[graft] def invalidatePairGraph(): Unit = pairMemo.clear()
+
   private def computeVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val docs = docsWithNearDups(s, d)
     val bands = minhashSigOf(docs).select(col("doc_id"),
