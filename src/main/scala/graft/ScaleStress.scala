@@ -141,9 +141,11 @@ object ScaleStress {
     def run(name: String, dir: String): Double =
       try {
         // each pass must pay the full pipeline build: the shared pair
-        // graph is memoized per (session, dir) for the verify/bench
-        // suites, and a cache hit here would hollow out the exponent
+        // graph and quantile stat cores are memoized per (session, dir)
+        // for the verify/bench suites, and a cache hit here would
+        // hollow out the exponent
         graft.queries.Ext.invalidatePairGraph()
+        graft.queries.Relational.invalidateStatCores()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
