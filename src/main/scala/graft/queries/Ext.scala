@@ -1932,6 +1932,87 @@ object Ext {
           col("s.q1").as("q1"))
         .orderBy(col("vec_id"))),
 
+    // Per-dimension feature standardization FIT (the scaler every
+    // embedding pipeline trains before indexing/clustering): corpus
+    // moments per dimension from exact decimal sums (order-free, the
+    // q_kmeans_step discipline), plus the standardized extremes — the
+    // readout that shows which dimensions carry outliers. Scale shape:
+    // map-side partial aggregation collapses each partition to
+    // (dims x partials) fixed-width rows; the corpus itself never
+    // reshuffles, so the fit is a scan at any corpus size.
+    "q_embed_dim_stats" -> ((s, d) =>
+      embeddings(s, d)
+        .select(posexplode(VectorOps.toDouble(col("embedding"))))
+        .select(col("pos").cast("long").as("dim"), col("col").as("x"),
+          col("col").cast(org.apache.spark.sql.types.DecimalType(18, 9))
+            .as("xd"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xd")).cast("double").as("s1"),
+          // x*x evaluated in DOUBLE (identical on both engines), THEN
+          // decimal-cast: the sum is order-free while the per-element
+          // product stays bit-identical
+          sum((col("x") * col("x"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+            .cast("double").as("s2"),
+          min(col("x")).as("xmin"), max(col("x")).as("xmax"))
+        .withColumn("_m", col("s1") / col("n"))
+        .withColumn("_sd",
+          sqrt(col("s2") / col("n") - col("_m") * col("_m")))
+        .select(col("dim"), col("n"),
+          round(col("_m"), 6).as("mean"),
+          round(col("_sd"), 6).as("std"),
+          round((col("xmin") - col("_m")) / col("_sd"), 6).as("z_min"),
+          round((col("xmax") - col("_m")) / col("_sd"), 6).as("z_max"))
+        .orderBy(col("dim"))),
+
+    // Per-dimension standardization TRANSFORM: the fitted (mean, std)
+    // per dimension — a bounded, dims-sized relation — is collected and
+    // baked into LITERAL arrays (the RangePartitioner/rangedCore move),
+    // so applying the scaler is a pure map-only projection: no join, no
+    // shuffle, whole-stage codegen. Exactly how a 100 TB scoring pass
+    // ships a fitted preprocessor: broadcast constants, scan-transform.
+    // Output checksums avoid float summation order: probe elements are
+    // single values (bit-identical), n_pos is an integer fold.
+    "q_embed_standardize" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      val stats = e
+        .select(posexplode(col("v")))
+        .select(col("pos"), col("col").as("x"),
+          col("col").cast(org.apache.spark.sql.types.DecimalType(18, 9))
+            .as("xd"))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xd")).cast("double").as("s1"),
+          sum((col("x") * col("x"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+            .cast("double").as("s2"))
+        .orderBy(col("pos"))
+        .collect() // dims rows (64) — bounded by construction
+      val means = stats.map(r => r.getDouble(2) / r.getLong(1))
+      val stds = stats.map { r =>
+        val m = r.getDouble(2) / r.getLong(1)
+        math.sqrt(r.getDouble(3) / r.getLong(1) - m * m)
+      }
+      val mLit = array(means.map(lit).toIndexedSeq: _*)
+      val sLit = array(stds.map(lit).toIndexedSeq: _*)
+      e.select(col("vec_id"),
+          TextOps.let(transform(col("v"), (x, i) =>
+            (x - element_at(mLit, i + 1)) / element_at(sLit, i + 1))) { z =>
+            struct(
+              round(element_at(z, 1), 6).as("z0"),
+              round(element_at(z, 2), 6).as("z1"),
+              round(element_at(z, size(z)), 6).as("z_last"),
+              aggregate(z, lit(0L),
+                (acc, zi) => acc + when(zi > 0d, 1L).otherwise(0L))
+                .as("n_pos"))
+          }.as("st"))
+        .select(col("vec_id"), col("st.z0").as("z0"), col("st.z1").as("z1"),
+          col("st.z_last").as("z_last"), col("st.n_pos").as("n_pos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // K-means M-step (centroid update) with EXACT decimal component
     // sums: float summation order varies with partitioning, so the
     // mean is computed from DECIMAL(18,9) sums that cannot drift. The
@@ -3432,6 +3513,44 @@ object Ext {
         |SELECT label, CAST(u.d AS BIGINT) AS dim,
         |  round(CAST(sum(u.x) AS DOUBLE) / count(*), 6) AS mean_x
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q_embed_dim_stats" ->
+      """WITH x AS (SELECT
+        |    unnest([{'d': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
+        |            for i in range(1, len(embedding) + 1)]) AS u
+        |  FROM embeddings),
+        |a AS (SELECT CAST(u.d AS BIGINT) AS dim, count(*) AS n,
+        |    CAST(sum(CAST(u.x AS DECIMAL(18,9))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(u.x * u.x AS DECIMAL(18,9))) AS DOUBLE) AS s2,
+        |    min(u.x) AS xmin, max(u.x) AS xmax
+        |  FROM x GROUP BY dim),
+        |m AS (SELECT dim, n, s1 / n AS m_, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd,
+        |    xmin, xmax FROM a)
+        |SELECT dim, n, round(m_, 6) AS mean, round(sd, 6) AS std,
+        |  round((xmin - m_) / sd, 6) AS z_min,
+        |  round((xmax - m_) / sd, 6) AS z_max
+        |FROM m ORDER BY dim""".stripMargin,
+
+    "q_embed_standardize" ->
+      """WITH x AS (SELECT
+        |    unnest([{'d': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}
+        |            for i in range(1, len(embedding) + 1)]) AS u
+        |  FROM embeddings),
+        |a AS (SELECT CAST(u.d AS BIGINT) AS dim,
+        |    CAST(sum(CAST(u.x AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m_,
+        |    sqrt(CAST(sum(CAST(u.x * u.x AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+        |      - (CAST(sum(CAST(u.x AS DECIMAL(18,9))) AS DOUBLE) / count(*))
+        |        * (CAST(sum(CAST(u.x AS DECIMAL(18,9))) AS DOUBLE) / count(*))) AS sd
+        |  FROM x GROUP BY dim),
+        |ml AS (SELECT list(m_ ORDER BY dim) AS ms, list(sd ORDER BY dim) AS ss FROM a),
+        |z AS (SELECT vec_id,
+        |    [(CAST(embedding[i] AS DOUBLE) - ms[i]) / ss[i]
+        |     for i in range(1, len(embedding) + 1)] AS zl
+        |  FROM embeddings, ml)
+        |SELECT vec_id, round(zl[1], 6) AS z0, round(zl[2], 6) AS z1,
+        |  round(zl[len(zl)], 6) AS z_last,
+        |  CAST(len(list_filter(zl, zi -> zi > 0)) AS BIGINT) AS n_pos
+        |FROM z ORDER BY vec_id""".stripMargin,
 
     "q_minhash_est" ->
       s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
