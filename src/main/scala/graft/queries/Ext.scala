@@ -1191,6 +1191,37 @@ object Ext {
         .orderBy(col("doc_id"))
     }),
 
+    // Length-bucketed batching (padding-efficiency batching): docs are
+    // grouped into fixed-size training batches of SIMILAR token length —
+    // the standard move that keeps per-batch padding (n_docs x max_len -
+    // sum_len) small. Bucket = n_tokens div 32; within a bucket docs take
+    // a deterministic hash order and chunk into batches of 16; the
+    // readout is per-batch padding waste. Scale shape: one shuffle keyed
+    // by length bucket (bounded skew by construction — bucket width caps
+    // how many distinct lengths share a partition), windows parallel
+    // over buckets, aggregation map-side.
+    "q_batch_by_length" -> ((s, d) => {
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("bucket", expr("n_tokens div 32"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("batch_id",
+          col("bucket") * lit(100000L) + expr("(rn - 1) div 16"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("batch_id"), col("n_docs"), col("max_tokens"),
+          col("sum_tokens"),
+          round(lit(1.0) - col("sum_tokens").cast("double")
+            / (col("n_docs") * col("max_tokens")).cast("double"), 6)
+            .as("pad_waste"))
+        .orderBy(col("batch_id"))
+    }),
+
     // ---- E5: text analysis ---------------------------------------------
     "q_text_stats" -> ((s, d) =>
       documents(s, d)
@@ -3194,6 +3225,22 @@ object Ext {
          |  CAST(cum // $PackTarget AS BIGINT) AS seq_id,
          |  CAST(cum % $PackTarget AS BIGINT) AS offset_in_seq, n_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_batch_by_length" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |    CAST(n_tokens // 32 AS BIGINT) AS bucket FROM t),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM b),
+         |g AS (SELECT bucket * 100000 + CAST((rn - 1) // 16 AS BIGINT)
+         |    AS batch_id, n_tokens FROM r)
+         |SELECT batch_id, count(*) AS n_docs, max(n_tokens) AS max_tokens,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
+         |    / (count(*) * max(n_tokens)), 6) AS pad_waste
+         |FROM g GROUP BY batch_id ORDER BY batch_id""".stripMargin,
 
     // DuckDB substring() has no BLOB overload: slice the VARCHAR and
     // encode the slice. Char offsets == byte offsets because the corpus
