@@ -1222,6 +1222,34 @@ object Ext {
         .orderBy(col("batch_id"))
     }),
 
+    // Corpus-level source similarity via MERGEABLE minhash union
+    // sketches: sig(A ∪ B)[i] = min(sig(A)[i], sig(B)[i]), so each
+    // source's shingle UNIVERSE collapses to NumHashes ints in one
+    // plain hash aggregate over the per-doc native signatures —
+    // positionwise MIN is associative/commutative, hence map-side
+    // partials and partitioning-independence for free. The pairwise
+    // estimated vocabulary Jaccard then runs on |sources| sketch rows,
+    // never on documents: the cross-corpus overlap readout (which
+    // crawl sources duplicate each other) at 100 TB costs one scan.
+    "q_source_similarity" -> ((s, d) => {
+      val perDoc = documents(s, d).select(col("source"),
+        graft.functions.MinHashSig(col("text"), K, NumHashes).as("sig"))
+      val mins = (0 until NumHashes).map(i =>
+        min(element_at(col("sig"), i + 1)).as(s"m$i"))
+      val sk = perDoc.groupBy(col("source"))
+        .agg(mins.head, mins.tail: _*)
+        .select(col("source"),
+          array((0 until NumHashes).map(i => col(s"m$i")): _*).as("ssig"))
+      sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          aggregate(zip_with(col("a.ssig"), col("b.ssig"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, c) => acc + c).as("n_agree"))
+        .withColumn("est_jaccard",
+          round(col("n_agree").cast("double") / NumHashes, 6))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // ---- E5: text analysis ---------------------------------------------
     "q_text_stats" -> ((s, d) =>
       documents(s, d)
@@ -3241,6 +3269,28 @@ object Ext {
          |  round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
          |    / (count(*) * max(n_tokens)), 6) AS pad_waste
          |FROM g GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+
+    "q_source_similarity" ->
+      s"""WITH tok AS (SELECT source, doc_id, ${sqlTokens("text")} AS t
+         |  FROM documents),
+         |sh AS (SELECT source, doc_id, $sqlShingles AS sh FROM tok),
+         |hv AS (SELECT source, list_transform(sh, x -> $sqlHash31) AS vs
+         |  FROM sh),
+         |sg AS (SELECT source, $sqlSig AS sig FROM hv),
+         |u AS (SELECT source,
+         |    unnest([{'p': i, 'v': sig[i]}
+         |            for i in range(1, $NumHashes + 1)]) AS e
+         |  FROM sg),
+         |sk AS (SELECT source, list(mn ORDER BY p) AS ssig FROM (
+         |    SELECT source, e.p AS p, min(e.v) AS mn FROM u
+         |    GROUP BY source, e.p) GROUP BY source),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(len(list_filter(range(1, $NumHashes + 1),
+         |      i -> a.ssig[i] = b.ssig[i])) AS BIGINT) AS n_agree
+         |  FROM sk a JOIN sk b ON a.source < b.source)
+         |SELECT src_a, src_b, n_agree,
+         |  round(CAST(n_agree AS DOUBLE) / $NumHashes, 6) AS est_jaccard
+         |FROM p ORDER BY src_a, src_b""".stripMargin,
 
     // DuckDB substring() has no BLOB overload: slice the VARCHAR and
     // encode the slice. Char offsets == byte offsets because the corpus

@@ -244,6 +244,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(scanStage.contains("*(1)"), p.take(3000))
   }
 
+  test("standardize transform is map-only: fitted scaler baked as literals") {
+    val (p, _) = planOf("q_embed_standardize")
+    // the fit collects a dims-sized stats relation at build time; the
+    // transform itself must be a pure projection — no join with a stats
+    // relation, no aggregation, no hash exchange (only the ORDER BY's
+    // rangepartitioning)
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("dim-stats fit partial-aggregates map-side; corpus shuffles once") {
+    val (p, _) = planOf("q_embed_dim_stats")
+    // one hash exchange total: partials collapse each partition to
+    // (dims x partials) rows before the per-dim merge
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("length batching shuffles by bucket, aggregates map-side") {
+    val (p, _) = planOf("q_batch_by_length")
+    // bucket window exchange + the batch_id aggregation exchange — and
+    // nothing else (the token count runs in the scan stage)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      p.take(3000))
+  }
+
+  test("source sketches merge in one aggregate; pairing never touches docs") {
+    val (p, _) = planOf("q_source_similarity")
+    // per-source positionwise-min union sketch: aggregation exchanges
+    // carry fixed-width signature rows only (one per self-join side —
+    // exchange reuse does not fire across the differing projections,
+    // and each side is a |sources|-row relation, so rebuilding is
+    // trivially cheap); the pairwise comparison joins sketch rows only
+    // (the tiny non-equi join is the sanctioned nested loop)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(p.contains("minhash_sig"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("audio window framing fans out map-only") {
     val (p, _) = planOf("q_audio_windows")
     // typed flatMap generator: no hash exchange, no aggregation — the
