@@ -122,6 +122,28 @@ object Ext {
   private def minhashSig(s: SparkSession, d: String): DataFrame =
     minhashSigOf(documents(s, d).select(col("doc_id"), col("text")))
 
+  /** The composite quality score (alpha/stopword/token-length/duplication
+    * heuristics, components rounded to 6 BEFORE weighting so the ranking
+    * is cross-engine exact), carried alongside every input column — the
+    * ONE score definition consumed by q_quality_score and the per-source
+    * quality gate. Pure map-side.
+    */
+  private def qualityScored(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_alpha", round(TextOps.alphaRatio(col("text")), 6))
+      .withColumn("_stop", round(TextOps.stopwordRatio(col("text")), 6))
+      .withColumn("_mtl", round(TextOps.meanTokenLen(col("text")), 6))
+      .withColumn("_dup",
+        TextOps.let(TextOps.shingles(col("text"), 2)) { gs =>
+          round(lit(1.0) - size(array_distinct(gs)).cast("double") / size(gs), 6)
+        })
+      .withColumn("score",
+        round(lit(4.0) * col("_alpha")
+          + lit(3.0) * least(col("_stop") * 5, lit(1.0))
+          + lit(2.0) * when(col("_mtl").between(3.0, 10.0), 1.0).otherwise(0.0)
+          + lit(1.0) * (lit(1.0) - col("_dup")), 6))
+      .drop("_alpha", "_stop", "_mtl", "_dup")
+
   /** documents plus truncated copies (last 2 tokens dropped) of the
     * first 20 docs at doc_id+100000 — synthetic near-dups so the LSH
     * candidate-pair pipeline has something to find, identically
@@ -1250,6 +1272,52 @@ object Ext {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // Cross-source dedup accounting: the provenance readout of the
+    // near-dup pair graph — how many verified near-dup pairs connect
+    // each (source, source) combination, the "which crawls duplicate
+    // each other" report that decides what to re-crawl or drop. Reuses
+    // the memoized verified-pair graph; the pair relation (tiny) probes
+    // the documents projection on its base ids, so the corpus is
+    // scanned, never reshuffled, and the aggregate runs on pair rows.
+    "q_dedup_cross_source" -> ((s, d) => {
+      val src = documents(s, d).select(col("doc_id").as("bid"), col("source"))
+      val base = verifiedPairs(s, d).select(
+        when(col("id_a") >= 100000, col("id_a") - 100000)
+          .otherwise(col("id_a")).as("ba"),
+        when(col("id_b") >= 100000, col("id_b") - 100000)
+          .otherwise(col("id_b")).as("bb"))
+      base
+        .join(src.select(col("bid").as("ba"), col("source").as("sa")), "ba")
+        .join(src.select(col("bid").as("bb"), col("source").as("sb")), "bb")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Per-source quality gate (adaptive per-domain quality flooring):
+    // keep each source's top quartile by composite quality score —
+    // greatest(1, n div 4) docs per source by (score desc, id) — and
+    // report the kept count plus the effective threshold. The integer
+    // keep rule avoids percentile interpolation entirely, so the gate
+    // is deterministic and cross-engine exact. One shuffle keyed by
+    // source; Spark 4's WindowGroupLimit-style rank pruning applies.
+    "q_quality_gate_per_source" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val wn = Window.partitionBy(col("source"))
+      qualityScored(documents(s, d))
+        .select(col("doc_id"), col("source"), col("score"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") <= greatest(lit(1L), expr("n div 4")))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_kept"),
+          min(col("score")).as("threshold"))
+        .orderBy(col("source"))
+    }),
+
     // ---- E5: text analysis ---------------------------------------------
     "q_text_stats" -> ((s, d) =>
       documents(s, d)
@@ -1884,19 +1952,8 @@ object Ext {
     // where Spark (decimal HALF_UP) and DuckDB (scaled-double rounding)
     // disagree. Map-only at any scale.
     "q_quality_score" -> ((s, d) =>
-      documents(s, d)
-        .select(col("doc_id"),
-          round(TextOps.alphaRatio(col("text")), 6).as("alpha"),
-          round(TextOps.stopwordRatio(col("text")), 6).as("stop"),
-          round(TextOps.meanTokenLen(col("text")), 6).as("mtl"),
-          TextOps.let(TextOps.shingles(col("text"), 2)) { gs =>
-            round(lit(1.0) - size(array_distinct(gs)).cast("double") / size(gs), 6)
-          }.as("dup"))
-        .select(col("doc_id"),
-          round(lit(4.0) * col("alpha")
-            + lit(3.0) * least(col("stop") * 5, lit(1.0))
-            + lit(2.0) * when(col("mtl").between(3.0, 10.0), 1.0).otherwise(0.0)
-            + lit(1.0) * (lit(1.0) - col("dup")), 6).as("score"))
+      qualityScored(documents(s, d))
+        .select(col("doc_id"), col("score"))
         .withColumn("tier",
           when(col("score") > 8.0, "high")
             .when(col("score") > 5.0, "mid").otherwise("low"))
@@ -3269,6 +3326,49 @@ object Ext {
          |  round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
          |    / (count(*) * max(n_tokens)), 6) AS pad_waste
          |FROM g GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+
+    "q_dedup_cross_source" ->
+      s"""WITH $sqlPairCtes,
+         |m AS (SELECT
+         |    CASE WHEN id_a >= 100000 THEN id_a - 100000 ELSE id_a END AS ba,
+         |    CASE WHEN id_b >= 100000 THEN id_b - 100000 ELSE id_b END AS bb
+         |  FROM sim),
+         |j AS (SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b
+         |  FROM m JOIN documents da ON da.doc_id = m.ba
+         |         JOIN documents db ON db.doc_id = m.bb)
+         |SELECT src_a, src_b, count(*) AS n_pairs
+         |FROM j GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+
+    "q_quality_gate_per_source" ->
+      s"""WITH sig AS (SELECT doc_id, source,
+         |    round(CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) END, 6) AS alpha,
+         |    round(CAST(len(list_filter(t, x -> x IN ($enStops))) AS DOUBLE)
+         |      / CAST(len(t) AS DOUBLE), 6) AS stop,
+         |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |      / CAST(len(t) AS DOUBLE), 6) AS mtl,
+         |    round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+         |      / CAST(len(gs) AS DOUBLE), 6) AS dup
+         |  FROM (SELECT doc_id, source, text, t,
+         |      CASE WHEN len(t) >= 2
+         |        THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+         |        ELSE [array_to_string(t, ' ')] END AS gs
+         |    FROM (SELECT doc_id, source, text, ${sqlTokens("text")} AS t
+         |          FROM documents))),
+         |scored AS (SELECT doc_id, source,
+         |    round(4.0 * alpha + 3.0 * least(stop * 5, 1.0)
+         |      + 2.0 * (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+         |      + 1.0 * (1.0 - dup), 6) AS score
+         |  FROM sig),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n FROM scored),
+         |k AS (SELECT * FROM r WHERE rn <= greatest(1, n // 4))
+         |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         |  count(*) AS n_kept, min(score) AS threshold
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "q_source_similarity" ->
       s"""WITH tok AS (SELECT source, doc_id, ${sqlTokens("text")} AS t
