@@ -1318,6 +1318,48 @@ object Ext {
         .orderBy(col("source"))
     }),
 
+    // Global token-budget selection ("fill a 10B-token budget with the
+    // best documents"): keep docs in (quality score desc, doc_id) order
+    // until the kept token count reaches 25% of the corpus total. The
+    // naive form is a cumulative sum over ONE global sort — the classic
+    // scale killer. This plan never sorts the corpus: scores are rounded
+    // to 6 (finitely many values), so a per-score token HISTOGRAM (tiny,
+    // map-side partials) carries the running offsets; score groups whose
+    // offset already exceeds the budget are FILTERED OUT before the
+    // per-score prefix window runs (rank-selection pushdown through the
+    // shuffle, the exact quantile-core move), and only surviving groups
+    // — in the worst case the one boundary score — compute per-doc
+    // prefixes, partitioned by score. A doc is kept iff its exclusive
+    // global prefix (better scores' tokens + same-score earlier ids'
+    // tokens) is below the budget, which admits at most one boundary
+    // overshoot doc — deterministic, interpolation-free.
+    "q_token_budget_select" -> ((s, d) => {
+      val scored = qualityScored(documents(s, d))
+        .select(col("doc_id"), col("score"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val hist = scored.groupBy(col("score"))
+        .agg(sum(col("n_tokens")).as("stoks"))
+      // unpartitioned window over the DISTINCT-SCORE histogram only
+      // (bounded-by-construction; PlanAuditSpec pins the row count)
+      val wOff = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = hist
+        .crossJoin(broadcast(hist.agg(sum(col("stoks")).as("tot"))))
+        .withColumn("off", coalesce(sum(col("stoks")).over(wOff), lit(0L)))
+        .withColumn("budget", expr("tot div 4"))
+        .filter(col("off") < col("budget")) // prune below the window
+        .select(col("score"), col("off"), col("budget"))
+      val wSame = Window.partitionBy(col("score")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      scored
+        .join(broadcast(offs), "score")
+        .withColumn("prefix",
+          col("off") + coalesce(sum(col("n_tokens")).over(wSame), lit(0L)))
+        .filter(col("prefix") < col("budget"))
+        .select(col("doc_id"), col("score"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- E5: text analysis ---------------------------------------------
     "q_text_stats" -> ((s, d) =>
       documents(s, d)
@@ -3369,6 +3411,37 @@ object Ext {
          |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
          |  count(*) AS n_kept, min(score) AS threshold
          |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_token_budget_select" ->
+      s"""WITH sig AS (SELECT doc_id,
+         |    round(CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) END, 6) AS alpha,
+         |    round(CAST(len(list_filter(t, x -> x IN ($enStops))) AS DOUBLE)
+         |      / CAST(len(t) AS DOUBLE), 6) AS stop,
+         |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |      / CAST(len(t) AS DOUBLE), 6) AS mtl,
+         |    round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+         |      / CAST(len(gs) AS DOUBLE), 6) AS dup,
+         |    CAST(len(t) AS BIGINT) AS n_tokens
+         |  FROM (SELECT doc_id, text, t,
+         |      CASE WHEN len(t) >= 2
+         |        THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+         |        ELSE [array_to_string(t, ' ')] END AS gs
+         |    FROM (SELECT doc_id, text, ${sqlTokens("text")} AS t
+         |          FROM documents))),
+         |scored AS (SELECT doc_id, n_tokens,
+         |    round(4.0 * alpha + 3.0 * least(stop * 5, 1.0)
+         |      + 2.0 * (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+         |      + 1.0 * (1.0 - dup), 6) AS score
+         |  FROM sig),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 4 AS budget FROM scored),
+         |r AS (SELECT *, coalesce(sum(n_tokens) OVER (
+         |      ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         |  FROM scored)
+         |SELECT doc_id, score, n_tokens FROM r, t
+         |WHERE prefix < budget ORDER BY doc_id""".stripMargin,
 
     "q_source_similarity" ->
       s"""WITH tok AS (SELECT source, doc_id, ${sqlTokens("text")} AS t

@@ -397,4 +397,11 @@ class PlanAuditSpec extends SparkSpec {
   test("q_vocab_coverage's global window consumes only the top-N vocab") {
     assertBoundedGlobalWindows("q_vocab_coverage", bound = 1000L)
   }
+
+  test("q_token_budget_select's global window consumes only the score histogram") {
+    // the offset window runs over DISTINCT rounded scores — capped by
+    // the 6-decimal value space, never the corpus — and the boundary
+    // filter prunes score groups before the per-doc prefix window
+    assertBoundedGlobalWindows("q_token_budget_select", bound = 5000L)
+  }
 }
