@@ -416,4 +416,38 @@ class CurationOpsSpec extends SparkSpec {
       assert(g.map(_._3).sorted.sameElements(1L to g.size))
     }
   }
+
+  test("token_budget_select: histogram pushdown == naive global cumsum replay") {
+    // brute-force replay of the selection rule the histogram plan must
+    // reproduce: sort ALL scored docs by (score desc, doc_id), keep a
+    // doc iff its EXCLUSIVE running token prefix is under budget =
+    // total_tokens div 4 — which admits at most one boundary overshoot.
+    val kept = SparkEntry.queries("q_token_budget_select")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // independent scored relation: doc_id -> (score, n_tokens), via the
+    // oracle-identical quality-score query joined to a raw token count
+    val scores = SparkEntry.queries("q_quality_score")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ordered = scores.toSeq
+      .map { case (id, sc) => (id, sc, toks(id)) }
+      .sortBy { case (id, sc, _) => (-sc, id) }
+    val budget = toks.values.sum / 4
+    var cum = 0L
+    val expected = ordered.flatMap { case (id, sc, n) =>
+      val keep = cum < budget
+      cum += n
+      if (keep) Some((id, sc, n)) else None
+    }.sortBy(_._1)
+    assert(kept.toSeq.sortBy(_._1) == expected,
+      s"kept ${kept.length} vs expected ${expected.length}")
+    // boundary semantics: dropping the LAST kept doc (in score order)
+    // must bring the kept total under budget — at most one overshoot
+    val keptTotal = expected.map(_._3).sum
+    val lastKept = ordered.filter(t => expected.exists(_._1 == t._1)).last
+    assert(keptTotal - lastKept._3 < budget)
+  }
 }
