@@ -57,9 +57,13 @@ object Bench {
     val errField =
       if (errors.isEmpty) ""
       else errors.take(3).mkString(s""",\"errors\":{""", ",", "}")
-    val byName = results.toMap
-    val head = Headline.flatMap(n => byName.get(n).map(n -> _._1))
     val ok = results.filter(_._2._2.isEmpty)
+    // headline map draws from SUCCEEDED queries only — a failed query
+    // aborts in ~0.1 s, and surfacing that as an ordinary duration would
+    // let a driver reading the map mistake a broken headline query for a
+    // fast success (its failure still shows in n_errors/errors)
+    val byName = ok.toMap
+    val head = Headline.flatMap(n => byName.get(n).map(n -> _._1))
     val total = r3(ok.map(_._2._1).sum)
     s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"n_errors":${results.size - ok.size},"queries":${qmap(head)}$errField,"sf":${jstr(sfDir)}}"""
   }

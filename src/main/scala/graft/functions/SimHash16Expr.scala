@@ -24,6 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * signature in one fused per-row loop (one md5 per token, two nibble
   * votes per digest byte) inside whole-stage codegen — dedup
   * signatures for 100 TB become a map-only scan with NO shuffle.
+  *
+  * DEMO-GRADE WIDTH: 16 bits saturate near 1e5 documents (100x
+  * ScaleStress measured exponent ~1.0 as band buckets densify —
+  * BASELINE.md), so production near-dup belongs on [[SimHash64]] /
+  * `q_dedup_hamming64`, the same pipeline at a width that defers
+  * saturation past any realistic corpus. This width is kept as the
+  * measured saturation demonstration (and the cheapest spec fixture).
   */
 case class SimHash16(child: Expression) extends UnaryExpression {
 

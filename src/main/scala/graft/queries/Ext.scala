@@ -148,12 +148,22 @@ object Ext {
     * first 20 docs at doc_id+100000 — synthetic near-dups so the LSH
     * candidate-pair pipeline has something to find, identically
     * constructed on the oracle side.
+    *
+    * `base_id` carries each row's provenance STRUCTURALLY (the original
+    * doc for a synthetic copy, itself otherwise): consumers that need
+    * "is this the synthetic batch" or "map back to the base doc" test
+    * `doc_id =!= base_id` / join on base_id instead of threshold
+    * arithmetic on the +100000 id convention — a `id >= 100000` test
+    * would misclassify corpora whose REAL ids reach 100000 (the 100x
+    * stress corpora id replicas at r*1e9, chosen to stay clear of the
+    * synthetic range, but provenance must not depend on that).
     */
   private def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val base = documents(s, d).select(col("doc_id"),
+      col("doc_id").as("base_id"), col("text"))
     val mutated = base.filter(col("doc_id") < 20)
       .select((col("doc_id") + 100000).as("doc_id"),
-        truncTail2(col("text")).as("text"))
+        col("doc_id").as("base_id"), truncTail2(col("text")).as("text"))
     base.unionByName(mutated)
   }
 
@@ -252,7 +262,15 @@ object Ext {
     * ScaleStress invalidates before each pass, otherwise the scaling
     * exponents of the pair family would measure graph CONSUMPTION only.
     */
-  private[graft] def invalidatePairGraph(): Unit = pairMemo.clear()
+  private[graft] def invalidatePairGraph(): Unit = {
+    // unpersist the evicted checkpoints eagerly: dropping only the map
+    // entry strands their BlockManager blocks until the ContextCleaner
+    // happens to GC them, and ScaleStress invalidates before every timed
+    // pass — stranded blocks would accumulate during the passes meant to
+    // be cache-honest (and the map would pin SparkSessions via strong refs)
+    pairMemo.values.foreach(_.unpersist(blocking = false))
+    pairMemo.clear()
+  }
 
   private def computeVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val docs = docsWithNearDups(s, d)
@@ -575,6 +593,15 @@ object Ext {
     // join (conv of the binary string once per sig row), and the pair
     // predicates — ordering, first-agreeing-band dedup, hamming — are
     // pure codegen'd long ops on the carried value.
+    //
+    // DEMO-GRADE WIDTH — production use belongs on q_dedup_hamming64:
+    // 2^16 signatures saturate near 1e5 documents (measured 100x
+    // ScaleStress exponent ~1.0, BASELINE.md), past which the band
+    // buckets densify and cost goes quadratic in distinct sigs (then
+    // constant once the space is fully saturated). The 16-bit query is
+    // kept deliberately as the saturation measurement; the 64-bit twin
+    // below (exponent 0.10 at 100x) is the same plan at a width that
+    // defers saturation past any realistic corpus.
     "q_dedup_hamming" -> ((s, d) => {
       val groups = docsWithNearDups(s, d)
         .select(col("doc_id"),
@@ -1230,8 +1257,12 @@ object Ext {
           size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
         .withColumn("bucket", expr("n_tokens div 32"))
         .withColumn("rn", row_number().over(w).cast("long"))
+        // 1e12 stride: the composite key collides only past 16e12 docs
+        // PER BUCKET (a 1e5 stride saturates at 1.6 M — real at 100 TB),
+        // and bucket * 1e12 stays far under Long.Max for any real token
+        // length (bucket = n_tokens div 32)
         .withColumn("batch_id",
-          col("bucket") * lit(100000L) + expr("(rn - 1) div 16"))
+          col("bucket") * lit(1000000000000L) + expr("(rn - 1) div 16"))
         .groupBy(col("batch_id"))
         .agg(count(lit(1)).as("n_docs"),
           max(col("n_tokens")).as("max_tokens"),
@@ -1281,11 +1312,23 @@ object Ext {
     // scanned, never reshuffled, and the aggregate runs on pair rows.
     "q_dedup_cross_source" -> ((s, d) => {
       val src = documents(s, d).select(col("doc_id").as("bid"), col("source"))
-      val base = verifiedPairs(s, d).select(
-        when(col("id_a") >= 100000, col("id_a") - 100000)
-          .otherwise(col("id_a")).as("ba"),
-        when(col("id_b") >= 100000, col("id_b") - 100000)
-          .otherwise(col("id_b")).as("bb"))
+      // map pair ids back to base docs via the STRUCTURAL (doc_id ->
+      // base_id) relation, not id arithmetic: the +100000 synthetic-id
+      // convention is an id-generation detail, and threshold map-back
+      // would wrongly remap genuine ids >= 100000 (present in the 100x
+      // stress corpora). Only the synthetic rows remap, so the mapping
+      // is a bounded broadcast (20 rows) and the pair rows still probe
+      // the documents projection without reshuffling it.
+      val synth = docsWithNearDups(s, d)
+        .filter(col("doc_id") =!= col("base_id"))
+        .select(col("doc_id"), col("base_id"))
+      val base = verifiedPairs(s, d)
+        .join(broadcast(synth.select(col("doc_id").as("id_a"),
+          col("base_id").as("ma"))), Seq("id_a"), "left")
+        .join(broadcast(synth.select(col("doc_id").as("id_b"),
+          col("base_id").as("mb"))), Seq("id_b"), "left")
+        .select(coalesce(col("ma"), col("id_a")).as("ba"),
+          coalesce(col("mb"), col("id_b")).as("bb"))
       base
         .join(src.select(col("bid").as("ba"), col("source").as("sa")), "ba")
         .join(src.select(col("bid").as("bb"), col("source").as("sb")), "bb")
@@ -1869,12 +1912,14 @@ object Ext {
     // blocked similarity joins, and identical on the oracle side.
     "q_join_fuzzy" -> ((s, d) => {
       val all = docsWithNearDups(s, d)
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"), col("base_id"), col("text"),
           floor(length(col("text")) / 64).as("blk"))
-      val batch = all.filter(col("doc_id") >= 100000)
+      // batch membership is structural (synthetic rows have base_id !=
+      // doc_id), never the +100000 id-threshold convention
+      val batch = all.filter(col("doc_id") =!= col("base_id"))
         .select(col("doc_id").as("batch_id"), col("text").as("bt"),
           col("blk"))
-      val corpus = all.filter(col("doc_id") < 100000)
+      val corpus = all.filter(col("doc_id") === col("base_id"))
         .select(col("doc_id").as("corpus_id"), col("text").as("ct"),
           col("blk"))
       // the 3-arg levenshtein runs the banded O(threshold * n) DP and
@@ -2273,8 +2318,9 @@ object Ext {
       def bandsOf(df: DataFrame) = minhashSigOf(df).select(col("doc_id"),
         explode(TextOps.lshBands(col("sig"), Bands, RowsPerBand))
           .as("band_key"))
-      val cand = bandsOf(all.filter(col("doc_id") < 100000)).as("c")
-        .join(broadcast(bandsOf(all.filter(col("doc_id") >= 100000)).as("b")),
+      val cand = bandsOf(all.filter(col("doc_id") === col("base_id"))).as("c")
+        .join(broadcast(
+          bandsOf(all.filter(col("doc_id") =!= col("base_id"))).as("b")),
           col("c.band_key") === col("b.band_key"))
         .select(col("b.doc_id").as("new_id"), col("c.doc_id").as("match_id"))
         .distinct()
@@ -2639,9 +2685,9 @@ object Ext {
     */
   private lazy val sqlDocsCte =
     s"""docs AS (
-       |  SELECT doc_id, text FROM documents
+       |  SELECT doc_id, doc_id AS base_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 100000 AS doc_id,
+       |  SELECT doc_id + 100000 AS doc_id, doc_id AS base_id,
        |    array_to_string(
        |      (${sqlTokens("text")})[1:len(${sqlTokens("text")}) - 2], ' ') AS text
        |  FROM documents WHERE doc_id < 20)""".stripMargin
@@ -3361,7 +3407,7 @@ object Ext {
          |    CAST(n_tokens // 32 AS BIGINT) AS bucket FROM t),
          |r AS (SELECT *, row_number() OVER (PARTITION BY bucket
          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM b),
-         |g AS (SELECT bucket * 100000 + CAST((rn - 1) // 16 AS BIGINT)
+         |g AS (SELECT bucket * 1000000000000 + CAST((rn - 1) // 16 AS BIGINT)
          |    AS batch_id, n_tokens FROM r)
          |SELECT batch_id, count(*) AS n_docs, max(n_tokens) AS max_tokens,
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
@@ -3371,10 +3417,12 @@ object Ext {
 
     "q_dedup_cross_source" ->
       s"""WITH $sqlPairCtes,
+         |syn AS (SELECT doc_id, base_id FROM docs WHERE doc_id <> base_id),
          |m AS (SELECT
-         |    CASE WHEN id_a >= 100000 THEN id_a - 100000 ELSE id_a END AS ba,
-         |    CASE WHEN id_b >= 100000 THEN id_b - 100000 ELSE id_b END AS bb
-         |  FROM sim),
+         |    coalesce(sa.base_id, id_a) AS ba,
+         |    coalesce(sb.base_id, id_b) AS bb
+         |  FROM sim LEFT JOIN syn sa ON sa.doc_id = sim.id_a
+         |           LEFT JOIN syn sb ON sb.doc_id = sim.id_b),
          |j AS (SELECT least(da.source, db.source) AS src_a,
          |    greatest(da.source, db.source) AS src_b
          |  FROM m JOIN documents da ON da.doc_id = m.ba
@@ -3610,11 +3658,12 @@ object Ext {
 
     "q_join_fuzzy" ->
       s"""WITH $sqlDocsCte,
-         |a AS (SELECT doc_id, text, length(text) // 64 AS blk FROM docs),
+         |a AS (SELECT doc_id, base_id, text, length(text) // 64 AS blk
+         |  FROM docs),
          |b AS (SELECT doc_id AS batch_id, text AS bt, blk FROM a
-         |  WHERE doc_id >= 100000),
+         |  WHERE doc_id <> base_id),
          |c AS (SELECT doc_id AS corpus_id, text AS ct, blk FROM a
-         |  WHERE doc_id < 100000)
+         |  WHERE doc_id = base_id)
          |SELECT batch_id, corpus_id,
          |  CAST(levenshtein(bt, ct) AS BIGINT) AS dist
          |FROM c JOIN b USING (blk)
@@ -3894,7 +3943,9 @@ object Ext {
          |    unnest([${sqlBands.mkString(", ")}]) AS band_key FROM sg),
          |cand AS (SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS match_id
          |  FROM bk b JOIN bk c ON b.band_key = c.band_key
-         |  WHERE b.doc_id >= 100000 AND c.doc_id < 100000),
+         |  JOIN docs bd ON bd.doc_id = b.doc_id
+         |  JOIN docs cd ON cd.doc_id = c.doc_id
+         |  WHERE bd.doc_id <> bd.base_id AND cd.doc_id = cd.base_id),
          |j AS (SELECT new_id, match_id,
          |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
          |          CAST(len(list_distinct(list_concat(x.sh, y.sh)))

@@ -478,7 +478,16 @@ object Relational {
     statCoreMemo.getOrElseUpdate((s, d),
       rangedCore(lineitem(s, d), Seq("l_returnflag"), "l_extendedprice"))
 
-  private[graft] def invalidateStatCores(): Unit = statCoreMemo.clear()
+  private[graft] def invalidateStatCores(): Unit = {
+    // unpersist the evicted offset checkpoints eagerly — clearing only
+    // the map strands their blocks until the ContextCleaner GCs them,
+    // which defeats the cache-honesty ScaleStress invalidates for
+    statCoreMemo.values.foreach { case (data, offs) =>
+      data.unpersist(blocking = false)
+      offs.unpersist(blocking = false)
+    }
+    statCoreMemo.clear()
+  }
 
   /** Discrete quantiles on the same ranged-rank core: the reported
     * value is an actual data value — the element at 1-based sorted
@@ -1018,19 +1027,32 @@ object Relational {
         .na.fill(0L)
         .orderBy(col("o_orderpriority"))),
 
-    // The HLL++ sketch path: one pass, fixed memory per group. NOT
-    // oracle-able — the estimate is a function of Spark's register
-    // layout and bias tables, not of the data alone (measured: 26 for 25
-    // true distinct at default rsd) — so the driver records a rows-only
-    // check, CurationOpsSpec bounds the relative error against the exact
-    // count, and q_agg_kmv carries the oracle-EXACT approximate
-    // -algorithm story instead.
-    "q_agg_approx" -> ((s, d) =>
+    // The HLL++ sketch path: one pass, fixed memory per group. The raw
+    // estimate is a function of Spark's register layout and bias tables,
+    // not of the data alone (measured: 26 for 25 true distinct at
+    // default rsd) — so instead of emitting the engine-private estimate,
+    // emit the BOUND CHECK: within_bound = |approx - exact| <= 3*rsd*exact
+    // computed inside Spark against count(distinct) on the same
+    // relation. The DuckDB twin recomputes the boolean from exact counts
+    // (TRUE — an in-bound sketch), so the hash matches IFF the HLL
+    // estimate is inside its 3-sigma envelope: the sketch quality itself
+    // is now under the oracle gate, with no engine-private bits in the
+    // output. q_agg_kmv / q_sketch_cms still carry the oracle-EXACT
+    // approximate-algorithm story.
+    "q_agg_approx" -> ((s, d) => {
+      val rsd = 0.05 // approx_count_distinct's default relative std dev
       customer(s, d)
         .groupBy(col("c_mktsegment"))
-        .agg(approx_count_distinct(col("c_nationkey")).as("n_nations"),
+        .agg(approx_count_distinct(col("c_nationkey")).as("approx"),
+          countDistinct(col("c_nationkey")).as("n_nations_exact"),
           count(lit(1)).as("n_rows"))
-        .orderBy(col("c_mktsegment"))),
+        .select(col("c_mktsegment"), col("n_rows"), col("n_nations_exact"),
+          (abs(col("approx").cast("double")
+              - col("n_nations_exact").cast("double"))
+            <= lit(3 * rsd) * col("n_nations_exact").cast("double"))
+            .as("within_bound"))
+        .orderBy(col("c_mktsegment"))
+    }),
 
     // Custom typed Aggregator (bounded top-k state per group — the
     // collect_list-free shape that survives skewed groups at scale).
@@ -2313,9 +2335,15 @@ object Relational {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
 
-    // q_agg_approx is deliberately NOT oracle-checked: Spark's HLL++ answers
-    // 26 for 25 true distincts at this rsd, and the whole point of the sketch
-    // is to not be exact. The driver records a rows-only check for it.
+    // q_agg_approx emits the sketch's 3-sigma bound check, not the
+    // engine-private estimate; the twin recomputes the boolean from
+    // exact counts, so the hash pins "the HLL estimate is in-bound".
+    "q_agg_approx" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        |  count(DISTINCT c_nationkey) AS n_nations_exact,
+        |  TRUE AS within_bound
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q_agg_topk_group" ->
       """WITH r AS (

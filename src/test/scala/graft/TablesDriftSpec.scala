@@ -46,9 +46,17 @@ class TablesDriftSpec extends SparkSpec {
     val dir = writeFixture("ltz") { d =>
       val rows = micros.map { case (id, us) => Row(id, Timestamp.from(
         java.time.Instant.ofEpochSecond(us / 1000000, (us % 1000000) * 1000))) }
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schemaLtz)
-        .write.option("parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        .parquet(s"$d/events.parquet")
+      // the physical type is a SESSION conf, not a writer option —
+      // ParquetOptions only recognizes compression/merge/rebase options,
+      // so a writer option silently falls back to the INT96 default and
+      // the TIMESTAMP(MICROS, adjusted=UTC) generation goes unexercised
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schemaLtz)
+          .write.parquet(s"$d/events.parquet")
+      finally spark.conf.set(key, prev)
     }
     assert(readEvents(dir) == micros)
   }
