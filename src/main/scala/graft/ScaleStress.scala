@@ -101,7 +101,12 @@ object ScaleStress {
     // ANN (bucketed, never brute-force at scale)
     "q_sim_topk", "q_ann_lsh", "q_ann_ivf",
     // stateful sessionization over events
-    "q_sessionize")
+    "q_sessionize",
+    // round-6/7 additions over documents (histogram offsets + ranged
+    // boundary prefix; per-source gate; pair-graph provenance; length
+    // batching)
+    "q_token_budget_select", "q_quality_gate_per_source",
+    "q_dedup_cross_source", "q_batch_by_length")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

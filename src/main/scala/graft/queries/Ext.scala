@@ -1365,17 +1365,27 @@ object Ext {
     // best documents"): keep docs in (quality score desc, doc_id) order
     // until the kept token count reaches 25% of the corpus total. The
     // naive form is a cumulative sum over ONE global sort — the classic
-    // scale killer. This plan never sorts the corpus: scores are rounded
-    // to 6 (finitely many values), so a per-score token HISTOGRAM (tiny,
-    // map-side partials) carries the running offsets; score groups whose
-    // offset already exceeds the budget are FILTERED OUT before the
-    // per-score prefix window runs (rank-selection pushdown through the
-    // shuffle, the exact quantile-core move), and only surviving groups
-    // — in the worst case the one boundary score — compute per-doc
-    // prefixes, partitioned by score. A doc is kept iff its exclusive
-    // global prefix (better scores' tokens + same-score earlier ids'
-    // tokens) is below the budget, which admits at most one boundary
-    // overshoot doc — deterministic, interpolation-free.
+    // scale killer. This plan never sorts the corpus, and no window ever
+    // spans a corpus-sized partition:
+    //  1. scores are rounded to 6 (finitely many values), so a per-score
+    //     token HISTOGRAM (tiny, map-side partials) carries the running
+    //     offsets; groups whose offset already exceeds the budget are
+    //     FILTERED OUT before any per-doc work (rank-selection pushdown,
+    //     the exact quantile-core move);
+    //  2. groups that fit ENTIRELY under the budget (off + stoks <=
+    //     budget) are kept wholesale — a broadcast semi-join, no window
+    //     at all; by cumulative-offset construction at most ONE group
+    //     straddles the budget;
+    //  3. only that boundary group computes per-doc prefixes, and its
+    //     prefix is DISTRIBUTED over doc_id range buckets by the
+    //     weighted rank core (sampled boundaries -> codegen'd bucket
+    //     index -> per-bucket token offsets): the per-doc window
+    //     partitions by (score, bucket), so even a 100 TB boundary
+    //     group sorts RangeBuckets-wide, never on one task. A doc is
+    //     kept iff its exclusive global prefix (better scores' tokens +
+    //     lower buckets' tokens + same-bucket earlier ids' tokens) is
+    //     below the budget — bucket-decomposition of the same sum, so
+    //     results and hashes are identical to the single-window form.
     "q_token_budget_select" -> ((s, d) => {
       val scored = qualityScored(documents(s, d))
         .select(col("doc_id"), col("score"),
@@ -1390,17 +1400,31 @@ object Ext {
         .crossJoin(broadcast(hist.agg(sum(col("stoks")).as("tot"))))
         .withColumn("off", coalesce(sum(col("stoks")).over(wOff), lit(0L)))
         .withColumn("budget", expr("tot div 4"))
-        .filter(col("off") < col("budget")) // prune below the window
-        .select(col("score"), col("off"), col("budget"))
-      val wSame = Window.partitionBy(col("score")).orderBy(col("doc_id"))
+        .filter(col("off") < col("budget")) // prune below any per-doc work
+        .select(col("score"), col("stoks"), col("off"), col("budget"))
+      val contained = offs.filter(col("off") + col("stoks") <= col("budget"))
+      val boundary = offs.filter(col("off") + col("stoks") > col("budget"))
+      val keptContained = scored
+        .join(broadcast(contained.select(col("score"))), Seq("score"))
+        .select(col("doc_id"), col("score"), col("n_tokens"))
+      val bdocs = scored.join(broadcast(boundary.select(col("score"))),
+        Seq("score"))
+      val (bdata, boffs) = Relational.rangedCore(
+        bdocs.select(col("score"), col("doc_id"), col("n_tokens")),
+        Seq("score"), "doc_id", weight = Some("n_tokens"))
+      val wSame = Window.partitionBy(col("score"), col("_pid"))
+        .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      scored
-        .join(broadcast(offs), "score")
-        .withColumn("prefix",
-          col("off") + coalesce(sum(col("n_tokens")).over(wSame), lit(0L)))
+      val keptBoundary = bdata
+        .join(broadcast(boffs.select(col("score"), col("_pid"),
+          col("_off"))), Seq("score", "_pid"))
+        .join(broadcast(boundary.select(col("score"), col("off"),
+          col("budget"))), Seq("score"))
+        .withColumn("prefix", col("off") + col("_off")
+          + coalesce(sum(col("n_tokens")).over(wSame), lit(0L)))
         .filter(col("prefix") < col("budget"))
         .select(col("doc_id"), col("score"), col("n_tokens"))
-        .orderBy(col("doc_id"))
+      keptContained.unionByName(keptBoundary).orderBy(col("doc_id"))
     }),
 
     // ---- E5: text analysis ---------------------------------------------

@@ -230,11 +230,22 @@ object Relational {
     * group, `_n` group size). Bucket index is monotone in v within a
     * group; ranks are deterministic up to ties, and the VALUE at a rank
     * is unchanged by tie order. Assumes non-null `v`.
+    *
+    * With `weight` set, `_c`/`_off`/`_n` aggregate that LONG column
+    * instead of row counts (and stay LongType for exact integer
+    * arithmetic downstream; the unweighted form keeps its historical
+    * double type for quantile math) — the weighted form is how a
+    * cumulative-sum-in-v-order consumer (token-budget selection)
+    * distributes its prefix across range buckets instead of sorting a
+    * whole group on one task. The weight column is carried through the
+    * returned `data` side. Bucket boundaries still come from the
+    * unweighted value sample — boundaries only steer work placement,
+    * never results.
     */
-  private[graft] def rangedCore(df: DataFrame, grpCols: Seq[String], v: String)
-      : (DataFrame, DataFrame) = {
+  private[graft] def rangedCore(df: DataFrame, grpCols: Seq[String], v: String,
+      weight: Option[String] = None): (DataFrame, DataFrame) = {
     val gc = grpCols.map(col)
-    val base = df.select((grpCols :+ v).map(col): _*)
+    val base = df.select((grpCols ++ Seq(v) ++ weight.toSeq).map(col): _*)
     // Boundary estimation: a bounded-size uniform sample of each
     // group's DISTINCT values via hash-bucketed min_by — every (group,
     // value) hashes to one of SampleBuckets cells and each cell keeps
@@ -316,11 +327,13 @@ object Relational {
     val wOff = Window.partitionBy(gc: _*).orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.partitionBy(gc: _*)
+    val bucketAgg = weight.map(w => sum(col(w))).getOrElse(count(lit(1)))
+    val numT = if (weight.isDefined) "long" else "double"
     val offs = data.groupBy(col("_pid") +: gc: _*)
-      .agg(count(lit(1)).as("_c"))
+      .agg(bucketAgg.as("_c"))
       .withColumn("_off",
-        coalesce(sum(col("_c")).over(wOff), lit(0L)).cast("double"))
-      .withColumn("_n", sum(col("_c")).over(wTot).cast("double"))
+        coalesce(sum(col("_c")).over(wOff), lit(0L)).cast(numT))
+      .withColumn("_n", sum(col("_c")).over(wTot).cast(numT))
       // (buckets x groups) rows; materialized because quantilesRanged
       // derives BOTH the per-group sizes and the target locations from
       // it — unmaterialized, each reference re-scans the input to

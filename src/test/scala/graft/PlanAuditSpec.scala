@@ -404,4 +404,32 @@ class PlanAuditSpec extends SparkSpec {
     // filter prunes score groups before the per-doc prefix window
     assertBoundedGlobalWindows("q_token_budget_select", bound = 5000L)
   }
+
+  test("q_token_budget_select's per-doc prefix window is bucket-partitioned") {
+    // the budget-boundary score group is ONE score value, so a window
+    // partitioned by score alone would sort that whole group on a
+    // single task — the de-skew distributes its prefix over doc_id
+    // range buckets (weighted rangedCore) and the per-doc window must
+    // partition by (score, _pid). Pin it: every window that orders by
+    // doc_id carries >= 2 partition expressions, so regressing to the
+    // score-only partitioning fails here, not at 100 TB.
+    val df = SparkEntry.queries("q_token_budget_select")(
+      spark, "/root/testdata/sf0.1")
+    df.collect()
+    val executed = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p: SparkPlan             => p
+    }
+    val perDoc = flatten(executed).collect {
+      case w: WindowExec if w.orderSpec.exists(
+        _.child.references.exists(_.name == "doc_id")) => w
+    }
+    assert(perDoc.nonEmpty,
+      "expected a per-doc prefix window ordered by doc_id")
+    perDoc.foreach { w =>
+      assert(w.partitionSpec.size >= 2,
+        s"per-doc prefix window partitions by ${w.partitionSpec} only — " +
+          "the boundary score group would sort on one task at scale")
+    }
+  }
 }
