@@ -449,4 +449,28 @@ class CurationOpsSpec extends SparkSpec {
     val lastKept = ordered.filter(t => expected.exists(_._1 == t._1)).last
     assert(keptTotal - lastKept._3 < budget)
   }
+
+  test("quality_gate_per_source: ranged value-at-rank == brute-force gate replay") {
+    // the gate's ranked-core plan must reproduce the definitional rule:
+    // per source sort docs by (score desc, doc_id), keep k =
+    // max(1, n div 4), report (n, k, score of the k-th kept doc)
+    val got = SparkEntry.queries("q_quality_gate_per_source")(spark, d)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val scored = SparkEntry.queries("q_quality_score")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val bySource = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2)
+    val expected = bySource.map { case (src, docs) =>
+      val ordered = docs.map { case (id, _) => (id, scored(id)) }
+        .sortBy { case (id, sc) => (-sc, id) }
+      val n = ordered.length.toLong
+      val k = math.max(1L, n / 4)
+      src -> ((n, k, ordered((k - 1).toInt)._2))
+    }
+    assert(got == expected)
+  }
 }
