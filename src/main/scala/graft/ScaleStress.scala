@@ -73,13 +73,22 @@ object ScaleStress {
   private val Facts = Seq("documents", "embeddings", "orders", "lineitem",
     "events")
 
+  /** A table synthesis is reusable iff its _SUCCESS marker landed — a
+    * partial write (killed run) has no marker and is re-synthesized.
+    * Deep (100x+) sweeps iterate on the QUERY set far more often than
+    * on the corpus, and re-synthesizing 500 k docs per iteration would
+    * dominate the wall clock; `rm -rf <work>` forces a fresh corpus.
+    */
+  private def done(dst: String, t: String): Boolean =
+    Files.exists(Paths.get(s"$dst/$t.parquet/_SUCCESS"))
+
   private def synth(spark: SparkSession, src: String, dst: String,
       replicas: Int, facts: Seq[String]): Unit = {
     Files.createDirectories(Paths.get(dst))
-    for (t <- Dims)
+    for (t <- Dims if !done(dst, t))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
-    for (t <- facts) {
+    for (t <- facts if !done(dst, t)) {
       (0 until replicas).map(replica(spark, src, t, _))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
