@@ -1855,6 +1855,44 @@ object Relational {
         "l_quantity", Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90"))
         .orderBy(col("l_linestatus"))),
 
+    // The SKETCH quantile path (GK/KLL-class): percentile_approx is one
+    // pass with fixed memory per group — at 100 TB this is the profile
+    // pipeline's quantile, with the exact ranged-rank core reserved for
+    // queries that need value-exactness. Like q_agg_approx, the emitted
+    // row is the GUARANTEE, not the estimate: the returned value's exact
+    // rank must sit within eps*n of the target rank (eps = 1/accuracy;
+    // +1 absorbs the rank-definition boundary). The rank check joins the
+    // 9-row sketch readout back as a broadcast and scans once with
+    // conditional sums — the second scan exists only to put the sketch
+    // under the oracle; production emits the sketch pass alone. The
+    // DuckDB twin recomputes the boolean from exact ranks (TRUE), so the
+    // hash matches iff the sketch honored its rank contract — which also
+    // makes the output partitioning-independent even though GK merge
+    // order is not.
+    "q_quantile_approx" -> ((s, d) => {
+      val acc = 1000 // real sketch regime at sf0.1 (200 k rows/group)
+      val li = lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("x"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(acc)).as("vs"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"),
+          posexplode(col("vs")))
+        .select(col("l_returnflag"), col("n_rows"),
+          ((col("pos") + 1) * lit(0.25)).as("q"), col("col").as("v"))
+      val slack = col("n_rows").cast("double") / lit(acc.toDouble) + lit(1.0)
+      val target = col("q") * col("n_rows").cast("double")
+      li.join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("q"), col("n_rows"))
+        .agg(sum(when(col("x") < col("v"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("x") <= col("v"), 1L).otherwise(0L)).as("le"))
+        .select(col("l_returnflag"), col("q"), col("n_rows"),
+          (col("lt").cast("double") <= target + slack &&
+            col("le").cast("double") >= target - slack).as("within_bound"))
+        .orderBy(col("l_returnflag"), col("q"))
+    }),
+
     // Linear interpolation of missing samples (the resample/repair step
     // of every sensor/metrics pipeline): anchor each gap on the nearest
     // non-null neighbors by window position and blend by distance. One
@@ -2808,6 +2846,17 @@ object Relational {
         |  quantile_disc(l_quantity, 0.9) AS p90
         |FROM lineitem GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
+
+    // q_quantile_approx emits the sketch's rank-contract check, not the
+    // engine-private GK estimate; the twin recomputes the boolean from
+    // exact ranks, so the hash pins "the sketch honored eps = 1/accuracy".
+    "q_quantile_approx" ->
+      """SELECT l_returnflag, CAST(t.q AS DOUBLE) AS q, n_rows,
+        |  TRUE AS within_bound
+        |FROM (SELECT l_returnflag, count(*) AS n_rows
+        |      FROM lineitem GROUP BY 1) g
+        |CROSS JOIN (VALUES (0.25), (0.50), (0.75)) t(q)
+        |ORDER BY l_returnflag, q""".stripMargin,
 
     "q_interpolate" ->
       """WITH b AS (SELECT user_id, ts, event_id,

@@ -139,6 +139,41 @@ class QuantileCoreSpec extends SparkSpec {
     }
   }
 
+  test("q_quantile_approx: sketch honors its rank contract on " +
+      "adversarial distributions, and the bound check has teeth") {
+    import spark.implicits._
+    // heavy-tie + skew + singleton groups — the shapes where a GK-class
+    // sketch earns (or loses) its eps = 1/accuracy rank guarantee
+    val data = Map(
+      "A" -> (Seq.fill(9000)(100.0) ++ (1 to 1000).map(_ * 7.0)),
+      "B" -> (1 to 10000).map(i => math.pow(1.001, i)),
+      "C" -> Seq(42.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-qa").toString
+    data.toSeq.flatMap { case (g, vs) => vs.map((g, _)) }
+      .toDF("l_returnflag", "x")
+      .select(col("l_returnflag"),
+        col("x").cast("decimal(12,2)").as("l_extendedprice"))
+      .repartition(16)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q_quantile_approx")(spark, dir)
+      .collect()
+    assert(rows.length == 9) // 3 groups x 3 quantiles
+    assert(rows.forall(_.getBoolean(3)),
+      s"out-of-contract sketch row: ${rows.filterNot(_.getBoolean(3)).toSeq}")
+    // teeth: replicate the emitted boolean for a PLANTED value whose
+    // exact rank is far off target — the check must reject it, so a
+    // hash match really does pin the sketch contract (not a tautology)
+    val acc = 1000
+    val vsB = data("B").sorted
+    val (n, q) = (vsB.length, 0.25)
+    val planted = vsB(4999) // exact rank ~5000 vs target rank 2500
+    val lt = vsB.count(_ < planted).toDouble
+    val le = vsB.count(_ <= planted).toDouble
+    val slack = n.toDouble / acc + 1.0
+    val within = lt <= q * n + slack && le >= q * n - slack
+    assert(!within, "planted rank-5000 value passed a q=0.25 check")
+  }
+
   test("many-group misuse fails loudly, not as a driver collect blowup") {
     // rangedCore is a FEW-groups-huge-data core; pointing it at a
     // high-cardinality key must hit the require (with the
