@@ -115,7 +115,11 @@ object ScaleStress {
     // boundary prefix; per-source gate; pair-graph provenance; length
     // batching)
     "q_token_budget_select", "q_quality_gate_per_source",
-    "q_dedup_cross_source", "q_batch_by_length")
+    "q_dedup_cross_source", "q_batch_by_length",
+    // adaptive-occupancy semantic dedup (the production path; the exact
+    // within-cell variant measured 1.22 at 100x and is excluded here —
+    // its saturation row is recorded in BASELINE.md)
+    "q_dedup_semantic_scaled")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -55,6 +55,17 @@ object VectorOps {
     * Vectors in the same bucket are ANN candidates; the bucket key turns
     * ANN candidate generation into a plain equi-join.
     */
+  /** Dynamic-width band key for adaptive-occupancy semantic dedup:
+    * sign bits of `len` coordinates starting after `offset` (0-based).
+    * `len` is a Column so the key WIDTH can grow with the corpus —
+    * the knob that keeps expected bucket occupancy constant as n
+    * scales (bits = ceil(log2(ceil(n/target)))).
+    */
+  def signBucketAt(v: Column, offset: Int, len: Column): Column =
+    array_join(
+      transform(slice(v, lit(offset + 1), len),
+        x => when(x >= 0, lit("1")).otherwise(lit("0"))), "")
+
   def signBucket(v: Column, bits: Int = 4): Column =
     array_join(
       transform(slice(v, 1, bits),

@@ -754,16 +754,72 @@ object Ext {
     // coarse cell (the IVF medoid assignment — at scale, a k-means fit),
     // then prune ONLY within cells: a vector is a duplicate if a
     // lower-id vector in the SAME cell has cosine >= SemThr. The cell
-    // restriction is the whole point at 100 TB — pairwise cosine is
-    // O(n²) globally but O(sum cell²) here, and the per-cell self-join
-    // is an equi-join on the cell id, so each cell's quadratic work is
-    // partition-local after one shuffle.
+    // restriction turns O(n²) global pairwise into O(sum cell²), and the
+    // per-cell self-join is an equi-join on the cell id.
+    //
+    // EXACTNESS ANCHOR, not the production path: the quantizer's cell
+    // COUNT is fixed (one medoid per label), so per-cell occupancy — and
+    // with it the within-cell pair work — grows linearly with the corpus
+    // and the pipeline goes super-linear overall. Measured by the 100x
+    // ScaleStress: exponent 1.22, 270 s at 500 k vectors (BASELINE.md).
+    // Production use at scale is q_dedup_semantic_scaled below, whose
+    // bucket occupancy is bounded by construction; this exact-within-cell
+    // variant stays as the semantics reference and the saturation
+    // measurement (the q_dedup_hamming / hamming64 pairing).
     "q_dedup_semantic" -> ((s, d) => {
       val assigned = ivfAssign(s, d).localCheckpoint()
       val a = assigned.select(col("cell").as("cell_a"),
         col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
       val dropped = assigned.join(a,
           col("cell") === col("cell_a") && col("id_a") < col("vec_id") &&
+            VectorOps.dot(col("v"), col("v_a")) / (col("nrm") * col("n_a"))
+              >= SemThr)
+        .select(col("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      assigned.select(col("vec_id"), col("cell"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // The PRODUCTION semantic-dedup path, built after the 100x
+    // ScaleStress measured q_dedup_semantic super-linear (exponent
+    // 1.22): same medoid quantizer, but within each cell candidates
+    // are further restricted to sign-LSH band buckets whose key WIDTH
+    // adapts to the corpus — bits = ceil(log2(ceil(n/512))), computed
+    // as an integer compare-chain (sum of m > 2^k), never a libm log2
+    // whose 1-ulp error at power-of-two boundaries could diverge
+    // between engines. Expected occupancy per (cell, band, key) bucket
+    // is thereby ~constant in n, so pair work grows linearly where the
+    // exact variant grows quadratically. Three bands at stride 21 (64
+    // dims ≥ 3*21) give a near-identical pair three independent
+    // chances to collide — the minhash-LSH recall move; a pair within
+    // cosine >= SemThr that flips a sign in all three windows is
+    // missed, the documented LSH recall trade. n <= 512 degenerates to
+    // bits=0 (one bucket per band = the exact within-cell semantics).
+    // is_dup is EXISTS-shaped, so multi-band collisions are absorbed
+    // by the distinct and the output is partitioning-independent.
+    "q_dedup_semantic_scaled" -> ((s, d) => {
+      val T = 512; val Stride = 21; val Bands = 3; val MaxBits = 18
+      val assigned = ivfAssign(s, d).localCheckpoint()
+      val bitsRow = assigned.agg(count(lit(1)).as("n"))
+        .select((0 until MaxBits).map(k =>
+            when(expr(s"(n + ${T - 1}) div $T") > (1L << k), 1).otherwise(0))
+          .reduce(_ + _).cast("int").as("bits"))
+      val banded = (0 until Bands).map { j =>
+        assigned.crossJoin(broadcast(bitsRow))
+          .select(col("vec_id"), col("cell"), col("v"), col("nrm"),
+            lit(j).as("band"),
+            VectorOps.signBucketAt(col("v"), j * Stride, col("bits"))
+              .as("key"))
+      }.reduce(_ unionByName _)
+      val a = banded.select(col("band").as("band_a"),
+        col("cell").as("cell_a"), col("key").as("key_a"),
+        col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+      val dropped = banded.join(a,
+          col("cell") === col("cell_a") && col("band") === col("band_a") &&
+            col("key") === col("key_a") && col("id_a") < col("vec_id") &&
             VectorOps.dot(col("v"), col("v_a")) / (col("nrm") * col("n_a"))
               >= SemThr)
         .select(col("vec_id")).distinct()
@@ -2963,6 +3019,44 @@ object Ext {
          |  FROM e CROSS JOIN reps) WHERE cell_rn = 1),
          |dropped AS (SELECT DISTINCT b.vec_id
          |  FROM assigned b JOIN assigned a ON a.cell = b.cell
+         |    AND a.vec_id < b.vec_id
+         |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SemThr)
+         |SELECT s.vec_id, s.cell, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
+
+    // adaptive band-key width: bits = ceil(log2(ceil(n/512))) via the
+    // same integer compare-chain as the engine (no libm log2)
+    "q_dedup_semantic_scaled" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |reps AS (SELECT r.rep_id, e.v AS rv, e.nrm AS rn_
+         |  FROM (SELECT label, min(vec_id) AS rep_id FROM e GROUP BY label) r
+         |  JOIN e ON e.vec_id = r.rep_id),
+         |assigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
+         |  SELECT e.vec_id, e.v, e.nrm, reps.rep_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, reps.rv) / (e.nrm * reps.rn_)
+         |        DESC, reps.rep_id) AS cell_rn
+         |  FROM e CROSS JOIN reps) WHERE cell_rn = 1),
+         |nb AS (SELECT (SELECT sum(CASE WHEN m > (1 << k.k) THEN 1 ELSE 0
+         |      END)::INT FROM range(0, 18) k(k)) AS bits
+         |  FROM (SELECT (count(*) + 511) // 512 AS m FROM assigned)),
+         |banded AS (SELECT vec_id, cell, v, nrm, bnd.band,
+         |    -- array_to_string of an EMPTY list is NULL in DuckDB but
+         |    -- '' in Spark's array_join; coalesce so the bits=0
+         |    -- degenerate case keeps one joinable bucket per band
+         |    coalesce(array_to_string(
+         |      [CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END
+         |       for i in range(bnd.band*21+1, bnd.band*21+nb.bits+1)],
+         |      ''), '') AS key
+         |  FROM assigned CROSS JOIN nb
+         |  CROSS JOIN (VALUES (0), (1), (2)) bnd(band)),
+         |dropped AS (SELECT DISTINCT b.vec_id
+         |  FROM banded b JOIN banded a ON a.cell = b.cell
+         |    AND a.band = b.band AND a.key = b.key
          |    AND a.vec_id < b.vec_id
          |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SemThr)
          |SELECT s.vec_id, s.cell, (d.vec_id IS NOT NULL) AS is_dup

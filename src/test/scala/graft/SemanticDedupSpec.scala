@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contract tests for the two semantic-dedup scale grades
+  * (`q_dedup_semantic` exact-within-cell vs `q_dedup_semantic_scaled`
+  * adaptive band buckets — see BASELINE.md round-7 findings):
+  *
+  *  1. the scaled dup set is a SUBSET of the exact dup set (band
+  *     bucketing only ever removes candidate pairs, never invents one);
+  *  2. recall on IDENTICAL vectors is 100% by construction — equal
+  *     vectors share every sign key, so they always collide;
+  *  3. at n <= 512 the adaptive width degenerates to bits = 0 (one
+  *     bucket per band) and the scaled output equals the exact output
+  *     row for row.
+  */
+class SemanticDedupSpec extends SparkSpec {
+
+  /** Deterministic 64-dim zero-centered vector for base index i. */
+  private def vec(i: Int): Array[Float] =
+    Array.tabulate(64)(j => math.sin(i * 64.0 + j).toFloat)
+
+  /** nBase base vectors, each with an IDENTICAL twin (id*3+1) and a
+    * slightly-shifted near-dup (id*3+2); 4 labels.
+    */
+  private def writeFixture(nBase: Int): String = {
+    import spark.implicits._
+    val rows = (0 until nBase).flatMap { i =>
+      val v = vec(i)
+      val near = v.map(x => x + 0.001f)
+      Seq((i * 3L, s"l${i % 4}", v),
+        (i * 3L + 1, s"l${i % 4}", v.clone()),
+        (i * 3L + 2, s"l${i % 4}", near))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem").toString
+    rows.toDF("vec_id", "label", "embedding")
+      .repartition(8)
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def dups(name: String, dir: String): Set[Long] =
+    SparkEntry.queries(name)(spark, dir).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+
+  test("scaled dups are a subset of exact dups; identical twins always caught") {
+    val dir = writeFixture(300) // n = 900 > 512 -> bits = 1, real buckets
+    val exact = dups("q_dedup_semantic", dir)
+    val scaled = dups("q_dedup_semantic_scaled", dir)
+    assert(scaled.subsetOf(exact),
+      s"scaled invented dups: ${(scaled -- exact).take(5)}")
+    // every identical twin (base id*3 has copy id*3+1, cos = 1): the
+    // twin shares all sign keys with its base, so the scaled variant
+    // must flag it no matter how the buckets fall
+    val twins = (0 until 300).map(i => i * 3L + 1).toSet
+    assert(twins.subsetOf(scaled),
+      s"missed identical twins: ${(twins -- scaled).take(5)}")
+  }
+
+  test("n <= 512 degenerates to the exact semantics row for row") {
+    val dir = writeFixture(130) // n = 390 <= 512 -> bits = 0
+    val exact = SparkEntry.queries("q_dedup_semantic")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val scaled = SparkEntry.queries("q_dedup_semantic_scaled")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(exact.sameElements(scaled))
+  }
+}
