@@ -320,6 +320,78 @@ object Ext {
     * definition so the index the queries build and the cells the
     * nprobe variant probes can never drift apart.
     */
+  /** Greedy BPE trainer core shared by q_bpe_merges (emits the merge
+    * table) and q_bpe_encode (emits the encoded word-type relation):
+    * word-TYPE frequencies -> per-word symbol stream -> up to `rounds`
+    * (pick top pair, apply) steps, the application done with windows
+    * (gaps-and-islands greedy-leftmost) because replace() overlap
+    * semantics are engine-specific. Everything runs on the VOCABULARY
+    * relation — Heaps-law sub-linear in corpus size, never the token
+    * stream — which is why BPE training stays feasible at 100 TB.
+    * Returns (picked merges in round order, final symbol relation;
+    * `applyLast` controls whether the last pick is applied to it).
+    */
+  private def bpeTrain(s: SparkSession, d: String, rounds: Int,
+      applyLast: Boolean): (List[(Long, String, String, Long)], DataFrame) = {
+    val wOrd = Window.partitionBy(col("w")).orderBy(col("pos"))
+    // \z, not $: Java's $ matches before a final line terminator, so
+    // a token like "ab\n" would pass here but fail the oracle's RE2 $
+    // (absolute end) — a latent engine divergence on any corpus with
+    // trailing-newline tokens
+    val words = documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,12}\\z"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // split(w, "") under Spark's limit=-1 regex emits a trailing ""
+    var syms = words
+      .select(col("w"), col("freq"),
+        posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
+      .filter(col("sym") =!= "")
+      .localCheckpoint()
+    var merges = List.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val withNxt = syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      val top = withNxt.filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("wt"))
+        .orderBy(col("wt").desc, col("sym"), col("nxt")).limit(1)
+        .collect()
+      if (top.isEmpty) {
+        // no adjacent pairs left (degenerate corpus): the oracle's
+        // LIMIT 1 CTEs go empty from this round on, so stop emitting
+        // rather than crash on collect()(0)
+        exhausted = true
+      } else {
+        val (a, b, wt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges ::= ((r.toLong, a, b, wt))
+        if (r < rounds || applyLast) {
+          val t = withNxt
+            .withColumn("m", coalesce(
+              col("sym") === a && col("nxt") === b, lit(false)))
+            .withColumn("isl", col("pos") -
+              sum(when(col("m"), 1).otherwise(0))
+                .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("merged", col("m") &&
+              (col("pos") - min(col("pos"))
+                .over(Window.partitionBy(col("w"), col("m"), col("isl"))))
+                % 2 === 0)
+            .withColumn("kept",
+              !coalesce(lag(col("merged"), 1).over(wOrd), lit(false)))
+          syms = t.filter(col("kept"))
+            .select(col("w"), col("freq"),
+              (row_number().over(wOrd) - 1).as("pos"),
+              when(col("merged"), concat(col("sym"), col("nxt")))
+                .otherwise(col("sym")).as("sym"))
+            .localCheckpoint()
+        }
+        r += 1
+      }
+    }
+    (merges.reverse, syms)
+  }
+
   private def ivfScoredCells(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("label"),
       VectorOps.toDouble(col("embedding")).as("v"))
@@ -1630,66 +1702,33 @@ object Ext {
     // is checkpointed so round r+1 does not replay rounds 1..r.
     "q_bpe_merges" -> ((s, d) => {
       import s.implicits._
-      val wOrd = Window.partitionBy(col("w")).orderBy(col("pos"))
-      // \z, not $: Java's $ matches before a final line terminator, so
-      // a token like "ab\n" would pass here but fail the oracle's RE2 $
-      // (absolute end) — a latent engine divergence on any corpus with
-      // trailing-newline tokens
-      val words = documents(s, d)
-        .select(explode(TextOps.tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z]{2,12}\\z"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      // split(w, "") under Spark's limit=-1 regex emits a trailing ""
-      var syms = words
-        .select(col("w"), col("freq"),
-          posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
-        .filter(col("sym") =!= "")
-        .localCheckpoint()
-      var merges = List.empty[(Long, String, String, Long)]
-      var r = 1
-      var exhausted = false
-      while (r <= 3 && !exhausted) {
-        val withNxt = syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
-        val top = withNxt.filter(col("nxt").isNotNull)
-          .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("wt"))
-          .orderBy(col("wt").desc, col("sym"), col("nxt")).limit(1)
-          .collect()
-        if (top.isEmpty) {
-          // no adjacent pairs left (degenerate corpus): the oracle's
-          // LIMIT 1 CTEs go empty from this round on, so stop emitting
-          // rather than crash on collect()(0)
-          exhausted = true
-        } else {
-          val (a, b, wt) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges ::= ((r.toLong, a, b, wt))
-          // the last round's pick needs no merge application: nothing
-          // reads the post-round-3 symbol relation
-          if (r < 3) {
-            val t = withNxt
-              .withColumn("m", coalesce(
-                col("sym") === a && col("nxt") === b, lit(false)))
-              .withColumn("isl", col("pos") -
-                sum(when(col("m"), 1).otherwise(0))
-                  .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-              .withColumn("merged", col("m") &&
-                (col("pos") - min(col("pos"))
-                  .over(Window.partitionBy(col("w"), col("m"), col("isl"))))
-                  % 2 === 0)
-              .withColumn("kept",
-                !coalesce(lag(col("merged"), 1).over(wOrd), lit(false)))
-            syms = t.filter(col("kept"))
-              .select(col("w"), col("freq"),
-                (row_number().over(wOrd) - 1).as("pos"),
-                when(col("merged"), concat(col("sym"), col("nxt")))
-                  .otherwise(col("sym")).as("sym"))
-              .localCheckpoint()
-          }
-          r += 1
-        }
-      }
-      merges.reverse.toDF("round", "lhs", "rhs", "weight")
+      // the last round's pick needs no merge application: nothing
+      // reads the post-round-3 symbol relation
+      bpeTrain(s, d, rounds = 3, applyLast = false)._1
+        .toDF("round", "lhs", "rhs", "weight")
         .orderBy(col("round"))
+    }),
+
+    // BPE ENCODE — the apply half of the train/apply lifecycle: run the
+    // trained merges over the word-TYPE relation and emit the top-50
+    // words (freq desc) with their post-merge symbol streams. The scale
+    // claim is the same Heaps-law move as training: encoding 100 TB
+    // never touches the token stream — the vocabulary relation encodes
+    // once, and a production pipeline broadcast-joins word -> encoding
+    // back onto the corpus (the q_decontaminate shape). Degenerate
+    // corpora whose words fully merge before the last round emit an
+    // empty relation in BOTH engines (the oracle's per-round LIMIT 1
+    // CTEs go empty, and the engine mirrors that rather than returning
+    // a half-trained encoding).
+    "q_bpe_encode" -> ((s, d) => {
+      val (merges, syms) = bpeTrain(s, d, rounds = 3, applyLast = true)
+      val full = if (merges.length == 3) syms else syms.filter(lit(false))
+      full.groupBy(col("w"), col("freq"))
+        .agg(count(lit(1)).as("n_syms"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("sym")))),
+            _.getField("sym")), " ").as("encoded"))
+        .orderBy(col("freq").desc, col("w")).limit(50)
     }),
 
     // Temperature-scaled mixing weights (the UNIMAX / alpha-sampling
@@ -2717,6 +2756,46 @@ object Ext {
   /** DuckDB expression: lowercased whitespace tokens of `c`. */
   private def sqlTokens(c: String) = s"string_split(lower($c), ' ')"
 
+  /** Shared CTE body of the BPE oracles (everything after WITH): word
+    * -type freqs (w0), char-split symbol streams (s0), and `rounds`
+    * greedy (pick, apply) stages unrolled — the merge application
+    * mirrors the Spark windows exactly (islands of consecutive matches,
+    * even offsets merge, right neighbor drops). q_bpe_merges reads the
+    * p$r picks; q_bpe_encode reads the final s$rounds symbol relation.
+    */
+  private def bpeSqlStages(rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      s"""t$r AS (SELECT w, freq, pos, sym,
+         |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |  FROM s${r - 1}),
+         |p$r AS (SELECT sym AS a, nxt AS b, sum(freq) AS wt FROM t$r
+         |  WHERE nxt IS NOT NULL GROUP BY sym, nxt
+         |  ORDER BY wt DESC, sym, nxt LIMIT 1),
+         |u$r AS (SELECT t.*, coalesce(t.sym = p.a AND t.nxt = p.b,
+         |    false) AS m FROM t$r t, p$r p),
+         |v$r AS (SELECT *, pos - sum(CASE WHEN m THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY w ORDER BY pos
+         |          ROWS UNBOUNDED PRECEDING) AS isl FROM u$r),
+         |x$r AS (SELECT *, m AND (pos - min(pos)
+         |    OVER (PARTITION BY w, m, isl)) % 2 = 0 AS merged
+         |  FROM v$r),
+         |y$r AS (SELECT *, NOT coalesce(lag(merged)
+         |    OVER (PARTITION BY w ORDER BY pos), false) AS kept
+         |  FROM x$r),
+         |s$r AS (SELECT w, freq,
+         |    row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+         |    CASE WHEN merged THEN sym || nxt ELSE sym END AS sym
+         |  FROM y$r WHERE kept)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(${sqlTokens("text")}) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]{2,12}$$') GROUP BY w),
+       |s0 AS (SELECT w, freq, unnest(range(len(cs))) AS pos,
+       |    unnest(cs) AS sym
+       |  FROM (SELECT w, freq, string_split(w, '') AS cs FROM w0)),
+       |$stages""".stripMargin
+  }
+
   /** DuckDB expression: distinct k-token shingles of token-list column t
     * (whole-doc shingle for short docs), matching TextOps.distinctShingles.
     */
@@ -3368,46 +3447,24 @@ object Ext {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_bpe_merges" -> {
-      // three greedy rounds unrolled as CTE stages; the merge
-      // application mirrors the Spark windows exactly (islands of
-      // consecutive matches, even offsets merge, right neighbor drops)
-      val rounds = (1 to 3).map { r =>
-        s"""t$r AS (SELECT w, freq, pos, sym,
-           |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
-           |  FROM s${r - 1}),
-           |p$r AS (SELECT sym AS a, nxt AS b, sum(freq) AS wt FROM t$r
-           |  WHERE nxt IS NOT NULL GROUP BY sym, nxt
-           |  ORDER BY wt DESC, sym, nxt LIMIT 1),
-           |u$r AS (SELECT t.*, coalesce(t.sym = p.a AND t.nxt = p.b,
-           |    false) AS m FROM t$r t, p$r p),
-           |v$r AS (SELECT *, pos - sum(CASE WHEN m THEN 1 ELSE 0 END)
-           |    OVER (PARTITION BY w ORDER BY pos
-           |          ROWS UNBOUNDED PRECEDING) AS isl FROM u$r),
-           |x$r AS (SELECT *, m AND (pos - min(pos)
-           |    OVER (PARTITION BY w, m, isl)) % 2 = 0 AS merged
-           |  FROM v$r),
-           |y$r AS (SELECT *, NOT coalesce(lag(merged)
-           |    OVER (PARTITION BY w ORDER BY pos), false) AS kept
-           |  FROM x$r),
-           |s$r AS (SELECT w, freq,
-           |    row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
-           |    CASE WHEN merged THEN sym || nxt ELSE sym END AS sym
-           |  FROM y$r WHERE kept)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to 3).map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, " +
           s"CAST(wt AS BIGINT) AS weight FROM p$r")
         .mkString("\nUNION ALL ")
-      s"""WITH w0 AS (SELECT w, count(*) AS freq FROM (
-         |    SELECT unnest(${sqlTokens("text")}) AS w FROM documents)
-         |  WHERE regexp_matches(w, '^[a-z]{2,12}$$') GROUP BY w),
-         |s0 AS (SELECT w, freq, unnest(range(len(cs))) AS pos,
-         |    unnest(cs) AS sym
-         |  FROM (SELECT w, freq, string_split(w, '') AS cs FROM w0)),
-         |$rounds
+      s"""WITH ${bpeSqlStages(3)}
          |$out
          |ORDER BY round""".stripMargin
     },
+
+    // encode = the post-round-3 symbol relation s3 read out per word
+    // type; string_agg in pos order mirrors the engine's sorted
+    // collect_list join
+    "q_bpe_encode" ->
+      s"""WITH ${bpeSqlStages(3)}
+         |SELECT w, freq, count(*) AS n_syms,
+         |  string_agg(sym, ' ' ORDER BY pos) AS encoded
+         |FROM s3 GROUP BY w, freq
+         |ORDER BY freq DESC, w LIMIT 50""".stripMargin,
 
     "q_mix_temperature" ->
       """SELECT lang, n_docs,

@@ -154,6 +154,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.toList == expect.reverse, s"got ${got.toList}")
   }
 
+  test("bpe encode: symbol streams equal applying the trained merges by hand") {
+    def applyMerge(s: List[String], a: String, b: String): List[String] =
+      s match {
+        case x :: y :: rest if x == a && y == b =>
+          (a + b) :: applyMerge(rest, a, b)
+        case x :: rest => x :: applyMerge(rest, a, b)
+        case Nil => Nil
+      }
+    val merges = SparkEntry.queries("q_bpe_merges")(spark, d).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(merges.length == 3)
+    val enc = SparkEntry.queries("q_bpe_encode")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(enc.nonEmpty)
+    // the top-50 readout is ordered (freq desc, w)
+    assert(enc.map { case (w, f, _, _) => (-f, w) }.toSeq ==
+      enc.map { case (w, f, _, _) => (-f, w) }.toSeq.sorted)
+    for ((w, _, nSyms, encoded) <- enc) {
+      var syms = w.split("").toList
+      for ((a, b) <- merges) syms = applyMerge(syms, a, b)
+      assert(encoded == syms.mkString(" "), s"word $w")
+      assert(nSyms == syms.length.toLong, s"word $w n_syms")
+    }
+  }
+
   test("bpe: a corpus with no mergeable words yields an empty merges table") {
     // all-numeric tokens: the word filter leaves nothing, so every
     // round's top-pair relation is empty — the query must degrade to
