@@ -432,4 +432,38 @@ class PlanAuditSpec extends SparkSpec {
           "the boundary score group would sort on one task at scale")
     }
   }
+
+  test("sketch quantile: one ObjectHashAggregate pass, readout broadcasts back") {
+    val (p, _) = planOf("q_quantile_approx")
+    // the GK sketch aggregates with map-side partials
+    assert(p.contains("ObjectHashAggregate") &&
+      p.contains("partial_percentile_approx"), p.take(3000))
+    // the 9-row sketch readout joins back as a broadcast — a shuffle
+    // join here would reshuffle the whole fact scan for a 9-row probe
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(3000))
+    // exactly two fact scans: the sketch pass and the rank-check pass
+    // (the check exists only to put the sketch under the oracle)
+    assert("FileScan parquet".r.findAllIn(p).size == 2, p.take(3000))
+  }
+
+  test("scaled semantic dedup: pair join is equi on (cell, band, key); " +
+      "nested loops only broadcast the 1-row bits relation") {
+    val (p, _) = planOf("q_dedup_semantic_scaled")
+    // the candidate self-join must hash/merge on the composite bucket
+    // key — a regression that drops `key` from the equi side turns the
+    // bounded-occupancy join back into per-cell quadratic work
+    assert(
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cell\\S*, band\\S*, key".r
+        .findFirstIn(p).isDefined, p.take(4000))
+    // the cosine verify rides the join as a codegen'd kernel condition
+    assert(p.contains("dot_product"), p.take(3000))
+    // every nested-loop node is the sanctioned 1-row bits cross join
+    // (IdentityBroadcastMode broadcast of the count-derived width),
+    // reused across bands — never a data-sized build side
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 6, s"$bnlj nested-loop joins: ${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
