@@ -903,6 +903,30 @@ object Ext {
         .orderBy(col("vec_id"))
     }),
 
+    // The recall readout of the exact/scaled pairing (the q_ann_recall
+    // move applied to dedup): run both algorithms on the same corpus
+    // and reduce the agreement to one row — n_exact, n_scaled, n_both,
+    // and recall in ppm by integer division. Because the scaled dup
+    // set is a SUBSET of the exact one (SemanticDedupSpec pins it),
+    // this is precisely the LSH candidate-recall trade, quantified
+    // under the oracle gate every round. At production scale the exact
+    // side is measured on a SAMPLE, not the corpus (it is the
+    // super-linear pipeline); here the corpora are small enough to
+    // audit in full.
+    "q_dedup_semantic_recall" -> ((s, d) => {
+      val ex = queries("q_dedup_semantic")(s, d)
+        .select(col("vec_id"), col("is_dup").as("de"))
+      val sc = queries("q_dedup_semantic_scaled")(s, d)
+        .select(col("vec_id"), col("is_dup").as("dsc"))
+      ex.join(sc, Seq("vec_id"))
+        .agg(sum(when(col("de"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("dsc"), 1L).otherwise(0L)).as("n_scaled"),
+          sum(when(col("de") && col("dsc"), 1L).otherwise(0L)).as("n_both"))
+        .select(col("n_exact"), col("n_scaled"), col("n_both"),
+          expr("CASE WHEN n_exact = 0 THEN 1000000L " +
+            "ELSE n_both * 1000000L div n_exact END").as("recall_ppm"))
+    }),
+
     // ---- E3: similarity search -----------------------------------------
     // Brute-force cosine top-k: broadcast the small query batch against
     // the candidate scan (no shuffle of the big side), bounded-state
@@ -2756,6 +2780,57 @@ object Ext {
   /** DuckDB expression: lowercased whitespace tokens of `c`. */
   private def sqlTokens(c: String) = s"string_split(lower($c), ' ')"
 
+  /** Shared CTEs of the semantic-dedup oracles: normalized embedding
+    * relation (e), per-label medoid reps, best-cell assignment.
+    */
+  private val semanticSqlBase: String =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |      CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |reps AS (SELECT r.rep_id, e.v AS rv, e.nrm AS rn_
+      |  FROM (SELECT label, min(vec_id) AS rep_id FROM e GROUP BY label) r
+      |  JOIN e ON e.vec_id = r.rep_id),
+      |assigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
+      |  SELECT e.vec_id, e.v, e.nrm, reps.rep_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, reps.rv) / (e.nrm * reps.rn_)
+      |        DESC, reps.rep_id) AS cell_rn
+      |  FROM e CROSS JOIN reps) WHERE cell_rn = 1)""".stripMargin
+
+  /** Exact within-cell dropped set (body of a DISTINCT-vec_id CTE). */
+  private def semanticSqlExactDropped: String =
+    s"""SELECT DISTINCT b.vec_id
+       |  FROM assigned b JOIN assigned a ON a.cell = b.cell
+       |    AND a.vec_id < b.vec_id
+       |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SemThr""".stripMargin
+
+  /** Adaptive band-key relation: bits = ceil(log2(ceil(n/512))) via the
+    * same integer compare-chain as the engine (no libm log2).
+    */
+  private val semanticSqlBanded: String =
+    """nb AS (SELECT (SELECT sum(CASE WHEN m > (1 << k.k) THEN 1 ELSE 0
+      |      END)::INT FROM range(0, 18) k(k)) AS bits
+      |  FROM (SELECT (count(*) + 511) // 512 AS m FROM assigned)),
+      |banded AS (SELECT vec_id, cell, v, nrm, bnd.band,
+      |    -- array_to_string of an EMPTY list is NULL in DuckDB but
+      |    -- '' in Spark's array_join; coalesce so the bits=0
+      |    -- degenerate case keeps one joinable bucket per band
+      |    coalesce(array_to_string(
+      |      [CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END
+      |       for i in range(bnd.band*21+1, bnd.band*21+nb.bits+1)],
+      |      ''), '') AS key
+      |  FROM assigned CROSS JOIN nb
+      |  CROSS JOIN (VALUES (0), (1), (2)) bnd(band))""".stripMargin
+
+  /** Band-bucketed dropped set (body of a DISTINCT-vec_id CTE). */
+  private def semanticSqlScaledDropped: String =
+    s"""SELECT DISTINCT b.vec_id
+       |  FROM banded b JOIN banded a ON a.cell = b.cell
+       |    AND a.band = b.band AND a.key = b.key
+       |    AND a.vec_id < b.vec_id
+       |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SemThr""".stripMargin
+
   /** Shared CTE body of the BPE oracles (everything after WITH): word
     * -type freqs (w0), char-split symbol streams (s0), and `rounds`
     * greedy (pick, apply) stages unrolled — the merge application
@@ -3083,23 +3158,8 @@ object Ext {
         |ORDER BY id_a""".stripMargin,
 
     "q_dedup_semantic" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-         |      CAST(embedding AS DOUBLE[]))) AS nrm
-         |  FROM embeddings),
-         |reps AS (SELECT r.rep_id, e.v AS rv, e.nrm AS rn_
-         |  FROM (SELECT label, min(vec_id) AS rep_id FROM e GROUP BY label) r
-         |  JOIN e ON e.vec_id = r.rep_id),
-         |assigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
-         |  SELECT e.vec_id, e.v, e.nrm, reps.rep_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, reps.rv) / (e.nrm * reps.rn_)
-         |        DESC, reps.rep_id) AS cell_rn
-         |  FROM e CROSS JOIN reps) WHERE cell_rn = 1),
-         |dropped AS (SELECT DISTINCT b.vec_id
-         |  FROM assigned b JOIN assigned a ON a.cell = b.cell
-         |    AND a.vec_id < b.vec_id
-         |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SemThr)
+      s"""WITH $semanticSqlBase,
+         |dropped AS ($semanticSqlExactDropped)
          |SELECT s.vec_id, s.cell, (d.vec_id IS NOT NULL) AS is_dup
          |FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
          |ORDER BY s.vec_id""".stripMargin,
@@ -3107,40 +3167,37 @@ object Ext {
     // adaptive band-key width: bits = ceil(log2(ceil(n/512))) via the
     // same integer compare-chain as the engine (no libm log2)
     "q_dedup_semantic_scaled" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-         |      CAST(embedding AS DOUBLE[]))) AS nrm
-         |  FROM embeddings),
-         |reps AS (SELECT r.rep_id, e.v AS rv, e.nrm AS rn_
-         |  FROM (SELECT label, min(vec_id) AS rep_id FROM e GROUP BY label) r
-         |  JOIN e ON e.vec_id = r.rep_id),
-         |assigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
-         |  SELECT e.vec_id, e.v, e.nrm, reps.rep_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, reps.rv) / (e.nrm * reps.rn_)
-         |        DESC, reps.rep_id) AS cell_rn
-         |  FROM e CROSS JOIN reps) WHERE cell_rn = 1),
-         |nb AS (SELECT (SELECT sum(CASE WHEN m > (1 << k.k) THEN 1 ELSE 0
-         |      END)::INT FROM range(0, 18) k(k)) AS bits
-         |  FROM (SELECT (count(*) + 511) // 512 AS m FROM assigned)),
-         |banded AS (SELECT vec_id, cell, v, nrm, bnd.band,
-         |    -- array_to_string of an EMPTY list is NULL in DuckDB but
-         |    -- '' in Spark's array_join; coalesce so the bits=0
-         |    -- degenerate case keeps one joinable bucket per band
-         |    coalesce(array_to_string(
-         |      [CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END
-         |       for i in range(bnd.band*21+1, bnd.band*21+nb.bits+1)],
-         |      ''), '') AS key
-         |  FROM assigned CROSS JOIN nb
-         |  CROSS JOIN (VALUES (0), (1), (2)) bnd(band)),
-         |dropped AS (SELECT DISTINCT b.vec_id
-         |  FROM banded b JOIN banded a ON a.cell = b.cell
-         |    AND a.band = b.band AND a.key = b.key
-         |    AND a.vec_id < b.vec_id
-         |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SemThr)
+      s"""WITH $semanticSqlBase,
+         |$semanticSqlBanded,
+         |dropped AS ($semanticSqlScaledDropped)
          |SELECT s.vec_id, s.cell, (d.vec_id IS NOT NULL) AS is_dup
          |FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
          |ORDER BY s.vec_id""".stripMargin,
+
+    // the recall readout of the exact-vs-scaled pairing: both dedup
+    // algorithms run on the same corpus and the agreement is reduced to
+    // one row of counts plus an integer-division recall (scaled can
+    // only ever be a subset — SemanticDedupSpec pins that — so this is
+    // precisely the LSH candidate-recall trade, quantified per round)
+    "q_dedup_semantic_recall" ->
+      s"""WITH $semanticSqlBase,
+         |dx AS ($semanticSqlExactDropped),
+         |$semanticSqlBanded,
+         |ds AS ($semanticSqlScaledDropped),
+         |j AS (SELECT s.vec_id, (x.vec_id IS NOT NULL) AS de,
+         |    (sc.vec_id IS NOT NULL) AS dsc
+         |  FROM assigned s
+         |  LEFT JOIN dx x ON s.vec_id = x.vec_id
+         |  LEFT JOIN ds sc ON s.vec_id = sc.vec_id),
+         |agg AS (SELECT
+         |    sum(CASE WHEN de THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+         |    sum(CASE WHEN dsc THEN 1 ELSE 0 END)::BIGINT AS n_scaled,
+         |    sum(CASE WHEN de AND dsc THEN 1 ELSE 0 END)::BIGINT AS n_both
+         |  FROM j)
+         |SELECT n_exact, n_scaled, n_both,
+         |  CASE WHEN n_exact = 0 THEN CAST(1000000 AS BIGINT)
+         |    ELSE n_both * 1000000 // n_exact END AS recall_ppm
+         |FROM agg""".stripMargin,
 
     "q_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
