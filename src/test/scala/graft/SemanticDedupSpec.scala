@@ -57,6 +57,19 @@ class SemanticDedupSpec extends SparkSpec {
       s"missed identical twins: ${(twins -- scaled).take(5)}")
   }
 
+  test("recall readout is consistent with the two dup sets") {
+    val dir = writeFixture(300)
+    val exact = dups("q_dedup_semantic", dir)
+    val scaled = dups("q_dedup_semantic_scaled", dir)
+    val r = SparkEntry.queries("q_dedup_semantic_recall")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) == exact.size.toLong)
+    assert(r.getLong(1) == scaled.size.toLong)
+    assert(r.getLong(2) == (exact & scaled).size.toLong)
+    assert(r.getLong(3) ==
+      (exact & scaled).size.toLong * 1000000L / exact.size)
+  }
+
   test("n <= 512 degenerates to the exact semantics row for row") {
     val dir = writeFixture(130) // n = 390 <= 512 -> bits = 0
     val exact = SparkEntry.queries("q_dedup_semantic")(spark, dir)
