@@ -36,7 +36,15 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = table(s, d, "events")
+    adaptEventsTs(table(s, d, "events"))
+  }
+
+  /** ts physical-generation adaptation shared by the batch reader and
+    * the streaming drain (`q_stream_drain` readStreams the same parquet
+    * with an explicit schema, so the branch must run on whatever type
+    * was physically read in both paths).
+    */
+  def adaptEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType        => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType   => df
@@ -44,7 +52,6 @@ object Tables {
       case other => throw new IllegalStateException(
         s"events.ts: unsupported parquet type $other (expected nanos-long or micros timestamp)")
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -872,6 +872,12 @@ object Ext {
     // bits=0 (one bucket per band = the exact within-cell semantics).
     // is_dup is EXISTS-shaped, so multi-band collisions are absorbed
     // by the distinct and the output is partitioning-independent.
+    // ASSUMES embedding dim >= 60 (the engine's embeddings contract is
+    // 64): max touched index is 2*21 + 18 = 60. On narrower vectors
+    // Spark's slice CLAMPS to the array while the oracle's v[i] yields
+    // NULL -> '0' — the same class of silent divergence as
+    // array_to_string-of-empty — so pin the dim before reusing the
+    // band layout on another corpus.
     "q_dedup_semantic_scaled" -> ((s, d) => {
       val T = 512; val Stride = 21; val Bands = 3; val MaxBits = 18
       val assigned = ivfAssign(s, d).localCheckpoint()

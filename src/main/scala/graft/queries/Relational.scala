@@ -1601,6 +1601,47 @@ object Relational {
         .crossJoin(orders(s, d).select(col("o_orderpriority")).distinct())
         .orderBy(col("r_name"), col("o_orderpriority"))),
 
+    // The STREAMING ENGINE itself under the oracle gate
+    // (q_stream_tumble above is the semantics twin; this one actually
+    // DRAINS the micro-batch engine): readStream over the events
+    // parquet -> AvailableNow micro-batches through the stateful
+    // streaming-aggregation operator (complete mode) -> memory sink ->
+    // the final state hash-compares to DuckDB's batch answer. Complete
+    // mode + AvailableNow makes the final table a pure function of the
+    // data — no watermark dropping, no trigger timing in the result —
+    // so a green row pins that the streaming path (offset tracking,
+    // state store, partial-agg merge ACROSS micro-batches) computes
+    // exactly the batch semantics. Each invocation starts a fresh
+    // temporary checkpoint, so re-runs in one session re-drain from
+    // scratch.
+    "q_stream_drain" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val phys = s.read.parquet(s"$d/events.parquet").schema
+      // FileStreamSource monitors a DIRECTORY; the driver testdata ships
+      // events.parquet as a single file in some generations, so stream
+      // the parent dir with a name filter in that case
+      val raw =
+        if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(s"$d/events.parquet")))
+          s.readStream.schema(phys).parquet(s"$d/events.parquet")
+        else s.readStream.schema(phys)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+      val ev = graft.Tables.adaptEventsTs(raw)
+      val qn = "q_stream_drain_sink"
+      val q = ev
+        .groupBy(window(col("ts"), "300 seconds").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("total_value"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(unix_timestamp(col("w.start")).as("bucket_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("bucket_start"), col("event_type"))
+    }),
+
     // Sliding windows (batch twin of the streaming hop): each event
     // lands in size/slide = 2 buckets — the fan-out is a map-side
     // generator, then one agg shuffle, same as tumbling.
@@ -2702,6 +2743,14 @@ object Relational {
         |ORDER BY user_id, session_seq""".stripMargin,
 
     "q_stream_tumble" ->
+      """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bucket_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+
+    // the streaming drain's final state must equal the batch answer —
+    // the oracle IS the batch answer
+    "q_stream_drain" ->
       """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bucket_start,
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

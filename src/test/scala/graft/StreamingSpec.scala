@@ -377,4 +377,19 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination()
     assert(spark.read.parquet(out).count() == 2)
   }
+
+  test("q_stream_drain re-runs in one session and matches its batch twin") {
+    // Bench invokes every query up to three times per session: the
+    // memory-sink queryName must be reusable once the prior drain has
+    // terminated, and each drain (fresh temporary checkpoint) must
+    // reproduce the full result. The values themselves equal the batch
+    // tumbling aggregation — the per-round DuckDB hash pins that too;
+    // this is the in-repo guard.
+    val d = "/root/testdata/sf0.001"
+    val r1 = SparkEntry.queries("q_stream_drain")(spark, d).collect()
+    val r2 = SparkEntry.queries("q_stream_drain")(spark, d).collect()
+    val batch = SparkEntry.queries("q_stream_tumble")(spark, d).collect()
+    assert(r1.nonEmpty && r1.sameElements(r2))
+    assert(r1.sameElements(batch))
+  }
 }
