@@ -35,6 +35,101 @@ object Relational {
     s"${System.getProperty("java.io.tmpdir")}/graft_rt_${kind}_" +
       s"${d.hashCode.toHexString}_p${ProcessHandle.current().pid}"
 
+  // ---- streaming-drain infrastructure (the q_stream_drain pattern) -------
+  // Each drain query runs the REAL micro-batch engine (readStream ->
+  // stateful operator -> AvailableNow -> memory sink) and hash-compares
+  // the drained state to DuckDB's batch answer, pinning the streaming
+  // path's offset tracking, state store, and cross-batch merge to batch
+  // semantics.
+
+  /** Monotonic suffix for memory-sink names: each drain invocation gets
+    * its OWN queryName/temp view, so two drains in one SparkSession (a
+    * parallel bench next to a verify) can never collide or read each
+    * other's state; the view is dropped as soon as the result is
+    * materialized.
+    */
+  private val drainSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run `stream` through the micro-batch engine to completion
+    * (AvailableNow) into a memory sink and return the sink's final
+    * table, MATERIALIZED (eager localCheckpoint) so the per-invocation
+    * temp view can be dropped before the caller consumes the result.
+    */
+  private def drainStream(stream: DataFrame, mode: String): DataFrame = {
+    val s = stream.sparkSession
+    val qn = s"graft_drain_${drainSeq.incrementAndGet()}"
+    val q = stream.writeStream.format("memory").queryName(qn)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(qn).localCheckpoint()
+    s.catalog.dropTempView(qn)
+    out
+  }
+
+  /** readStream over the driver events table, ts-adapted like the batch
+    * reader. FileStreamSource monitors a DIRECTORY; the driver testdata
+    * ships events.parquet as a single file in some generations, so that
+    * case streams the parent dir with a name filter.
+    */
+  private def eventsReadStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val phys = s.read.parquet(s"$d/events.parquet").schema
+    val raw =
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$d/events.parquet")))
+        s.readStream.schema(phys).parquet(s"$d/events.parquet")
+      else s.readStream.schema(phys)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+    graft.Tables.adaptEventsTs(raw)
+  }
+
+  /** Write `df` as ONE parquet file `name` inside `dir` with an explicit
+    * mtime: FileStreamSource replays files oldest-mtime-first, so staged
+    * files arrive in the intended sequence under maxFilesPerTrigger=1 —
+    * the knob that forces the drained operator's state to carry ACROSS
+    * micro-batches instead of resolving inside one.
+    */
+  private def stageStreamFile(df: DataFrame, dir: java.nio.file.Path,
+      name: String, mtimeMs: Long): Unit = {
+    import java.nio.file.{Files, Path}
+    val s = df.sparkSession
+    // micros on disk, so the staged file round-trips the exact event time
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val stage = dir.resolve(s"_stage_$name") // _-prefixed: hidden to sources
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = {
+      val st = Files.list(stage)
+      try {
+        val it = st.iterator()
+        var found: Path = null
+        while (it.hasNext && found == null) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith("part-")) found = p
+        }
+        require(found != null, s"no part file written under $stage")
+        found
+      } finally st.close()
+    }
+    Files.move(part, dir.resolve(name))
+    deleteRecursive(stage)
+    Files.setLastModifiedTime(dir.resolve(name),
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) deleteRecursive(it.next())
+      } finally st.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
   /** Shared ANSI windowed-SQL text (see [[SqlQ3]]'s contract): named
     * WINDOW clause, rank and a running decimal frame, one string
     * through both spark.sql and the DuckDB oracle.
@@ -1614,32 +1709,117 @@ object Relational {
     // exactly the batch semantics. Each invocation starts a fresh
     // temporary checkpoint, so re-runs in one session re-drain from
     // scratch.
-    "q_stream_drain" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val phys = s.read.parquet(s"$d/events.parquet").schema
-      // FileStreamSource monitors a DIRECTORY; the driver testdata ships
-      // events.parquet as a single file in some generations, so stream
-      // the parent dir with a name filter in that case
-      val raw =
-        if (java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get(s"$d/events.parquet")))
-          s.readStream.schema(phys).parquet(s"$d/events.parquet")
-        else s.readStream.schema(phys)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
-      val ev = graft.Tables.adaptEventsTs(raw)
-      val qn = "q_stream_drain_sink"
-      val q = ev
-        .groupBy(window(col("ts"), "300 seconds").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("total_value"))
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qn)
+    "q_stream_drain" -> ((s, d) =>
+      drainStream(
+        eventsReadStream(s, d)
+          .groupBy(window(col("ts"), "300 seconds").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sumDec(col("value")).as("total_value")),
+        "complete")
         .select(unix_timestamp(col("w.start")).as("bucket_start"),
           col("event_type"), col("n"), col("total_value"))
-        .orderBy(col("bucket_start"), col("event_type"))
+        .orderBy(col("bucket_start"), col("event_type"))),
+
+    // The STATEFUL STREAMING DEDUP under the oracle gate — the
+    // reference's one piece of persistent state (the never-expiring
+    // seen-id table) in its streaming form (Streams.dedup / T2). The
+    // events table is staged TWICE as two files and replayed one file
+    // per micro-batch, so every row of batch 2 is a duplicate that only
+    // the STATE STORE (carrying batch 1's keys across the batch
+    // boundary) can drop — an in-batch dedup would pass trivially. The
+    // watermark delay (35 days) covers the whole corpus span, so no
+    // state is evicted and the drained output must equal the plain
+    // batch table; at real volume the same operator runs with a tight
+    // delay and bounded state. Duplicate rows are byte-identical, so
+    // which copy survives is immaterial to the hash.
+    "q_stream_dedup_drain" -> ((s, d) => {
+      val ev = events(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_dedup_drain_")
+      try {
+        val t0 = System.currentTimeMillis()
+        stageStreamFile(ev, dir, "0_events.parquet", t0 - 60000)
+        stageStreamFile(ev, dir, "1_events.parquet", t0 - 30000)
+        val raw = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        drainStream(
+          graft.streaming.Streams.dedup(raw, "event_id",
+            withinWatermark = Some(("ts", "35 days"))),
+          "append")
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .orderBy(col("event_id"))
+      } finally deleteRecursive(dir)
+    }),
+
+    // The STATEFUL SESSIONIZATION under the oracle gate: drain
+    // Streams.sessionize (flatMapGroupsWithState, event-time timeout)
+    // over the events table and hash-compare the sealed sessions to the
+    // batch gaps-and-islands answer (q_sessionize's oracle shape). Two
+    // far-future sentinel files replay AFTER the data (one file per
+    // micro-batch), pushing the watermark past every real session's
+    // end + gap so the event-time TIMEOUT — not end-of-stream
+    // special-casing — seals them all; the sentinels' own sessions can
+    // never seal and are filtered out. A green row pins the state
+    // machine's merge/seal/timeout semantics (including the micros
+    // extents) to the batch definition of a session.
+    "q_stream_session_drain" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      // bounded readout: one max over the corpus locates the sentinels
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      def sentinel(id: Long, us: Long) =
+        s.range(1).select(lit(id).as("event_id"),
+          timestamp_micros(lit(us)).as("ts"), lit(id).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"))
+      val gapUs = 1800L * 1000000L
+      val dir = java.nio.file.Files.createTempDirectory("graft_sess_drain_")
+      try {
+        val t0 = System.currentTimeMillis()
+        stageStreamFile(ev, dir, "0_events.parquet", t0 - 90000)
+        stageStreamFile(sentinel(-1L, maxUs + gapUs + 86400L * 1000000L),
+          dir, "1_sentinel.parquet", t0 - 60000)
+        stageStreamFile(sentinel(-2L, maxUs + gapUs + 2L * 86400L * 1000000L),
+          dir, "2_sentinel.parquet", t0 - 30000)
+        val raw = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        drainStream(
+          graft.streaming.Streams.sessionize(
+            raw.as[graft.streaming.Streams.Event],
+            gapSeconds = 1800, lateness = "10 seconds").toDF(),
+          "append")
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start_us"),
+            unix_micros(col("session_end")).as("session_end_us"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      } finally deleteRecursive(dir)
+    }),
+
+    // The STREAM-STREAM INTERVAL JOIN under the oracle gate: drain
+    // Streams.intervalJoin (symmetric stateful join, watermark-bounded
+    // state on both sides) with clicks as the right stream and every
+    // event as the left, matching left rows inside [click_ts,
+    // click_ts + 300 s] per user — and hash-compare the drained matches
+    // to DuckDB's batch range join. Completes the stateful-operator
+    // gating: aggregation (q_stream_drain), dedup, arbitrary state
+    // (sessionize), and now join state all pin to batch answers.
+    "q_stream_interval_drain" -> ((s, d) => {
+      val left = eventsReadStream(s, d)
+        .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+          col("user_id"))
+      val right = eventsReadStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+          col("user_id"))
+      drainStream(
+        graft.streaming.Streams.intervalJoin(left, right, "user_id",
+          "l_ts", "r_ts", windowSeconds = 300L),
+        "append")
+        .select(col("l_id"), col("r_id"), col("user_id"),
+          unix_micros(col("l_ts")).as("l_ts_us"),
+          unix_micros(col("r_ts")).as("r_ts_us"))
+        .orderBy(col("l_id"), col("r_id"))
     }),
 
     // Sliding windows (batch twin of the streaming hop): each event
@@ -2755,6 +2935,45 @@ object Relational {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+
+    // streaming dedup of the doubled replay = the plain batch table
+    "q_stream_dedup_drain" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        |  value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // the drained session state machine must equal the batch
+    // gaps-and-islands definition (q_sessionize's oracle, keyed by
+    // session start instead of the engine-internal session_seq)
+    "q_stream_session_drain" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM flagged)
+        |SELECT user_id,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) AS session_end_us,
+        |  COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // the drained stream-stream join must equal the batch range join
+    "q_stream_interval_drain" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id,
+        |  epoch_us(l.ts) AS l_ts_us, epoch_us(r.ts) AS r_ts_us
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |  AND r.event_type = 'click'
+        |  AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 300 SECOND
+        |ORDER BY l_id, r_id""".stripMargin,
 
     "q_window_firstlast" ->
       """SELECT event_id,

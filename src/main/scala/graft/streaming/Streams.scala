@@ -89,7 +89,26 @@ object Streams {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 
+  /** Session extent in event-time MICROS (not millis): the events tables
+    * carry microsecond timestamps, and the batch twin (q_sessionize)
+    * computes gaps and extents in unix_micros — a millis-truncated state
+    * would emit session bounds that hash-differ from the batch answer
+    * (and could mis-merge a gap within 1 ms of the threshold).
+    */
   case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Micros-since-epoch of a java.sql.Timestamp (getTime is millis and
+    * would truncate; nanos carries the full fractional second).
+    */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Timestamp from micros-since-epoch, micros preserved. */
+  private def microTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Running per-user profile via mapGroupsWithState (Update mode):
     * the "current state of every key" operator (counters, feature
@@ -183,19 +202,21 @@ object Streams {
       lateness: String = "10 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
     events.withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, batch: Iterator[Event],
             state: GroupState[Seq[SessionState]]) =>
-          val wm = state.getCurrentWatermarkMs()
+          val wm = state.getCurrentWatermarkMs() // millis (engine unit)
           var sessions = state.getOption.getOrElse(Seq.empty)
-          // merge this batch (empty on a pure timeout wake-up)
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
+          // merge this batch (empty on a pure timeout wake-up);
+          // extents and gap tests run in micros (see SessionState)
+          batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+            val t = tsMicros(e.ts)
             val (touched, rest) = sessions.partition(s =>
-              t >= s.start - gapMs && t <= s.end + gapMs)
+              t >= s.start - gapUs && t <= s.end + gapUs)
             val merged = touched.foldLeft(SessionState(t, t, 1)) { (a, s) =>
               SessionState(math.min(a.start, s.start),
                 math.max(a.end, s.end), a.n + s.n)
@@ -203,20 +224,23 @@ object Streams {
             sessions = rest :+ merged
           }
           // a session is sealed once NO admissible event (ts >= wm)
-          // can extend it: end + gap strictly below the watermark
-          val (done, open) = sessions.partition(_.end + gapMs < wm)
+          // can extend it: end + gap strictly below the watermark.
+          // wm*1000 is the watermark's micros lower bound, so sealing
+          // never fires early against micros extents.
+          val (done, open) = sessions.partition(_.end + gapUs < wm * 1000L)
           if (open.isEmpty) state.remove()
           else {
             state.update(open)
-            // wake at the earliest possible seal; never at or below
-            // the current watermark (setTimeoutTimestamp rejects that
-            // when the watermark jumps more than the gap in one batch)
+            // wake at the earliest possible seal (timeout unit is
+            // millis; floor-div wakes at most 1 ms early, which just
+            // re-arms); never at or below the current watermark
+            // (setTimeoutTimestamp rejects that when the watermark
+            // jumps more than the gap in one batch)
             state.setTimeoutTimestamp(
-              math.max(open.map(_.end).min + gapMs, wm + 1))
+              math.max(open.map(_.end).min / 1000L + gapMs, wm + 1))
           }
           done.sortBy(_.start).map(s =>
-            Session(user, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n)).iterator
+            Session(user, microTs(s.start), microTs(s.end), s.n)).iterator
       }
   }
 

@@ -392,4 +392,48 @@ class StreamingSpec extends SparkSpec {
     assert(r1.nonEmpty && r1.sameElements(r2))
     assert(r1.sameElements(batch))
   }
+
+  test("q_stream_dedup_drain: state store drops the whole second replay") {
+    // the doubled staging replays the corpus twice across TWO
+    // micro-batches (maxFilesPerTrigger=1); every batch-2 row must fall
+    // to batch-1 state, leaving exactly the original table. The DuckDB
+    // hash pins the values per round; this is the in-repo guard.
+    val d = "/root/testdata/sf0.001"
+    val n = graft.Tables.events(spark, d).count()
+    val drained = SparkEntry.queries("q_stream_dedup_drain")(spark, d)
+    assert(drained.count() == n)
+  }
+
+  test("q_stream_session_drain: every real session seals and matches batch") {
+    // the sentinel replay must push the watermark far enough that the
+    // event-time timeout seals EVERY real session — a lost open session
+    // would show as a missing row vs the batch gaps-and-islands answer
+    val d = "/root/testdata/sf0.001"
+    val drained = SparkEntry.queries("q_stream_session_drain")(spark, d)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect()
+    val batch = SparkEntry.queries("q_sessionize")(spark, d)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect()
+    assert(drained.nonEmpty && drained.sameElements(batch))
+  }
+
+  test("q_stream_interval_drain matches the batch range join") {
+    val d = "/root/testdata/sf0.001"
+    val drained = SparkEntry.queries("q_stream_interval_drain")(spark, d)
+    val batch = graft.Tables.events(spark, d)
+    val l = batch.select(org.apache.spark.sql.functions.col("event_id")
+      .as("l_id"), org.apache.spark.sql.functions.col("ts").as("l_ts"),
+      org.apache.spark.sql.functions.col("user_id"))
+    val r = batch.filter(org.apache.spark.sql.functions.col("event_type")
+        === "click")
+      .select(org.apache.spark.sql.functions.col("event_id").as("r_id"),
+        org.apache.spark.sql.functions.col("ts").as("r_ts"),
+        org.apache.spark.sql.functions.col("user_id").as("r_user"))
+    val expected = l.join(r,
+      l("user_id") === r("r_user") && l("l_ts") >= r("r_ts") &&
+        l("l_ts") <= r("r_ts") + org.apache.spark.sql.functions
+          .expr("INTERVAL 300 SECONDS")).count()
+    assert(drained.count() == expected && expected > 0)
+  }
 }
