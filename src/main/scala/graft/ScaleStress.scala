@@ -73,17 +73,52 @@ object ScaleStress {
   private val Facts = Seq("documents", "embeddings", "orders", "lineitem",
     "events")
 
+  /** Bump whenever [[replica]]'s transform changes: a synthesized corpus
+    * carries this version in its manifest, and a stale corpus (older
+    * transform, different src, different replica count) is re-synthesized
+    * instead of silently reused — exponents measured on the wrong data
+    * are worse than no exponents.
+    */
+  private val SynthVersion = 1
+
+  private def manifestFor(src: String, replicas: Int): String =
+    s"""{"src":"$src","replicas":$replicas,"synth_version":$SynthVersion}"""
+
   /** A table synthesis is reusable iff its _SUCCESS marker landed — a
     * partial write (killed run) has no marker and is re-synthesized.
     * Deep (100x+) sweeps iterate on the QUERY set far more often than
     * on the corpus, and re-synthesizing 500 k docs per iteration would
-    * dominate the wall clock; `rm -rf <work>` forces a fresh corpus.
+    * dominate the wall clock. The dir-level _MANIFEST.json guards WHAT
+    * the tables were synthesized from; a missing or mismatched manifest
+    * wipes the dir (`rm -rf <work>` still forces a fresh corpus by hand).
     */
   private def done(dst: String, t: String): Boolean =
     Files.exists(Paths.get(s"$dst/$t.parquet/_SUCCESS"))
 
+  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) deleteRecursive(it.next())
+      } finally st.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
   private def synth(spark: SparkSession, src: String, dst: String,
       replicas: Int, facts: Seq[String]): Unit = {
+    val mp = Paths.get(s"$dst/_MANIFEST.json")
+    val want = manifestFor(src, replicas)
+    if (Files.exists(Paths.get(dst))) {
+      val have = if (Files.exists(mp)) Files.readString(mp) else "<missing>"
+      if (have != want) {
+        System.err.println(
+          s"SCALE corpus at $dst is stale or unmarked ($have != $want)" +
+            " — wiping and re-synthesizing")
+        deleteRecursive(Paths.get(dst))
+      }
+    }
     Files.createDirectories(Paths.get(dst))
     for (t <- Dims if !done(dst, t))
       spark.read.parquet(s"$src/$t.parquet")
@@ -93,6 +128,7 @@ object ScaleStress {
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
+    Files.writeString(mp, want)
   }
 
   /** The stress set: the suite's most expensive queries plus the
@@ -119,7 +155,11 @@ object ScaleStress {
     // adaptive-occupancy semantic dedup (the production path; the exact
     // within-cell variant measured 1.22 at 100x and is excluded here —
     // its saturation row is recorded in BASELINE.md)
-    "q_dedup_semantic_scaled")
+    "q_dedup_semantic_scaled",
+    // multimodal fan-out pipelines (frame fan-out, batched decode,
+    // overlapping windows, stride resample) — the row-multiplying
+    // family, measured per round since round 8
+    "q_frames", "q_image_features", "q_audio_windows", "q_media_resize")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

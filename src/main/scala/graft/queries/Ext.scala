@@ -64,6 +64,10 @@ object Ext {
   private val CmsD = 3         // count-min sketch depth (hash rows)
   private val CmsW = 64        // count-min sketch width (buckets per row)
   private val SemThr = 0.3     // semantic-dedup cosine cutoff (within-cell)
+  private val SemTarget = 512  // semantic-dedup target bucket occupancy
+  private val SemBands = 3     // scaled semantic-dedup band count (default)
+  private val SemStride = 21   // band window stride (= EmbDim / SemBands)
+  private val SemMaxBits = 18  // band-key width cap (compare-chain length)
   private val MmrK = 5         // MMR picks
   private val MmrLam = 0.7     // MMR relevance weight (redundancy = 0.3;
   private val MmrMu = 0.3      // kept as its OWN literal — 1 - 0.7 is
@@ -423,6 +427,74 @@ object Ext {
     */
   private def ivfAssign(s: SparkSession, d: String): DataFrame =
     ivfCells(ivfScoredCells(s, d))
+
+  /** Exact within-cell semantic-dedup dropped set (distinct vec_ids with
+    * a lower-id cosine>=SemThr neighbor in the SAME cell) — the
+    * semantics reference the scaled/banded variants are audited against.
+    */
+  private def semanticExactDropped(assigned: DataFrame): DataFrame = {
+    val a = assigned.select(col("cell").as("cell_a"),
+      col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    assigned.join(a,
+        col("cell") === col("cell_a") && col("id_a") < col("vec_id") &&
+          VectorOps.dot(col("v"), col("v_a")) / (col("nrm") * col("n_a"))
+            >= SemThr)
+      .select(col("vec_id")).distinct()
+  }
+
+  /** Band-bucketed (adaptive-occupancy) semantic-dedup dropped set,
+    * parameterized by band geometry — the recall knob. Within each cell,
+    * candidates are restricted to sign-LSH band buckets whose key WIDTH
+    * adapts to the corpus: bits = ceil(log2(ceil(n/SemTarget))) computed
+    * as an integer compare-chain capped at `maxBits` (never a libm log2,
+    * whose 1-ulp error at power-of-two boundaries could diverge between
+    * engines). Expected occupancy per (cell, band, key) bucket is
+    * ~constant in n, so pair work grows linearly where the exact variant
+    * grows quadratically; each of the `bands` windows (starting at
+    * j*stride) is an independent collision chance — the minhash-LSH
+    * recall move. n <= SemTarget degenerates to bits=0 (one bucket per
+    * band = the exact within-cell semantics).
+    *
+    * The layout must FIT the vector: Spark's slice CLAMPS past the
+    * array end while DuckDB's v[i] yields NULL -> '0', so an oversized
+    * layout would silently hash-diverge instead of failing. The 1-row
+    * bits relation therefore raises a runtime error unless
+    * dim >= (bands-1)*stride + maxBits.
+    */
+  private def semanticScaledDropped(assigned: DataFrame, bands: Int,
+      stride: Int, maxBits: Int): DataFrame = {
+    val needed = (bands - 1) * stride + maxBits
+    val bitsRow = assigned
+      .agg(count(lit(1)).as("n"), min(size(col("v"))).as("dim"))
+      .select(
+        when(col("dim") < needed,
+          raise_error(concat(lit(s"semantic-dedup band layout needs " +
+            s"embedding dim >= $needed (bands=$bands, stride=$stride, " +
+            s"maxBits=$maxBits); corpus dim = "),
+            col("dim").cast("string"))))
+          .otherwise(
+            (0 until maxBits).map(k =>
+              when(expr(s"(n + ${SemTarget - 1}) div $SemTarget")
+                > (1L << k), 1).otherwise(0))
+              .reduce(_ + _))
+          .cast("int").as("bits"))
+    val banded = (0 until bands).map { j =>
+      assigned.crossJoin(broadcast(bitsRow))
+        .select(col("vec_id"), col("cell"), col("v"), col("nrm"),
+          lit(j).as("band"),
+          VectorOps.signBucketAt(col("v"), j * stride, col("bits"))
+            .as("key"))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col("band").as("band_a"),
+      col("cell").as("cell_a"), col("key").as("key_a"),
+      col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    banded.join(a,
+        col("cell") === col("cell_a") && col("band") === col("band_a") &&
+          col("key") === col("key_a") && col("id_a") < col("vec_id") &&
+          VectorOps.dot(col("v"), col("v_a")) / (col("nrm") * col("n_a"))
+            >= SemThr)
+      .select(col("vec_id")).distinct()
+  }
 
   /** IVF-style cell-restricted ANN top-k (the q_ann_ivf plan, shared
     * with the recall audit): deterministic medoid quantizer (min vec_id
@@ -840,13 +912,7 @@ object Ext {
     // measurement (the q_dedup_hamming / hamming64 pairing).
     "q_dedup_semantic" -> ((s, d) => {
       val assigned = ivfAssign(s, d).localCheckpoint()
-      val a = assigned.select(col("cell").as("cell_a"),
-        col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-      val dropped = assigned.join(a,
-          col("cell") === col("cell_a") && col("id_a") < col("vec_id") &&
-            VectorOps.dot(col("v"), col("v_a")) / (col("nrm") * col("n_a"))
-              >= SemThr)
-        .select(col("vec_id")).distinct()
+      val dropped = semanticExactDropped(assigned)
         .withColumn("is_dup", lit(true))
       assigned.select(col("vec_id"), col("cell"))
         .join(dropped, Seq("vec_id"), "left")
@@ -872,41 +938,57 @@ object Ext {
     // bits=0 (one bucket per band = the exact within-cell semantics).
     // is_dup is EXISTS-shaped, so multi-band collisions are absorbed
     // by the distinct and the output is partitioning-independent.
-    // ASSUMES embedding dim >= 60 (the engine's embeddings contract is
-    // 64): max touched index is 2*21 + 18 = 60. On narrower vectors
-    // Spark's slice CLAMPS to the array while the oracle's v[i] yields
-    // NULL -> '0' — the same class of silent divergence as
-    // array_to_string-of-empty — so pin the dim before reusing the
-    // band layout on another corpus.
+    // Band geometry (bands, stride, key-width cap) is a PARAMETER of
+    // [[semanticScaledDropped]] — the recall knob, swept per round by
+    // q_dedup_semantic_sweep — and the helper raises a runtime error
+    // when the embedding dim can't carry the layout (Spark's slice
+    // CLAMPS past the array end while the oracle's v[i] yields NULL ->
+    // '0', so a silently-clamped layout would hash-diverge instead of
+    // failing loudly).
     "q_dedup_semantic_scaled" -> ((s, d) => {
-      val T = 512; val Stride = 21; val Bands = 3; val MaxBits = 18
       val assigned = ivfAssign(s, d).localCheckpoint()
-      val bitsRow = assigned.agg(count(lit(1)).as("n"))
-        .select((0 until MaxBits).map(k =>
-            when(expr(s"(n + ${T - 1}) div $T") > (1L << k), 1).otherwise(0))
-          .reduce(_ + _).cast("int").as("bits"))
-      val banded = (0 until Bands).map { j =>
-        assigned.crossJoin(broadcast(bitsRow))
-          .select(col("vec_id"), col("cell"), col("v"), col("nrm"),
-            lit(j).as("band"),
-            VectorOps.signBucketAt(col("v"), j * Stride, col("bits"))
-              .as("key"))
-      }.reduce(_ unionByName _)
-      val a = banded.select(col("band").as("band_a"),
-        col("cell").as("cell_a"), col("key").as("key_a"),
-        col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-      val dropped = banded.join(a,
-          col("cell") === col("cell_a") && col("band") === col("band_a") &&
-            col("key") === col("key_a") && col("id_a") < col("vec_id") &&
-            VectorOps.dot(col("v"), col("v_a")) / (col("nrm") * col("n_a"))
-              >= SemThr)
-        .select(col("vec_id")).distinct()
-        .withColumn("is_dup", lit(true))
+      val dropped =
+        semanticScaledDropped(assigned, SemBands, SemStride, SemMaxBits)
+          .withColumn("is_dup", lit(true))
       assigned.select(col("vec_id"), col("cell"))
         .join(dropped, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"),
           coalesce(col("is_dup"), lit(false)).as("is_dup"))
         .orderBy(col("vec_id"))
+    }),
+
+    // The RECALL KNOB swept under the oracle gate: run the band-bucketed
+    // dedup at every band count 1..4 over ONE cached cell assignment
+    // (the q_dedup_sweep shape — per-config relations union into a
+    // single plan, the corpus is scanned from the checkpoint, never
+    // re-assigned) and reduce each config to (survivor count, agreement
+    // with the exact dedup). More bands = more independent collision
+    // chances = higher recall at proportional band cost; the measured
+    // recall-vs-bands curve is what lets a user BUY recall with known
+    // cost instead of trusting the default. Stride spreads the bands
+    // evenly over the embedding (EmbDim/bands); the key-width cap keeps
+    // every window inside the vector, enforced by the helper's dim
+    // guard.
+    "q_dedup_semantic_sweep" -> ((s, d) => {
+      val assigned = ivfAssign(s, d).localCheckpoint()
+      val ex = semanticExactDropped(assigned)
+        .withColumn("de", lit(true)).localCheckpoint()
+      val perCfg = (1 to 4).map { b =>
+        val stride = EmbDim / b
+        semanticScaledDropped(assigned, b, stride,
+          math.min(SemMaxBits, stride))
+          .withColumn("n_bands", lit(b.toLong))
+      }.reduce(_ unionByName _)
+      perCfg.join(ex, Seq("vec_id"), "left")
+        .groupBy(col("n_bands"))
+        .agg(count(lit(1)).as("n_scaled"),
+          sum(when(col("de"), 1L).otherwise(0L)).as("n_both"))
+        .crossJoin(broadcast(ex.agg(count(lit(1)).as("n_exact"))))
+        .select(col("n_bands"), col("n_exact"), col("n_scaled"),
+          col("n_both"),
+          expr("CASE WHEN n_exact = 0 THEN 1000000L " +
+            "ELSE n_both * 1000000L div n_exact END").as("recall_ppm"))
+        .orderBy(col("n_bands"))
     }),
 
     // The recall readout of the exact/scaled pairing (the q_ann_recall
@@ -2811,31 +2893,41 @@ object Ext {
        |    AND a.vec_id < b.vec_id
        |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SemThr""".stripMargin
 
-  /** Adaptive band-key relation: bits = ceil(log2(ceil(n/512))) via the
-    * same integer compare-chain as the engine (no libm log2).
+  /** Adaptive band-key relation for one band geometry, CTE names
+    * suffixed so several configs coexist in one sweep query: bits =
+    * ceil(log2(ceil(n/SemTarget))) via the same integer compare-chain
+    * as the engine (no libm log2), capped at `maxBits`.
     */
+  private def semanticSqlBandedCfg(bands: Int, stride: Int, maxBits: Int,
+      sfx: String): String =
+    s"""nb$sfx AS (SELECT (SELECT sum(CASE WHEN m > (1 << k.k) THEN 1 ELSE 0
+       |      END)::INT FROM range(0, $maxBits) k(k)) AS bits
+       |  FROM (SELECT (count(*) + ${SemTarget - 1}) // $SemTarget AS m
+       |        FROM assigned)),
+       |banded$sfx AS (SELECT vec_id, cell, v, nrm, bnd.band,
+       |    -- array_to_string of an EMPTY list is NULL in DuckDB but
+       |    -- '' in Spark's array_join; coalesce so the bits=0
+       |    -- degenerate case keeps one joinable bucket per band
+       |    coalesce(array_to_string(
+       |      [CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END
+       |       for i in range(bnd.band*$stride+1, bnd.band*$stride+nb$sfx.bits+1)],
+       |      ''), '') AS key
+       |  FROM assigned CROSS JOIN nb$sfx
+       |  CROSS JOIN (VALUES ${(0 until bands).map(b => s"($b)").mkString(", ")}) bnd(band))""".stripMargin
+
+  /** The default band geometry (the one q_dedup_semantic_scaled ships). */
   private val semanticSqlBanded: String =
-    """nb AS (SELECT (SELECT sum(CASE WHEN m > (1 << k.k) THEN 1 ELSE 0
-      |      END)::INT FROM range(0, 18) k(k)) AS bits
-      |  FROM (SELECT (count(*) + 511) // 512 AS m FROM assigned)),
-      |banded AS (SELECT vec_id, cell, v, nrm, bnd.band,
-      |    -- array_to_string of an EMPTY list is NULL in DuckDB but
-      |    -- '' in Spark's array_join; coalesce so the bits=0
-      |    -- degenerate case keeps one joinable bucket per band
-      |    coalesce(array_to_string(
-      |      [CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END
-      |       for i in range(bnd.band*21+1, bnd.band*21+nb.bits+1)],
-      |      ''), '') AS key
-      |  FROM assigned CROSS JOIN nb
-      |  CROSS JOIN (VALUES (0), (1), (2)) bnd(band))""".stripMargin
+    semanticSqlBandedCfg(SemBands, SemStride, SemMaxBits, "")
 
   /** Band-bucketed dropped set (body of a DISTINCT-vec_id CTE). */
-  private def semanticSqlScaledDropped: String =
+  private def semanticSqlScaledDroppedCfg(sfx: String): String =
     s"""SELECT DISTINCT b.vec_id
-       |  FROM banded b JOIN banded a ON a.cell = b.cell
+       |  FROM banded$sfx b JOIN banded$sfx a ON a.cell = b.cell
        |    AND a.band = b.band AND a.key = b.key
        |    AND a.vec_id < b.vec_id
        |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SemThr""".stripMargin
+
+  private def semanticSqlScaledDropped: String = semanticSqlScaledDroppedCfg("")
 
   /** Shared CTE body of the BPE oracles (everything after WITH): word
     * -type freqs (w0), char-split symbol streams (s0), and `rounds`
@@ -3204,6 +3296,35 @@ object Ext {
          |  CASE WHEN n_exact = 0 THEN CAST(1000000 AS BIGINT)
          |    ELSE n_both * 1000000 // n_exact END AS recall_ppm
          |FROM agg""".stripMargin,
+
+    // the recall-vs-bands sweep: one banded CTE chain per band count
+    // (suffixed names), each reduced to survivor/agreement counts
+    // against the exact dropped set
+    "q_dedup_semantic_sweep" -> {
+      val cfgs = (1 to 4).map { b =>
+        val stride = EmbDim / b
+        (b, semanticSqlBandedCfg(b, stride, math.min(SemMaxBits, stride),
+          s"_$b"),
+          s"s_$b AS (${semanticSqlScaledDroppedCfg(s"_$b")})")
+      }
+      s"""WITH $semanticSqlBase,
+         |dx AS ($semanticSqlExactDropped),
+         |${cfgs.map(_._2).mkString(",\n")},
+         |${cfgs.map(_._3).mkString(",\n")},
+         |u AS (${cfgs.map { case (b, _, _) =>
+             s"SELECT CAST($b AS BIGINT) AS n_bands, vec_id FROM s_$b" }
+           .mkString("\n  UNION ALL ")}),
+         |ag AS (SELECT n_bands, count(*) AS n_scaled,
+         |    CAST(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_both
+         |  FROM u LEFT JOIN dx x ON u.vec_id = x.vec_id
+         |  GROUP BY n_bands),
+         |ne AS (SELECT count(*) AS n_exact FROM dx)
+         |SELECT n_bands, n_exact, n_scaled, n_both,
+         |  CASE WHEN n_exact = 0 THEN CAST(1000000 AS BIGINT)
+         |    ELSE n_both * 1000000 // n_exact END AS recall_ppm
+         |FROM ag, ne ORDER BY n_bands""".stripMargin
+    },
 
     "q_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
