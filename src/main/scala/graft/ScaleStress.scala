@@ -151,7 +151,8 @@ object ScaleStress {
     // boundary prefix; per-source gate; pair-graph provenance; length
     // batching)
     "q_token_budget_select", "q_quality_gate_per_source",
-    "q_dedup_cross_source", "q_batch_by_length",
+    "q_dedup_cross_source", "q_dedup_cross_incremental",
+    "q_batch_by_length",
     // adaptive-occupancy semantic dedup (the production path; the exact
     // within-cell variant measured 1.22 at 100x and is excluded here —
     // its saturation row is recorded in BASELINE.md)
