@@ -78,4 +78,48 @@ class SemanticDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(exact.sameElements(scaled))
   }
+
+  test("band sweep: per-config counts subset-consistent, identical twins " +
+      "always caught at every band count") {
+    // the sweep's per-band-count rows must each be internally consistent
+    // (scaled <= exact, n_both == n_scaled because scaled is a subset,
+    // recall the integer ratio), and the identical-twin guarantee holds
+    // at EVERY band count — an identical pair shares every sign key in
+    // any window layout, so n_scaled can never drop below the twin count
+    val dir = writeFixture(300) // n = 900 > 512 -> bits = 1, real buckets
+    val exact = dups("q_dedup_semantic", dir)
+    val rows = SparkEntry.queries("q_dedup_semantic_sweep")(spark, dir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      val (nEx, nSc, nBoth, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nEx == exact.size.toLong)
+      assert(nSc <= nEx && nBoth == nSc,
+        s"bands=${r.getLong(0)}: scaled not a subset ($nSc vs both $nBoth)")
+      assert(nSc >= 300L, s"bands=${r.getLong(0)} missed identical twins")
+      assert(ppm == nBoth * 1000000L / nEx)
+    }
+  }
+
+  test("oversized band layout fails loudly, not by silent clamping") {
+    // 32-dim corpus cannot carry the default (bands-1)*stride+maxBits=60
+    // layout: the dim guard must raise, because Spark's slice would
+    // clamp while the DuckDB twin pads '0' — a silent hash divergence
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem32").toString
+    (0 until 600).map(i =>
+        (i.toLong, s"l${i % 4}", Array.tabulate(32)(j =>
+          math.sin(i * 32.0 + j).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[Exception] {
+      SparkEntry.queries("q_dedup_semantic_scaled")(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("band layout needs embedding dim")),
+      s"unexpected failure: ${messages(ex).mkString(" | ")}")
+  }
 }
