@@ -2696,6 +2696,38 @@ object Ext {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // The STREAMING LSH near-dup candidate generator
+    // (Streams.nearDupCandidates — per-band-bucket exemplar state, one
+    // long per bucket) under the oracle gate, by the drain pattern:
+    // corpus docs replay as batch 1, the synthetic near-dup batch as
+    // batch 2 (ids ascend across the files, so first-seen == min id),
+    // and every bucket hit in batch 2 must come from EXEMPLAR STATE
+    // carried across the micro-batch boundary. The drained hits equal
+    // the batch answer: for each band bucket, every non-minimal doc
+    // paired with the bucket's min doc_id — which is exactly what the
+    // oracle computes over the same banded relation.
+    "q_stream_neardup_drain" -> ((s, d) => {
+      val all = docsWithNearDups(s, d)
+      val corpus = all.filter(col("doc_id") === col("base_id"))
+        .select(col("doc_id"), col("text"))
+      val batch = all.filter(col("doc_id") =!= col("base_id"))
+        .select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_nd_drain_")
+      try {
+        val t0 = System.currentTimeMillis()
+        Relational.stageStreamFile(corpus, dir, "0_docs.parquet", t0 - 60000)
+        Relational.stageStreamFile(batch, dir, "1_docs.parquet", t0 - 30000)
+        val raw = s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        Relational.drainStream(
+          graft.streaming.Streams.nearDupCandidates(raw, K, NumHashes,
+            Bands).toDF(),
+          "append")
+          .select(col("doc_id"), col("exemplar_id"), col("band_key"))
+          .orderBy(col("doc_id"), col("band_key"))
+      } finally Relational.deleteRecursive(dir)
+    }),
+
     // Cross-document duplicated-substring sweep (exact substring dedup
     // at n-gram granularity, the Lee-et-al. "deduplicating training
     // data" shape): every position whose DupK-gram also appears in
@@ -4471,6 +4503,23 @@ object Ext {
          |         JOIN documents db ON db.doc_id = m.bb)
          |SELECT src_a, src_b, count(*) AS n_pairs
          |FROM jj GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+
+    // the drained streaming LSH hits = per-bucket (doc, min-doc) pairs
+    "q_stream_neardup_drain" ->
+      s"""WITH $sqlDocsCte,
+         |tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM docs),
+         |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
+         |hv AS (SELECT doc_id, list_transform(sh, x -> $sqlHash31) AS vs
+         |  FROM sh),
+         |sg AS (SELECT doc_id, $sqlSig AS sig FROM hv),
+         |bk AS (SELECT doc_id,
+         |    unnest([${sqlBands.mkString(", ")}]) AS band_key FROM sg),
+         |ex AS (SELECT band_key, min(doc_id) AS exemplar_id FROM bk
+         |  GROUP BY band_key)
+         |SELECT b.doc_id, e.exemplar_id, b.band_key
+         |FROM bk b JOIN ex e ON b.band_key = e.band_key
+         |WHERE b.doc_id <> e.exemplar_id
+         |ORDER BY b.doc_id, b.band_key""".stripMargin,
 
     "q_substring_dup" ->
       s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t

@@ -55,7 +55,7 @@ object Relational {
     * table, MATERIALIZED (eager localCheckpoint) so the per-invocation
     * temp view can be dropped before the caller consumes the result.
     */
-  private def drainStream(stream: DataFrame, mode: String): DataFrame = {
+  private[queries] def drainStream(stream: DataFrame, mode: String): DataFrame = {
     val s = stream.sparkSession
     val qn = s"graft_drain_${drainSeq.incrementAndGet()}"
     val q = stream.writeStream.format("memory").queryName(qn)
@@ -91,7 +91,7 @@ object Relational {
     * the knob that forces the drained operator's state to carry ACROSS
     * micro-batches instead of resolving inside one.
     */
-  private def stageStreamFile(df: DataFrame, dir: java.nio.file.Path,
+  private[queries] def stageStreamFile(df: DataFrame, dir: java.nio.file.Path,
       name: String, mtimeMs: Long): Unit = {
     import java.nio.file.{Files, Path}
     val s = df.sparkSession
@@ -118,7 +118,7 @@ object Relational {
       java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
   }
 
-  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+  private[queries] def deleteRecursive(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.isDirectory(p)) {
       val st = Files.list(p)
@@ -1822,6 +1822,117 @@ object Relational {
         .orderBy(col("l_id"), col("r_id"))
     }),
 
+    // Per-key admission cap (Streams.capPerKey) under the oracle gate:
+    // events replay as two id-split files (one per micro-batch, ids
+    // ascending across files), so admissions in batch 2 must respect
+    // the COUNTER state carried from batch 1 — the drained admissions
+    // are then exactly the first `cap` events per type in global id
+    // order, which is the batch row_number answer the oracle computes.
+    "q_stream_cap_drain" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select(col("event_type"), col("event_id"))
+      // bounded readout: the id split point for the two-file staging
+      val mid = ev.agg(expr("percentile_approx(event_id, 0.5)"))
+        .head().getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_cap_drain_")
+      try {
+        val t0 = System.currentTimeMillis()
+        stageStreamFile(ev.filter(col("event_id") < mid), dir,
+          "0_events.parquet", t0 - 60000)
+        stageStreamFile(ev.filter(col("event_id") >= mid), dir,
+          "1_events.parquet", t0 - 30000)
+        val raw = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        drainStream(
+          graft.streaming.Streams.capPerKey(
+            raw.select(col("event_type").as("_1"),
+              col("event_id").as("_2")).as[(String, Long)],
+            cap = 30).toDF(),
+          "append")
+          .select(col("key").as("event_type"), col("id").as("event_id"),
+            col("seq"))
+          .orderBy(col("event_type"), col("event_id"))
+      } finally deleteRecursive(dir)
+    }),
+
+    // Per-key bounded leaderboard (Streams.topKPerKey) under the oracle
+    // gate: same id-split two-batch replay, Update-mode drain keeps
+    // every emission, and the FINAL leaderboard per key is the
+    // max-n_seen row (the counter is strictly increasing). k-truncated
+    // merge is associative, so the drained final state must equal the
+    // batch top-5 by (value desc, event_id) — a lost or mis-merged
+    // cross-batch displacement shows as a hash mismatch.
+    "q_stream_topk_drain" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select(col("event_type"), col("event_id"),
+        col("value"))
+      val mid = ev.agg(expr("percentile_approx(event_id, 0.5)"))
+        .head().getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_topk_drain_")
+      try {
+        val t0 = System.currentTimeMillis()
+        stageStreamFile(ev.filter(col("event_id") < mid), dir,
+          "0_events.parquet", t0 - 60000)
+        stageStreamFile(ev.filter(col("event_id") >= mid), dir,
+          "1_events.parquet", t0 - 30000)
+        val raw = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        val drained = drainStream(
+          graft.streaming.Streams.topKPerKey(
+            raw.select(col("event_type").as("_1"), col("event_id").as("_2"),
+              col("value").as("_3")).as[(String, Long, Double)],
+            k = 5).toDF(),
+          "update")
+        val wFinal = Window.partitionBy(col("key"))
+        drained
+          .withColumn("_mx", max(col("n_seen")).over(wFinal))
+          .filter(col("n_seen") === col("_mx"))
+          .select(col("key").as("event_type"),
+            posexplode(arrays_zip(col("ids"), col("scores"))))
+          .select(col("event_type"), (col("pos") + 1).cast("long").as("rn"),
+            col("col.ids").as("event_id"), col("col.scores").as("value"))
+          .orderBy(col("event_type"), col("rn"))
+      } finally deleteRecursive(dir)
+    }),
+
+    // Running per-key profile (Streams.userProfiles, mapGroupsWithState
+    // Update mode) under the oracle gate: the staged replay quantizes
+    // value to floor(value*100) — an INTEGER-valued double, so the
+    // streaming fold order and the oracle's SUM are bit-identical
+    // (double addition of integers is associative below 2^53; raw
+    // doubles would make the fold order observable). Final profile per
+    // user = max-n_events emission; must equal the batch
+    // count/sum/max(ts) aggregate.
+    "q_stream_profile_drain" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"),
+        floor(col("value") * 100).cast("double").as("value"))
+      val mid = ev.agg(expr("percentile_approx(event_id, 0.5)"))
+        .head().getLong(0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_prof_drain_")
+      try {
+        val t0 = System.currentTimeMillis()
+        stageStreamFile(ev.filter(col("event_id") < mid), dir,
+          "0_events.parquet", t0 - 60000)
+        stageStreamFile(ev.filter(col("event_id") >= mid), dir,
+          "1_events.parquet", t0 - 30000)
+        val raw = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        val drained = drainStream(
+          graft.streaming.Streams.userProfiles(
+            raw.as[graft.streaming.Streams.Event]).toDF(),
+          "update")
+        val wFinal = Window.partitionBy(col("user_id"))
+        drained
+          .withColumn("_mx", max(col("n_events")).over(wFinal))
+          .filter(col("n_events") === col("_mx"))
+          .select(col("user_id"), col("n_events"), col("total_value"),
+            unix_micros(col("last_seen")).as("last_seen_us"))
+          .orderBy(col("user_id"))
+      } finally deleteRecursive(dir)
+    }),
+
     // Sliding windows (batch twin of the streaming hop): each event
     // lands in size/slide = 2 buckets — the fan-out is a map-side
     // generator, then one agg shuffle, same as tumbling.
@@ -2974,6 +3085,32 @@ object Relational {
         |  AND r.event_type = 'click'
         |  AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 300 SECOND
         |ORDER BY l_id, r_id""".stripMargin,
+
+    // drained cross-batch admissions = first `cap` per key in id order
+    "q_stream_cap_drain" ->
+      """SELECT event_type, event_id, rn AS seq FROM (
+        |  SELECT event_type, event_id, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 30 ORDER BY event_type, event_id""".stripMargin,
+
+    // drained final leaderboards = the batch top-5 per type
+    "q_stream_topk_drain" ->
+      """SELECT event_type, rn, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
+
+    // drained final profiles = the batch per-user aggregate (value
+    // pre-quantized to integer-valued doubles on BOTH sides, so the
+    // streaming fold order is unobservable)
+    "q_stream_profile_drain" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(floor(value * 100)) AS DOUBLE) AS total_value,
+        |  epoch_us(max(ts)) AS last_seen_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_window_firstlast" ->
       """SELECT event_id,

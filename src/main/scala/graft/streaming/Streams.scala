@@ -131,15 +131,26 @@ object Streams {
       }
   }
 
-  case class TopK(key: String, ids: Seq[Long], scores: Seq[Double])
+  /** `n_seen` counts every record ever folded into the key (not just
+    * the k retained): it is strictly increasing per key, so a drained
+    * Update-mode sink (which keeps every emission) can identify the
+    * FINAL leaderboard per key as the max-n_seen row — the observable
+    * the oracle gate needs.
+    */
+  case class TopK(key: String, ids: Seq[Long], scores: Seq[Double],
+      n_seen: Long)
 
   /** Running top-k per key via mapGroupsWithState (Update mode): state
-    * is a BOUNDED k-element list per key — the streaming twin of the
-    * typed TopKByScore batch Aggregator, and the leaderboard/
-    * best-candidates operator Spark has no built-in for (rank windows
-    * are not supported on streams). Each batch folds its records into
-    * the per-key heap and emits the key's current top-k, ties broken by
-    * id so the emission is deterministic under micro-batch regrouping.
+    * is a BOUNDED k-element list per key (plus the fold counter) — the
+    * streaming twin of the typed TopKByScore batch Aggregator, and the
+    * leaderboard/best-candidates operator Spark has no built-in for
+    * (rank windows are not supported on streams). Each batch folds its
+    * records into the per-key heap and emits the key's current top-k,
+    * ties broken by id so the emission is deterministic under
+    * micro-batch regrouping. k-truncated merge is associative (new
+    * records only push old ranks down), so the final state equals the
+    * batch top-k regardless of batch boundaries — q_stream_topk_drain
+    * pins exactly that.
     */
   def topKPerKey(records: Dataset[(String, Long, Double)], k: Int):
       Dataset[TopK] = {
@@ -147,13 +158,15 @@ object Streams {
     records.groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (key: String, batch: Iterator[(String, Long, Double)],
-            state: GroupState[Seq[(Long, Double)]]) =>
-          val merged = (state.getOption.getOrElse(Seq.empty) ++
-            batch.map(r => (r._2, r._3)))
+            state: GroupState[(Long, Seq[(Long, Double)])]) =>
+          val (seen0, kept0) = state.getOption.getOrElse((0L, Seq.empty))
+          val incoming = batch.map(r => (r._2, r._3)).toSeq
+          val merged = (kept0 ++ incoming)
             .sortBy { case (id, score) => (-score, id) }
             .take(k)
-          state.update(merged)
-          TopK(key, merged.map(_._1), merged.map(_._2))
+          val seen = seen0 + incoming.size
+          state.update((seen, merged))
+          TopK(key, merged.map(_._1), merged.map(_._2), seen)
       }
   }
 
