@@ -143,8 +143,8 @@ object ScaleStress {
     // near-dup pipelines (banded LSH, never all-pairs)
     "q_dedup_minhash", "q_dedup_pairs", "q_dedup_clusters", "q_dedup_hamming",
     "q_dedup_hamming64",
-    // ANN (bucketed, never brute-force at scale)
-    "q_sim_topk", "q_ann_lsh", "q_ann_ivf",
+    // ANN (bucketed, never brute-force at scale) + PQ compression
+    "q_sim_topk", "q_ann_lsh", "q_ann_ivf", "q_pq_assign", "q_pq_adc",
     // stateful sessionization over events
     "q_sessionize",
     // round-6/7 additions over documents (histogram offsets + ranged

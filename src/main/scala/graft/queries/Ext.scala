@@ -74,6 +74,8 @@ object Ext {
                                // 0.30000000000000004 in binary64, which
                                // would diverge from the oracle's 0.3)
   private val EmbDim = 64      // embedding width (FIXTURES.md §1)
+  private val PqM = 8          // product-quantization subspaces
+  private val PqSub = EmbDim / PqM // dims per PQ subspace
   private val ProjDims = 8     // JL sign-projection output width
   private val WinnowW = 4      // winnowing window (grams per window)
 
@@ -427,6 +429,58 @@ object Ext {
       }
     }
     (merges.reverse, syms)
+  }
+
+  // ---- product quantization (IVF-PQ's compression half) ----------------
+
+  /** Squared-L2 distance between subvectors j of `a` and `b` (PqSub
+    * dims starting at j*PqSub), as ONE left-associated sum of squared
+    * differences — a fixed expression shape the DuckDB oracle
+    * reproduces term for term, so the float result is bit-identical
+    * (FP addition is non-associative; a different grouping could flip
+    * a rank at a round boundary).
+    */
+  private def pqSubDist(a: Column, b: Column, j: Int): Column =
+    (0 until PqSub).map { i =>
+      val idx = j * PqSub + i + 1
+      val diff = element_at(a, idx) - element_at(b, idx)
+      diff * diff
+    }.reduce(_ + _)
+
+  /** The PQ codebook: one codeword per label per subspace, taken from
+    * the deterministic label-medoid reps (min vec_id per label) — the
+    * same quantizer family as the IVF cells. In production the
+    * codebooks come from per-subspace k-means (ops.KMeansFit is the
+    * trainer); the medoid codebook keeps the assignment closed-form so
+    * the oracle can replay it exactly.
+    */
+  private def pqReps(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("label"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+    e.groupBy(col("label")).agg(min(col("vec_id")).as("rep_id"))
+      .join(e.select(col("vec_id").as("rep_id"), col("v").as("rv")),
+        Seq("rep_id"))
+      .select(col("rep_id"), col("rv"))
+  }
+
+  /** PQ encode: per vector, the argmin codeword per subspace by
+    * (squared-L2, rep_id). ONE broadcast cross join with the K-row
+    * codebook and ONE aggregation — the argmin rides min(struct(dist,
+    * rep_id)) so all 8 subspaces resolve in a single map-side-combined
+    * pass; the corpus never shuffles more than its (vec_id, 8 codes)
+    * projection. Codes are 8 small ids per vector — the 64-float
+    * embedding compressed ~32x, which is what makes 100 TB ANN
+    * storage/scan costs workable.
+    */
+  private def pqAssign(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+    val aggs = (0 until PqM).map(j =>
+      min(struct(pqSubDist(col("v"), col("rv"), j).as("d"),
+        col("rep_id").as("r"))).getField("r").as(s"code_$j"))
+    e.crossJoin(broadcast(pqReps(s, d)))
+      .groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   private def ivfScoredCells(s: SparkSession, d: String): DataFrame = {
@@ -2919,6 +2973,76 @@ object Ext {
         .orderBy(col("q_id"))
     }),
 
+    // ---- product quantization (the IVF-PQ compression half) ------------
+    // PQ encode under the oracle gate: one broadcast codebook pass, one
+    // aggregation (see pqAssign). The codes table IS the production
+    // artifact — 8 small ids replacing 64 floats (~32x), the form a
+    // 100 TB ANN index actually stores and scans.
+    "q_pq_assign" -> ((s, d) =>
+      pqAssign(s, d).orderBy(col("vec_id"))),
+
+    // PQ asymmetric-distance (ADC) probe: queries stay RAW, database
+    // vectors are their codes — each code joins back to its codeword
+    // subvector (8 broadcast joins against the K-row codebook; the
+    // codes scan never shuffles), and the approximate distance is the
+    // fixed-shape sum of per-subspace squared-L2 terms, computed
+    // codeword-vs-query. Top-k per query by (adc, vec_id). This is the
+    // scan shape whose cost at 100 TB is the CODES table, not the
+    // embeddings.
+    "q_pq_adc" -> ((s, d) => {
+      val codes = pqAssign(s, d)
+      val reps = pqReps(s, d)
+      val withWords = (0 until PqM).foldLeft(codes) { (df, j) =>
+        df.join(broadcast(reps.select(col("rep_id").as(s"code_$j"),
+          col("rv").as(s"rv_$j"))), Seq(s"code_$j"))
+      }
+      val e = embeddings(s, d).select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val adc = (0 until PqM).map(j =>
+        pqSubDist(col("qv"), col(s"rv_$j"), j)).reduce(_ + _)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc"), col("vec_id"))
+      withWords.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adc.as("adc"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= AnnK)
+        .select(col("q_id"), col("rn"), col("vec_id"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // The PQ recall readout (the q_ann_recall move): ADC top-5 scored
+    // against the exact squared-L2 top-5 on the same query batch —
+    // the compression-vs-recall trade quantified under the gate every
+    // round, like the semantic-dedup and IVF families.
+    "q_pq_recall" -> ((s, d) => {
+      val approx = queries("q_pq_adc")(s, d)
+        .select(col("q_id"), col("vec_id"))
+      val e = embeddings(s, d).select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val dist = (0 until PqM).map(j =>
+        pqSubDist(col("qv"), col("v"), j)).reduce(_ + _)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist"), col("vec_id"))
+      val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), dist.as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= AnnK)
+      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / AnnK, 6)
+            .as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
     // Bigram conditional-probability table (the n-gram LM building
     // block): bigram extraction is map-only (2-shingles), the
     // conditioning total comes from a window over the AGGREGATED
@@ -3045,6 +3169,53 @@ object Ext {
        |    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SemThr""".stripMargin
 
   private def semanticSqlScaledDropped: String = semanticSqlScaledDroppedCfg("")
+
+  /** DuckDB twin of [[pqSubDist]]: same terms, same left-associated
+    * order, parenthesized per subspace so the float grouping matches
+    * the Spark fold exactly.
+    */
+  private def sqlPqSubDist(a: String, b: String, j: Int): String =
+    "(" + (0 until PqSub).map { i =>
+      val idx = j * PqSub + i + 1
+      s"($a[$idx]-$b[$idx])*($a[$idx]-$b[$idx])"
+    }.mkString(" + ") + ")"
+
+  /** Shared CTEs of the PQ oracles: double-cast embeddings and the
+    * label-medoid codebook.
+    */
+  private val pqSqlBase: String =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |reps AS (SELECT r.rep_id, e.v AS rv
+      |  FROM (SELECT label, min(vec_id) AS rep_id FROM e GROUP BY label) r
+      |  JOIN e ON e.vec_id = r.rep_id)""".stripMargin
+
+  /** Per-subspace argmin CTEs (c0..c7) + the assembled codes relation —
+    * the oracle replay of [[pqAssign]]'s struct-min aggregation.
+    */
+  private val pqSqlCodes: String = {
+    val cs = (0 until PqM).map { j =>
+      s"""c$j AS (SELECT vec_id, rep_id AS code_$j FROM (
+         |  SELECT e.vec_id, reps.rep_id, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${sqlPqSubDist("e.v", "reps.rv", j)}, reps.rep_id) AS rn
+         |  FROM e CROSS JOIN reps) WHERE rn = 1)""".stripMargin
+    }
+    val joins = (0 until PqM)
+      .map(j => s"JOIN c$j ON c$j.vec_id = e.vec_id").mkString(" ")
+    cs.mkString(",\n") + ",\n" +
+      s"codes AS (SELECT e.vec_id, " +
+      (0 until PqM).map(j => s"c$j.code_$j").mkString(", ") +
+      s" FROM e $joins)"
+  }
+
+  /** Codes joined back to their codeword vectors (rv_0..rv_7). */
+  private val pqSqlWords: String =
+    s"k AS (SELECT codes.*, " +
+      (0 until PqM).map(j => s"r$j.rv AS rv_$j").mkString(", ") +
+      " FROM codes " +
+      (0 until PqM).map(j => s"JOIN reps r$j ON r$j.rep_id = codes.code_$j")
+        .mkString(" ") + ")"
 
   /** Shared CTE body of the BPE oracles (everything after WITH): word
     * -type freqs (w0), char-split symbol streams (s0), and `rounds`
@@ -3685,6 +3856,52 @@ object Ext {
          |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, round(score, 6) AS score FROM r
          |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    "q_pq_assign" ->
+      s"""WITH $pqSqlBase,
+         |$pqSqlCodes
+         |SELECT vec_id, ${(0 until PqM).map(j => s"code_$j").mkString(", ")}
+         |FROM codes ORDER BY vec_id""".stripMargin,
+
+    "q_pq_adc" ->
+      s"""WITH $pqSqlBase,
+         |$pqSqlCodes,
+         |$pqSqlWords,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |p AS (SELECT q.q_id, k.vec_id,
+         |    ${(0 until PqM).map(j => sqlPqSubDist("q.qv", s"k.rv_$j", j))
+               .mkString(" + ")} AS adc
+         |  FROM k JOIN q ON k.vec_id != q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, round(adc, 6) AS adc FROM r
+         |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    "q_pq_recall" ->
+      s"""WITH $pqSqlBase,
+         |$pqSqlCodes,
+         |$pqSqlWords,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |p AS (SELECT q.q_id, k.vec_id,
+         |    ${(0 until PqM).map(j => sqlPqSubDist("q.qv", s"k.rv_$j", j))
+               .mkString(" + ")} AS adc
+         |  FROM k JOIN q ON k.vec_id != q.q_id),
+         |ra AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
+         |  WHERE rn <= $AnnK),
+         |px AS (SELECT q.q_id, e2.vec_id,
+         |    ${(0 until PqM).map(j => sqlPqSubDist("q.qv", "e2.v", j))
+               .mkString(" + ")} AS dist
+         |  FROM e e2 JOIN q ON e2.vec_id != q.q_id),
+         |rx AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY dist, vec_id) AS rn FROM px)
+         |  WHERE rn <= $AnnK),
+         |h AS (SELECT rx.q_id, count(*) AS n_hits FROM rx
+         |  JOIN ra ON ra.q_id = rx.q_id AND ra.vec_id = rx.vec_id
+         |  GROUP BY rx.q_id)
+         |SELECT q.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $AnnK, 6) AS recall
+         |FROM q LEFT JOIN h ON h.q_id = q.q_id ORDER BY q.q_id""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT doc_id,

@@ -393,6 +393,64 @@ class StreamingSpec extends SparkSpec {
     assert(r1.sameElements(batch))
   }
 
+  test("stateful state RESTORES across separate AvailableNow runs " +
+      "(checkpointed sessionize)") {
+    // The drain queries all start FRESH temporary checkpoints — this is
+    // the restore-path twin: two separate AvailableNow runs over one
+    // growing directory share one checkpoint, so run 2 must (a) skip
+    // run 1's files via the restored source offsets and (b) restore the
+    // open-session STATE STORE and extend/seal it, not re-derive it.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-resume")
+    val data = s"$root/data"; val ck = s"$root/ck"
+    new java.io.File(data).mkdirs()
+    def stage(name: String, evs: Seq[Event], mtime: Long): Unit = {
+      val stageDir = s"$root/_stg_$name"
+      evs.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val part = new java.io.File(stageDir).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(s"$data/$name")
+      assert(part.renameTo(dst))
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis()
+    // run 1: one open session for user 1 (gap 60 s, lateness 5 s).
+    // Sink is PARQUET (the memory sink refuses checkpoint recovery —
+    // it is not fault-tolerant; a restore test needs a real sink).
+    stage("0.parquet", Seq(ev(1, 1000, 1), ev(2, 1030, 1)), t0 - 90000)
+    val schema = Seq(ev(1, 1000, 1)).toDS().toDF().schema
+    val out = s"$root/out"
+    def drainOnce(): Unit = {
+      val raw = spark.readStream.schema(schema).parquet(data)
+      Streams.runAvailableNow(
+        Streams.sessionize(raw.as[Event], gapSeconds = 60,
+          lateness = "5 seconds").toDF(),
+        out, ck).awaitTermination()
+    }
+    def sealedOut(): Array[Session] = {
+      import org.apache.spark.sql.types._
+      val sessSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("session_start", TimestampType),
+        StructField("session_end", TimestampType), StructField("n_events", LongType)))
+      spark.read.schema(sessSchema).parquet(out).as[Session].collect()
+    }
+    drainOnce()
+    val afterRun1 = sealedOut()
+    assert(afterRun1.isEmpty, s"session sealed too early: ${afterRun1.toSeq}")
+    // run 2: an admissible extension plus a far-future sealer; the
+    // restored state must EXTEND the open session to 1090, then seal it
+    stage("1.parquet", Seq(ev(3, 1090, 1), ev(4, 9000, 2)), t0 - 60000)
+    stage("2.parquet", Seq(ev(5, 20000, 2)), t0 - 30000)
+    drainOnce()
+    val sessions = sealedOut().filter(_.user_id == 1)
+    assert(sessions.length == 1, s"got ${sealedOut().toSeq}")
+    assert(sessions.head.session_start == ts(1000) &&
+      sessions.head.session_end == ts(1090) &&
+      sessions.head.n_events == 3,
+      s"restored state did not extend the open session: ${sessions.head}")
+  }
+
   test("q_stream_dedup_drain: state store drops the whole second replay") {
     // the doubled staging replays the corpus twice across TWO
     // micro-batches (maxFilesPerTrigger=1); every batch-2 row must fall
