@@ -3013,6 +3013,40 @@ object Ext {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // The COMPOSED IVF-PQ probe — the actual 100 TB ANN index shape
+    // (Jégou et al. 2011): coarse quantizer restricts candidates to the
+    // query's cell (the IVF equi-join, no corpus scan at scale), PQ
+    // codes supply the distances (the ADC reconstruction joins — the
+    // only per-candidate data touched is 8 code ids). Cell assignment
+    // and codebook share ONE medoid rep set, so index maintenance is a
+    // single broadcast relation.
+    "q_pq_ivf_adc" -> ((s, d) => {
+      val assigned = ivfAssign(s, d).localCheckpoint()
+      val codes = pqAssign(s, d)
+      val reps = pqReps(s, d)
+      val withWords = (0 until PqM).foldLeft(codes) { (df, j) =>
+        df.join(broadcast(reps.select(col("rep_id").as(s"code_$j"),
+          col("rv").as(s"rv_$j"))), Seq(s"code_$j"))
+      }
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("cell").as("q_cell"))
+      val adc = (0 until PqM).map(j =>
+        pqSubDist(col("qv"), col(s"rv_$j"), j)).reduce(_ + _)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc"), col("vec_id"))
+      withWords
+        .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .join(broadcast(q),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adc.as("adc"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= AnnK)
+        .select(col("q_id"), col("rn"), col("vec_id"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // The PQ recall readout (the q_ann_recall move): ADC top-5 scored
     // against the exact squared-L2 top-5 on the same query batch —
     // the compression-vs-recall trade quantified under the gate every
@@ -3872,6 +3906,24 @@ object Ext {
          |    ${(0 until PqM).map(j => sqlPqSubDist("q.qv", s"k.rv_$j", j))
                .mkString(" + ")} AS adc
          |  FROM k JOIN q ON k.vec_id != q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, round(adc, 6) AS adc FROM r
+         |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    // the composed probe reuses the semantic-dedup base CTEs (same
+    // medoid reps, same cosine cell argmax) plus the PQ code chain
+    "q_pq_ivf_adc" ->
+      s"""WITH $semanticSqlBase,
+         |$pqSqlCodes,
+         |$pqSqlWords,
+         |q AS (SELECT vec_id AS q_id, v AS qv, cell AS q_cell
+         |  FROM assigned WHERE vec_id < 5),
+         |p AS (SELECT q.q_id, k.vec_id,
+         |    ${(0 until PqM).map(j => sqlPqSubDist("q.qv", s"k.rv_$j", j))
+               .mkString(" + ")} AS adc
+         |  FROM k JOIN assigned a ON a.vec_id = k.vec_id
+         |  JOIN q ON a.cell = q.q_cell AND k.vec_id != q.q_id),
          |r AS (SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, round(adc, 6) AS adc FROM r

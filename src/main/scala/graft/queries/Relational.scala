@@ -1565,6 +1565,28 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ORC sink -> source roundtrip: same contract as q_csv_roundtrip
+    // but through the TYPED columnar format (decimals and strings
+    // survive as their own types, no stringly CSV escape hatch) — the
+    // second columnar lake format an engine migration actually meets.
+    // The oracle recomputes the aggregate from the original table, so
+    // any type coercion or value damage in the ORC write/read path
+    // fails the hash; DuckDB never needs to read ORC itself.
+    "q_orc_roundtrip" -> ((s, d) => {
+      val dir = rtDir("orc", d)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // JSON sink -> JSON source roundtrip (S6's format,
     // gmail_functions.py:127-129): same contract as q_csv_roundtrip but
     // through JSON lines with typed (non-string) number fields — the
@@ -2895,6 +2917,16 @@ object Relational {
         |ORDER BY tag, c_custkey""".stripMargin,
 
     "q_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  min(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+        |  max(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // the ORC roundtrip must preserve exactly what the source held
+    "q_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS revenue,
