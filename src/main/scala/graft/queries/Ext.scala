@@ -1490,6 +1490,21 @@ object Ext {
         .withColumn("repetitive", col("dup_frac") > 0.2)
         .orderBy(col("doc_id"))),
 
+    // k-anonymity audit over quasi-identifiers (the release-readiness
+    // check a curated dataset needs next to PII scrubbing): group sizes
+    // per (segment, nation) with the k>=10 safety flag — any unsafe
+    // group is what a release pipeline must suppress or generalize.
+    // One map-side-combined groupBy; group count is bounded by the
+    // quasi-identifier domain, never the corpus.
+    "q_k_anonymity" -> ((s, d) =>
+      customer(s, d)
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("c_mktsegment"),
+          col("c_nationkey").cast("long").as("c_nationkey"), col("n"),
+          (col("n") >= 10).as("k_safe"))
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))),
+
     // PII scrub: count + redact emails and phone-like tokens. The PII is
     // synthesized deterministically per doc (the corpus has none) so both
     // engines scrub identical input; patterns are restricted to the
@@ -4133,6 +4148,12 @@ object Ext {
          |  round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
          |        / CAST(len(gs) AS DOUBLE), 6) > 0.2 AS repetitive
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  count(*) AS n, count(*) >= 10 AS k_safe
+        |FROM customer GROUP BY c_mktsegment, c_nationkey
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
 
     "q_text_pii" ->
       s"""WITH s AS (SELECT doc_id,

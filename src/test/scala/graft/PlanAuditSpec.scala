@@ -485,6 +485,21 @@ class PlanAuditSpec extends SparkSpec {
       s"${freshScanCount(executed)} fresh file scans: ${p.take(3000)}")
   }
 
+  test("PQ probe: codebook and query batch broadcast — the codes scan " +
+      "never shuffles into a join") {
+    // the ADC probe's only per-candidate data is the codes relation;
+    // at 100 TB the codebook (K rows) and query batch (5 rows) must
+    // come to IT, never the reverse — a sort-merge/shuffled-hash join
+    // here would reshuffle the corpus-sized codes table for a
+    // broadcast-sized probe
+    val (p, executed) = planAndTreeOf("q_pq_adc")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(3000))
+    assert(flatten(executed).collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, p.take(3000))
+  }
+
   test("scaled semantic dedup: pair join is equi on (cell, band, key); " +
       "nested loops only broadcast the 1-row bits relation") {
     val (p, _) = planOf("q_dedup_semantic_scaled")

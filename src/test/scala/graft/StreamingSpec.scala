@@ -451,6 +451,36 @@ class StreamingSpec extends SparkSpec {
       s"restored state did not extend the open session: ${sessions.head}")
   }
 
+  test("drains reproduce on the RocksDB state store (the scale backend)") {
+    // The default HDFSBackedStateStore keeps state on the JVM heap —
+    // fine locally, not for 100 TB keyspaces; RocksDB spills to local
+    // disk and is the production backend. The drained answers must be
+    // BACKEND-INDEPENDENT: run the heaviest stateful drain (sessionize:
+    // arbitrary state + event-time timeouts) and the dedup drain on
+    // RocksDB and require the identical batch answers.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      val d = "/root/testdata/sf0.001"
+      val sess = SparkEntry.queries("q_stream_session_drain")(spark, d)
+        .collect()
+      val batch = SparkEntry.queries("q_sessionize")(spark, d)
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect()
+      assert(sess.nonEmpty && sess.sameElements(batch))
+      val n = graft.Tables.events(spark, d).count()
+      assert(SparkEntry.queries("q_stream_dedup_drain")(spark, d).count()
+        == n)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("q_stream_dedup_drain: state store drops the whole second replay") {
     // the doubled staging replays the corpus twice across TWO
     // micro-batches (maxFilesPerTrigger=1); every batch-2 row must fall
