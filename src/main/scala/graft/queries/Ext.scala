@@ -1490,6 +1490,47 @@ object Ext {
         .withColumn("repetitive", col("dup_frac") > 0.2)
         .orderBy(col("doc_id"))),
 
+    // Snapshot drift detection (the monitoring primitive a daily-crawl
+    // pipeline runs between yesterday's and today's corpus): per-bucket
+    // chi-square terms over the document-length histogram, with the
+    // even/odd doc_id split standing in for the two snapshots. All
+    // arithmetic is rational (no ln), the expected count is the fixed
+    // shape (tot_new * n_base / tot_base), and the statistic stays
+    // PER-BUCKET — a cross-bucket float sum would be partitioning-
+    // ordered, and the per-bucket worklist ("which length bands
+    // drifted") is the actionable readout anyway. Buckets unseen in the
+    // base snapshot have no expectation and flag as new_bucket. Scale:
+    // two map-side-combined counts over the corpus; everything after is
+    // histogram-sized.
+    "q_drift_chi2" -> ((s, d) => {
+      val snapped = documents(s, d).select(
+        when(col("doc_id") % 2 === 0, lit("base")).otherwise(lit("new"))
+          .as("snap"),
+        expr("n_chars div 100").as("bucket"))
+      val counts = snapped.groupBy(col("snap"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val a = counts.filter(col("snap") === "base")
+        .select(col("bucket"), col("n").as("n_base"))
+      val b = counts.filter(col("snap") === "new")
+        .select(col("bucket"), col("n").as("n_new"))
+      val tot = counts.groupBy()
+        .agg(sum(when(col("snap") === "base", col("n"))).as("tot_base"),
+          sum(when(col("snap") === "new", col("n"))).as("tot_new"))
+      val joined = a.join(b, Seq("bucket"), "full")
+        .select(col("bucket"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .crossJoin(broadcast(tot))
+      val e = col("tot_new").cast("double") * col("n_base") / col("tot_base")
+      val term = (col("n_new") - e) * (col("n_new") - e) / e
+      joined
+        .select(col("bucket"), col("n_base"), col("n_new"),
+          when(col("n_base") > 0, round(term, 6)).as("chi2"),
+          (col("n_base") === 0 ||
+            when(col("n_base") > 0, round(term, 6)) > 6.63).as("drifted"))
+        .orderBy(col("bucket"))
+    }),
+
     // k-anonymity audit over quasi-identifiers (the release-readiness
     // check a curated dataset needs next to PII scrubbing): group sizes
     // per (segment, nation) with the k>=10 safety flag — any unsafe
@@ -4148,6 +4189,34 @@ object Ext {
          |  round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
          |        / CAST(len(gs) AS DOUBLE), 6) > 0.2 AS repetitive
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_drift_chi2" ->
+      """WITH s AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'base' ELSE 'new'
+        |      END AS snap, n_chars // 100 AS bucket
+        |  FROM documents),
+        |c AS (SELECT snap, bucket, count(*) AS n FROM s GROUP BY 1, 2),
+        |a AS (SELECT bucket, n AS n_base FROM c WHERE snap = 'base'),
+        |b AS (SELECT bucket, n AS n_new FROM c WHERE snap = 'new'),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN snap = 'base' THEN n END) AS BIGINT)
+        |      AS tot_base,
+        |    CAST(sum(CASE WHEN snap = 'new' THEN n END) AS BIGINT)
+        |      AS tot_new
+        |  FROM c),
+        |j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+        |    CAST(coalesce(a.n_base, 0) AS BIGINT) AS n_base,
+        |    CAST(coalesce(b.n_new, 0) AS BIGINT) AS n_new
+        |  FROM a FULL JOIN b ON a.bucket = b.bucket),
+        |x AS (SELECT bucket, n_base, n_new,
+        |    (n_new - CAST(tot_new AS DOUBLE) * n_base / tot_base)
+        |      * (n_new - CAST(tot_new AS DOUBLE) * n_base / tot_base)
+        |      / (CAST(tot_new AS DOUBLE) * n_base / tot_base) AS term
+        |  FROM j, t)
+        |SELECT bucket, n_base, n_new,
+        |  CASE WHEN n_base > 0 THEN round(term, 6) END AS chi2,
+        |  (n_base = 0 OR (CASE WHEN n_base > 0 THEN round(term, 6) END)
+        |    > 6.63) AS drifted
+        |FROM x ORDER BY bucket""".stripMargin,
 
     "q_k_anonymity" ->
       """SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
