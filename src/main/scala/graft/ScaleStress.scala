@@ -155,8 +155,8 @@ object ScaleStress {
     "q_batch_by_length",
     // adaptive-occupancy semantic dedup (the production path; the exact
     // within-cell variant measured 1.22 at 100x and is excluded here —
-    // its saturation row is recorded in BASELINE.md)
-    "q_dedup_semantic_scaled",
+    // its saturation row is recorded in BASELINE.md) + its daily form
+    "q_dedup_semantic_scaled", "q_dedup_semantic_incremental",
     // multimodal fan-out pipelines (frame fan-out, batched decode,
     // overlapping windows, stride resample) — the row-multiplying
     // family, measured per round since round 8

@@ -515,6 +515,24 @@ object Ext {
   private def ivfAssign(s: SparkSession, d: String): DataFrame =
     ivfCells(ivfScoredCells(s, d))
 
+  /** embeddings plus ε-shifted copies of the first 20 vectors at
+    * vec_id+1000000 — the synthetic "today's batch" for the incremental
+    * semantic-dedup form, mirrored exactly by the oracle (shift applied
+    * in DOUBLE space after the cast, so both engines mutate identical
+    * values). base_id carries provenance structurally, like
+    * docsWithNearDups.
+    */
+  private def vecsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d).select(col("vec_id"),
+      col("vec_id").as("base_id"), col("label"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+    val mutated = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        col("vec_id").as("base_id"), col("label"),
+        transform(col("v"), x => x + lit(0.001)).as("v"))
+    base.unionByName(mutated)
+  }
+
   /** Exact within-cell semantic-dedup dropped set (distinct vec_ids with
     * a lower-id cosine>=SemThr neighbor in the SAME cell) — the
     * semantics reference the scaled/banded variants are audited against.
@@ -550,8 +568,30 @@ object Ext {
     */
   private def semanticScaledDropped(assigned: DataFrame, bands: Int,
       stride: Int, maxBits: Int): DataFrame = {
+    val banded = semanticBandify(assigned,
+      semanticBitsRow(assigned, bands, stride, maxBits), bands, stride)
+    val a = banded.select(col("band").as("band_a"),
+      col("cell").as("cell_a"), col("key").as("key_a"),
+      col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    banded.join(a,
+        col("cell") === col("cell_a") && col("band") === col("band_a") &&
+          col("key") === col("key_a") && col("id_a") < col("vec_id") &&
+          VectorOps.dot(col("v"), col("v_a")) / (col("nrm") * col("n_a"))
+            >= SemThr)
+      .select(col("vec_id")).distinct()
+  }
+
+  /** The 1-row adaptive key-width relation: bits =
+    * ceil(log2(ceil(n/SemTarget))) over `counted`'s row count, capped at
+    * maxBits, with the loud dim guard. Split out so the INCREMENTAL
+    * form can derive bits from the STANDING CORPUS while banding the
+    * daily batch with the same width (an index property, not a per-batch
+    * recomputation).
+    */
+  private def semanticBitsRow(counted: DataFrame, bands: Int, stride: Int,
+      maxBits: Int): DataFrame = {
     val needed = (bands - 1) * stride + maxBits
-    val bitsRow = assigned
+    counted
       .agg(count(lit(1)).as("n"), min(size(col("v"))).as("dim"))
       .select(
         when(col("dim") < needed,
@@ -565,23 +605,20 @@ object Ext {
                 > (1L << k), 1).otherwise(0))
               .reduce(_ + _))
           .cast("int").as("bits"))
-    val banded = (0 until bands).map { j =>
+  }
+
+  /** (vec_id, cell, v, nrm, band, key) band relation of an assigned
+    * set, keys at the width carried by `bitsRow`.
+    */
+  private def semanticBandify(assigned: DataFrame, bitsRow: DataFrame,
+      bands: Int, stride: Int): DataFrame =
+    (0 until bands).map { j =>
       assigned.crossJoin(broadcast(bitsRow))
         .select(col("vec_id"), col("cell"), col("v"), col("nrm"),
           lit(j).as("band"),
           VectorOps.signBucketAt(col("v"), j * stride, col("bits"))
             .as("key"))
     }.reduce(_ unionByName _)
-    val a = banded.select(col("band").as("band_a"),
-      col("cell").as("cell_a"), col("key").as("key_a"),
-      col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-    banded.join(a,
-        col("cell") === col("cell_a") && col("band") === col("band_a") &&
-          col("key") === col("key_a") && col("id_a") < col("vec_id") &&
-          VectorOps.dot(col("v"), col("v_a")) / (col("nrm") * col("n_a"))
-            >= SemThr)
-      .select(col("vec_id")).distinct()
-  }
 
   /** IVF-style cell-restricted ANN top-k (the q_ann_ivf plan, shared
     * with the recall audit): deterministic medoid quantizer (min vec_id
@@ -1076,6 +1113,66 @@ object Ext {
           expr("CASE WHEN n_exact = 0 THEN 1000000L " +
             "ELSE n_both * 1000000L div n_exact END").as("recall_ppm"))
         .orderBy(col("n_bands"))
+    }),
+
+    // Incremental SEMANTIC dedup — the daily form of
+    // q_dedup_semantic_scaled, completing the incremental pairing the
+    // text side already has (q_dedup_incremental /
+    // q_dedup_cross_incremental). Today's batch of ε-shifted vectors is
+    // cell-assigned against the SAME broadcast medoid reps, banded at
+    // the width the STANDING CORPUS dictates (bits is an index
+    // property), and probes the corpus band relation on (cell, band,
+    // key) with the cosine verify fused into the join — per-day work
+    // scales with the batch, the corpus side is the precomputed index.
+    // Readout per new vector: match count, first (min-id) corpus match,
+    // is_dup — the accept/reject decision a crawl pipeline applies.
+    "q_dedup_semantic_incremental" -> ((s, d) => {
+      val corpus = ivfAssign(s, d).localCheckpoint()
+      val bitsRow = semanticBitsRow(corpus, SemBands, SemStride, SemMaxBits)
+      val corpusBanded =
+        semanticBandify(corpus, bitsRow, SemBands, SemStride)
+      val eC = embeddings(s, d).select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+      val reps = eC.groupBy(col("label")).agg(min(col("vec_id")).as("rep_id"))
+        .join(eC.select(col("vec_id").as("rep_id"), col("v").as("rv"),
+          col("nrm").as("rn_")), Seq("rep_id"))
+        .select(col("rep_id"), col("rv"), col("rn_"))
+      val batch = vecsWithNearDups(s, d)
+        .filter(col("vec_id") =!= col("base_id"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("rep_score").desc, col("rep_id"))
+      val batchAssigned = batch.join(broadcast(reps))
+        .select(col("vec_id"), col("v"), col("nrm"), col("rep_id"),
+          (VectorOps.dot(col("v"), col("rv")) / (col("nrm") * col("rn_")))
+            .as("rep_score"))
+        .withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("rep_id").as("cell"))
+      val batchBanded =
+        semanticBandify(batchAssigned, bitsRow, SemBands, SemStride)
+          .select(col("vec_id").as("new_id"), col("cell").as("cell_b"),
+            col("band").as("band_b"), col("key").as("key_b"),
+            col("v").as("v_b"), col("nrm").as("nrm_b"))
+      val hits = corpusBanded.join(broadcast(batchBanded),
+          col("cell") === col("cell_b") && col("band") === col("band_b") &&
+            col("key") === col("key_b") &&
+            VectorOps.dot(col("v"), col("v_b")) / (col("nrm") * col("nrm_b"))
+              >= SemThr)
+        .select(col("new_id"), col("vec_id").as("match_id"))
+        .distinct()
+      val g = hits.groupBy(col("new_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("match_id")).as("first_match"))
+      batch.select(col("vec_id").as("new_id"))
+        .join(g, Seq("new_id"), "left")
+        .select(col("new_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("first_match"),
+          col("n_matches").isNotNull.as("is_dup"))
+        .orderBy(col("new_id"))
     }),
 
     // The recall readout of the exact/scaled pairing (the q_ann_recall
@@ -3649,6 +3746,43 @@ object Ext {
          |SELECT s.vec_id, s.cell, (d.vec_id IS NOT NULL) AS is_dup
          |FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
          |ORDER BY s.vec_id""".stripMargin,
+
+    // the daily batch probes the standing cell+band index: batch CTEs
+    // mirror the engine's ε-shift (applied in DOUBLE space), cell
+    // argmax against the same reps, banding at the CORPUS bits width
+    "q_dedup_semantic_incremental" ->
+      s"""WITH $semanticSqlBase,
+         |$semanticSqlBanded,
+         |batch AS (SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.001)
+         |      AS v
+         |  FROM embeddings WHERE vec_id < 20),
+         |bq AS (SELECT vec_id, v,
+         |    sqrt(list_dot_product(v, v)) AS nrm FROM batch),
+         |bassigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
+         |  SELECT bq.vec_id, bq.v, bq.nrm, reps.rep_id,
+         |    row_number() OVER (PARTITION BY bq.vec_id
+         |      ORDER BY list_dot_product(bq.v, reps.rv) / (bq.nrm * reps.rn_)
+         |        DESC, reps.rep_id) AS cell_rn
+         |  FROM bq CROSS JOIN reps) WHERE cell_rn = 1),
+         |bbanded AS (SELECT vec_id, cell, v, nrm, bnd.band,
+         |    coalesce(array_to_string(
+         |      [CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END
+         |       for i in range(bnd.band*$SemStride+1, bnd.band*$SemStride+nb.bits+1)],
+         |      ''), '') AS key
+         |  FROM bassigned CROSS JOIN nb
+         |  CROSS JOIN (VALUES ${(0 until SemBands).map(b => s"($b)").mkString(", ")}) bnd(band)),
+         |hits AS (SELECT DISTINCT b.vec_id AS new_id, c.vec_id AS match_id
+         |  FROM banded c JOIN bbanded b ON c.cell = b.cell
+         |    AND c.band = b.band AND c.key = b.key
+         |    AND list_dot_product(c.v, b.v) / (c.nrm * b.nrm) >= $SemThr),
+         |g AS (SELECT new_id, count(*) AS n_matches,
+         |    min(match_id) AS first_match FROM hits GROUP BY new_id)
+         |SELECT bq.vec_id AS new_id,
+         |  CAST(coalesce(g.n_matches, 0) AS BIGINT) AS n_matches,
+         |  g.first_match, g.new_id IS NOT NULL AS is_dup
+         |FROM bq LEFT JOIN g ON g.new_id = bq.vec_id
+         |ORDER BY new_id""".stripMargin,
 
     // the recall readout of the exact-vs-scaled pairing: both dedup
     // algorithms run on the same corpus and the agreement is reduced to
