@@ -1565,6 +1565,44 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // BUCKETED tables + co-located join (the canonical repeated-join
+    // optimization at 100 TB: pre-hash both fact tables into the same
+    // bucket layout ONCE, then every subsequent equi-join on that key
+    // runs with ZERO exchanges — the shuffle is paid at write time and
+    // amortized over every downstream join). Both sides are written
+    // with bucketBy(8, key) + sortBy into external tables, re-read
+    // through the catalog, joined and aggregated; the oracle computes
+    // the same aggregate from the raw tables, so any bucket-layout
+    // write/read damage fails the hash. The PLAN property — no
+    // Exchange on either side once broadcast is disabled, bucketed
+    // scans on both — is asserted in PlanAuditSpec (broadcast wins at
+    // this dim size in the verify run, which is also correct).
+    "q_join_bucketed" -> ((s, d) => {
+      val tag = Integer.toHexString(d.hashCode) +
+        s"_p${ProcessHandle.current().pid}"
+      val dir = rtDir("bkt", d)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .write.mode("overwrite")
+        .option("path", s"$dir/orders")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(s"graft_bkt_orders_$tag")
+      customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite")
+        .option("path", s"$dir/customer")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(s"graft_bkt_customer_$tag")
+      s.table(s"graft_bkt_orders_$tag")
+        .join(s.table(s"graft_bkt_customer_$tag"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ORC sink -> source roundtrip: same contract as q_csv_roundtrip
     // but through the TYPED columnar format (decimals and strings
     // survive as their own types, no stringly CSV escape hatch) — the
@@ -2924,6 +2962,14 @@ object Relational {
         |  max(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // the bucketed layout must preserve exactly what the raw join yields
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // the ORC roundtrip must preserve exactly what the source held
     "q_orc_roundtrip" ->

@@ -485,6 +485,37 @@ class PlanAuditSpec extends SparkSpec {
       s"${freshScanCount(executed)} fresh file scans: ${p.take(3000)}")
   }
 
+  test("bucketed co-located join: zero exchanges once broadcast is off") {
+    // the whole point of paying the bucketed shuffle at WRITE time:
+    // a later big-big equi-join on the bucket key must plan with NO
+    // Exchange on either side (broadcast disabled to expose the
+    // merge path — at 100 TB neither side broadcasts)
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(bcast)
+    try {
+      // materialize the bucketed tables via the gated query first
+      SparkEntry.queries("q_join_bucketed")(spark, d).collect()
+      spark.conf.set(bcast, "-1")
+      val tag = Integer.toHexString(d.hashCode) +
+        s"_p${ProcessHandle.current().pid}"
+      import org.apache.spark.sql.functions.col
+      val df = spark.table(s"graft_bkt_orders_$tag")
+        .join(spark.table(s"graft_bkt_customer_$tag"),
+          col("o_custkey") === col("c_custkey"))
+      df.collect()
+      val executed = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p: SparkPlan             => p
+      }
+      val p = executed.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles: ${p.take(3000)}")
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert("Bucketed: true".r.findAllIn(p).size == 2,
+        s"expected two bucketed scans: ${p.take(3000)}")
+    } finally spark.conf.set(bcast, prev)
+  }
+
   test("PQ probe: codebook and query batch broadcast — the codes scan " +
       "never shuffles into a join") {
     // the ADC probe's only per-candidate data is the codes relation;
