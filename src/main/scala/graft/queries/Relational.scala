@@ -58,11 +58,24 @@ object Relational {
   private[queries] def drainStream(stream: DataFrame, mode: String): DataFrame = {
     val s = stream.sparkSession
     val qn = s"graft_drain_${drainSeq.incrementAndGet()}"
-    val q = stream.writeStream.format("memory").queryName(qn)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // State-store instances (and their per-micro-batch checkpoint commits)
+    // scale with shuffle partitions, and streaming PINS the count into the
+    // checkpoint at query start — so the state partition count is a
+    // per-query sizing knob, not the session default. The drained corpora
+    // here hold at most a few hundred thousand keys: 8 partitions bounds
+    // the fixed checkpoint I/O (32 -> 8 quarters the per-batch commit
+    // fan-out) while a 100 TB deployment would size this to its key
+    // cardinality. Result hashes are partition-count-independent
+    // (partcheck audits every drain at 3 vs 32 cores).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream.format("memory").queryName(qn)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     val out = s.table(qn).localCheckpoint()
     s.catalog.dropTempView(qn)
     out
@@ -1603,6 +1616,35 @@ object Relational {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ZONE-MAP data skipping (Iceberg manifest bounds / Delta file
+    // stats): orders are written range-sorted on price into 16 files
+    // with a per-file min/max manifest; the read consults the MANIFEST
+    // and opens only the files whose bounds intersect the predicate
+    // range (~10% selective here), then re-applies the exact predicate.
+    // At 100 TB this is the layer above footer pruning — the planner
+    // reads kilobytes of stats instead of listing thousands of files.
+    // The oracle recomputes the aggregate with a plain WHERE over the
+    // raw table, so an UNSOUND skip (a dropped file that held matches)
+    // fails the hash; the gated `skipped` boolean additionally pins
+    // that the scan really did read a strict, non-empty subset of the
+    // files (WritersSpec covers the zero-candidate path's empty scan).
+    "q_zonemap_prune" -> ((s, d) => {
+      val dir = rtDir("zmap", d)
+      graft.sources.Writers.writeWithZoneMap(
+        orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+        dir, "price", 16)
+      val (cand, read, total) =
+        graft.sources.Writers.readZonePruned(s, dir, 100000.0, 150000.0)
+      cand.filter(col("price").between(lit(100000), lit(150000)))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          min(col("o_orderkey")).as("min_key"))
+        .withColumn("skipped", lit(read > 0 && read < total))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ORC sink -> source roundtrip: same contract as q_csv_roundtrip
     // but through the TYPED columnar format (decimals and strings
     // survive as their own types, no stringly CSV escape hatch) — the
@@ -3037,6 +3079,16 @@ object Relational {
         |  min(o_orderkey) AS min_key
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_zonemap_prune" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  min(o_orderkey) AS min_key,
+        |  TRUE AS skipped
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 100000 AND 150000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_json_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,

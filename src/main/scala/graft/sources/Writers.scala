@@ -131,4 +131,60 @@ object Writers {
     fs.delete(old, true)
     (rows, filesBefore)
   }
+
+  /** Write `df` range-sorted by `zcol` into `nFiles` files and record a
+    * ZONE-MAP manifest under `path/_zonemap` (underscore-prefixed, so
+    * table readers skip it like `_SUCCESS`): one row per data file with
+    * that file's min/max of `zcol` and its row count. This is lakehouse
+    * data skipping (Iceberg manifests' column bounds, Delta's file
+    * stats): at 100 TB the planner consults kilobytes of manifest
+    * instead of opening thousands of parquet footers, and file-level
+    * skipping composes with the row-group pruning the footers already
+    * give — the manifest decides which files to LIST, the footers prune
+    * within the survivors.
+    */
+  def writeWithZoneMap(df: DataFrame, path: String, zcol: String,
+      nFiles: Int): Unit = {
+    df.repartitionByRange(nFiles, col(zcol))
+      .sortWithinPartitions(col(zcol))
+      .write.mode("overwrite").parquet(path)
+    val s = df.sparkSession
+    // One column-pruned pass builds the manifest (a production writer
+    // collects these bounds from the write tasks' own footers instead
+    // of re-reading; the re-scan keeps this portable and still touches
+    // only zcol's column chunks).
+    val zm = s.read.parquet(path)
+      .select(input_file_name().as("file"),
+        col(zcol).cast("double").as("z"))
+      .groupBy(col("file"))
+      .agg(min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+        count(lit(1)).as("n_rows"))
+    zm.coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap")
+  }
+
+  /** Return (candidates, filesRead, filesTotal): a scan over ONLY the
+    * files whose [z_min, z_max] intersects [lo, hi], per the zone map
+    * written by [[writeWithZoneMap]]. Skipping is SOUND — a file is
+    * dropped only when its recorded bounds exclude the whole range — so
+    * re-applying the exact predicate on the candidates gives the same
+    * answer as a full scan; only the I/O shrinks with the selectivity.
+    * The manifest collect is bounded by the FILE count (one row per
+    * file), not the data: the guard fails loudly if a layout ever
+    * produces a manifest too large to hold on the driver.
+    */
+  def readZonePruned(spark: SparkSession, path: String,
+      lo: Double, hi: Double): (DataFrame, Long, Long) = {
+    val zm = spark.read.parquet(s"$path/_zonemap")
+    val total = zm.count()
+    require(total <= 1000000,
+      s"readZonePruned: manifest for $path lists $total files; " +
+        "driver-side planning needs a partitioned manifest at this size")
+    val hit = zm.filter(col("z_min") <= hi && col("z_max") >= lo)
+      .select(col("file")).collect().map(_.getString(0)).sorted
+    val df =
+      if (hit.isEmpty)
+        spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(hit.toIndexedSeq: _*)
+    (df, hit.length.toLong, total)
+  }
 }

@@ -111,4 +111,39 @@ class WritersSpec extends SparkSpec {
     assert(after.inputFiles.length == 3) // ceil(1000/400)
     assert(after.count() == 1000)
   }
+
+  test("zone map skips files soundly; disjoint range reads zero files") {
+    val d = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-zmap").toString
+    val orders = Tables.orders(spark, d)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    Writers.writeWithZoneMap(orders, out, "price", 16)
+
+    // the manifest is hidden from plain table reads (underscore dir)
+    assert(spark.read.parquet(out).count() == orders.count())
+
+    // a ~10%-of-value-range predicate must open a strict subset, and
+    // the pruned scan + exact residual must equal the full-scan filter
+    val (cand, read, total) =
+      Writers.readZonePruned(spark, out, 100000.0, 150000.0)
+    assert(total == 16 && read > 0 && read < total,
+      s"expected a strict subset, got $read of $total")
+    val exact = orders
+      .filter(col("price").between(lit(100000), lit(150000)))
+    val pruned = cand
+      .filter(col("price").between(lit(100000), lit(150000)))
+    assert(pruned.count() == exact.count())
+    assert(pruned.agg(sum(col("o_orderkey"))).head.getLong(0) ==
+      exact.agg(sum(col("o_orderkey"))).head.getLong(0))
+    // the candidate files really are the smaller scan
+    assert(cand.inputFiles.length.toLong == read)
+
+    // a range below every price: zero candidate files, empty result,
+    // and the empty-path scan still carries the table schema
+    val (none, read0, total0) =
+      Writers.readZonePruned(spark, out, -10.0, -1.0)
+    assert(read0 == 0 && total0 == 16 && none.count() == 0)
+    assert(none.columns.toSeq == Seq("o_orderkey", "price"))
+  }
 }
