@@ -1667,6 +1667,120 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // COST-BASED join reorder: catalog statistics (ANALYZE TABLE ...
+    // FOR ALL COLUMNS) feed Catalyst's CBO, and a join chain WRITTEN
+    // fact-first (orders >< customer >< nation) replans dimension-first
+    // ((customer >< nation) >< orders — the smaller intermediate) once
+    // spark.sql.cbo.joinReorder is on. At 100 TB, written join order
+    // is a bug surface CBO erases: the optimizer, not the author,
+    // owns the join tree. The result is materialized (localCheckpoint)
+    // WHILE the CBO flags are set, then the flags restore — the gated
+    // hash proves the reordered plan computes the same answer, and
+    // PlanAuditSpec asserts the reorder itself happened on the
+    // optimized plan tree.
+    "q_join_cbo" -> ((s, d) => {
+      val tag = Integer.toHexString(d.hashCode) +
+        s"_p${ProcessHandle.current().pid}"
+      val dir = rtDir("cbo", d)
+      def save(df: DataFrame, name: String): String = {
+        val t = s"graft_cbo_${name}_$tag"
+        df.write.mode("overwrite").option("path", s"$dir/$name")
+          .saveAsTable(t)
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+        t
+      }
+      val o = save(orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price")), "orders")
+      val c = save(customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey")), "customer")
+      val n = save(nation(s, d)
+        .select(col("n_nationkey"), col("n_name")), "nation")
+      val cbo = "spark.sql.cbo.enabled"
+      val jr = "spark.sql.cbo.joinReorder.enabled"
+      val prevCbo = s.conf.get(cbo)
+      val prevJr = s.conf.get(jr)
+      try {
+        s.conf.set(cbo, "true"); s.conf.set(jr, "true")
+        s.table(o)
+          .join(s.table(c), col("o_custkey") === col("c_custkey"))
+          .join(s.table(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("price")).cast("double").as("revenue"))
+          .orderBy(col("n_name"))
+          .localCheckpoint()
+      } finally { s.conf.set(cbo, prevCbo); s.conf.set(jr, prevJr) }
+    }),
+
+    // SINGLE-PASS pipeline observability (the Observation API): the
+    // production shape for row-level metrics at 100 TB — counters ride
+    // the SAME scan as the real work instead of a second full pass
+    // (an AggregatingAccumulator attached to the plan, merged on the
+    // driver as tasks finish). The query runs ONE action over orders
+    // (the filtered count a pipeline would actually compute) and emits
+    // the piggybacked metrics next to that independently-computed
+    // count; the oracle recomputes all of it with plain SQL, so a
+    // metric that misses rows, double-counts under retries, or drifts
+    // from the driving action's own answer fails the hash.
+    "q_observe" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_obs_${drainSeq.incrementAndGet()}")
+      val observed = orders(s, d).observe(obs,
+        count(lit(1)).as("n_all"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0))
+          .as("n_f"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      // the driving action: ONE pass, metrics piggyback on it
+      val nF = observed.filter(col("o_orderstatus") === "F").count()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_all").asInstanceOf[Long], m("n_f").asInstanceOf[Long],
+        m("min_key").asInstanceOf[Long], m("max_key").asInstanceOf[Long],
+        nF))
+        .toDF("n_all", "n_f", "min_key", "max_key", "n_f_rows")
+    }),
+
+    // TIME TRAVEL through the transactional sink's versioned manifests:
+    // two committed appends split orders on o_orderkey % 3, then BOTH
+    // snapshots are read back — version 1 must see exactly the first
+    // batch forever (its manifest is immutable; later commits only add
+    // manifests), latest must see the union. The oracle recomputes both
+    // per-priority aggregates from the raw table with the same split
+    // predicate, so a versioned read that leaks a later file, drops a
+    // committed one, or mangles a value fails the hash. This is the
+    // query-level gate over the snapshot-isolation protocol
+    // TxJsonSinkSpec/EndToEndPipelineSpec prove at the file level.
+    "q_time_travel" -> ((s, d) => {
+      val dir = rtDir("ttr", d)
+      // the sink is append-only by design: a re-run in this process
+      // must start from a fresh table, not stack a third version
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val t = s"$dir/t"
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      base.filter(col("o_orderkey") % 3 === 0)
+        .write.format("graft.sources.TxJsonSink")
+        .option("path", t).mode("append").save()
+      base.filter(col("o_orderkey") % 3 =!= 0)
+        .write.format("graft.sources.TxJsonSink")
+        .option("path", t).mode("append").save()
+      def snap(version: Option[Int]) =
+        graft.sources.TxJsonSink.read(s, t, version)
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_orderpriority").as("p"))
+      val v1 = snap(Some(1)).groupBy(col("p"))
+        .agg(count(lit(1)).as("n_v1"), sum(col("k")).as("keysum_v1"))
+      val latest = snap(None).groupBy(col("p"))
+        .agg(count(lit(1)).as("n_latest"),
+          sum(col("k")).as("keysum_latest"))
+      v1.join(latest, Seq("p"))
+        .select(col("p").as("o_orderpriority"), col("n_v1"),
+          col("keysum_v1"), col("n_latest"), col("keysum_latest"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // JSON sink -> JSON source roundtrip (S6's format,
     // gmail_functions.py:127-129): same contract as q_csv_roundtrip but
     // through JSON lines with typed (non-string) number fields — the
@@ -3088,6 +3202,36 @@ object Relational {
         |  TRUE AS skipped
         |FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 100000 AND 150000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_cbo" ->
+      """SELECT n_name, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_observe" ->
+      """SELECT count(*) AS n_all,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_f,
+        |  min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_f_rows
+        |FROM orders""".stripMargin,
+
+    "q_time_travel" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_v1,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey END)
+        |    AS BIGINT) AS keysum_v1,
+        |  count(*) AS n_latest,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS keysum_latest
+        |FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_json_roundtrip" ->

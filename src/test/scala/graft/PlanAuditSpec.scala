@@ -516,6 +516,47 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(bcast, prev)
   }
 
+  test("CBO reorders a fact-first join chain dimension-first") {
+    // q_join_cbo writes the three catalog tables and ANALYZEs them;
+    // re-deriving the same join here under the CBO flags exposes the
+    // OPTIMIZED logical plan for structural assertions
+    SparkEntry.queries("q_join_cbo")(spark, d).collect()
+    val tag = Integer.toHexString(d.hashCode) +
+      s"_p${ProcessHandle.current().pid}"
+    import org.apache.spark.sql.functions.col
+    val cbo = "spark.sql.cbo.enabled"
+    val jr = "spark.sql.cbo.joinReorder.enabled"
+    val (prevCbo, prevJr) = (spark.conf.get(cbo), spark.conf.get(jr))
+    try {
+      spark.conf.set(cbo, "true"); spark.conf.set(jr, "true")
+      val df = spark.table(s"graft_cbo_orders_$tag")
+        .join(spark.table(s"graft_cbo_customer_$tag"),
+          col("o_custkey") === col("c_custkey"))
+        .join(spark.table(s"graft_cbo_nation_$tag"),
+          col("c_nationkey") === col("n_nationkey"))
+      val opt = df.queryExecution.optimizedPlan
+      // ANALYZE'd stats must reach the optimizer: the plan carries an
+      // exact row count, not a size-only guess
+      assert(opt.stats.rowCount.isDefined,
+        s"no rowCount stats on optimized plan: ${opt.stats}")
+      // the INNERMOST join must now pair the two dimensions (customer,
+      // nation — the small intermediate), not the written-first
+      // fact >< customer pair
+      val joins = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.size == 2, s"expected 2 joins: $opt")
+      val inner = joins.last // deepest in collect's pre-order
+      val innerCols = inner.output.map(_.name).toSet
+      assert(innerCols.contains("c_custkey") &&
+        innerCols.contains("n_nationkey") &&
+        !innerCols.contains("o_orderkey"),
+        s"join chain not reordered dimension-first: $opt")
+    } finally {
+      spark.conf.set(cbo, prevCbo); spark.conf.set(jr, prevJr)
+    }
+  }
+
   test("PQ probe: codebook and query batch broadcast — the codes scan " +
       "never shuffles into a join") {
     // the ADC probe's only per-candidate data is the codes relation;
