@@ -1667,6 +1667,69 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // COMPACTION under the gate: a fragmented layout (50 writer tasks'
+    // files — the standing outcome of streaming/incremental appends) is
+    // rewritten to ~5000-row files by Writers.compact, whose crash-safe
+    // double-rename swap is proven at the file level in WritersSpec;
+    // here the ORACLE proves the data level — the compacted table must
+    // aggregate exactly like the raw table (no row lost or doubled in
+    // the swap), and the gated boolean pins that the rewrite really
+    // shrank the file count. At 100 TB compaction is a daily job;
+    // an engine that can't prove rows survive it can't run one.
+    "q_compact_roundtrip" -> ((s, d) => {
+      val dir = rtDir("cmp", d)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .repartition(50)
+        .write.mode("overwrite").parquet(dir)
+      val (_, before) = graft.sources.Writers.compact(s, dir, 5000L)
+      val after = s.read.parquet(dir)
+      val filesAfter = after.inputFiles.length
+      after.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"))
+        .withColumn("compacted", lit(filesAfter < before))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // VACUUM under the gate: version 1 holds one subset of orders,
+    // version 2 OVERWRITES it with the complement (truncate commit —
+    // v2's manifest references none of v1's files), then retention
+    // keepLast=1 drops v1's manifest AND physically deletes its
+    // now-unreferenced data files. The gated aggregate proves the
+    // retained snapshot still reads exactly its committed data (vacuum
+    // may only delete what no retained manifest lists), and the boolean
+    // pins that v1 really became untravelable, its manifest was
+    // dropped, and data files were actually reclaimed — the retention
+    // trade every lakehouse table format documents.
+    "q_vacuum" -> ((s, d) => {
+      val dir = rtDir("vac", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val t = s"$dir/t"
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      base.filter(col("o_orderkey") % 3 === 0)
+        .write.format("graft.sources.TxJsonSink")
+        .option("path", t).mode("append").save()
+      base.filter(col("o_orderkey") % 3 =!= 0)
+        .write.format("graft.sources.TxJsonSink")
+        .option("path", t).mode("overwrite").save()
+      val (droppedManifests, reclaimedFiles) =
+        graft.sources.TxJsonSink.vacuum(t, keepLast = 1)
+      val v1Gone =
+        graft.sources.TxJsonSink.manifest(t, Some(1)).isEmpty
+      graft.sources.TxJsonSink.read(s, t)
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderpriority").as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n"),
+          sum(col("k")).as("keysum"))
+        .select(col("p").as("o_orderpriority"), col("n"), col("keysum"),
+          lit(v1Gone && droppedManifests > 0 && reclaimedFiles > 0)
+            .as("retention_held"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // COST-BASED join reorder: catalog statistics (ANALYZE TABLE ...
     // FOR ALL COLUMNS) feed Catalyst's CBO, and a join chain WRITTEN
     // fact-first (orders >< customer >< nation) replans dimension-first
@@ -3202,6 +3265,21 @@ object Relational {
         |  TRUE AS skipped
         |FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 100000 AND 150000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_compact_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  TRUE AS compacted
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_vacuum" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS keysum,
+        |  TRUE AS retention_held
+        |FROM orders WHERE o_orderkey % 3 <> 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_join_cbo" ->
