@@ -55,20 +55,22 @@ object Relational {
     * table, MATERIALIZED (eager localCheckpoint) so the per-invocation
     * temp view can be dropped before the caller consumes the result.
     */
-  private[queries] def drainStream(stream: DataFrame, mode: String): DataFrame = {
+  private[queries] def drainStream(stream: DataFrame, mode: String,
+      statePartitions: Int = 8): DataFrame = {
     val s = stream.sparkSession
     val qn = s"graft_drain_${drainSeq.incrementAndGet()}"
     // State-store instances (and their per-micro-batch checkpoint commits)
     // scale with shuffle partitions, and streaming PINS the count into the
     // checkpoint at query start — so the state partition count is a
-    // per-query sizing knob, not the session default. The drained corpora
-    // here hold at most a few hundred thousand keys: 8 partitions bounds
-    // the fixed checkpoint I/O (32 -> 8 quarters the per-batch commit
-    // fan-out) while a 100 TB deployment would size this to its key
-    // cardinality. Result hashes are partition-count-independent
-    // (partcheck audits every drain at 3 vs 32 cores).
+    // per-query sizing knob, not the session default. The default 8
+    // bounds the fixed checkpoint I/O for the staged-replay drains (a
+    // few hundred thousand keys at most); state-heavy callers pass a
+    // count sized from their input — the table-stats-driven sizing a
+    // 100 TB deployment automates. Result hashes are
+    // partition-count-independent (partcheck audits every drain at 3
+    // vs 32 cores).
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
       val q = stream.writeStream.format("memory").queryName(qn)
         .outputMode(mode)
@@ -1667,6 +1669,43 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Z-ORDER + zone map, the read-side payoff: orders laid out on the
+    // Morton code of (order day, price) give every file tight min/max
+    // bounds in BOTH dimensions, so a range probe on EITHER column
+    // alone skips files — the property a lexicographic (day, price)
+    // sort cannot provide for price. Two independent probes (a ~7%
+    // day band with price unconstrained, and a price band with day
+    // unconstrained) each must read a strict subset of the 16 files
+    // (gated booleans) AND aggregate exactly like a plain WHERE over
+    // the raw table (gated sums — an unsound skip loses rows and
+    // fails the hash). This is multi-dimensional data skipping as
+    // Delta OPTIMIZE ZORDER / Iceberg sort orders ship it.
+    "q_zonemap_zorder" -> ((s, d) => {
+      val dir = rtDir("zz", d)
+      val base = orders(s, d).select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.Writers.writeZOrderedWithZoneMap(
+        base, dir, "day", "price", 16)
+      val inf = Double.MaxValue
+      val (dayDf, dayRead, total) = graft.sources.Writers
+        .readZonePruned2(s, dir, 365.0, 546.0, -inf, inf)
+      val (priceDf, priceRead, _) = graft.sources.Writers
+        .readZonePruned2(s, dir, -inf, inf, 100000.0, 150000.0)
+      val aDay = dayDf
+        .filter(col("day").between(lit(365), lit(546)))
+        .agg(count(lit(1)).as("n_date"),
+          sum(col("o_orderkey")).as("keysum_date"))
+      val aPrice = priceDf
+        .filter(col("price").between(lit(100000), lit(150000)))
+        .agg(count(lit(1)).as("n_price"),
+          sum(col("price")).cast("double").as("revenue_price"))
+      aDay.crossJoin(aPrice)
+        .withColumn("skipped_date", lit(dayRead > 0 && dayRead < total))
+        .withColumn("skipped_price",
+          lit(priceRead > 0 && priceRead < total))
+    }),
+
     // COMPACTION under the gate: a fragmented layout (50 writer tasks'
     // files — the standing outcome of streaming/incremental appends) is
     // rewritten to ~5000-row files by Writers.compact, whose crash-safe
@@ -2084,6 +2123,13 @@ object Relational {
     // gating: aggregation (q_stream_drain), dedup, arbitrary state
     // (sessionize), and now join state all pin to batch answers.
     "q_stream_interval_drain" -> ((s, d) => {
+      // the join's state volume tracks the full input (both sides keep
+      // a watermark-bounded window of EVERY user), so its state
+      // partition count is sized from the input rather than the
+      // 8-partition floor the staged-replay drains use — at 100 TB
+      // this is the table-stats-driven sizing a deployment automates
+      val nEvents = events(s, d).count()
+      val parts = math.max(8L, math.min(64L, nEvents / 62500L)).toInt
       val left = eventsReadStream(s, d)
         .select(col("event_id").as("l_id"), col("ts").as("l_ts"),
           col("user_id"))
@@ -2094,7 +2140,7 @@ object Relational {
       drainStream(
         graft.streaming.Streams.intervalJoin(left, right, "user_id",
           "l_ts", "r_ts", windowSeconds = 300L),
-        "append")
+        "append", statePartitions = parts)
         .select(col("l_id"), col("r_id"), col("user_id"),
           unix_micros(col("l_ts")).as("l_ts_us"),
           unix_micros(col("r_ts")).as("r_ts_us"))
@@ -3266,6 +3312,25 @@ object Relational {
         |FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 100000 AND 150000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_zonemap_zorder" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN date_diff('day', DATE '1995-01-01',
+        |      o_orderdate) BETWEEN 365 AND 546 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_date,
+        |  CAST(sum(CASE WHEN date_diff('day', DATE '1995-01-01',
+        |      o_orderdate) BETWEEN 365 AND 546 THEN o_orderkey END)
+        |    AS BIGINT) AS keysum_date,
+        |  CAST(sum(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      BETWEEN 100000 AND 150000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_price,
+        |  CAST(sum(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      BETWEEN 100000 AND 150000
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |    AS DOUBLE) AS revenue_price,
+        |  TRUE AS skipped_date,
+        |  TRUE AS skipped_price
+        |FROM orders""".stripMargin,
 
     "q_compact_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -162,6 +162,49 @@ object Writers {
     zm.coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap")
   }
 
+  /** [[writeZOrdered]] plus a TWO-column zone-map manifest: because the
+    * Morton layout gives every file a compact block of the (c1, c2)
+    * plane, the per-file min/max bounds are tight in BOTH dimensions —
+    * so a range predicate on EITHER column skips files, where a
+    * lexicographic (c1, c2) sort leaves c2's bounds spanning the whole
+    * domain in every file and skips nothing for it. This is the
+    * read-side payoff the Z-order write exists for.
+    */
+  def writeZOrderedWithZoneMap(df: DataFrame, path: String, c1: String,
+      c2: String, nFiles: Int): Unit = {
+    writeZOrdered(df, path, c1, c2, nFiles)
+    val s = df.sparkSession
+    val zm = s.read.parquet(path)
+      .select(input_file_name().as("file"),
+        col(c1).cast("double").as("z1"), col(c2).cast("double").as("z2"))
+      .groupBy(col("file"))
+      .agg(min(col("z1")).as("z1_min"), max(col("z1")).as("z1_max"),
+        min(col("z2")).as("z2_min"), max(col("z2")).as("z2_max"),
+        count(lit(1)).as("n_rows"))
+    zm.coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap")
+  }
+
+  /** Prune a Z-ordered table on ranges over BOTH mapped columns (pass
+    * (-inf, inf) to leave one unconstrained). Same soundness contract
+    * as [[readZonePruned]]: only files whose recorded bounds exclude
+    * the whole query box are skipped.
+    */
+  def readZonePruned2(spark: SparkSession, path: String,
+      lo1: Double, hi1: Double, lo2: Double,
+      hi2: Double): (DataFrame, Long, Long) = {
+    val zm = spark.read.parquet(s"$path/_zonemap")
+    val total = zm.count()
+    require(total <= 1000000,
+      s"readZonePruned2: manifest for $path lists $total files")
+    val hit = zm.filter(col("z1_min") <= hi1 && col("z1_max") >= lo1 &&
+        col("z2_min") <= hi2 && col("z2_max") >= lo2)
+      .select(col("file")).collect().map(_.getString(0)).sorted
+    val df =
+      if (hit.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(hit.toIndexedSeq: _*)
+    (df, hit.length.toLong, total)
+  }
+
   /** Return (candidates, filesRead, filesTotal): a scan over ONLY the
     * files whose [z_min, z_max] intersects [lo, hi], per the zone map
     * written by [[writeWithZoneMap]]. Skipping is SOUND — a file is
