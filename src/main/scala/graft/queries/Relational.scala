@@ -1669,6 +1669,45 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // DYNAMIC PARTITION PRUNING: the fact table is partitioned on the
+    // join key and the selective filter lives on the DIMENSION side —
+    // so no static rule can prune the fact scan; at runtime Catalyst
+    // broadcasts the filtered dim, derives the surviving partition
+    // keys, and injects them into the fact scan's PartitionFilters
+    // (PlanAuditSpec asserts the dynamicpruning expression landed).
+    // At 100 TB this is THE star-schema scan killer: the fact side
+    // reads 1/3 of the lake because the dim filter said so, with no
+    // hand-written predicate on the fact. The oracle recomputes the
+    // join from the unpartitioned source, so a pruning bug that drops
+    // or duplicates a partition fails the hash.
+    "q_join_dpp" -> ((s, d) => {
+      import s.implicits._
+      val dir = rtDir("dpp", d)
+      orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"),
+          col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus")
+        .parquet(dir)
+      val fact = s.read.parquet(dir)
+      // the dim must be a real scanned relation with the filter ON it:
+      // DPP's planner rule looks for a selective predicate on the
+      // other join side (a pre-filtered in-memory row would be
+      // constant-folded away before the rule runs)
+      Seq(("F", "finished"), ("O", "open"), ("P", "pending"))
+        .toDF("status", "label")
+        .write.mode("overwrite").parquet(s"$dir-dim")
+      val dim = s.read.parquet(s"$dir-dim")
+        .filter(col("label") === "finished")
+      fact.join(broadcast(dim),
+          fact("o_orderstatus") === dim("status"))
+        .groupBy(col("o_orderstatus"), col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Z-ORDER + zone map, the read-side payoff: orders laid out on the
     // Morton code of (order day, price) give every file tight min/max
     // bounds in BOTH dimensions, so a range probe on EITHER column
@@ -3312,6 +3351,14 @@ object Relational {
         |FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 100000 AND 150000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_dpp" ->
+      """SELECT o_orderstatus, 'finished' AS label, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  min(o_orderkey) AS min_key
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_zonemap_zorder" ->
       """SELECT

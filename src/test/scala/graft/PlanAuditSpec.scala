@@ -516,6 +516,16 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(bcast, prev)
   }
 
+  test("dynamic partition pruning reaches the fact scan at runtime") {
+    val (_, fmt) = planOf("q_join_dpp")
+    val p = fmt()
+    // the fact scan's PartitionFilters must carry the runtime pruning
+    // subquery derived from the broadcast dim filter — not a static
+    // literal, and not a full scan
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning expression in plan: ${p.take(4000)}")
+  }
+
   test("CBO reorders a fact-first join chain dimension-first") {
     // q_join_cbo writes the three catalog tables and ANALYZEs them;
     // re-deriving the same join here under the CBO flags exposes the
