@@ -1669,6 +1669,47 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // MERGE-ON-READ with deletion vectors: the write path stays
+    // append-only — immutable base files plus a tiny delete-key file
+    // and an update file — and the READER composes current state:
+    // (base ANTI-JOIN tombstones) UNION updates. Copy-on-write
+    // (q_upsert) rewrites whole files to change one row; at 100 TB a
+    // daily trickle of deletes/updates makes that unpayable, so every
+    // lakehouse format grew this read path (Iceberg v2 delete files,
+    // Delta deletion vectors). The tombstone side is broadcast (it is
+    // small BY CONSTRUCTION — that's the design's premise), so the
+    // base scan never shuffles. The oracle recomputes the merged state
+    // from the raw table with CASE arithmetic: a reader that leaks a
+    // deleted row, drops an update, or double-counts an updated key
+    // fails the hash.
+    "q_merge_on_read" -> ((s, d) => {
+      val dir = rtDir("mor", d)
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      base.write.mode("overwrite").parquet(s"$dir/base")
+      base.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$dir/deletes")
+      base.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("price",
+          (col("price") * 2).cast("decimal(18,2)"))
+        .write.mode("overwrite").parquet(s"$dir/updates")
+      val b = s.read.parquet(s"$dir/base")
+      val tomb = s.read.parquet(s"$dir/deletes")
+      val upd = s.read.parquet(s"$dir/updates")
+      val shadowed = tomb
+        .union(upd.select(col("o_orderkey")))
+      val current = b.join(broadcast(shadowed), Seq("o_orderkey"),
+          "left_anti")
+        .unionByName(upd)
+      current.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // DYNAMIC PARTITION PRUNING: the fact table is partitioned on the
     // join key and the selective filter lives on the DIMENSION side —
     // so no static rule can prune the fact scan; at runtime Catalyst
@@ -3350,6 +3391,22 @@ object Relational {
         |  TRUE AS skipped
         |FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 100000 AND 150000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_merge_on_read" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderkey % 10 <> 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n,
+        |  CAST(sum(CASE
+        |      WHEN o_orderkey % 10 = 3 THEN NULL
+        |      WHEN o_orderkey % 10 = 7
+        |        THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |          AS DECIMAL(18,2))
+        |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |    AS DOUBLE) AS revenue,
+        |  min(CASE WHEN o_orderkey % 10 <> 3 THEN o_orderkey END)
+        |    AS min_key
+        |FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_join_dpp" ->
