@@ -2217,6 +2217,35 @@ object Ext {
           hex(col("frame")).as("frame_hex"))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // E4 exact MEDIA dedup: content-hash the opaque binary payload
+    // (sha-256 over the blob — format-agnostic: the same bytes are the
+    // same image/audio/video regardless of filename or metadata),
+    // group identical payloads, keep the min-id exemplar, and emit the
+    // copy-count histogram. The map-only first pass every multimodal
+    // corpus dedup starts with, before any perceptual/embedding stage:
+    // at 100 TB the hash-groupBy shuffles 32-byte digests, never
+    // payloads. The oracle recomputes the histogram from the text the
+    // fixture payload encodes, so a hash-collision mishandling or a
+    // dropped group fails the row set.
+    "q_dedup_media" -> ((s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      // the same payload ingested twice under different ids (a crawl
+      // re-fetch / two-source overlap): every 7th doc re-keyed +1e7 —
+      // the dup structure content-hash dedup exists to collapse
+      val twice = base.unionByName(
+        base.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      val m = Multimodal.mediaFromDocuments(twice).toDF()
+      m.select(col("doc_id"), sha2(col("media"), 256).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keeper"),
+          count(lit(1)).as("n_copies"))
+        .groupBy(col("n_copies"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("keeper")).as("keeper_keysum"))
+        .orderBy(col("n_copies"))
+    }),
+
     // E4 "resize" stage, oracle-checked end to end: the stride-sampling
     // stub (keep every 3rd byte — standing in for pixel resample) runs
     // through the typed Dataset, and the oracle reproduces the sampled
@@ -4899,6 +4928,20 @@ object Ext {
          |SELECT id_a, id_b, est_jaccard, exact_jaccard,
          |  round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
          |FROM e ORDER BY id_a""".stripMargin,
+
+    "q_dedup_media" ->
+      """WITH t AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |g AS (
+        |  SELECT sha256(text) AS h, min(doc_id) AS keeper,
+        |    count(*) AS n_copies
+        |  FROM t GROUP BY 1)
+        |SELECT n_copies, count(*) AS n_groups,
+        |  CAST(sum(keeper) AS BIGINT) AS keeper_keysum
+        |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -145,5 +145,22 @@ class WritersSpec extends SparkSpec {
       Writers.readZonePruned(spark, out, -10.0, -1.0)
     assert(read0 == 0 && total0 == 16 && none.count() == 0)
     assert(none.columns.toSeq == Seq("o_orderkey", "price"))
+
+    // soundness sweep: across a probe grid spanning empty, boundary,
+    // interior, and over-the-top ranges, the pruned scan + exact
+    // residual must ALWAYS equal the full-scan filter — no range may
+    // lose a row to a dropped file, whatever the file boundaries are
+    val probes = Seq(
+      (0.0, 1500.0), (1320.51, 1320.51), (50000.0, 120000.0),
+      (123456.78, 234567.89), (400000.0, 600000.0),
+      (499705.05, 499705.05), (1000.0, 500000.0))
+    probes.foreach { case (lo, hi) =>
+      val (cand, _, _) = Writers.readZonePruned(spark, out, lo, hi)
+      val p = cand.filter(col("price") >= lo && col("price") <= hi)
+        .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+      val e = orders.filter(col("price") >= lo && col("price") <= hi)
+        .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+      assert(p == e, s"unsound skip for [$lo, $hi]: $p != $e")
+    }
   }
 }
