@@ -1669,6 +1669,38 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // INCREMENTAL zone-map maintenance: a base write (keys % 5 < 3)
+    // then a daily-style APPEND of the complement, with the manifest
+    // updated from the NEW files' stats only — the maintenance cost
+    // tracks the batch, not the table. The pruned read must then span
+    // BOTH segments correctly: the gated aggregate equals the oracle's
+    // whole-table filter (a manifest that missed an appended file or
+    // double-listed one loses/doubles rows), and the booleans pin that
+    // the manifest covers exactly the table's files and that the probe
+    // still skipped a strict subset.
+    "q_zonemap_append" -> ((s, d) => {
+      val dir = rtDir("zma", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.Writers.writeWithZoneMap(
+        base.filter(col("o_orderkey") % 5 < 3), dir, "price", 12)
+      graft.sources.Writers.appendWithZoneMap(
+        base.filter(col("o_orderkey") % 5 >= 3), dir, "price", 4)
+      val (cand, read, total) =
+        graft.sources.Writers.readZonePruned(s, dir, 100000.0, 150000.0)
+      val nFilesOnDisk = s.read.parquet(dir).inputFiles.length.toLong
+      cand.filter(col("price").between(lit(100000), lit(150000)))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          min(col("o_orderkey")).as("min_key"))
+        .withColumn("manifest_complete", lit(total == nFilesOnDisk))
+        .withColumn("skipped", lit(read > 0 && read < total))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // MERGE-ON-READ with deletion vectors: the write path stays
     // append-only — immutable base files plus a tiny delete-key file
     // and an update file — and the READER composes current state:
@@ -3388,6 +3420,17 @@ object Relational {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS revenue,
         |  min(o_orderkey) AS min_key,
+        |  TRUE AS skipped
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 100000 AND 150000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_zonemap_append" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  min(o_orderkey) AS min_key,
+        |  TRUE AS manifest_complete,
         |  TRUE AS skipped
         |FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 100000 AND 150000

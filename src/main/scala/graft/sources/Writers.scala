@@ -162,6 +162,44 @@ object Writers {
     zm.coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap")
   }
 
+  /** APPEND a batch to a zone-mapped table and maintain the manifest
+    * INCREMENTALLY: stats are computed for the new files only and
+    * unioned into the existing manifest — the manifest update cost
+    * tracks the batch, not the table, which is what makes daily
+    * appends to a 100 TB zone-mapped table affordable (a rebuild would
+    * rescan everything). The merged manifest is materialized before
+    * the overwrite so the rewrite never reads from the file it is
+    * replacing. File identity is by basename (unique within the dir)
+    * — `inputFiles` and `input_file_name()` render the scheme prefix
+    * differently, so full-URI comparison would silently mismatch.
+    */
+  def appendWithZoneMap(df: DataFrame, path: String, zcol: String,
+      nFiles: Int): Unit = {
+    val s = df.sparkSession
+    df.repartitionByRange(nFiles, col(zcol))
+      .sortWithinPartitions(col(zcol))
+      .write.mode("append").parquet(path)
+    val existing = s.read.parquet(s"$path/_zonemap")
+    // bounded: one manifest row per FILE, guarded like the reader
+    val known = existing
+      .select(substring_index(col("file"), "/", -1).as("name"))
+      .collect().map(_.getString(0)).toSet
+    require(known.size <= 1000000,
+      s"appendWithZoneMap: manifest for $path lists ${known.size} files")
+    val newPaths = s.read.parquet(path).inputFiles.toIndexedSeq
+      .filterNot(p => known(p.split('/').last))
+    if (newPaths.nonEmpty) {
+      val add = s.read.parquet(newPaths: _*)
+        .select(input_file_name().as("file"),
+          col(zcol).cast("double").as("z"))
+        .groupBy(col("file"))
+        .agg(min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+          count(lit(1)).as("n_rows"))
+      val merged = existing.unionByName(add).coalesce(1).localCheckpoint()
+      merged.write.mode("overwrite").parquet(s"$path/_zonemap")
+    }
+  }
+
   /** [[writeZOrdered]] plus a TWO-column zone-map manifest: because the
     * Morton layout gives every file a compact block of the (c1, c2)
     * plane, the per-file min/max bounds are tight in BOTH dimensions —
