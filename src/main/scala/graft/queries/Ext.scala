@@ -2607,6 +2607,33 @@ object Ext {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
         .orderBy(col("lang"), col("split"))),
 
+    // DETERMINISTIC epoch shuffle + shard assignment: distributed
+    // training ingest needs a reproducible global permutation — same
+    // corpus, same seed, same order on any cluster, any partitioning,
+    // any engine — with shards readable independently. The permutation
+    // key is md5(seed, doc_id) (an engine-neutral pseudorandom order;
+    // a new seed reshuffles every epoch), the shard is the key's first
+    // hex nibble (uniform over 16 by construction), and WITHIN each
+    // shard rows stream in key order. Map-only + a 16-group aggregate:
+    // no global sort, no single-task window — the shape that survives
+    // 100 TB. The gated per-shard (count, keysum, key-range) pins the
+    // whole permutation: one doc in a different shard or order moves a
+    // hex boundary or a sum.
+    "q_shuffle_det" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(":", lit("epoch-7"),
+            col("doc_id").cast("string"))).as("k"))
+        .select(col("doc_id"), col("k"),
+          TextOps.let(ascii(substring(col("k"), 1, 1))) { a =>
+            when(a <= 57, a - 48).otherwise(a - 87)
+          }.cast("long").as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("keysum"),
+          min(col("k")).as("first_key"), max(col("k")).as("last_key"))
+        .orderBy(col("shard"))),
+
     // Leakage-free train/val/test split: hash on the near-dup CLUSTER
     // root, not the doc_id, so every member of a duplicate cluster lands
     // in the same split — the guard against train/test contamination by
@@ -4815,6 +4842,17 @@ object Ext {
         |        & 2147483647) % 100 AS b
         |    FROM documents))
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "q_shuffle_det" ->
+      """SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS keysum,
+        |  min(k) AS first_key, max(k) AS last_key
+        |FROM (SELECT doc_id, k,
+        |    ('0x' || substring(k, 1, 1))::BIGINT AS shard
+        |  FROM (SELECT doc_id,
+        |      md5('epoch-7:' || CAST(doc_id AS VARCHAR)) AS k
+        |    FROM documents))
+        |GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q_split_leakfree" ->
       s"""WITH RECURSIVE $sqlPairCtes,
