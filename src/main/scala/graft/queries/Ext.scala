@@ -53,6 +53,7 @@ object Ext {
   private val ChunkLen = 50    // tokens per retrieval chunk
   private val ChunkStride = 40 // chunk stride (=> 10-token overlap)
   private val TfIdfTopN = 3    // top scored terms kept per doc
+  private val SparseDfCut = 50 // df-cut for the sparse similarity join
   // URL patterns, Java/RE2 dialect intersection like the PII patterns.
   private val UrlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./?=_-]*)?"
   private val HostRe = "https?://([A-Za-z0-9.-]+)"
@@ -2328,6 +2329,49 @@ object Ext {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= TfIdfTopN)
         .orderBy(col("doc_id"), col("rn"))
+    }),
+
+    // SPARSE doc-doc similarity self-join through the inverted index
+    // (the Elsayed/pairwise-similarity pattern): tf vectors meet ONLY
+    // inside a term's postings list — pairs (a < b) emit the partial
+    // product tf_a*tf_b per shared term and a groupBy sums the dot —
+    // so the work is sum-over-terms of |postings|^2, never |docs|^2.
+    // The scale guard every production variant ships is the DF-CUT:
+    // terms in more than DfCut docs are dropped before pairing (a
+    // stopword's postings list would otherwise square into the whole
+    // corpus; its similarity contribution is near-uniform noise — the
+    // standard trade, stated in the gate). All arithmetic is INTEGER
+    // (raw tf dot products, squared-norm products), ranked by the one
+    // correctly-rounded division cos2 = dot^2/(na*nb) — bit-identical
+    // across engines, no fp fold order anywhere.
+    "q_sim_sparse_topk" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val wDf = Window.partitionBy(col("term"))
+      val kept = tf.withColumn("df", count(lit(1)).over(wDf))
+        .filter(col("df") <= SparseDfCut)
+      val norms = kept.groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("tf")).as("nrm"))
+      val a = kept.select(col("term"), col("doc_id").as("doc_a"),
+        col("tf").as("tf_a"))
+      val b = kept.select(col("term"), col("doc_id").as("doc_b"),
+        col("tf").as("tf_b"))
+      a.join(b, Seq("term"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+        .join(norms.select(col("doc_id").as("doc_a"),
+          col("nrm").as("na")), Seq("doc_a"))
+        .join(norms.select(col("doc_id").as("doc_b"),
+          col("nrm").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("dot"),
+          round((col("dot") * col("dot")).cast("double") /
+            (col("na") * col("nb")).cast("double"), 9).as("cos2"))
+        .orderBy(col("cos2").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
     }),
 
     // BM25 retrieval scoring (the ranking function behind most sparse
@@ -4842,6 +4886,28 @@ object Ext {
         |        & 2147483647) % 100 AS b
         |    FROM documents))
         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "q_sim_sparse_topk" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |kept AS (SELECT doc_id, term, tf FROM (
+         |    SELECT doc_id, term, tf,
+         |      count(*) OVER (PARTITION BY term) AS df FROM tf)
+         |  WHERE df <= $SparseDfCut),
+         |nrm AS (SELECT doc_id, sum(tf * tf) AS nrm FROM kept GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    sum(a.tf * b.tf) AS dot
+         |  FROM kept a JOIN kept b
+         |    ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+         |  round(CAST(dot * dot AS DOUBLE) /
+         |    CAST(na.nrm * nb.nrm AS DOUBLE), 9) AS cos2
+         |FROM p
+         |JOIN nrm na ON na.doc_id = p.doc_a
+         |JOIN nrm nb ON nb.doc_id = p.doc_b
+         |ORDER BY cos2 DESC, doc_a, doc_b LIMIT 20""".stripMargin,
 
     "q_shuffle_det" ->
       """SELECT shard, count(*) AS n_docs,
