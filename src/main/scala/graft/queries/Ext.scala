@@ -1629,6 +1629,48 @@ object Ext {
         .orderBy(col("bucket"))
     }),
 
+    // Two-sample Kolmogorov-Smirnov drift statistic on a fixed 256-cell
+    // grid (click vs view event values standing in for yesterday/today):
+    // D is the max ECDF gap evaluated AT THE GRID BOUNDARIES — a
+    // well-defined contract that keeps the cumulative window bounded at
+    // 256 rows no matter the corpus (the exact-at-every-point form
+    // needs a global sort over distinct values; the grid form is what a
+    // monitoring pipeline runs at 100 TB). The gap comparison is pure
+    // integer: max |cum1*n2 - cum2*n1| over cells, divided once at the
+    // end — no fp fold anywhere, so the statistic is bit-identical
+    // across engines. Complements q_drift_chi2 (distribution SHAPE over
+    // meaningful bands) with a single worst-gap number.
+    "q_drift_ks" -> ((s, d) => {
+      val ev = events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), col("value"))
+      val mm = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val cells = ev.crossJoin(broadcast(mm))
+        .select(col("event_type"),
+          least(lit(255L), floor(
+            (col("value") - col("lo")) * lit(256.0) /
+              (col("hi") - col("lo"))).cast("long")).as("cell"))
+        .groupBy(col("cell"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("c2"))
+      val wCum = Window.orderBy(col("cell"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // bounded window: at most 256 rows ever reach it
+      val cum = cells
+        .withColumn("cum1", sum(col("c1")).over(wCum))
+        .withColumn("cum2", sum(col("c2")).over(wCum))
+      val tot = cells.agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(col("t1")).as("n1"), max(col("t2")).as("n2"),
+          max(abs(col("cum1") * col("t2") - col("cum2") * col("t1")))
+            .as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          round(col("d_num").cast("double") /
+            (col("n1") * col("n2")).cast("double"), 9).as("ks"))
+    }),
+
     // k-anonymity audit over quasi-identifiers (the release-readiness
     // check a curated dataset needs next to PII scrubbing): group sizes
     // per (segment, nation) with the k>=10 safety flag — any unsafe
@@ -4423,6 +4465,30 @@ object Ext {
          |  round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
          |        / CAST(len(gs) AS DOUBLE), 6) > 0.2 AS repetitive
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_drift_ks" ->
+      """WITH ev AS (SELECT event_type, value FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |mm AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+        |cells AS (
+        |  SELECT least(255, CAST(floor((value - lo) * 256.0 / (hi - lo))
+        |      AS BIGINT)) AS cell,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+        |  FROM ev, mm GROUP BY 1),
+        |cum AS (SELECT cell,
+        |    sum(c1) OVER (ORDER BY cell
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    sum(c2) OVER (ORDER BY cell
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM cells),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+        |    CAST(sum(c2) AS BIGINT) AS t2 FROM cells)
+        |SELECT t1 AS n1, t2 AS n2,
+        |  CAST(max(abs(cum1 * t2 - cum2 * t1)) AS BIGINT) AS d_num,
+        |  round(CAST(max(abs(cum1 * t2 - cum2 * t1)) AS DOUBLE) /
+        |    CAST(t1 * t2 AS DOUBLE), 9) AS ks
+        |FROM cum, tot GROUP BY t1, t2""".stripMargin,
 
     "q_drift_chi2" ->
       """WITH s AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'base' ELSE 'new'
