@@ -853,6 +853,30 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // As-of with a STALENESS TOLERANCE (merge_asof's tolerance knob):
+    // the latest prior purchase matches only within a 1-hour lookback —
+    // a match older than the horizon is as good as no match (the
+    // trades/quotes "stale quote" rule, the feature-store "feature too
+    // old" rule). Because as-of picks the LATEST prior row, dropping an
+    // out-of-horizon match is exactly the tolerance semantics (every
+    // earlier row is older still), which is also how the oracle
+    // expresses it: DuckDB ASOF join, then NULL the payload when the
+    // matched gap exceeds the horizon.
+    "q_join_asof_tolerance" -> ((s, d) => {
+      val clicks = events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("p_value"),
+          max(col("event_id")).as("p_event_id"))
+      AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts",
+          tolerance = Some(lit(3600000000L)))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("p_event_id"), round(col("p_value"), 6).as("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Forward as-of: "first purchase AFTER the click" — the conversion
     // attribution shape; the same union + one-window plan as q_join_asof
     // with the within-partition sort reversed, oracle = DuckDB ASOF with
@@ -1126,6 +1150,30 @@ object Relational {
       exactQuantilesBy(orders(s, d), Seq("o_custkey"), "o_totalprice",
         Seq(0.5 -> "med_price"))
         .orderBy(col("o_custkey"))),
+
+    // CROSS-SOURCE quantile normalization readout: every source's
+    // exact quartile grid aligned against the POOLED distribution's —
+    // the alignment table a mixing pipeline consults to decide whether
+    // a source's length/quality profile needs rescaling before
+    // sampling (quantile normalization's first step; the per-row
+    // remap is a broadcast join against exactly this table). Both
+    // grids ride the distinct-value-histogram quantile core, so the
+    // whole readout costs two scalable passes and a 1-row broadcast —
+    // never a global sort.
+    "q_quantile_normalize" -> ((s, d) => {
+      val qs = Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75")
+      val docs = documents(s, d).select(col("source"), col("n_chars"))
+      val perSource = exactQuantilesBy(docs, Seq("source"), "n_chars", qs)
+      val pooled = exactQuantilesBy(
+          docs.withColumn("_all", lit(1)), Seq("_all"), "n_chars",
+          Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
+        .drop("_all")
+      perSource.crossJoin(broadcast(pooled))
+        .select(col("source"), col("q25"), col("q50"), col("q75"),
+          col("p25"), col("p50"), col("p75"),
+          round(col("q50") - col("p50"), 6).as("median_shift"))
+        .orderBy(col("source"))
+    }),
 
     // Unpivot (wide -> long): the reshaping inverse of q_pivot, a pure
     // map-side generator (each row fans out to one row per metric).
@@ -2987,6 +3035,21 @@ object Relational {
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
 
+    "q_join_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS p_value,
+        |    max(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+        |    THEN p.p_event_id END AS p_event_id,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+        |    THEN round(p.p_value, 6) END AS p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
     "q_join_asof_forward" ->
       """WITH p AS (
         |  SELECT user_id, ts, arg_max(value, event_id) AS p_value,
@@ -3716,6 +3779,21 @@ object Relational {
         |    AS med_price
         |FROM orders GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_quantile_normalize" ->
+      """WITH s AS (SELECT source,
+        |    round(quantile_cont(n_chars, 0.25), 6) AS q25,
+        |    round(quantile_cont(n_chars, 0.5), 6) AS q50,
+        |    round(quantile_cont(n_chars, 0.75), 6) AS q75
+        |  FROM documents GROUP BY source),
+        |g AS (SELECT
+        |    round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        |    round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |    round(quantile_cont(n_chars, 0.75), 6) AS p75
+        |  FROM documents)
+        |SELECT source, q25, q50, q75, p25, p50, p75,
+        |  round(q50 - p50, 6) AS median_shift
+        |FROM s, g ORDER BY source""".stripMargin,
 
     "q_outlier_iqr" ->
       """WITH f AS (SELECT l_returnflag,
