@@ -1151,6 +1151,33 @@ object Relational {
         Seq(0.5 -> "med_price"))
         .orderBy(col("o_custkey"))),
 
+    // Robust outliers by MEDIAN ABSOLUTE DEVIATION: two passes of the
+    // exact-quantile core — the group median, then the median of
+    // |value - median| — and the 3-MAD flag (the robust z-score rule
+    // that, unlike mean/stddev, a few extreme rows cannot drag toward
+    // themselves; the standard companion to the IQR fence q_outlier_iqr
+    // ships). Each pass is the distinct-value-histogram quantile
+    // machinery, group medians broadcast back — no global sort, no raw
+    // stddev accumulation order to diverge on.
+    "q_outlier_mad" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val med = exactQuantilesBy(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.5 -> "med"))
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+      val mad = exactQuantilesBy(dev, Seq("l_returnflag"), "adev",
+        Seq(0.5 -> "mad"))
+      dev.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          first(round(col("med"), 6)).as("med"),
+          first(round(col("mad"), 6)).as("mad"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // CROSS-SOURCE quantile normalization readout: every source's
     // exact quartile grid aligned against the POOLED distribution's —
     // the alignment table a mixing pipeline consults to decide whether
@@ -3779,6 +3806,23 @@ object Relational {
         |    AS med_price
         |FROM orders GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_outlier_mad" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.5), 6) AS med
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l.l_returnflag, med,
+        |    abs(l_extendedprice - med) AS adev
+        |  FROM lineitem l JOIN m USING (l_returnflag)),
+        |md AS (SELECT l_returnflag,
+        |    round(quantile_cont(adev, 0.5), 6) AS mad
+        |  FROM d GROUP BY l_returnflag)
+        |SELECT d.l_returnflag, count(*) AS n,
+        |  min(med) AS med, min(mad) AS mad,
+        |  CAST(sum(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (l_returnflag)
+        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
 
     "q_quantile_normalize" ->
       """WITH s AS (SELECT source,
