@@ -83,6 +83,40 @@ object Relational {
     out
   }
 
+  /** [[drainStream]] that ALSO returns the engine's own late-data
+    * accounting: the sum of `numRowsDroppedByWatermark` across every
+    * micro-batch's state operators — the metric an operations team
+    * alerts on. Exposed separately so one gated query can pin the
+    * METER itself (not just the drop's semantic effect) to a
+    * batch-computable count.
+    */
+  private[queries] def drainStreamDrops(stream: DataFrame, mode: String,
+      statePartitions: Int = 8): (DataFrame, Long) = {
+    val s = stream.sparkSession
+    val qn = s"graft_drain_${drainSeq.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val dropped =
+      try {
+        val q = stream.writeStream.format("memory").queryName(qn)
+          .outputMode(mode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        if (sys.env.contains("GRAFT_DRAIN_DEBUG"))
+          q.recentProgress.foreach(p => System.err.println(
+            s"DRAINDBG batch=${p.batchId} rows=${p.numInputRows} " +
+              s"wm=${p.eventTime.get("watermark")} " +
+              s"drops=${p.stateOperators.map(_.numRowsDroppedByWatermark).mkString(",")}"))
+        q.recentProgress.iterator
+          .flatMap(_.stateOperators.iterator)
+          .map(_.numRowsDroppedByWatermark).sum
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val out = s.table(qn).localCheckpoint()
+    s.catalog.dropTempView(qn)
+    (out, dropped)
+  }
+
   /** readStream over the driver events table, ts-adapted like the batch
     * reader. FileStreamSource monitors a DIRECTORY; the driver testdata
     * ships events.parquet as a single file in some generations, so that
@@ -2334,6 +2368,72 @@ object Relational {
         .orderBy(col("l_id"), col("r_id"))
     }),
 
+    // WATERMARK LATE-DATA ACCOUNTING under the oracle gate: the one
+    // streaming contract the other drains don't pin — that the engine
+    // discards EXACTLY the late groups the watermark says it must, and
+    // that its own meter (numRowsDroppedByWatermark, the number an
+    // operations team alerts on) accounts for them. Replay order:
+    // even-id events; a sentinel that RAISES the watermark to a
+    // mid-corpus, ms-aligned, mid-second value (never tying a
+    // whole-second window end); a second sentinel 1 ms later whose
+    // batch END evicts (emits) every window below the watermark —
+    // eviction, not the watermark value, is what makes later input
+    // late; then the odd-id events, whose below-watermark windows are
+    // now discarded. Two gated quantities: the drained window counts
+    // must hold even-id rows ONLY (a leaked late row inflates a
+    // count), and the meter must equal the DISTINCT discarded-window
+    // count — for aggregation the engine drops post-partial-agg rows,
+    // one per (window, map task), and the replay stages each batch as
+    // ONE file under a pinned maxPartitionBytes, so partials == late
+    // windows; partcheck validates the count is core-count-independent.
+    "q_stream_late_drop" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val (mnUs, mxUs) = ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .as[(Long, Long)].head()
+      val wmUs = ((mnUs + (mxUs - mnUs) / 2) / 1000000L) * 1000000L +
+        500000L
+      val dSec = (mxUs - mnUs) / 1000000L + 1L // delay > corpus span
+      val s1 = wmUs + dSec * 1000000L          // sentinel > every real ts
+      val a = ev.filter(col("event_id") % 2 === 0)
+      val b = ev.filter(col("event_id") % 2 === 1)
+      def sent(id: Long, us: Long) = s.range(1)
+        .select(lit(id).as("event_id"),
+          timestamp_micros(lit(us)).as("ts"),
+          lit("sentinel").as("event_type"))
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_late_drop_")
+      val mpb = "spark.sql.files.maxPartitionBytes"
+      val prevMpb = s.conf.get(mpb)
+      try {
+        val t0 = System.currentTimeMillis()
+        stageStreamFile(a, dir, "0_events.parquet", t0 - 120000)
+        stageStreamFile(sent(-1L, s1), dir, "1_sentinel.parquet",
+          t0 - 90000)
+        stageStreamFile(sent(-2L, s1 + 1000L), dir, "2_sentinel.parquet",
+          t0 - 60000)
+        stageStreamFile(b, dir, "3_events.parquet", t0 - 30000)
+        s.conf.set(mpb, (1L << 30).toString) // one split per staged file
+        val raw = s.readStream.schema(a.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        val (drained, dropped) = drainStreamDrops(
+          raw.withWatermark("ts", s"$dSec seconds")
+            .groupBy(window(col("ts"), "300 seconds").as("w"))
+            .agg(count(lit(1)).as("n")),
+          "append")
+        drained
+          .select(unix_timestamp(col("w.start")).as("bucket_start"),
+            col("n"))
+          .withColumn("n_late_windows", lit(dropped))
+          .orderBy(col("bucket_start"))
+      } finally {
+        s.conf.set(mpb, prevMpb)
+        deleteRecursive(dir)
+      }
+    }),
+
     // Per-key admission cap (Streams.capPerKey) under the oracle gate:
     // events replay as two id-split files (one per micro-batch, ids
     // ascending across files), so admissions in batch 2 must respect
@@ -3732,6 +3832,27 @@ object Relational {
         |ORDER BY user_id, session_start_us""".stripMargin,
 
     // the drained stream-stream join must equal the batch range join
+    "q_stream_late_drop" ->
+      """WITH bnd AS (SELECT epoch_us(min(ts)) AS mn,
+        |    epoch_us(max(ts)) AS mx FROM events),
+        |wm AS (SELECT ((mn + (mx - mn) // 2) // 1000000) * 1000000
+        |    + 500000 AS wm_us FROM bnd),
+        |a AS (SELECT epoch_us(ts) AS us FROM events
+        |  WHERE event_id % 2 = 0),
+        |drp AS (SELECT count(DISTINCT epoch_us(ts) // 300000000)
+        |    AS n_late_windows
+        |  FROM events, wm
+        |  WHERE event_id % 2 = 1
+        |    AND (epoch_us(ts) // 300000000) * 300000000
+        |      + 300000000 <= wm_us)
+        |SELECT (us // 300000000) * 300 AS bucket_start,
+        |  count(*) AS n,
+        |  (SELECT n_late_windows FROM drp) AS n_late_windows
+        |FROM a, wm
+        |WHERE (us // 300000000) * 300000000 + 300000000 <= wm_us
+        |GROUP BY bucket_start
+        |ORDER BY bucket_start""".stripMargin,
+
     "q_stream_interval_drain" ->
       """SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id,
         |  epoch_us(l.ts) AS l_ts_us, epoch_us(r.ts) AS r_ts_us
