@@ -50,6 +50,16 @@ object Relational {
     */
   private val drainSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Serializes drains within one SparkSession: each drain toggles the
+    * session-wide shuffle-partition conf around its run, and two
+    * concurrent drains would race that toggle — one could run at the
+    * other's partition count and the finally-restore could persist the
+    * wrong session default. The lock makes (set, run, restore) atomic;
+    * drains from DIFFERENT sessions (separate Verify/Bench JVMs) never
+    * share conf and are unaffected.
+    */
+  private val drainConfLock = new Object
+
   /** Run `stream` through the micro-batch engine to completion
     * (AvailableNow) into a memory sink and return the sink's final
     * table, MATERIALIZED (eager localCheckpoint) so the per-invocation
@@ -69,15 +79,17 @@ object Relational {
     // 100 TB deployment automates. Result hashes are
     // partition-count-independent (partcheck audits every drain at 3
     // vs 32 cores).
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      val q = stream.writeStream.format("memory").queryName(qn)
-        .outputMode(mode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    drainConfLock.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      try {
+        val q = stream.writeStream.format("memory").queryName(qn)
+          .outputMode(mode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     val out = s.table(qn).localCheckpoint()
     s.catalog.dropTempView(qn)
     out
@@ -94,9 +106,9 @@ object Relational {
       statePartitions: Int = 8): (DataFrame, Long) = {
     val s = stream.sparkSession
     val qn = s"graft_drain_${drainSeq.incrementAndGet()}"
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val dropped =
+    val dropped = drainConfLock.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       try {
         val q = stream.writeStream.format("memory").queryName(qn)
           .outputMode(mode)
@@ -108,10 +120,23 @@ object Relational {
             s"DRAINDBG batch=${p.batchId} rows=${p.numInputRows} " +
               s"wm=${p.eventTime.get("watermark")} " +
               s"drops=${p.stateOperators.map(_.numRowsDroppedByWatermark).mkString(",")}"))
+        // recentProgress is a BOUNDED ring buffer
+        // (spark.sql.streaming.numRecentProgressUpdates, default 100):
+        // a drain with more micro-batches than the buffer would
+        // silently undercount the meter. Batch 0 still being present
+        // proves nothing was evicted — fail loudly instead of
+        // truncating.
+        require(q.lastProgress == null ||
+          q.recentProgress.headOption.exists(_.batchId == 0L),
+          s"drainStreamDrops: progress ring buffer overflowed " +
+            s"(${q.recentProgress.length} entries, first batch " +
+            s"${q.recentProgress.headOption.map(_.batchId)}); raise " +
+            "spark.sql.streaming.numRecentProgressUpdates")
         q.recentProgress.iterator
           .flatMap(_.stateOperators.iterator)
           .map(_.numRowsDroppedByWatermark).sum
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     val out = s.table(qn).localCheckpoint()
     s.catalog.dropTempView(qn)
     (out, dropped)
@@ -144,10 +169,15 @@ object Relational {
       name: String, mtimeMs: Long): Unit = {
     import java.nio.file.{Files, Path}
     val s = df.sparkSession
-    // micros on disk, so the staged file round-trips the exact event time
+    // micros on disk, so the staged file round-trips the exact event
+    // time; restored after the write (matching the drainStream /
+    // maxPartitionBytes toggles) so it can't leak into every later
+    // parquet write in the session
+    val prevTs = s.conf.get("spark.sql.parquet.outputTimestampType")
     s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val stage = dir.resolve(s"_stage_$name") // _-prefixed: hidden to sources
-    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    try df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    finally s.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
     val part = {
       val st = Files.list(stage)
       try {
@@ -1705,6 +1735,12 @@ object Relational {
       val tag = Integer.toHexString(d.hashCode) +
         s"_p${ProcessHandle.current().pid}"
       val dir = rtDir("bkt", d)
+      // idempotent re-register: a stale catalog entry (same-pid rerun,
+      // or a persistent metastore) would otherwise point saveAsTable at
+      // a dead location; the pid-tagged entries themselves die with the
+      // in-memory catalog, so nothing accumulates across processes
+      s.sql(s"DROP TABLE IF EXISTS graft_bkt_orders_$tag")
+      s.sql(s"DROP TABLE IF EXISTS graft_bkt_customer_$tag")
       orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice").cast("decimal(18,2)").as("price"))
@@ -2007,6 +2043,7 @@ object Relational {
       val dir = rtDir("cbo", d)
       def save(df: DataFrame, name: String): String = {
         val t = s"graft_cbo_${name}_$tag"
+        s.sql(s"DROP TABLE IF EXISTS $t") // idempotent re-register
         df.write.mode("overwrite").option("path", s"$dir/$name")
           .saveAsTable(t)
         s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")

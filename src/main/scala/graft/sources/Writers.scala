@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Layout-controlled parquet writes — the sink-side half of the 100 TB
@@ -132,16 +132,96 @@ object Writers {
     (rows, filesBefore)
   }
 
+  // ---- zone maps (two-level partitioned manifest) ----------------------
+  //
+  // `path/_zonemap/zb=<bucket>/…` : parquet manifest, HIVE-PARTITIONED
+  //   by `zb` — the bucket of each file's z_min under a fixed global
+  //   (origin, width) recorded at table creation. One row per data
+  //   file: (file, z_min, z_max, n_rows).
+  // `path/_zonemap_meta/` : tiny single-file summary, one row per
+  //   OCCUPIED bucket: (zb, z_lo, z_w, bz_min, bz_max, n_files) — the
+  //   per-bucket envelope planning consults FIRST, so a range probe
+  //   reads only the manifest shards whose envelope intersects the
+  //   query box. At 100 TB the driver never materializes the full
+  //   manifest: planning cost is (meta rows = buckets) + (hit files),
+  //   not (table files). Both dirs are underscore-prefixed so plain
+  //   table reads skip them like `_SUCCESS`.
+  //
+  // CRASH SAFETY: meta is republished by the same double-rename swap
+  // as [[compact]] (never a delete-then-write window), and data files
+  // the manifest does not yet list — the window between a data append
+  // and its manifest append — are detected by a disk-vs-meta file
+  // count reconciliation and read UNCONDITIONALLY, so skipping stays
+  // sound across a crash at any point in the append protocol.
+
+  private val ZoneBuckets = 64
+
+  private def hadoopPath(p: String) = new org.apache.hadoop.fs.Path(p)
+
+  /** Publish `df` (tiny — meta summaries) at `dest` via write-to-temp +
+    * double-rename, the [[compact]] swap: at every instant either the
+    * old or the new copy exists under a recoverable name.
+    */
+  private def publishSwapped(df: DataFrame, dest: String): Unit = {
+    val s = df.sparkSession
+    val tmp = dest.stripSuffix("/") + "._tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val dst = hadoopPath(dest)
+    val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val old = hadoopPath(dest.stripSuffix("/") + "._old")
+    fs.delete(old, true)
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"publishSwapped: could not park $dst")
+    if (!fs.rename(hadoopPath(tmp), dst)) {
+      if (fs.exists(old)) fs.rename(old, dst)
+      throw new java.io.IOException(s"publishSwapped: could not publish $tmp")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Per-file stats relation for `paths` (or the whole table when
+    * empty): one column-pruned pass over zcol (a production writer
+    * collects these bounds from the write tasks' own parquet footers
+    * instead of re-reading; the re-scan keeps this portable).
+    */
+  private def fileStats(s: SparkSession, path: String,
+      paths: Seq[String], zcol: String): DataFrame = {
+    val src = if (paths.isEmpty) s.read.parquet(path)
+      else s.read.parquet(paths: _*)
+    src.select(input_file_name().as("file"),
+        col(zcol).cast("double").as("z"))
+      .groupBy(col("file"))
+      .agg(min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Bucket id for a z_min under the table's fixed (origin, width) —
+    * values outside the creation-time range land in out-of-range
+    * bucket ids, which are just additional hive partition values, so
+    * appends never re-bucket the existing manifest.
+    */
+  private def zbOf(zmin: Column, zLo: Double, zW: Double): Column =
+    floor((zmin - lit(zLo)) / lit(zW)).cast("int")
+
+  /** Republish `_zonemap_meta` from the manifest: one aggregation over
+    * the (buckets-sized) manifest relation, swapped in atomically.
+    */
+  private def refreshMeta(s: SparkSession, path: String, zLo: Double,
+      zW: Double): Unit = {
+    val meta = s.read.parquet(s"$path/_zonemap")
+      .groupBy(col("zb"))
+      .agg(min(col("z_min")).as("bz_min"), max(col("z_max")).as("bz_max"),
+        count(lit(1)).as("n_files"))
+      .withColumn("z_lo", lit(zLo)).withColumn("z_w", lit(zW))
+    publishSwapped(meta, s"$path/_zonemap_meta")
+  }
+
   /** Write `df` range-sorted by `zcol` into `nFiles` files and record a
-    * ZONE-MAP manifest under `path/_zonemap` (underscore-prefixed, so
-    * table readers skip it like `_SUCCESS`): one row per data file with
-    * that file's min/max of `zcol` and its row count. This is lakehouse
-    * data skipping (Iceberg manifests' column bounds, Delta's file
-    * stats): at 100 TB the planner consults kilobytes of manifest
-    * instead of opening thousands of parquet footers, and file-level
-    * skipping composes with the row-group pruning the footers already
-    * give — the manifest decides which files to LIST, the footers prune
-    * within the survivors.
+    * ZONE-MAP manifest (see the layout note above). This is lakehouse
+    * data skipping (Iceberg manifest lists + manifests' column bounds,
+    * Delta's file stats): the planner consults the per-bucket meta,
+    * lists only intersecting manifest shards, and file-level skipping
+    * composes with the row-group pruning parquet footers already give.
     */
   def writeWithZoneMap(df: DataFrame, path: String, zcol: String,
       nFiles: Int): Unit = {
@@ -149,29 +229,29 @@ object Writers {
       .sortWithinPartitions(col(zcol))
       .write.mode("overwrite").parquet(path)
     val s = df.sparkSession
-    // One column-pruned pass builds the manifest (a production writer
-    // collects these bounds from the write tasks' own footers instead
-    // of re-reading; the re-scan keeps this portable and still touches
-    // only zcol's column chunks).
-    val zm = s.read.parquet(path)
-      .select(input_file_name().as("file"),
-        col(zcol).cast("double").as("z"))
-      .groupBy(col("file"))
-      .agg(min(col("z")).as("z_min"), max(col("z")).as("z_max"),
-        count(lit(1)).as("n_rows"))
-    zm.coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap")
+    val stats = fileStats(s, path, Nil, zcol).localCheckpoint()
+    val Array(mn, mx) = stats
+      .agg(min(col("z_min")), max(col("z_max"))).head()
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    val zW = if (mx > mn) (mx - mn) / ZoneBuckets else 1.0
+    stats.withColumn("zb", zbOf(col("z_min"), mn, zW))
+      .write.partitionBy("zb").mode("overwrite")
+      .parquet(s"$path/_zonemap")
+    refreshMeta(s, path, mn, zW)
   }
 
   /** APPEND a batch to a zone-mapped table and maintain the manifest
     * INCREMENTALLY: stats are computed for the new files only and
-    * unioned into the existing manifest — the manifest update cost
+    * appended to their manifest shards — the manifest update cost
     * tracks the batch, not the table, which is what makes daily
     * appends to a 100 TB zone-mapped table affordable (a rebuild would
-    * rescan everything). The merged manifest is materialized before
-    * the overwrite so the rewrite never reads from the file it is
-    * replacing. File identity is by basename (unique within the dir)
-    * — `inputFiles` and `input_file_name()` render the scheme prefix
-    * differently, so full-URI comparison would silently mismatch.
+    * rescan everything). The new-file diff is a distributed anti-join
+    * (disk listing vs manifest), so the driver materializes only the
+    * BATCH's file names, never the table's. File identity is by
+    * basename (unique within the dir) — `inputFiles` and
+    * `input_file_name()` render the scheme prefix differently, so
+    * full-URI comparison would silently mismatch. Crash anywhere in
+    * the protocol: covered by the reader's reconciliation path.
     */
   def appendWithZoneMap(df: DataFrame, path: String, zcol: String,
       nFiles: Int): Unit = {
@@ -179,24 +259,22 @@ object Writers {
     df.repartitionByRange(nFiles, col(zcol))
       .sortWithinPartitions(col(zcol))
       .write.mode("append").parquet(path)
-    val existing = s.read.parquet(s"$path/_zonemap")
-    // bounded: one manifest row per FILE, guarded like the reader
-    val known = existing
+    val metaRow = s.read.parquet(s"$path/_zonemap_meta")
+      .select(col("z_lo"), col("z_w")).head()
+    val (zLo, zW) = (metaRow.getDouble(0), metaRow.getDouble(1))
+    import s.implicits._
+    val onDisk = s.read.parquet(path).inputFiles.toIndexedSeq.toDF("p")
+      .select(col("p"), substring_index(col("p"), "/", -1).as("name"))
+    val knownNames = s.read.parquet(s"$path/_zonemap")
       .select(substring_index(col("file"), "/", -1).as("name"))
-      .collect().map(_.getString(0)).toSet
-    require(known.size <= 1000000,
-      s"appendWithZoneMap: manifest for $path lists ${known.size} files")
-    val newPaths = s.read.parquet(path).inputFiles.toIndexedSeq
-      .filterNot(p => known(p.split('/').last))
+    val newPaths = onDisk.join(knownNames, Seq("name"), "left_anti")
+      .select(col("p")).collect().map(_.getString(0)).toIndexedSeq
     if (newPaths.nonEmpty) {
-      val add = s.read.parquet(newPaths: _*)
-        .select(input_file_name().as("file"),
-          col(zcol).cast("double").as("z"))
-        .groupBy(col("file"))
-        .agg(min(col("z")).as("z_min"), max(col("z")).as("z_max"),
-          count(lit(1)).as("n_rows"))
-      val merged = existing.unionByName(add).coalesce(1).localCheckpoint()
-      merged.write.mode("overwrite").parquet(s"$path/_zonemap")
+      fileStats(s, path, newPaths, zcol)
+        .withColumn("zb", zbOf(col("z_min"), zLo, zW))
+        .write.partitionBy("zb").mode("append")
+        .parquet(s"$path/_zonemap")
+      refreshMeta(s, path, zLo, zW)
     }
   }
 
@@ -212,60 +290,120 @@ object Writers {
       c2: String, nFiles: Int): Unit = {
     writeZOrdered(df, path, c1, c2, nFiles)
     val s = df.sparkSession
-    val zm = s.read.parquet(path)
+    val stats = s.read.parquet(path)
       .select(input_file_name().as("file"),
         col(c1).cast("double").as("z1"), col(c2).cast("double").as("z2"))
       .groupBy(col("file"))
       .agg(min(col("z1")).as("z1_min"), max(col("z1")).as("z1_max"),
         min(col("z2")).as("z2_min"), max(col("z2")).as("z2_max"),
         count(lit(1)).as("n_rows"))
-    zm.coalesce(1).write.mode("overwrite").parquet(s"$path/_zonemap")
+      .localCheckpoint()
+    val Array(mn, mx) = stats
+      .agg(min(col("z1_min")), max(col("z1_max"))).head()
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    val zW = if (mx > mn) (mx - mn) / ZoneBuckets else 1.0
+    stats.withColumn("zb", zbOf(col("z1_min"), mn, zW))
+      .write.partitionBy("zb").mode("overwrite")
+      .parquet(s"$path/_zonemap")
+    val meta = s.read.parquet(s"$path/_zonemap")
+      .groupBy(col("zb"))
+      .agg(min(col("z1_min")).as("b1_min"), max(col("z1_max")).as("b1_max"),
+        min(col("z2_min")).as("b2_min"), max(col("z2_max")).as("b2_max"),
+        count(lit(1)).as("n_files"))
+      .withColumn("z_lo", lit(mn)).withColumn("z_w", lit(zW))
+    publishSwapped(meta, s"$path/_zonemap_meta")
   }
+
+  /** Disk-vs-manifest reconciliation shared by the pruned readers:
+    * returns (unlistedPaths, filesOnDisk). In the normal state the
+    * manifest covers every data file and this costs one count compare;
+    * after a crash between a data append and its manifest append, the
+    * counts mismatch and the anti-join (distributed — the driver holds
+    * only the unlisted names) surfaces the orphans, which the caller
+    * reads UNCONDITIONALLY so no committed row can be lost to a stale
+    * manifest. (Spark's own FileIndex already lists the table's files
+    * on the driver for any scan; `inputFiles` reuses that listing.)
+    */
+  private def reconcile(spark: SparkSession, path: String,
+      manifestTotal: Long): (Seq[String], Long) = {
+    val onDisk = spark.read.parquet(path).inputFiles.toIndexedSeq
+    if (onDisk.length.toLong == manifestTotal) (Nil, onDisk.length.toLong)
+    else {
+      import spark.implicits._
+      val disk = onDisk.toDF("p")
+        .select(col("p"), substring_index(col("p"), "/", -1).as("name"))
+      val known = spark.read.parquet(s"$path/_zonemap")
+        .select(substring_index(col("file"), "/", -1).as("name"))
+      val orphans = disk.join(known, Seq("name"), "left_anti")
+        .select(col("p")).collect().map(_.getString(0)).toIndexedSeq
+      (orphans, onDisk.length.toLong)
+    }
+  }
+
+  private def plannedScan(spark: SparkSession, path: String,
+      hit: Seq[String]): DataFrame =
+    if (hit.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(hit: _*)
 
   /** Prune a Z-ordered table on ranges over BOTH mapped columns (pass
     * (-inf, inf) to leave one unconstrained). Same soundness contract
-    * as [[readZonePruned]]: only files whose recorded bounds exclude
-    * the whole query box are skipped.
+    * and two-level planning as [[readZonePruned]].
     */
   def readZonePruned2(spark: SparkSession, path: String,
       lo1: Double, hi1: Double, lo2: Double,
       hi2: Double): (DataFrame, Long, Long) = {
-    val zm = spark.read.parquet(s"$path/_zonemap")
-    val total = zm.count()
-    require(total <= 1000000,
-      s"readZonePruned2: manifest for $path lists $total files")
-    val hit = zm.filter(col("z1_min") <= hi1 && col("z1_max") >= lo1 &&
-        col("z2_min") <= hi2 && col("z2_max") >= lo2)
-      .select(col("file")).collect().map(_.getString(0)).sorted
-    val df =
-      if (hit.isEmpty) spark.read.parquet(path).filter(lit(false))
-      else spark.read.parquet(hit.toIndexedSeq: _*)
-    (df, hit.length.toLong, total)
+    val meta = spark.read.parquet(s"$path/_zonemap_meta")
+      .select(col("zb"), col("b1_min"), col("b1_max"), col("b2_min"),
+        col("b2_max"), col("n_files")).collect()
+    val total = meta.map(_.getLong(5)).sum
+    val buckets = meta.filter(r => r.getDouble(1) <= hi1 &&
+        r.getDouble(2) >= lo1 && r.getDouble(3) <= hi2 &&
+        r.getDouble(4) >= lo2)
+      .map(_.getInt(0)).toIndexedSeq
+    val hit =
+      if (buckets.isEmpty) IndexedSeq.empty[String]
+      else spark.read.parquet(s"$path/_zonemap")
+        .filter(col("zb").isin(buckets: _*))
+        .filter(col("z1_min") <= hi1 && col("z1_max") >= lo1 &&
+          col("z2_min") <= hi2 && col("z2_max") >= lo2)
+        .select(col("file")).collect().map(_.getString(0)).sorted.toIndexedSeq
+    val (orphans, _) = reconcile(spark, path, total)
+    val all = (hit ++ orphans).sorted
+    (plannedScan(spark, path, all), all.length.toLong,
+      total + orphans.length)
   }
 
   /** Return (candidates, filesRead, filesTotal): a scan over ONLY the
     * files whose [z_min, z_max] intersects [lo, hi], per the zone map
     * written by [[writeWithZoneMap]]. Skipping is SOUND — a file is
-    * dropped only when its recorded bounds exclude the whole range — so
-    * re-applying the exact predicate on the candidates gives the same
-    * answer as a full scan; only the I/O shrinks with the selectivity.
-    * The manifest collect is bounded by the FILE count (one row per
-    * file), not the data: the guard fails loudly if a layout ever
-    * produces a manifest too large to hold on the driver.
+    * dropped only when its recorded bounds exclude the whole range (and
+    * files a crashed append left out of the manifest are read
+    * unconditionally, see [[reconcile]]) — so re-applying the exact
+    * predicate on the candidates gives the same answer as a full scan;
+    * only the I/O shrinks with the selectivity. Planning is two-level:
+    * the per-bucket meta (buckets rows, kilobytes at any table size)
+    * selects manifest SHARDS, hive partition pruning reads only those,
+    * and the driver materializes only the HIT file list — there is no
+    * full-manifest collect at any table size.
     */
   def readZonePruned(spark: SparkSession, path: String,
       lo: Double, hi: Double): (DataFrame, Long, Long) = {
-    val zm = spark.read.parquet(s"$path/_zonemap")
-    val total = zm.count()
-    require(total <= 1000000,
-      s"readZonePruned: manifest for $path lists $total files; " +
-        "driver-side planning needs a partitioned manifest at this size")
-    val hit = zm.filter(col("z_min") <= hi && col("z_max") >= lo)
-      .select(col("file")).collect().map(_.getString(0)).sorted
-    val df =
-      if (hit.isEmpty)
-        spark.read.parquet(path).filter(lit(false))
-      else spark.read.parquet(hit.toIndexedSeq: _*)
-    (df, hit.length.toLong, total)
+    val meta = spark.read.parquet(s"$path/_zonemap_meta")
+      .select(col("zb"), col("bz_min"), col("bz_max"), col("n_files"))
+      .collect()
+    val total = meta.map(_.getLong(3)).sum
+    val buckets = meta
+      .filter(r => r.getDouble(1) <= hi && r.getDouble(2) >= lo)
+      .map(_.getInt(0)).toIndexedSeq
+    val hit =
+      if (buckets.isEmpty) IndexedSeq.empty[String]
+      else spark.read.parquet(s"$path/_zonemap")
+        .filter(col("zb").isin(buckets: _*))
+        .filter(col("z_min") <= hi && col("z_max") >= lo)
+        .select(col("file")).collect().map(_.getString(0)).sorted.toIndexedSeq
+    val (orphans, _) = reconcile(spark, path, total)
+    val all = (hit ++ orphans).sorted
+    (plannedScan(spark, path, all), all.length.toLong,
+      total + orphans.length)
   }
 }

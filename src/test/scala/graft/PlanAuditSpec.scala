@@ -513,7 +513,13 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("SortMergeJoin"), p.take(3000))
       assert("Bucketed: true".r.findAllIn(p).size == 2,
         s"expected two bucketed scans: ${p.take(3000)}")
-    } finally spark.conf.set(bcast, prev)
+    } finally {
+      spark.conf.set(bcast, prev)
+      val tag = Integer.toHexString(d.hashCode) +
+        s"_p${ProcessHandle.current().pid}"
+      spark.sql(s"DROP TABLE IF EXISTS graft_bkt_orders_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_bkt_customer_$tag")
+    }
   }
 
   test("dynamic partition pruning reaches the fact scan at runtime") {
@@ -564,6 +570,8 @@ class PlanAuditSpec extends SparkSpec {
         s"join chain not reordered dimension-first: $opt")
     } finally {
       spark.conf.set(cbo, prevCbo); spark.conf.set(jr, prevJr)
+      Seq("orders", "customer", "nation").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_cbo_${t}_$tag"))
     }
   }
 

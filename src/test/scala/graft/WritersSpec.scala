@@ -163,4 +163,47 @@ class WritersSpec extends SparkSpec {
       assert(p == e, s"unsound skip for [$lo, $hi]: $p != $e")
     }
   }
+
+  test("zone map append crash window: unlisted files are still read") {
+    val d = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-zcrash").toString
+    val orders = Tables.orders(spark, d)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    Writers.writeWithZoneMap(
+      orders.filter(col("o_orderkey") % 5 < 3), out, "price", 8)
+
+    // simulate a crash BETWEEN the data append and the manifest append:
+    // the batch's parquet files land, the manifest never learns of them
+    orders.filter(col("o_orderkey") % 5 === 3)
+      .repartition(2).write.mode("append").parquet(out)
+
+    // every probe (even one whose manifest hits are EMPTY) must still
+    // see the orphaned rows — skipping stays sound across the crash
+    val visible = orders.filter(col("o_orderkey") % 5 <= 3)
+    val probes = Seq((100000.0, 150000.0), (0.0, 600000.0),
+      (-10.0, -1.0))
+    probes.foreach { case (lo, hi) =>
+      val (cand, read, total) = Writers.readZonePruned(spark, out, lo, hi)
+      val p = cand.filter(col("price") >= lo && col("price") <= hi)
+        .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+      val e = visible.filter(col("price") >= lo && col("price") <= hi)
+        .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+      assert(p == e, s"crash window lost rows for [$lo, $hi]: $p != $e")
+      assert(read >= 2 && total == 10,
+        s"orphans not counted: read=$read total=$total")
+    }
+
+    // the NEXT append reconciles: its disk-vs-manifest diff adopts the
+    // orphans alongside its own batch, and pruning is strict again
+    Writers.appendWithZoneMap(
+      orders.filter(col("o_orderkey") % 5 === 4), out, "price", 1)
+    val (_, read2, total2) =
+      Writers.readZonePruned(spark, out, -10.0, -1.0)
+    assert(read2 == 0 && total2 == 11,
+      s"reconciled manifest should prune fully: read=$read2 total=$total2")
+    val (all, readA, _) =
+      Writers.readZonePruned(spark, out, 0.0, 600000.0)
+    assert(readA == 11 && all.count() == orders.count())
+  }
 }
