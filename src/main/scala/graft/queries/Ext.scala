@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 import graft.ext.{Multimodal, TextOps, VectorOps}
 
@@ -77,6 +78,8 @@ object Ext {
   private val EmbDim = 64      // embedding width (FIXTURES.md §1)
   private val PqM = 8          // product-quantization subspaces
   private val PqSub = EmbDim / PqM // dims per PQ subspace
+  private val PqIters = 3      // Lloyd rounds for the trained codebook
+  private val PqProbeN = 50    // recall-gain probe width (queries)
   private val ProjDims = 8     // JL sign-projection output width
   private val WinnowW = 4      // winnowing window (grams per window)
 
@@ -482,6 +485,144 @@ object Ext {
     e.crossJoin(broadcast(pqReps(s, d)))
       .groupBy(col("vec_id"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---- trained PQ codebooks (per-subspace Lloyd) -----------------------
+  //
+  // The medoid codebook above is the closed-form oracle ANCHOR; the
+  // production quantizer (Jégou et al. 2011 trains per-subspace
+  // k-means) is this one: the SAME K codewords per subspace, REFINED by
+  // `PqIters` Lloyd rounds warm-started from the medoids — same code
+  // budget, materially lower quantization error, and still exactly
+  // oracle-replayable because the iteration count is fixed and every
+  // step is deterministic (argmin ties by cid; DECIMAL(18,9) component
+  // sums make the M-step addition-order-free, the q_kmeans_step /
+  // ops.KMeansFit discipline). All 8 subspaces train in ONE DataFrame
+  // per round — the E-step is a broadcast join on the subspace id (the
+  // corpus scan never shuffles more than its (vec_id, j, 8-dim
+  // subvector) projection), the M-step one (j, cid)-keyed aggregation —
+  // so a 100 TB fit costs PqIters scans regardless of PqM.
+
+  private def pqSubDist8(prefix: String): Column =
+    (1 to PqSub).map { i =>
+      val diff = col(s"${prefix}s$i") - col(s"c$i")
+      diff * diff
+    }.reduce(_ + _)
+
+  /** Long-form subvectors: one row per (vec_id, subspace j) with the
+    * PqSub components as scalar columns s1..sPqSub — the shape that
+    * lets the E-step argmin and M-step means run as plain columnar
+    * aggregations with no per-dimension explosion.
+    */
+  private def pqSubPoints(e: DataFrame): DataFrame = {
+    val subs = array((0 until PqM).map(j =>
+      struct(lit(j).as("j") +: (1 to PqSub).map(i =>
+        element_at(col("v"), j * PqSub + i).as(s"s$i")): _*)): _*)
+    e.select(col("vec_id"), explode(subs).as("u"))
+      .select(col("vec_id") +: col("u.j").as("j") +:
+        (1 to PqSub).map(i => col(s"u.s$i").as(s"s$i")): _*)
+  }
+
+  /** The trained codebook: medoid-initialized, `PqIters` Lloyd rounds.
+    * Returns (j, cid, c1..cPqSub). A cluster that captures zero points
+    * in a round keeps its previous codeword (standard Lloyd handling,
+    * the ops.KMeansFit rule) — without the join-back a codeword would
+    * silently vanish and shrink the code budget.
+    */
+  /** The medoid codebook in long (j, cid, c1..cPqSub) form — the
+    * trained book's init and the distortion readout's baseline.
+    */
+  private def pqMedoidBook(s: SparkSession, d: String): DataFrame =
+    pqSubPoints(pqReps(s, d)
+        .select(col("rep_id").as("vec_id"), col("rv").as("v")))
+      .select(col("j") +: col("vec_id").as("cid") +:
+        (1 to PqSub).map(i => col(s"s$i").as(s"c$i")): _*)
+
+  private def pqTrainedBook(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+    val sub = pqSubPoints(e).localCheckpoint()
+    var book = pqMedoidBook(s, d).localCheckpoint()
+    for (_ <- 1 to PqIters) {
+      val assigned = sub.join(broadcast(book), Seq("j"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min(struct(pqSubDist8("").as("d"), col("cid").as("c")))
+            .getField("c").as("cid"),
+          (1 to PqSub).map(i => first(col(s"s$i")).as(s"s$i")): _*)
+      val next = assigned.groupBy(col("j"), col("cid"))
+        .agg((sum(col("s1").cast(DecimalType(18, 9))).cast("double") /
+            count(lit(1))).as("c1"),
+          (2 to PqSub).map(i =>
+            (sum(col(s"s$i").cast(DecimalType(18, 9))).cast("double") /
+              count(lit(1))).as(s"c$i")): _*)
+      book = book
+        .select(col("j") +: col("cid") +:
+          (1 to PqSub).map(i => col(s"c$i").as(s"p$i")): _*)
+        .join(next, Seq("j", "cid"), "left")
+        .select(col("j") +: col("cid") +:
+          (1 to PqSub).map(i =>
+            coalesce(col(s"c$i"), col(s"p$i")).as(s"c$i")): _*)
+        .localCheckpoint()
+    }
+    book
+  }
+
+  /** PQ encode against the TRAINED codebook: long-form argmin per
+    * (vec_id, subspace), pivoted to the wide codes row by a fixed
+    * conditional aggregation (one shuffle on vec_id).
+    */
+  private def pqAssignTrained(s: SparkSession, d: String,
+      book: DataFrame): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+    val long = pqSubPoints(e).join(broadcast(book), Seq("j"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(pqSubDist8("").as("d"), col("cid").as("c")))
+        .getField("c").as("cid"))
+    val pivots = (0 until PqM).map(j =>
+      max(when(col("j") === j, col("cid"))).as(s"code_$j"))
+    long.groupBy(col("vec_id")).agg(pivots.head, pivots.tail: _*)
+  }
+
+  /** Squared-L2 between subvector j of full-width `a` and a LOCAL
+    * PqSub-wide codeword array `w` — the trained-ADC reconstruction
+    * term, same left-associated shape as [[pqSubDist]].
+    */
+  private def pqSubDistLocal(a: Column, w: Column, j: Int): Column =
+    (0 until PqSub).map { i =>
+      val diff = element_at(a, j * PqSub + i + 1) - element_at(w, i + 1)
+      diff * diff
+    }.reduce(_ + _)
+
+  /** Trained-ADC top-k probe (the q_pq_adc plan shape with the trained
+    * codebook): codes join their codeword subvectors via PqM broadcast
+    * joins against the K-row per-subspace books; the codes scan never
+    * shuffles.
+    */
+  private def pqAdcTrained(s: SparkSession, d: String): DataFrame = {
+    val book = pqTrainedBook(s, d)
+    val codes = pqAssignTrained(s, d, book)
+    val withWords = (0 until PqM).foldLeft(codes) { (df, j) =>
+      df.join(broadcast(book.filter(col("j") === j)
+        .select(col("cid").as(s"code_$j"),
+          array((1 to PqSub).map(i => col(s"c$i")): _*).as(s"w_$j"))),
+        Seq(s"code_$j"))
+    }
+    val e = embeddings(s, d).select(col("vec_id"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val adc = (0 until PqM).map(j =>
+      pqSubDistLocal(col("qv"), col(s"w_$j"), j)).reduce(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    withWords.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adc.as("adc"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= AnnK)
+      .select(col("q_id"), col("rn"), col("vec_id"),
+        round(col("adc"), 6).as("adc"))
+      .orderBy(col("q_id"), col("rn"))
   }
 
   private def ivfScoredCells(s: SparkSession, d: String): DataFrame = {
@@ -3372,6 +3513,144 @@ object Ext {
         .orderBy(col("q_id"))
     }),
 
+    // The TRAINED codebook under the oracle gate: per-subspace Lloyd
+    // refinement of the medoid init (see pqTrainedBook) — the
+    // production quantizer the medoid family is the anchor for. The
+    // gated book is bit-identical to DuckDB's unrolled replay, so the
+    // fit itself (argmin ties, decimal means, empty-cluster keeps) is
+    // pinned, not just its downstream effect.
+    "q_pq_train" -> ((s, d) =>
+      pqTrainedBook(s, d)
+        .select(col("j").cast("long").as("j") +: col("cid") +:
+          (1 to PqSub).map(i => round(col(s"c$i"), 6).as(s"c$i")): _*)
+        .orderBy(col("j"), col("cid"))),
+
+    // ADC probe against the TRAINED codebook — same plan shape and
+    // code budget as q_pq_adc (PqM broadcast reconstruction joins, the
+    // codes scan never shuffles), lower quantization error.
+    "q_pq_adc_trained" -> ((s, d) => pqAdcTrained(s, d)),
+
+    // The before/after recall readout the training exists for: trained
+    // ADC top-5 scored against the exact squared-L2 top-5 — compare
+    // row-for-row with q_pq_recall (the medoid book at the same code
+    // budget) to see the Lloyd rounds' recall gain under the gate.
+    "q_pq_recall_trained" -> ((s, d) => {
+      val approx = pqAdcTrained(s, d).select(col("q_id"), col("vec_id"))
+      val e = embeddings(s, d).select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val dist = (0 until PqM).map(j =>
+        pqSubDist(col("qv"), col("v"), j)).reduce(_ + _)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist"), col("vec_id"))
+      val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), dist.as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= AnnK)
+      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / AnnK, 6)
+            .as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
+    // Per-subspace quantization-error readout: mean squared distance
+    // from each subvector to its NEAREST codeword, medoid book vs
+    // trained book — the objective Lloyd provably does not increase,
+    // so the gated `improved` boolean per subspace is the training's
+    // contract, not a hope. d2 is pre-rounded to 6 decimals and summed
+    // in DECIMAL(18,6) so the mean is addition-order-free (the
+    // q_kmeans_step discipline).
+    "q_pq_distortion" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val sub = pqSubPoints(e).localCheckpoint()
+      def mse(book: DataFrame, out: String): DataFrame =
+        sub.join(broadcast(book), Seq("j"))
+          .groupBy(col("vec_id"), col("j"))
+          .agg(min(pqSubDist8("")).as("d2"))
+          .groupBy(col("j"))
+          .agg((sum(round(col("d2"), 6).cast(DecimalType(18, 6)))
+              .cast("double") / count(lit(1))).as(out))
+      mse(pqMedoidBook(s, d), "m_med")
+        .join(mse(pqTrainedBook(s, d), "m_tr"), Seq("j"))
+        .select(col("j").cast("long").as("j"),
+          round(col("m_med"), 6).as("mse_medoid"),
+          round(col("m_tr"), 6).as("mse_trained"),
+          (round(col("m_tr"), 6) < round(col("m_med"), 6)).as("improved"))
+        .orderBy(col("j"))
+    }),
+
+    // The recall BEFORE/AFTER at a statistically meaningful probe
+    // width (PqProbeN queries x top-5): one gated row holding both
+    // books' hit counts against the exact top-5. The 5-query per-row
+    // readouts (q_pq_recall / q_pq_recall_trained) stay as the
+    // per-query anchors; this row is where the training's gain is
+    // measured without small-sample noise. Recall means are ratios of
+    // integer hit counts — no float-fold portability surface.
+    "q_pq_recall_gain" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < PqProbeN)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val distX = (0 until PqM).map(j =>
+        pqSubDist(col("qv"), col("v"), j)).reduce(_ + _)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist"), col("vec_id"))
+      val wA = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc"), col("vec_id"))
+      val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), distX.as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= AnnK)
+        .select(col("q_id"), col("vec_id")).localCheckpoint()
+      // medoid-book ADC top-5 (the q_pq_adc plan at probe width)
+      val reps = pqReps(s, d)
+      val withWords = (0 until PqM).foldLeft(pqAssign(s, d)) { (df, j) =>
+        df.join(broadcast(reps.select(col("rep_id").as(s"code_$j"),
+          col("rv").as(s"rv_$j"))), Seq(s"code_$j"))
+      }
+      val adcM = (0 until PqM).map(j =>
+        pqSubDist(col("qv"), col(s"rv_$j"), j)).reduce(_ + _)
+      val raM = withWords.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adcM.as("adc"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= AnnK)
+        .select(col("q_id"), col("vec_id"))
+      // trained-book ADC top-5 (the pqAdcTrained plan at probe width)
+      val book = pqTrainedBook(s, d)
+      val withWordsT = (0 until PqM)
+        .foldLeft(pqAssignTrained(s, d, book)) { (df, j) =>
+          df.join(broadcast(book.filter(col("j") === j)
+            .select(col("cid").as(s"code_$j"),
+              array((1 to PqSub).map(i => col(s"c$i")): _*).as(s"w_$j"))),
+            Seq(s"code_$j"))
+        }
+      val adcT = (0 until PqM).map(j =>
+        pqSubDistLocal(col("qv"), col(s"w_$j"), j)).reduce(_ + _)
+      val raT = withWordsT.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adcT.as("adc"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= AnnK)
+        .select(col("q_id"), col("vec_id"))
+      val hm = exact.join(raM, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_medoid"))
+      val ht = exact.join(raT, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_trained"))
+      hm.crossJoin(ht).select(
+        lit(PqProbeN.toLong).as("n_q"),
+        col("hits_medoid"), col("hits_trained"),
+        round(col("hits_medoid").cast("double") / (PqProbeN * AnnK), 6)
+          .as("recall_medoid"),
+        round(col("hits_trained").cast("double") / (PqProbeN * AnnK), 6)
+          .as("recall_trained"))
+    }),
+
     // Bigram conditional-probability table (the n-gram LM building
     // block): bigram extraction is map-only (2-shingles), the
     // conditioning total comes from a window over the AGGREGATED
@@ -3545,6 +3824,83 @@ object Ext {
       " FROM codes " +
       (0 until PqM).map(j => s"JOIN reps r$j ON r$j.rep_id = codes.code_$j")
         .mkString(" ") + ")"
+
+  /** Trained-codebook CTE chain — the oracle replay of
+    * [[pqTrainedBook]]: long-form subvectors (scalar columns s1..s8),
+    * the medoid-initialized book b0, then `PqIters` unrolled (E-step
+    * argmin, decimal-mean M-step, empty-cluster keep) rounds ending at
+    * b`PqIters`. The E-step distance is the same left-associated
+    * per-term chain as the Spark fold; the M-step mean is
+    * CAST(sum(DECIMAL(18,9)) AS DOUBLE)/count — addition-order-free in
+    * both engines, so the books are bit-identical.
+    */
+  private val pqSqlTrainChain: String = {
+    val subCols = (1 to PqSub)
+      .map(i => s"v[j*$PqSub+$i] AS s$i").mkString(", ")
+    val b0Cols = (1 to PqSub)
+      .map(i => s"rv[j*$PqSub+$i] AS c$i").mkString(", ")
+    val sb = new StringBuilder
+    sb.append(
+      s"""js AS (SELECT j FROM range(0, $PqM) t(j)),
+         |sub AS (SELECT vec_id, j, $subCols FROM e CROSS JOIN js),
+         |b0 AS (SELECT j, rep_id AS cid, $b0Cols
+         |  FROM reps CROSS JOIN js)""".stripMargin)
+    val dist = (1 to PqSub)
+      .map(i => s"(sub.s$i - b.c$i) * (sub.s$i - b.c$i)")
+      .mkString(" + ")
+    val sCols = (1 to PqSub).map(i => s"s$i").mkString(", ")
+    for (r <- 1 to PqIters) {
+      val mCols = (1 to PqSub).map(i =>
+        s"CAST(sum(CAST(s$i AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c$i")
+        .mkString(", ")
+      val coal = (1 to PqSub)
+        .map(i => s"coalesce(m.c$i, b.c$i) AS c$i").mkString(", ")
+      sb.append(s""",
+         |a$r AS (SELECT vec_id, j, $sCols, cid FROM (
+         |  SELECT sub.vec_id, sub.j, $sCols, b.cid, row_number() OVER (
+         |    PARTITION BY sub.vec_id, sub.j ORDER BY $dist, b.cid) AS rn
+         |  FROM sub JOIN b${r - 1} b ON b.j = sub.j) WHERE rn = 1),
+         |m$r AS (SELECT j, cid, $mCols FROM a$r GROUP BY j, cid),
+         |b$r AS (SELECT b.j, b.cid, $coal FROM b${r - 1} b
+         |  LEFT JOIN m$r m ON m.j = b.j AND m.cid = b.cid)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Final trained assignment + wide codes — the replay of
+    * [[pqAssignTrained]]'s argmin and conditional-aggregation pivot.
+    */
+  private val pqSqlCodesTrained: String = {
+    val dist = (1 to PqSub)
+      .map(i => s"(sub.s$i - b.c$i) * (sub.s$i - b.c$i)")
+      .mkString(" + ")
+    val pivot = (0 until PqM)
+      .map(j => s"max(CASE WHEN j = $j THEN cid END) AS code_$j")
+      .mkString(", ")
+    s"""ct AS (SELECT vec_id, j, cid FROM (
+       |  SELECT sub.vec_id, sub.j, b.cid, row_number() OVER (
+       |    PARTITION BY sub.vec_id, sub.j ORDER BY $dist, b.cid) AS rn
+       |  FROM sub JOIN b$PqIters b ON b.j = sub.j) WHERE rn = 1),
+       |codes_t AS (SELECT vec_id, $pivot FROM ct GROUP BY vec_id)""".stripMargin
+  }
+
+  /** Trained-ADC distance: per-subspace reconstruction joins against
+    * b`PqIters` (w0..w7) and the grouped per-subspace squared-L2 chain
+    * — parenthesized per subspace so the float grouping matches the
+    * Spark (reduce over j of reduce over i) fold exactly.
+    */
+  private val pqSqlAdcTrainedDist: String =
+    (0 until PqM).map { j =>
+      "(" + (1 to PqSub).map { i =>
+        val idx = j * PqSub + i
+        s"(q.qv[$idx]-w$j.c$i)*(q.qv[$idx]-w$j.c$i)"
+      }.mkString(" + ") + ")"
+    }.mkString(" + ")
+
+  private val pqSqlAdcTrainedJoins: String =
+    (0 until PqM)
+      .map(j => s"JOIN b$PqIters w$j ON w$j.j = $j AND w$j.cid = c.code_$j")
+      .mkString(" ")
 
   /** Shared CTE body of the BPE oracles (everything after WITH): word
     * -type freqs (w0), char-split symbol streams (s0), and `rounds`
@@ -4270,6 +4626,111 @@ object Ext {
          |    ${(0 until PqM).map(j => sqlPqSubDist("q.qv", s"k.rv_$j", j))
                .mkString(" + ")} AS adc
          |  FROM k JOIN q ON k.vec_id != q.q_id),
+         |ra AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
+         |  WHERE rn <= $AnnK),
+         |px AS (SELECT q.q_id, e2.vec_id,
+         |    ${(0 until PqM).map(j => sqlPqSubDist("q.qv", "e2.v", j))
+               .mkString(" + ")} AS dist
+         |  FROM e e2 JOIN q ON e2.vec_id != q.q_id),
+         |rx AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY dist, vec_id) AS rn FROM px)
+         |  WHERE rn <= $AnnK),
+         |h AS (SELECT rx.q_id, count(*) AS n_hits FROM rx
+         |  JOIN ra ON ra.q_id = rx.q_id AND ra.vec_id = rx.vec_id
+         |  GROUP BY rx.q_id)
+         |SELECT q.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $AnnK, 6) AS recall
+         |FROM q LEFT JOIN h ON h.q_id = q.q_id ORDER BY q.q_id""".stripMargin,
+
+    "q_pq_distortion" -> {
+      val dist = (1 to PqSub)
+        .map(i => s"(sub.s$i - b.c$i) * (sub.s$i - b.c$i)")
+        .mkString(" + ")
+      s"""WITH $pqSqlBase,
+         |$pqSqlTrainChain,
+         |am AS (SELECT vec_id, sub.j AS j, min($dist) AS d2
+         |  FROM sub JOIN b0 b ON b.j = sub.j GROUP BY vec_id, sub.j),
+         |at AS (SELECT vec_id, sub.j AS j, min($dist) AS d2
+         |  FROM sub JOIN b$PqIters b ON b.j = sub.j GROUP BY vec_id, sub.j),
+         |gm AS (SELECT j, CAST(sum(CAST(round(d2, 6) AS DECIMAL(18,6)))
+         |    AS DOUBLE) / count(*) AS m FROM am GROUP BY j),
+         |gt AS (SELECT j, CAST(sum(CAST(round(d2, 6) AS DECIMAL(18,6)))
+         |    AS DOUBLE) / count(*) AS m FROM at GROUP BY j)
+         |SELECT CAST(gm.j AS BIGINT) AS j, round(gm.m, 6) AS mse_medoid,
+         |  round(gt.m, 6) AS mse_trained,
+         |  round(gt.m, 6) < round(gm.m, 6) AS improved
+         |FROM gm JOIN gt ON gt.j = gm.j ORDER BY j""".stripMargin
+    },
+
+    "q_pq_recall_gain" ->
+      s"""WITH $pqSqlBase,
+         |$pqSqlCodes,
+         |$pqSqlWords,
+         |$pqSqlTrainChain,
+         |$pqSqlCodesTrained,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |  WHERE vec_id < $PqProbeN),
+         |px AS (SELECT q.q_id, e2.vec_id,
+         |    ${(0 until PqM).map(j => sqlPqSubDist("q.qv", "e2.v", j))
+               .mkString(" + ")} AS dist
+         |  FROM e e2 JOIN q ON e2.vec_id != q.q_id),
+         |rx AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY dist, vec_id) AS rn FROM px)
+         |  WHERE rn <= $AnnK),
+         |pm AS (SELECT q.q_id, k.vec_id,
+         |    ${(0 until PqM).map(j => sqlPqSubDist("q.qv", s"k.rv_$j", j))
+               .mkString(" + ")} AS adc
+         |  FROM k JOIN q ON k.vec_id != q.q_id),
+         |rm AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM pm)
+         |  WHERE rn <= $AnnK),
+         |pt AS (SELECT q.q_id, c.vec_id, $pqSqlAdcTrainedDist AS adc
+         |  FROM codes_t c $pqSqlAdcTrainedJoins
+         |  JOIN q ON c.vec_id != q.q_id),
+         |rt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM pt)
+         |  WHERE rn <= $AnnK),
+         |hm AS (SELECT count(*) AS hits_medoid FROM rx
+         |  JOIN rm ON rm.q_id = rx.q_id AND rm.vec_id = rx.vec_id),
+         |ht AS (SELECT count(*) AS hits_trained FROM rx
+         |  JOIN rt ON rt.q_id = rx.q_id AND rt.vec_id = rx.vec_id)
+         |SELECT CAST($PqProbeN AS BIGINT) AS n_q, hm.hits_medoid,
+         |  ht.hits_trained,
+         |  round(CAST(hm.hits_medoid AS DOUBLE) / ${PqProbeN * AnnK}, 6)
+         |    AS recall_medoid,
+         |  round(CAST(ht.hits_trained AS DOUBLE) / ${PqProbeN * AnnK}, 6)
+         |    AS recall_trained
+         |FROM hm CROSS JOIN ht""".stripMargin,
+
+    "q_pq_train" ->
+      s"""WITH $pqSqlBase,
+         |$pqSqlTrainChain
+         |SELECT CAST(j AS BIGINT) AS j, cid,
+         |  ${(1 to PqSub).map(i => s"round(c$i, 6) AS c$i").mkString(", ")}
+         |FROM b$PqIters ORDER BY j, cid""".stripMargin,
+
+    "q_pq_adc_trained" ->
+      s"""WITH $pqSqlBase,
+         |$pqSqlTrainChain,
+         |$pqSqlCodesTrained,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |p AS (SELECT q.q_id, c.vec_id, $pqSqlAdcTrainedDist AS adc
+         |  FROM codes_t c $pqSqlAdcTrainedJoins
+         |  JOIN q ON c.vec_id != q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, round(adc, 6) AS adc FROM r
+         |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    "q_pq_recall_trained" ->
+      s"""WITH $pqSqlBase,
+         |$pqSqlTrainChain,
+         |$pqSqlCodesTrained,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |p AS (SELECT q.q_id, c.vec_id, $pqSqlAdcTrainedDist AS adc
+         |  FROM codes_t c $pqSqlAdcTrainedJoins
+         |  JOIN q ON c.vec_id != q.q_id),
          |ra AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
          |  WHERE rn <= $AnnK),
