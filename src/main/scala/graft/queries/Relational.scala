@@ -2141,6 +2141,41 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ADDITIVE SCHEMA EVOLUTION on the transactional sink: v1 commits
+    // two columns, v2 appends rows carrying a THIRD — the manifest
+    // records each snapshot's column list, so the latest read returns
+    // three columns with NULL day for the v1 files (unionByName-
+    // allowMissingColumns semantics) and a v1 time-travel read still
+    // returns exactly two. Without an evolvable schema a lakehouse
+    // table can only add columns by rewriting history — the one
+    // migration a 100 TB table cannot afford. The oracle recomputes
+    // the merged aggregate from the raw table (CASE arithmetic for
+    // which half carries day) and pins the old-reader boolean.
+    "q_schema_evolve" -> ((s, d) => {
+      val dir = rtDir("sev", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val t = s"$dir/t"
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.format("graft.sources.TxJsonSink")
+        .option("path", t).mode("append").save()
+      base.filter(col("o_orderkey") % 2 === 1)
+        .write.format("graft.sources.TxJsonSink")
+        .option("path", t).mode("append").save()
+      val v1Cols = graft.sources.TxJsonSink.read(s, t, Some(1)).columns
+      val latest = graft.sources.TxJsonSink.read(s, t)
+      val unevolved = v1Cols.toSeq == Seq("o_orderkey", "o_orderstatus") &&
+        latest.columns.toSeq == Seq("o_orderkey", "o_orderstatus", "day")
+      latest.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), count(col("day")).as("n_day"),
+          min(col("day")).as("first_day"))
+        .withColumn("v1_unevolved", lit(unevolved))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // JSON sink -> JSON source roundtrip (S6's format,
     // gmail_functions.py:127-129): same contract as q_csv_roundtrip but
     // through JSON lines with typed (non-string) number fields — the
@@ -3750,6 +3785,15 @@ object Relational {
         |  CAST(sum(o_orderkey) AS BIGINT) AS keysum_latest
         |FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_schema_evolve" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_day,
+        |  min(CASE WHEN o_orderkey % 2 = 1
+        |    THEN strftime(o_orderdate, '%Y-%m-%d') END) AS first_day,
+        |  true AS v1_unevolved
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_json_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -59,26 +59,57 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 object TxJsonSink {
   /** One committed snapshot: its version, the (file, rows) list visible
-    * at that version, and the total row count.
+    * at that version, the total row count, and the snapshot's COLUMN
+    * LIST (additive schema evolution: each commit may extend it; a
+    * reader of any version sees exactly that version's columns, with
+    * nulls where an old file predates a column). Empty for manifests
+    * written before schema tracking — those fall back to JSON
+    * inference.
     */
   case class Manifest(version: Int, files: Seq[(String, Long)],
-      totalRows: Long)
+      totalRows: Long, columns: Seq[String] = Nil)
 
   private val FileRe = """\{"file":"([^"]+)","rows":(\d+)\}""".r
   private val VerRe = """\{"version":(\d+)\}""".r
   private val TotalRe = """\{"total_rows":(\d+)\}""".r
+  private val SchemaRe = """\{"schema":\[(.*)\]\}""".r
+  private val ColRe = """"((?:[^"\\]|\\.)*)"""".r
 
   private[sources] def parseManifest(p: java.nio.file.Path): Manifest = {
     val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
     var v = 0; var total = 0L
+    var cols = Seq.empty[String]
     val files = Seq.newBuilder[(String, Long)]
     lines.foreach {
       case VerRe(n) => v = n.toInt
       case FileRe(f, r) => files += (f -> r.toLong)
       case TotalRe(t) => total = t.toLong
+      case SchemaRe(body) =>
+        cols = ColRe.findAllMatchIn(body).map(m => unescape(m.group(1)))
+          .toSeq
       case _ => ()
     }
-    Manifest(v, files.result(), total)
+    Manifest(v, files.result(), total, cols)
+  }
+
+  private[sources] def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'u' if i + 5 < s.length + 1 =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case o => b.append(o); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.result()
   }
 
   /** The manifest of `version` (or the latest); None if never committed. */
@@ -123,7 +154,11 @@ object TxJsonSink {
   /** Read a snapshot: exactly the files its manifest lists (all-string
     * columns — the sink's minimal payload format). Files committed by
     * LATER versions are invisible, which is the snapshot-isolation
-    * guarantee.
+    * guarantee. The manifest's recorded column list drives the read
+    * schema, so a file written before a column existed yields NULL for
+    * it deterministically (the unionByName-allowMissingColumns
+    * semantics) — never inference-dependent column sets; pre-schema
+    * manifests fall back to inference.
     */
   def read(spark: org.apache.spark.sql.SparkSession, dir: String,
       version: Option[Int] = None): org.apache.spark.sql.DataFrame = {
@@ -132,6 +167,11 @@ object TxJsonSink {
         s"no committed snapshot ${version.getOrElse("(latest)")} in $dir"))
     val paths = m.files.map { case (f, _) => s"$dir/$f" }
     if (paths.isEmpty) spark.emptyDataFrame
+    else if (m.columns.nonEmpty)
+      spark.read.schema(StructType(m.columns.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType, nullable = true))))
+        .json(paths: _*)
     else spark.read.json(paths: _*)
   }
 }
@@ -174,6 +214,27 @@ private[sources] class TxJsonTable(schema: StructType)
     }
 }
 
+/** Line-JSON string escape shared by the data writer and the manifest:
+  * backslash, quote, and ALL control chars (a raw newline in a value
+  * would tear the record across physical lines and corrupt the
+  * per-line reader; a raw tab/CR is invalid JSON).
+  */
+private[sources] object TxJsonEscape {
+  def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"'  => b.append("\\\"")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.result()
+  }
+}
+
 private[sources] case class TxFileCommit(tmpPath: String, rows: Long)
     extends WriterCommitMessage
 
@@ -204,8 +265,21 @@ private[sources] class TxJsonBatchWrite(path: String, schema: StructType,
     }
     val all = (if (truncate) Seq.empty
       else prev.map(_.files).getOrElse(Seq.empty)) ++ entries
+    // ADDITIVE schema evolution: the snapshot's column list is the
+    // previous version's columns extended (in order) by this batch's
+    // new ones — an old column absent from this batch stays, and old
+    // files read as NULL for the additions. Truncate starts the list
+    // fresh (a truncated table's history keeps its own schemas).
+    // Pre-schema manifests contribute no columns, so the first
+    // post-upgrade commit simply records the batch schema.
+    val prevCols =
+      if (truncate) Seq.empty else prev.map(_.columns).getOrElse(Nil)
+    val cols = prevCols ++
+      schema.fieldNames.toIndexedSeq.filterNot(prevCols.contains)
     val manifest =
       (s"""{"version":$version}""" +:
+        s"""{"schema":[${cols.map(c =>
+          "\"" + TxJsonEscape.esc(c) + "\"").mkString(",")}]}""" +:
         all.map { case (f, n) => s"""{"file":"$f","rows":$n}""" } :+
         s"""{"total_rows":${all.map(_._2).sum}}""").mkString("\n")
     // the versioned manifest gets the same tmp-file + ATOMIC_MOVE as the
@@ -251,24 +325,7 @@ private[sources] class TxJsonDataWriter(path: String, schema: StructType,
       new java.io.FileOutputStream(tmp), StandardCharsets.UTF_8))
   private var rows = 0L
 
-  /** Line-JSON string escape: backslash, quote, and ALL control chars
-    * (a raw newline in a value would tear the record across physical
-    * lines and corrupt the per-line reader; a raw tab/CR is invalid
-    * JSON).
-    */
-  private def esc(s: String): String = {
-    val b = new StringBuilder(s.length + 8)
-    s.foreach {
-      case '\\' => b.append("\\\\")
-      case '"'  => b.append("\\\"")
-      case '\n' => b.append("\\n")
-      case '\r' => b.append("\\r")
-      case '\t' => b.append("\\t")
-      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
-      case c => b.append(c)
-    }
-    b.result()
-  }
+  private def esc(s: String): String = TxJsonEscape.esc(s)
 
   override def write(record: InternalRow): Unit = {
     val fields = schema.fields.indices.map { i =>

@@ -167,4 +167,51 @@ class TxJsonSinkSpec extends SparkSpec {
     assert(!names.contains("_COMMIT"), names)
     assert(!names.exists(_.startsWith("part-")), names)
   }
+
+  test("additive schema evolution: old reader sees old columns, new " +
+      "reader nulls the gap") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-txevo").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "body").coalesce(1)
+      .write.format("graft.sources.TxJsonSink")
+      .option("path", out).mode("append").save()
+    Seq((3L, "c", "en"), (4L, "d", "fr")).toDF("id", "body", "lang")
+      .coalesce(1)
+      .write.format("graft.sources.TxJsonSink")
+      .option("path", out).mode("append").save()
+
+    // the OLD reader (time travel to v1) sees exactly v1's columns —
+    // a later column never bleeds backward into an old snapshot
+    val v1 = graft.sources.TxJsonSink.read(spark, out, Some(1))
+    assert(v1.columns.toSeq == Seq("id", "body"))
+    assert(v1.count() == 2)
+
+    // the latest reader sees the evolved schema with NULLs where v1
+    // files predate the column, in manifest order
+    val latest = graft.sources.TxJsonSink.read(spark, out)
+    assert(latest.columns.toSeq == Seq("id", "body", "lang"))
+    assert(latest.count() == 4)
+    assert(latest.filter(col("lang").isNull).count() == 2)
+    assert(latest.filter(col("lang").isNotNull)
+      .select(col("id")).as[String].collect().toSet == Set("3", "4"))
+
+    // a batch MISSING an old column is additive too: the column stays
+    // in the schema and the new rows read as NULL for it
+    Seq(Tuple1(5L)).toDF("id").coalesce(1)
+      .write.format("graft.sources.TxJsonSink")
+      .option("path", out).mode("append").save()
+    val v3 = graft.sources.TxJsonSink.read(spark, out)
+    assert(v3.columns.toSeq == Seq("id", "body", "lang"))
+    assert(v3.filter(col("id") === "5").select(col("body"), col("lang"))
+      .head.toSeq == Seq(null, null))
+
+    // truncate starts the schema fresh; prior versions keep theirs
+    Seq((9L, 1.5)).toDF("id", "score").coalesce(1)
+      .write.format("graft.sources.TxJsonSink")
+      .option("path", out).mode("overwrite").save()
+    assert(graft.sources.TxJsonSink.read(spark, out).columns.toSeq ==
+      Seq("id", "score"))
+    assert(graft.sources.TxJsonSink.read(spark, out, Some(3))
+      .columns.toSeq == Seq("id", "body", "lang"))
+  }
 }
