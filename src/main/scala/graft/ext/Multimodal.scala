@@ -136,6 +136,18 @@ object Multimodal {
       Dataset[MediaRow] =
     media.repartition(partitions)
 
+  /** Cluster-portable form: size the decode fan-out from the SESSION
+    * (defaultParallelism = total executor cores on a real cluster), not
+    * a box-sized constant — a hardcoded 32 caps a 1000-executor
+    * cluster's decode at 32 tasks. Compute-bound work past that point
+    * scales with CORES, not partitions: on a fixed box the per-row
+    * decode cost is the floor (the measured ~0.6 100x exponent is that
+    * floor emerging through fixed overhead, not a partitioning bug).
+    */
+  def repartitionForDecode(media: Dataset[MediaRow]): Dataset[MediaRow] =
+    repartitionForDecode(media,
+      media.sparkSession.sparkContext.defaultParallelism)
+
   /** The ONE batching seam the decode paths share: a partition's
     * non-null payload rows chunked into batchSize slices (null payloads
     * — mediaSchema declares media nullable; a null source text yields

@@ -295,6 +295,53 @@ object Ext {
       bandsOf(docsWithNearDups(s, d)
         .filter(col("doc_id") === col("base_id"))).localCheckpoint())
 
+  /** The daily incremental cross-source accounting against a standing
+    * corpus band index `idx` (memoized or persisted — the two gated
+    * forms must agree): batch bands broadcast against the index, exact
+    * -Jaccard verify over semi-join-pruned collided docs only, then
+    * the per-(source, source) pair reduction. Per-day cost scales with
+    * the batch, never the corpus.
+    */
+  private def incrementalCrossAccounting(s: SparkSession, d: String,
+      idx: DataFrame): DataFrame = {
+    val all = docsWithNearDups(s, d)
+    val batch = all.filter(col("doc_id") =!= col("base_id"))
+    val cand = idx.as("c")
+      .join(broadcast(bandsOf(batch).as("b")),
+        col("c.band_key") === col("b.band_key"))
+      .select(col("b.doc_id").as("new_id"), col("c.doc_id").as("match_id"))
+      .distinct()
+    val shNew = batch.select(col("doc_id").as("new_id"),
+      TextOps.distinctShingles(col("text"), K).as("sh_n"))
+    val matchedCorpus = all.filter(col("doc_id") === col("base_id"))
+      .join(broadcast(cand.select(col("match_id").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+    val shMatch = matchedCorpus.select(col("doc_id").as("match_id"),
+      TextOps.distinctShingles(col("text"), K).as("sh_m"))
+    val verified = cand
+      .join(broadcast(shNew), Seq("new_id"))
+      .join(shMatch, Seq("match_id"))
+      .filter(round(
+        size(array_intersect(col("sh_n"), col("sh_m"))).cast("double")
+          / size(array_union(col("sh_n"), col("sh_m"))), 6) >= 0.5)
+      .select(col("new_id"), col("match_id"))
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    val pairs = verified
+      .join(broadcast(batch.select(col("doc_id").as("new_id"),
+        col("base_id"))), Seq("new_id"))
+      .select(col("base_id"), col("match_id"))
+    val withSa = src.select(col("doc_id").as("base_id"),
+        col("source").as("sa"))
+      .join(broadcast(pairs), Seq("base_id"))
+    src.select(col("doc_id").as("match_id"), col("source").as("sb"))
+      .join(broadcast(withSa), Seq("match_id"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   private[graft] def invalidateCorpusIndex(): Unit = {
     corpusIndexMemo.values.foreach(_.unpersist(blocking = false))
     corpusIndexMemo.clear()
@@ -2473,9 +2520,9 @@ object Ext {
     // payloads shuffle once, by count not by key, staying balanced.
     "q_image_features" -> ((s, d) => {
       val feats = Multimodal.extractFeaturesPortable(
-        Multimodal.repartitionForDecode(
+        Multimodal.repartitionForDecode( // session-sized decode fan-out
           Multimodal.mediaFromDocuments(
-            documents(s, d).select(col("doc_id"), col("text"))), 32),
+            documents(s, d).select(col("doc_id"), col("text")))),
         dim = 4).toDF()
       feats.select(col("doc_id"), col("n_bytes"),
           round(element_at(col("features"), 1), 6).as("f0"),
@@ -3147,43 +3194,42 @@ object Ext {
     //  3. each verified (batch doc, corpus doc) pair maps to its base
     //     doc's source (the structural base_id relation, a bounded
     //     broadcast) and reduces to per-(source, source) pair counts.
-    "q_dedup_cross_incremental" -> ((s, d) => {
-      val all = docsWithNearDups(s, d)
-      val batch = all.filter(col("doc_id") =!= col("base_id"))
-      val cand = corpusBandIndex(s, d).as("c")
-        .join(broadcast(bandsOf(batch).as("b")),
-          col("c.band_key") === col("b.band_key"))
-        .select(col("b.doc_id").as("new_id"), col("c.doc_id").as("match_id"))
-        .distinct()
-      val shNew = batch.select(col("doc_id").as("new_id"),
-        TextOps.distinctShingles(col("text"), K).as("sh_n"))
-      val matchedCorpus = all.filter(col("doc_id") === col("base_id"))
-        .join(broadcast(cand.select(col("match_id").as("doc_id")).distinct()),
-          Seq("doc_id"), "left_semi")
-      val shMatch = matchedCorpus.select(col("doc_id").as("match_id"),
-        TextOps.distinctShingles(col("text"), K).as("sh_m"))
-      val verified = cand
-        .join(broadcast(shNew), Seq("new_id"))
-        .join(shMatch, Seq("match_id"))
-        .filter(round(
-          size(array_intersect(col("sh_n"), col("sh_m"))).cast("double")
-            / size(array_union(col("sh_n"), col("sh_m"))), 6) >= 0.5)
-        .select(col("new_id"), col("match_id"))
-      val src = documents(s, d).select(col("doc_id"), col("source"))
-      val pairs = verified
-        .join(broadcast(batch.select(col("doc_id").as("new_id"),
-          col("base_id"))), Seq("new_id"))
-        .select(col("base_id"), col("match_id"))
-      val withSa = src.select(col("doc_id").as("base_id"),
-          col("source").as("sa"))
-        .join(broadcast(pairs), Seq("base_id"))
-      src.select(col("doc_id").as("match_id"), col("source").as("sb"))
-        .join(broadcast(withSa), Seq("match_id"))
-        .select(least(col("sa"), col("sb")).as("src_a"),
-          greatest(col("sa"), col("sb")).as("src_b"))
-        .groupBy(col("src_a"), col("src_b"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy(col("src_a"), col("src_b"))
+    "q_dedup_cross_incremental" -> ((s, d) =>
+      incrementalCrossAccounting(s, d, corpusBandIndex(s, d))),
+
+    // The PERSISTED standing index — the production shape the
+    // session-memoized [[corpusBandIndex]] stands in for: the index
+    // BUILD job writes the corpus band relation to the cluster FS
+    // (hash-clustered and sorted by band key), the daily probe runs in
+    // a FRESH SESSION (isolated conf/catalog — the cross-JVM stand-in;
+    // a cold-JVM probe timing is recorded in BASELINE.md) against that
+    // table, and the MAINTENANCE append adopts today's bands so
+    // tomorrow's probe sees them — index upkeep costs the batch, never
+    // a rebuild. The gated rows equal q_dedup_cross_incremental's (the
+    // persisted index must change nothing), and the booleans pin that
+    // the probe really read the on-disk table and that the appended
+    // index covers exactly the full corpus-plus-batch band relation.
+    "q_dedup_index_persist" -> ((s, d) => {
+      val dir = Relational.rtDir("bidx", d)
+      Relational.deleteRecursive(java.nio.file.Paths.get(dir))
+      bandsOf(docsWithNearDups(s, d)
+          .filter(col("doc_id") === col("base_id")))
+        .repartition(8, col("band_key"))
+        .sortWithinPartitions(col("band_key"))
+        .write.mode("overwrite").parquet(dir)
+      val s2 = s.newSession()
+      val idx = s2.read.parquet(dir)
+      val fromDisk = idx.inputFiles.nonEmpty
+      val out = incrementalCrossAccounting(s2, d, idx)
+      val batch2 = docsWithNearDups(s2, d)
+        .filter(col("doc_id") =!= col("base_id"))
+      bandsOf(batch2).repartition(1, col("band_key"))
+        .sortWithinPartitions(col("band_key"))
+        .write.mode("append").parquet(dir)
+      val maintained = s2.read.parquet(dir).count() ==
+        bandsOf(docsWithNearDups(s2, d)).count()
+      out.withColumn("probe_from_disk", lit(fromDisk))
+        .withColumn("index_maintained", lit(maintained))
     }),
 
     // The STREAMING LSH near-dup candidate generator
@@ -5669,6 +5715,39 @@ object Ext {
          |  FROM m JOIN documents da ON da.doc_id = m.ba
          |         JOIN documents db ON db.doc_id = m.bb)
          |SELECT src_a, src_b, count(*) AS n_pairs
+         |FROM jj GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+
+    // the persisted-index probe must equal the memoized-index answer,
+    // with the disk/maintenance booleans pinned
+    "q_dedup_index_persist" ->
+      s"""WITH $sqlDocsCte,
+         |tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM docs),
+         |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
+         |hv AS (SELECT doc_id, list_transform(sh, x -> $sqlHash31) AS vs
+         |  FROM sh),
+         |sg AS (SELECT doc_id, $sqlSig AS sig FROM hv),
+         |bk AS (SELECT doc_id,
+         |    unnest([${sqlBands.mkString(", ")}]) AS band_key FROM sg),
+         |cand AS (SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS match_id
+         |  FROM bk b JOIN bk c ON b.band_key = c.band_key
+         |  JOIN docs bd ON bd.doc_id = b.doc_id
+         |  JOIN docs cd ON cd.doc_id = c.doc_id
+         |  WHERE bd.doc_id <> bd.base_id AND cd.doc_id = cd.base_id),
+         |j AS (SELECT new_id, match_id,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |          CAST(len(list_distinct(list_concat(x.sh, y.sh)))
+         |            AS DOUBLE), 6) AS jaccard
+         |  FROM cand JOIN sh x ON x.doc_id = new_id
+         |    JOIN sh y ON y.doc_id = match_id),
+         |v AS (SELECT new_id, match_id FROM j WHERE jaccard >= 0.5),
+         |m AS (SELECT d.base_id AS ba, v.match_id AS bb
+         |  FROM v JOIN docs d ON d.doc_id = v.new_id),
+         |jj AS (SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b
+         |  FROM m JOIN documents da ON da.doc_id = m.ba
+         |         JOIN documents db ON db.doc_id = m.bb)
+         |SELECT src_a, src_b, count(*) AS n_pairs,
+         |  true AS probe_from_disk, true AS index_maintained
          |FROM jj GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
 
     // the drained streaming LSH hits = per-bucket (doc, min-doc) pairs

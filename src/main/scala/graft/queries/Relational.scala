@@ -31,7 +31,7 @@ object Relational {
     * other's half-committed overwrite and aggregate a partially
     * rewritten directory into a plausible-but-wrong result.
     */
-  private def rtDir(kind: String, d: String): String =
+  private[queries] def rtDir(kind: String, d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_rt_${kind}_" +
       s"${d.hashCode.toHexString}_p${ProcessHandle.current().pid}"
 
