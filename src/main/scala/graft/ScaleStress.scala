@@ -144,7 +144,9 @@ object ScaleStress {
     "q_dedup_minhash", "q_dedup_pairs", "q_dedup_clusters", "q_dedup_hamming",
     "q_dedup_hamming64",
     // ANN (bucketed, never brute-force at scale) + PQ compression
+    // (round 9 adds the TRAINED codebook fit + probe)
     "q_sim_topk", "q_ann_lsh", "q_ann_ivf", "q_pq_assign", "q_pq_adc",
+    "q_pq_train", "q_pq_adc_trained",
     // stateful sessionization over events
     "q_sessionize",
     // round-6/7 additions over documents (histogram offsets + ranged
@@ -152,6 +154,7 @@ object ScaleStress {
     // batching)
     "q_token_budget_select", "q_quality_gate_per_source",
     "q_dedup_cross_source", "q_dedup_cross_incremental",
+    "q_dedup_index_persist",
     "q_batch_by_length",
     // adaptive-occupancy semantic dedup (the production path; the exact
     // within-cell variant measured 1.22 at 100x and is excluded here —

@@ -142,6 +142,31 @@ object Relational {
     (out, dropped)
   }
 
+  /** [[drainStream]] into a PARQUET sink with an EXPLICIT checkpoint —
+    * the restart-capable drain: the memory sink refuses checkpoint
+    * recovery (not fault-tolerant), so the restore-path query needs a
+    * real sink. Append mode only (the file sink's contract); a second
+    * call with the same (path, checkpoint) RESUMES — restored source
+    * offsets, watermark, and state — instead of re-draining.
+    */
+  private[queries] def drainStreamToParquet(stream: DataFrame,
+      path: String, checkpoint: String,
+      statePartitions: Int = 8): Unit = {
+    val s = stream.sparkSession
+    drainConfLock.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      try {
+        val q = stream.writeStream.format("parquet")
+          .option("path", path).option("checkpointLocation", checkpoint)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
   /** readStream over the driver events table, ts-adapted like the batch
     * reader. FileStreamSource monitors a DIRECTORY; the driver testdata
     * ships events.parquet as a single file in some generations, so that
@@ -2506,6 +2531,75 @@ object Relational {
       }
     }),
 
+    // CHECKPOINTED RESTART under the oracle gate — the crash/resume
+    // contract no other drain pins: the SAME windowed aggregation runs
+    // as TWO AvailableNow queries sharing one checkpoint and one
+    // parquet sink (the memory sink refuses recovery). Run 1 sees only
+    // the first half of the timeline and STOPS — open windows live
+    // only in the checkpointed state store; run 2 must (a) skip run
+    // 1's file via the restored source offsets (a re-read would double
+    // counts and fail the hash), (b) restore the watermark, and (c)
+    // restore and EXTEND the open-window state, then seal everything
+    // real via two far-future sentinel batches (sentinel windows never
+    // seal, so they never reach the sink). The accumulated sink equals
+    // the batch tumble answer — exactly-once across a restart, which
+    // is the property a daily 100 TB ingestion job actually relies on.
+    "q_stream_restore_drain" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val mm = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      val (mnUs, mxUs) = (mm.getLong(0), mm.getLong(1))
+      val midUs = mnUs + (mxUs - mnUs) / 2
+      def sentinel(id: Long, us: Long) =
+        s.range(1).select(lit(id).as("event_id"),
+          timestamp_micros(lit(us)).as("ts"), lit(id).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_restore_drain_")
+      try {
+        val dir = root.resolve("data")
+        java.nio.file.Files.createDirectories(dir)
+        val (out, ck) = (s"$root/out", s"$root/ck")
+        val t0 = System.currentTimeMillis()
+        def drain(): Unit = drainStreamToParquet(
+          s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+            .withWatermark("ts", "10 seconds")
+            .groupBy(window(col("ts"), "300 seconds").as("w"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sumDec(col("value")).as("total_value")),
+          out, ck)
+        stageStreamFile(ev.filter(unix_micros(col("ts")) < midUs), dir,
+          "0_events.parquet", t0 - 120000)
+        drain() // run 1: stops with open windows only in the checkpoint
+        stageStreamFile(ev.filter(unix_micros(col("ts")) >= midUs), dir,
+          "1_events.parquet", t0 - 90000)
+        stageStreamFile(sentinel(-1L, mxUs + 86400L * 1000000L), dir,
+          "2_sentinel.parquet", t0 - 60000)
+        stageStreamFile(sentinel(-2L, mxUs + 2L * 86400L * 1000000L), dir,
+          "3_sentinel.parquet", t0 - 30000)
+        drain() // run 2: restored offsets + watermark + state
+        import org.apache.spark.sql.types._
+        val sinkSchema = StructType(Seq(
+          StructField("w", StructType(Seq(
+            StructField("start", TimestampType),
+            StructField("end", TimestampType)))),
+          StructField("event_type", StringType),
+          StructField("n", LongType),
+          StructField("total_value", DoubleType)))
+        s.read.schema(sinkSchema).parquet(out)
+          // the trailing no-data batch applies the final watermark and
+          // can seal sentinel-1's own window — drop the markers
+          .filter(col("event_type") =!= "sentinel")
+          .select(unix_timestamp(col("w.start")).as("bucket_start"),
+            col("event_type"), col("n"), col("total_value"))
+          .orderBy(col("bucket_start"), col("event_type"))
+          .localCheckpoint()
+      } finally deleteRecursive(root)
+    }),
+
     // Per-key admission cap (Streams.capPerKey) under the oracle gate:
     // events replay as two id-split files (one per micro-batch, ids
     // ascending across files), so admissions in batch 2 must respect
@@ -3877,6 +3971,14 @@ object Relational {
     // the streaming drain's final state must equal the batch answer —
     // the oracle IS the batch answer
     "q_stream_drain" ->
+      """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bucket_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+
+    // the restart-spanning sink must accumulate exactly the batch
+    // tumble answer — exactly-once across the checkpoint restore
+    "q_stream_restore_drain" ->
       """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS bucket_start,
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
