@@ -3576,6 +3576,41 @@ object Ext {
     // codes scan never shuffles), lower quantization error.
     "q_pq_adc_trained" -> ((s, d) => pqAdcTrained(s, d)),
 
+    // The COMPOSED probe with the trained codebook — q_pq_ivf_adc's
+    // plan (coarse cell restriction via the IVF equi-join, per-
+    // candidate data = 8 code ids) with the Lloyd-refined words
+    // supplying the ADC distances. Together with q_pq_adc_trained this
+    // makes the trained book a drop-in for the full index, not just
+    // the flat scan.
+    "q_pq_ivf_adc_trained" -> ((s, d) => {
+      val assigned = ivfAssign(s, d).localCheckpoint()
+      val book = pqTrainedBook(s, d)
+      val withWords = (0 until PqM)
+        .foldLeft(pqAssignTrained(s, d, book)) { (df, j) =>
+          df.join(broadcast(book.filter(col("j") === j)
+            .select(col("cid").as(s"code_$j"),
+              array((1 to PqSub).map(i => col(s"c$i")): _*).as(s"w_$j"))),
+            Seq(s"code_$j"))
+        }
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("cell").as("q_cell"))
+      val adc = (0 until PqM).map(j =>
+        pqSubDistLocal(col("qv"), col(s"w_$j"), j)).reduce(_ + _)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc"), col("vec_id"))
+      withWords
+        .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .join(broadcast(q),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adc.as("adc"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= AnnK)
+        .select(col("q_id"), col("rn"), col("vec_id"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // The before/after recall readout the training exists for: trained
     // ADC top-5 scored against the exact squared-L2 top-5 — compare
     // row-for-row with q_pq_recall (the medoid book at the same code
@@ -4764,6 +4799,21 @@ object Ext {
          |p AS (SELECT q.q_id, c.vec_id, $pqSqlAdcTrainedDist AS adc
          |  FROM codes_t c $pqSqlAdcTrainedJoins
          |  JOIN q ON c.vec_id != q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, round(adc, 6) AS adc FROM r
+         |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    "q_pq_ivf_adc_trained" ->
+      s"""WITH $semanticSqlBase,
+         |$pqSqlTrainChain,
+         |$pqSqlCodesTrained,
+         |q AS (SELECT vec_id AS q_id, v AS qv, cell AS q_cell
+         |  FROM assigned WHERE vec_id < 5),
+         |p AS (SELECT q.q_id, c.vec_id, $pqSqlAdcTrainedDist AS adc
+         |  FROM codes_t c $pqSqlAdcTrainedJoins
+         |  JOIN assigned a ON a.vec_id = c.vec_id
+         |  JOIN q ON a.cell = q.q_cell AND c.vec_id != q.q_id),
          |r AS (SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, round(adc, 6) AS adc FROM r
