@@ -2369,6 +2369,14 @@ object Relational {
     // which copy survives is immaterial to the hash.
     "q_stream_dedup_drain" -> ((s, d) => {
       val ev = events(s, d)
+      // dedup state tracks EVERY key (the 35-day watermark covers the
+      // whole corpus span), so like the interval join its state
+      // partition count is sized from the input, not the 8-partition
+      // staged-replay floor — at 100x the fixed-8 layout serialized
+      // 20 M keys of state-store commit through 8 instances (measured
+      // exponent 0.98); input-sizing restores the parallel slack
+      val nEvents = ev.count()
+      val parts = math.max(8L, math.min(64L, nEvents / 62500L)).toInt
       val dir = java.nio.file.Files.createTempDirectory("graft_dedup_drain_")
       try {
         val t0 = System.currentTimeMillis()
@@ -2379,7 +2387,7 @@ object Relational {
         drainStream(
           graft.streaming.Streams.dedup(raw, "event_id",
             withinWatermark = Some(("ts", "35 days"))),
-          "append")
+          "append", statePartitions = parts)
           .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
             col("user_id"), col("event_type"), col("value"), col("props"))
           .orderBy(col("event_id"))
