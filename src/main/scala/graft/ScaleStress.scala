@@ -184,7 +184,11 @@ object ScaleStress {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Facts)
     val spark = Graft.localSession(32, "graft-scale",
-      Map("spark.sql.files.maxPartitionBytes" -> "4m"))
+      Map("spark.sql.files.maxPartitionBytes" -> "4m",
+        // the drain queries end in a memory sink (collect-shaped by
+        // construction — the MEASUREMENT harness, not the operator);
+        // at 100x their linear outputs pass the default 1g result cap
+        "spark.driver.maxResultSize" -> "16g"))
     // events.ts generations vary (TIMESTAMP(NANOS) vs timestamp[us]); the
     // legacy conf makes a nanos source readable as INT64, and the replica
     // round-trips whichever physical type it read — Tables.events branches
