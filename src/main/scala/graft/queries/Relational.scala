@@ -167,6 +167,27 @@ object Relational {
     }
   }
 
+  /** [[drainStream]] for INPUT-SIZED append-mode outputs: drains through
+    * a parquet FILE sink and reads the files back as the result, so the
+    * drained rows stay distributed end to end. The memory sink funnels
+    * every drained row through the driver (its sink table is
+    * driver-resident) — fine for the small FINAL STATES the agg /
+    * profile / top-k / session drains emit, a harness cliff for the
+    * dedup and interval-join drains whose outputs track the INPUT
+    * (measured: the interval join's 100x drain output overran the
+    * driver's result transport entirely). Fresh output + checkpoint
+    * dirs per invocation, so bench/stress re-runs re-drain instead of
+    * resuming a completed checkpoint.
+    */
+  private[queries] def drainStreamFiles(stream: DataFrame, baseDir: String,
+      statePartitions: Int = 8): DataFrame = {
+    val s = stream.sparkSession
+    deleteRecursive(java.nio.file.Paths.get(baseDir))
+    drainStreamToParquet(stream, s"$baseDir/out", s"$baseDir/ckpt",
+      statePartitions)
+    s.read.parquet(s"$baseDir/out")
+  }
+
   /** readStream over the driver events table, ts-adapted like the batch
     * reader. FileStreamSource monitors a DIRECTORY; the driver testdata
     * ships events.parquet as a single file in some generations, so that
@@ -2201,6 +2222,61 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // COPY-ON-WRITE MERGE on the transactional sink — the upsert commit
+    // (TxJsonSink.merge): rows of a change batch replace same-key rows
+    // and new keys insert, by rewriting ONLY the files that contain a
+    // matched key; every untouched file is carried into the new manifest
+    // by reference. Two status-clustered commits concentrate the
+    // matched keys ('F' rows) in a file subset, so the gated cow_subset
+    // boolean pins that the merge both carried files AND replaced files
+    // — whole-table rewrite or no-op would fail it — and old_intact pins
+    // that the pre-merge snapshot still reads bit-identically (replaced
+    // files stay on disk for time travel until vacuum). The oracle
+    // recomputes the merged table from raw orders (updates as CASE
+    // arithmetic, inserts as a mirrored union).
+    "q_tx_merge" -> ((s, d) => {
+      val dir = rtDir("txm", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val t = s"$dir/t"
+      val base = orders(s, d).select(
+        col("o_orderkey").cast("string").as("k"),
+        col("o_orderstatus").as("status"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .cast("string").as("cents"))
+      base.filter(col("k").cast("long") % 2 === 0)
+        .repartition(6, col("status"))
+        .write.format("graft.sources.TxJsonSink").option("path", t)
+        .mode("append").save()
+      base.filter(col("k").cast("long") % 2 === 1)
+        .repartition(6, col("status"))
+        .write.format("graft.sources.TxJsonSink").option("path", t)
+        .mode("append").save()
+      val preVersion = graft.sources.TxJsonSink.manifest(t).get.version
+      val fRows = base.filter(col("status") === "F")
+      val changes = fRows.select(col("k"), col("status"),
+          (col("cents").cast("long") + 100000).cast("string").as("cents"))
+        .unionByName(fRows.select(
+          (col("k").cast("long") + 10000000).cast("string").as("k"),
+          lit("N").as("status"), col("cents")))
+      val mr = graft.sources.TxJsonSink.merge(s, t, changes, "k")
+      val cow = mr.filesReplaced > 0 && mr.filesCarried > 0
+      // the pre-merge snapshot must still read exactly as committed
+      def sig(df: DataFrame): (Long, Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          sum(col("cents").cast("long")), sum(col("k").cast("long"))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val oldIntact =
+        sig(graft.sources.TxJsonSink.read(s, t, Some(preVersion))) == sig(base)
+      graft.sources.TxJsonSink.read(s, t).groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast("long")).as("sum_cents"),
+          min(col("k").cast("long")).as("min_k"))
+        .withColumn("cow_subset", lit(cow))
+        .withColumn("old_intact", lit(oldIntact))
+        .orderBy(col("status"))
+    }),
+
     // JSON sink -> JSON source roundtrip (S6's format,
     // gmail_functions.py:127-129): same contract as q_csv_roundtrip but
     // through JSON lines with typed (non-string) number fields — the
@@ -2384,10 +2460,10 @@ object Relational {
         stageStreamFile(ev, dir, "1_events.parquet", t0 - 30000)
         val raw = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-        drainStream(
+        drainStreamFiles(
           graft.streaming.Streams.dedup(raw, "event_id",
             withinWatermark = Some(("ts", "35 days"))),
-          "append", statePartitions = parts)
+          rtDir("deddrain", d), statePartitions = parts)
           .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
             col("user_id"), col("event_type"), col("value"), col("props"))
           .orderBy(col("event_id"))
@@ -2463,10 +2539,10 @@ object Relational {
         .filter(col("event_type") === "click")
         .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
           col("user_id"))
-      drainStream(
+      drainStreamFiles(
         graft.streaming.Streams.intervalJoin(left, right, "user_id",
           "l_ts", "r_ts", windowSeconds = 300L),
-        "append", statePartitions = parts)
+        rtDir("ivdrain", d), statePartitions = parts)
         .select(col("l_id"), col("r_id"), col("user_id"),
           unix_micros(col("l_ts")).as("l_ts_us"),
           unix_micros(col("r_ts")).as("r_ts_us"))
@@ -3896,6 +3972,26 @@ object Relational {
         |  true AS v1_unevolved
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_tx_merge" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS status,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |merged AS (
+        |  SELECT k, status,
+        |    CASE WHEN status='F' THEN cents+100000 ELSE cents END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k+10000000 AS k, 'N' AS status, cents
+        |  FROM base WHERE status='F')
+        |SELECT status, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_k,
+        |  true AS cow_subset, true AS old_intact
+        |FROM merged GROUP BY status ORDER BY status""".stripMargin,
 
     "q_json_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -151,6 +151,70 @@ object TxJsonSink {
     }
   }
 
+  /** Result of a [[merge]] commit: how many of the previous snapshot's
+    * files were rewritten vs carried by reference, and the new version.
+    */
+  case class MergeResult(filesReplaced: Int, filesCarried: Int,
+      version: Int)
+
+  /** COPY-ON-WRITE MERGE (upsert): commit a new snapshot where rows of
+    * `changes` REPLACE same-key rows of the latest snapshot and new keys
+    * are inserted — rewriting ONLY the files that contain a matched key.
+    * Every untouched file is carried into the new manifest BY REFERENCE
+    * (the `replacedFiles` commit option drops the rewritten ones from
+    * inheritance), so merge write cost scales with the touched-file
+    * fraction, not the table size — the Iceberg/Delta copy-on-write
+    * MERGE shape, and the write-side complement of the merge-on-read
+    * deletion-vector composition (`q_merge_on_read`). Old snapshots stay
+    * time-travelable and bit-identical (their manifests still list the
+    * replaced files, which remain on disk until vacuum).
+    *
+    * The probe is distributed end to end: the snapshot scan joins the
+    * change keys (left-semi, broadcast-sized daily batch) to find
+    * affected files — only DISTINCT FILE NAMES are collected, bounded by
+    * the manifest's own file count, which is already driver-side by
+    * design. Survivor rows are read only from affected files. At lake
+    * scale the probe scan itself would be pruned by a key zone map
+    * (`sources.Writers` zone-map layer) before the semi join; the sink's
+    * minimal JSON payload carries no per-file stats, so here the probe
+    * reads the snapshot once.
+    *
+    * Deletes are out of scope by design (upsert-only): deletion rides
+    * the merge-on-read tombstone path. Column sets may differ — the
+    * rewritten file unions survivors and changes by name, composing
+    * with additive schema evolution.
+    */
+  def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
+      changes: org.apache.spark.sql.DataFrame, key: String): MergeResult = {
+    import org.apache.spark.sql.functions._
+    val prev = manifest(dir).getOrElse(throw new IllegalArgumentException(
+      s"merge requires a committed snapshot in $dir"))
+    // the sink's payload is all-string: probe and union on string forms
+    val ch = changes.select(changes.columns.map(c =>
+      col(c).cast("string").as(c)).toIndexedSeq: _*)
+    val changeKeys = ch.select(col(key)).distinct()
+    val snap = read(spark, dir)
+      .withColumn("_file", element_at(split(input_file_name(), "/"), -1))
+    val affected = snap.join(broadcast(changeKeys), Seq(key), "left_semi")
+      .select(col("_file")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq.sorted
+    val prevNames = prev.files.map(_._1).toSet
+    require(affected.forall(prevNames), // input_file_name must match manifest
+      s"probe returned files outside the snapshot manifest: " +
+        affected.filterNot(prevNames).mkString(","))
+    val survivors = snap
+      .filter(col("_file").isInCollection(affected))
+      .join(broadcast(changeKeys), Seq(key), "left_anti")
+      .drop("_file")
+    val rewritten = survivors.unionByName(ch, allowMissingColumns = true)
+    rewritten.write.format("graft.sources.TxJsonSink")
+      .option("path", dir)
+      .option("replacedFiles", affected.mkString(","))
+      .mode("append").save()
+    MergeResult(affected.size, prevNames.size - affected.size,
+      prev.version + 1)
+  }
+
   /** Read a snapshot: exactly the files its manifest lists (all-string
     * columns — the sink's minimal payload format). Files committed by
     * LATER versions are invisible, which is the snapshot-isolation
@@ -209,7 +273,10 @@ private[sources] class TxJsonTable(schema: StructType)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new TxJsonBatchWrite(info.options.get("path"), info.schema(),
-            doTruncate)
+            doTruncate,
+            Option(info.options.get("replacedFiles"))
+              .map(_.split(",").filter(_.nonEmpty).toSet)
+              .getOrElse(Set.empty))
       }
     }
 }
@@ -239,7 +306,8 @@ private[sources] case class TxFileCommit(tmpPath: String, rows: Long)
     extends WriterCommitMessage
 
 private[sources] class TxJsonBatchWrite(path: String, schema: StructType,
-    truncate: Boolean = false) extends BatchWrite {
+    truncate: Boolean = false,
+    replacedFiles: Set[String] = Set.empty) extends BatchWrite {
   require(path != null, "TxJsonSink requires a 'path' option")
 
   override def createBatchWriterFactory(
@@ -263,8 +331,22 @@ private[sources] class TxJsonBatchWrite(path: String, schema: StructType,
           StandardCopyOption.ATOMIC_MOVE)
         (Paths.get(visible).getFileName.toString, rows)
     }
-    val all = (if (truncate) Seq.empty
-      else prev.map(_.files).getOrElse(Seq.empty)) ++ entries
+    // COPY-ON-WRITE: a merge commit names the files it rewrote; they
+    // drop out of inheritance (their replacement rows are in this
+    // batch), every other previous file is carried by reference. The
+    // replaced files stay on disk — older manifests still list them, so
+    // prior snapshots remain time-travelable until vacuum.
+    val prevFiles = if (truncate) Seq.empty
+      else prev.map(_.files).getOrElse(Seq.empty)
+    if (replacedFiles.nonEmpty) {
+      val prevNames = prevFiles.map(_._1).toSet
+      val unknown = replacedFiles.filterNot(prevNames)
+      require(unknown.isEmpty,
+        s"replacedFiles not in previous snapshot (concurrent commit?): " +
+          unknown.mkString(","))
+    }
+    val all = prevFiles.filterNot { case (f, _) => replacedFiles(f) } ++
+      entries
     // ADDITIVE schema evolution: the snapshot's column list is the
     // previous version's columns extended (in order) by this batch's
     // new ones — an old column absent from this batch stays, and old

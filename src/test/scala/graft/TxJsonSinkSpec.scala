@@ -214,4 +214,65 @@ class TxJsonSinkSpec extends SparkSpec {
     assert(graft.sources.TxJsonSink.read(spark, out, Some(3))
       .columns.toSeq == Seq("id", "body", "lang"))
   }
+
+  test("copy-on-write merge rewrites only matched files, carries the " +
+      "rest by reference, and keeps old snapshots intact") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-txmerge").toString + "/t"
+    // 4 files, ids clustered so matches hit a strict file subset
+    (1L to 40L).map(i => (i, s"body-$i", (i - 1) / 10))
+      .toDF("id", "body", "bucket").repartition(4, col("bucket"))
+      .write.format("graft.sources.TxJsonSink")
+      .option("path", out).mode("append").save()
+    val v1Files = graft.sources.TxJsonSink.manifest(out).get.files
+      .map(_._1).toSet
+    assert(v1Files.size == 4)
+
+    // update ids 1-5 (bucket 0 only) + insert 101-102
+    val changes = (1L to 5L).map(i => (i, s"upd-$i", 0L)) ++
+      Seq((101L, "new-101", 99L), (102L, "new-102", 99L))
+    val mr = graft.sources.TxJsonSink.merge(spark, out,
+      changes.toDF("id", "body", "bucket"), "id")
+    assert(mr.filesReplaced >= 1 && mr.filesReplaced < 4, mr)
+    assert(mr.filesCarried == 4 - mr.filesReplaced, mr)
+    assert(mr.version == 2)
+
+    // carried files appear in v2's manifest under their v1 names
+    val v2 = graft.sources.TxJsonSink.manifest(out).get
+    assert(v2.files.map(_._1).toSet.intersect(v1Files).size ==
+      mr.filesCarried)
+
+    // merged content: updates replaced, non-matches survived, inserts in
+    val latest = graft.sources.TxJsonSink.read(spark, out)
+    assert(latest.count() == 42)
+    assert(latest.filter(col("id") === "3").select(col("body"))
+      .head.getString(0) == "upd-3")
+    assert(latest.filter(col("id") === "7").select(col("body"))
+      .head.getString(0) == "body-7")
+    assert(latest.filter(col("id") === "101").count() == 1)
+
+    // the pre-merge snapshot is untouched (replaced files still on disk)
+    val old = graft.sources.TxJsonSink.read(spark, out, Some(1))
+    assert(old.count() == 40)
+    assert(old.filter(col("id") === "3").select(col("body"))
+      .head.getString(0) == "body-3")
+
+    // no matches -> pure-insert merge: every file carried
+    val mr2 = graft.sources.TxJsonSink.merge(spark, out,
+      Seq((201L, "new-201", 99L)).toDF("id", "body", "bucket"), "id")
+    assert(mr2.filesReplaced == 0, mr2)
+    assert(graft.sources.TxJsonSink.read(spark, out).count() == 43)
+
+    // schema evolution composes: a change batch with a NEW column
+    val mr3 = graft.sources.TxJsonSink.merge(spark, out,
+      Seq((201L, "upd-201", 99L, "en")).toDF("id", "body", "bucket",
+        "lang"), "id")
+    val evolved = graft.sources.TxJsonSink.read(spark, out)
+    assert(evolved.columns.contains("lang"))
+    assert(evolved.filter(col("id") === "201")
+      .select(col("body"), col("lang")).head.toSeq == Seq("upd-201", "en"))
+    assert(evolved.filter(col("id") === "3").select(col("lang"))
+      .head.isNullAt(0))
+    assert(mr3.version == 4)
+  }
 }
