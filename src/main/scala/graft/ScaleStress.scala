@@ -65,7 +65,17 @@ object ScaleStress {
       case "lineitem" =>
         df.withColumn("l_orderkey", col("l_orderkey") + lit(off))
       case "events" =>
+        // user_id offsets too: events replicas must be SELF-SIMILAR
+        // (more users, not N-fold denser per-user activity in the same
+        // time span) — shared users made every per-user time-window
+        // workload quadratic in replicas: the interval join's matches
+        // grew ~N^2 (each left event saw every replica's clicks in its
+        // window), sessions collapsed as gaps filled in, and the
+        // measured exponent tracked the inflated OUTPUT, not the
+        // operator (interval drain read 1.08 at 100x on the shared-user
+        // corpus; the self-similar corpus measures the operator)
         df.withColumn("event_id", col("event_id") + lit(off))
+          .withColumn("user_id", col("user_id") + lit(off))
       case _ => df
     }
   }
@@ -79,7 +89,7 @@ object ScaleStress {
     * instead of silently reused — exponents measured on the wrong data
     * are worse than no exponents.
     */
-  private val SynthVersion = 1
+  private val SynthVersion = 2
 
   private def manifestFor(src: String, replicas: Int): String =
     s"""{"src":"$src","replicas":$replicas,"synth_version":$SynthVersion}"""
