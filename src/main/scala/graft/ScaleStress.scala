@@ -221,6 +221,7 @@ object ScaleStress {
         // for the verify/bench suites, and a cache hit here would
         // hollow out the exponent
         graft.queries.Ext.invalidatePairGraph()
+        graft.queries.Ext.invalidatePqTrained()
         graft.queries.Relational.invalidateStatCores()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)

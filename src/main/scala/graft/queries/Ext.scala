@@ -585,7 +585,41 @@ object Ext {
       .select(col("j") +: col("vec_id").as("cid") +:
         (1 to PqSub).map(i => col(s"s$i").as(s"c$i")): _*)
 
-  private def pqTrainedBook(s: SparkSession, d: String): DataFrame = {
+  /** Memoized per (session, sfDir), the [[pairMemo]] pattern: SIX gated
+    * queries consume the trained book (train, adc, ivf_adc, recall,
+    * distortion, recall_gain) and four the codes, and each used to
+    * re-run the full Lloyd fit inline — ~25 s of repeated work per
+    * suite at sf0.1, five of the seven most expensive queries.
+    * Training once per corpus and checkpointing is also the honest
+    * production shape: a quantizer is FIT once, WRITTEN once, and
+    * every probe path reads the artifact (q_pq_index_persist gates
+    * exactly that round-trip). ScaleStress invalidates per pass so
+    * scaling passes still pay the full fit.
+    */
+  private val pqBookMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+  private val pqCodesMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
+  private def pqTrainedBook(s: SparkSession, d: String): DataFrame =
+    pqBookMemo.getOrElseUpdate((s, d), computePqTrainedBook(s, d))
+
+  /** Trained-book PQ codes of the corpus, memoized like the book (the
+    * persisted index's second artifact: book = codewords, codes = the
+    * compressed corpus).
+    */
+  private def pqTrainedCodes(s: SparkSession, d: String): DataFrame =
+    pqCodesMemo.getOrElseUpdate((s, d),
+      pqAssignTrained(s, d, pqTrainedBook(s, d)).localCheckpoint())
+
+  private[graft] def invalidatePqTrained(): Unit = {
+    pqCodesMemo.values.foreach(_.unpersist(blocking = false))
+    pqCodesMemo.clear()
+    pqBookMemo.values.foreach(_.unpersist(blocking = false))
+    pqBookMemo.clear()
+  }
+
+  private def computePqTrainedBook(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"),
       VectorOps.toDouble(col("embedding")).as("v"))
     val sub = pqSubPoints(e).localCheckpoint()
@@ -646,9 +680,16 @@ object Ext {
     * joins against the K-row per-subspace books; the codes scan never
     * shuffles.
     */
-  private def pqAdcTrained(s: SparkSession, d: String): DataFrame = {
-    val book = pqTrainedBook(s, d)
-    val codes = pqAssignTrained(s, d, book)
+  private def pqAdcTrained(s: SparkSession, d: String): DataFrame =
+    pqAdcProbe(s, d, pqTrainedBook(s, d), pqTrainedCodes(s, d))
+
+  /** The trained-ADC probe against EXPLICIT (book, codes) relations —
+    * shared by the memoized form above and the persisted-index probe
+    * (q_pq_index_persist), which must produce identical top-k from the
+    * disk round-tripped artifacts.
+    */
+  private def pqAdcProbe(s: SparkSession, d: String, book: DataFrame,
+      codes: DataFrame): DataFrame = {
     val withWords = (0 until PqM).foldLeft(codes) { (df, j) =>
       df.join(broadcast(book.filter(col("j") === j)
         .select(col("cid").as(s"code_$j"),
@@ -808,6 +849,74 @@ object Ext {
           VectorOps.signBucketAt(col("v"), j * stride, col("bits"))
             .as("key"))
     }.reduce(_ unionByName _)
+
+  /** The quantizer's rep table (rep_id, rv, rn_) — with the bits width,
+    * the semantic index's third artifact: a batch can only be assigned
+    * to cells against the SAME reps the corpus was.
+    */
+  private def semanticReps(s: SparkSession, d: String): DataFrame = {
+    val eC = embeddings(s, d).select(col("vec_id"), col("label"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    eC.groupBy(col("label")).agg(min(col("vec_id")).as("rep_id"))
+      .join(eC.select(col("vec_id").as("rep_id"), col("v").as("rv"),
+        col("nrm").as("rn_")), Seq("rep_id"))
+      .select(col("rep_id"), col("rv"), col("rn_"))
+  }
+
+  /** Today's batch, cell-assigned against `reps` and banded at the
+    * width `bitsRow` carries (an INDEX property, fixed by the standing
+    * corpus) — the (vec_id, cell, v, nrm, band, key) relation a probe
+    * joins against the index and a maintenance append adopts into it.
+    */
+  private def semanticBatchBanded(s: SparkSession, d: String,
+      bitsRow: DataFrame, reps: DataFrame): DataFrame = {
+    val batch = vecsWithNearDups(s, d)
+      .filter(col("vec_id") =!= col("base_id"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("rep_score").desc, col("rep_id"))
+    val batchAssigned = batch.join(broadcast(reps))
+      .select(col("vec_id"), col("v"), col("nrm"), col("rep_id"),
+        (VectorOps.dot(col("v"), col("rv")) / (col("nrm") * col("rn_")))
+          .as("rep_score"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("rep_id").as("cell"))
+    semanticBandify(batchAssigned, bitsRow, SemBands, SemStride)
+  }
+
+  /** The daily semantic-dedup probe against a standing cell+band index
+    * (memoized-in-session or disk-persisted — the two gated forms must
+    * agree): batch bands broadcast against the index on (cell, band,
+    * key) with the cosine verify fused into the join, then the per-new-
+    * vector accept/reject readout. Per-day cost scales with the batch;
+    * the corpus side never shuffles.
+    */
+  private def semanticBatchProbe(corpusBanded: DataFrame,
+      batchBanded: DataFrame): DataFrame = {
+    val b = batchBanded.select(col("vec_id").as("new_id"),
+      col("cell").as("cell_b"), col("band").as("band_b"),
+      col("key").as("key_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    val hits = corpusBanded.join(broadcast(b),
+        col("cell") === col("cell_b") && col("band") === col("band_b") &&
+          col("key") === col("key_b") &&
+          VectorOps.dot(col("v"), col("v_b")) / (col("nrm") * col("nrm_b"))
+            >= SemThr)
+      .select(col("new_id"), col("vec_id").as("match_id"))
+      .distinct()
+    val g = hits.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("match_id")).as("first_match"))
+    b.select(col("new_id")).distinct()
+      .join(g, Seq("new_id"), "left")
+      .select(col("new_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("first_match"),
+        col("n_matches").isNotNull.as("is_dup"))
+      .orderBy(col("new_id"))
+  }
 
   /** IVF-style cell-restricted ANN top-k (the q_ann_ivf plan, shared
     * with the recall audit): deterministic medoid quantizer (min vec_id
@@ -1318,50 +1427,50 @@ object Ext {
     "q_dedup_semantic_incremental" -> ((s, d) => {
       val corpus = ivfAssign(s, d).localCheckpoint()
       val bitsRow = semanticBitsRow(corpus, SemBands, SemStride, SemMaxBits)
-      val corpusBanded =
-        semanticBandify(corpus, bitsRow, SemBands, SemStride)
-      val eC = embeddings(s, d).select(col("vec_id"), col("label"),
-        VectorOps.toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", VectorOps.norm(col("v")))
-      val reps = eC.groupBy(col("label")).agg(min(col("vec_id")).as("rep_id"))
-        .join(eC.select(col("vec_id").as("rep_id"), col("v").as("rv"),
-          col("nrm").as("rn_")), Seq("rep_id"))
-        .select(col("rep_id"), col("rv"), col("rn_"))
-      val batch = vecsWithNearDups(s, d)
-        .filter(col("vec_id") =!= col("base_id"))
-        .withColumn("nrm", VectorOps.norm(col("v")))
-      val wCell = Window.partitionBy(col("vec_id"))
-        .orderBy(col("rep_score").desc, col("rep_id"))
-      val batchAssigned = batch.join(broadcast(reps))
-        .select(col("vec_id"), col("v"), col("nrm"), col("rep_id"),
-          (VectorOps.dot(col("v"), col("rv")) / (col("nrm") * col("rn_")))
-            .as("rep_score"))
-        .withColumn("rn", row_number().over(wCell))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("rep_id").as("cell"))
-      val batchBanded =
-        semanticBandify(batchAssigned, bitsRow, SemBands, SemStride)
-          .select(col("vec_id").as("new_id"), col("cell").as("cell_b"),
-            col("band").as("band_b"), col("key").as("key_b"),
-            col("v").as("v_b"), col("nrm").as("nrm_b"))
-      val hits = corpusBanded.join(broadcast(batchBanded),
-          col("cell") === col("cell_b") && col("band") === col("band_b") &&
-            col("key") === col("key_b") &&
-            VectorOps.dot(col("v"), col("v_b")) / (col("nrm") * col("nrm_b"))
-              >= SemThr)
-        .select(col("new_id"), col("vec_id").as("match_id"))
-        .distinct()
-      val g = hits.groupBy(col("new_id"))
-        .agg(count(lit(1)).as("n_matches"),
-          min(col("match_id")).as("first_match"))
-      batch.select(col("vec_id").as("new_id"))
-        .join(g, Seq("new_id"), "left")
-        .select(col("new_id"),
-          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-          col("first_match"),
-          col("n_matches").isNotNull.as("is_dup"))
-        .orderBy(col("new_id"))
+      semanticBatchProbe(
+        semanticBandify(corpus, bitsRow, SemBands, SemStride),
+        semanticBatchBanded(s, d, bitsRow, semanticReps(s, d)))
+    }),
+
+    // The PERSISTED semantic standing index — the q_dedup_index_persist
+    // move applied to the vector side, closing the incremental story:
+    // the index BUILD job writes all three artifacts to the cluster FS
+    // (the cell+band relation hash-clustered and sorted on the probe
+    // key; the 1-row bits width — an index property, not a per-batch
+    // recomputation; the quantizer reps a batch must be assigned
+    // against), the daily probe runs in a FRESH SESSION against those
+    // tables, and the MAINTENANCE append adopts today's batch bands so
+    // tomorrow's probe sees them — upkeep costs the batch, never a
+    // rebuild. The gated rows equal q_dedup_semantic_incremental's
+    // (persistence must change nothing); the booleans pin that the
+    // probe really read disk and that the appended index covers exactly
+    // the corpus-plus-batch band relation (SemBands rows per vector).
+    "q_dedup_semantic_index_persist" -> ((s, d) => {
+      val dir = Relational.rtDir("sidx", d)
+      Relational.deleteRecursive(java.nio.file.Paths.get(dir))
+      val corpus = ivfAssign(s, d).localCheckpoint()
+      val bitsRow = semanticBitsRow(corpus, SemBands, SemStride, SemMaxBits)
+      semanticBandify(corpus, bitsRow, SemBands, SemStride)
+        .repartition(8, col("cell"), col("band"), col("key"))
+        .sortWithinPartitions(col("cell"), col("band"), col("key"))
+        .write.mode("overwrite").parquet(s"$dir/bands")
+      bitsRow.coalesce(1).write.mode("overwrite").parquet(s"$dir/bits")
+      semanticReps(s, d).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/reps")
+      val s2 = s.newSession()
+      val idx = s2.read.parquet(s"$dir/bands")
+      val bits2 = s2.read.parquet(s"$dir/bits")
+      val reps2 = s2.read.parquet(s"$dir/reps")
+      val fromDisk = idx.inputFiles.nonEmpty
+      val batchBanded = semanticBatchBanded(s2, d, bits2, reps2)
+      val out = semanticBatchProbe(idx, batchBanded)
+      batchBanded.repartition(1, col("cell"), col("band"), col("key"))
+        .sortWithinPartitions(col("cell"), col("band"), col("key"))
+        .write.mode("append").parquet(s"$dir/bands")
+      val maintained = s2.read.parquet(s"$dir/bands").count() ==
+        vecsWithNearDups(s2, d).count() * SemBands
+      out.withColumn("probe_from_disk", lit(fromDisk))
+        .withColumn("index_maintained", lit(maintained))
     }),
 
     // The recall readout of the exact/scaled pairing (the q_ann_recall
@@ -3586,7 +3695,7 @@ object Ext {
       val assigned = ivfAssign(s, d).localCheckpoint()
       val book = pqTrainedBook(s, d)
       val withWords = (0 until PqM)
-        .foldLeft(pqAssignTrained(s, d, book)) { (df, j) =>
+        .foldLeft(pqTrainedCodes(s, d)) { (df, j) =>
           df.join(broadcast(book.filter(col("j") === j)
             .select(col("cid").as(s"code_$j"),
               array((1 to PqSub).map(i => col(s"c$i")): _*).as(s"w_$j"))),
@@ -3706,7 +3815,7 @@ object Ext {
       // trained-book ADC top-5 (the pqAdcTrained plan at probe width)
       val book = pqTrainedBook(s, d)
       val withWordsT = (0 until PqM)
-        .foldLeft(pqAssignTrained(s, d, book)) { (df, j) =>
+        .foldLeft(pqTrainedCodes(s, d)) { (df, j) =>
           df.join(broadcast(book.filter(col("j") === j)
             .select(col("cid").as(s"code_$j"),
               array((1 to PqSub).map(i => col(s"c$i")): _*).as(s"w_$j"))),
@@ -3730,6 +3839,34 @@ object Ext {
           .as("recall_medoid"),
         round(col("hits_trained").cast("double") / (PqProbeN * AnnK), 6)
           .as("recall_trained"))
+    }),
+
+    // The PERSISTED trained-PQ index — the production shape the
+    // session-memoized book/codes stand in for (the
+    // q_dedup_index_persist move applied to the vector side): the FIT
+    // job writes both artifacts to the cluster FS — the K-per-subspace
+    // codebook and the PQ-coded corpus (8 one-byte-ish code ids per
+    // vector, the ~32x-compressed form that makes petabyte ANN
+    // serveable) — and the probe runs in a FRESH SESSION against the
+    // on-disk tables, never re-fitting. The gated top-k must equal
+    // q_pq_adc_trained's row for row (disk round-trip changes
+    // nothing); probe_from_disk pins that the probe really read the
+    // written files. Codes are hash-clustered and sorted by vec_id —
+    // the layout a later per-id lookup or merge prunes on.
+    "q_pq_index_persist" -> ((s, d) => {
+      val dir = Relational.rtDir("pqidx", d)
+      Relational.deleteRecursive(java.nio.file.Paths.get(dir))
+      pqTrainedBook(s, d).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/book")
+      pqTrainedCodes(s, d).repartition(4, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      val s2 = s.newSession()
+      val book = s2.read.parquet(s"$dir/book")
+      val codes = s2.read.parquet(s"$dir/codes")
+      val fromDisk = book.inputFiles.nonEmpty && codes.inputFiles.nonEmpty
+      pqAdcProbe(s2, d, book, codes)
+        .withColumn("probe_from_disk", lit(fromDisk))
     }),
 
     // Bigram conditional-probability table (the n-gram LM building
@@ -4363,6 +4500,43 @@ object Ext {
          |FROM bq LEFT JOIN g ON g.new_id = bq.vec_id
          |ORDER BY new_id""".stripMargin,
 
+    // the persisted-index probe must equal the in-session incremental
+    // answer, with the disk/maintenance booleans pinned
+    "q_dedup_semantic_index_persist" ->
+      s"""WITH $semanticSqlBase,
+         |$semanticSqlBanded,
+         |batch AS (SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.001)
+         |      AS v
+         |  FROM embeddings WHERE vec_id < 20),
+         |bq AS (SELECT vec_id, v,
+         |    sqrt(list_dot_product(v, v)) AS nrm FROM batch),
+         |bassigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
+         |  SELECT bq.vec_id, bq.v, bq.nrm, reps.rep_id,
+         |    row_number() OVER (PARTITION BY bq.vec_id
+         |      ORDER BY list_dot_product(bq.v, reps.rv) / (bq.nrm * reps.rn_)
+         |        DESC, reps.rep_id) AS cell_rn
+         |  FROM bq CROSS JOIN reps) WHERE cell_rn = 1),
+         |bbanded AS (SELECT vec_id, cell, v, nrm, bnd.band,
+         |    coalesce(array_to_string(
+         |      [CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END
+         |       for i in range(bnd.band*$SemStride+1, bnd.band*$SemStride+nb.bits+1)],
+         |      ''), '') AS key
+         |  FROM bassigned CROSS JOIN nb
+         |  CROSS JOIN (VALUES ${(0 until SemBands).map(b => s"($b)").mkString(", ")}) bnd(band)),
+         |hits AS (SELECT DISTINCT b.vec_id AS new_id, c.vec_id AS match_id
+         |  FROM banded c JOIN bbanded b ON c.cell = b.cell
+         |    AND c.band = b.band AND c.key = b.key
+         |    AND list_dot_product(c.v, b.v) / (c.nrm * b.nrm) >= $SemThr),
+         |g AS (SELECT new_id, count(*) AS n_matches,
+         |    min(match_id) AS first_match FROM hits GROUP BY new_id)
+         |SELECT bq.vec_id AS new_id,
+         |  CAST(coalesce(g.n_matches, 0) AS BIGINT) AS n_matches,
+         |  g.first_match, g.new_id IS NOT NULL AS is_dup,
+         |  true AS probe_from_disk, true AS index_maintained
+         |FROM bq LEFT JOIN g ON g.new_id = bq.vec_id
+         |ORDER BY new_id""".stripMargin,
+
     // the recall readout of the exact-vs-scaled pairing: both dedup
     // algorithms run on the same corpus and the agreement is reduced to
     // one row of counts plus an integer-division recall (scaled can
@@ -4802,6 +4976,22 @@ object Ext {
          |r AS (SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, round(adc, 6) AS adc FROM r
+         |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    // the persisted-index probe must equal the in-session trained-ADC
+    // answer bit for bit, with the from-disk boolean pinned
+    "q_pq_index_persist" ->
+      s"""WITH $pqSqlBase,
+         |$pqSqlTrainChain,
+         |$pqSqlCodesTrained,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |p AS (SELECT q.q_id, c.vec_id, $pqSqlAdcTrainedDist AS adc
+         |  FROM codes_t c $pqSqlAdcTrainedJoins
+         |  JOIN q ON c.vec_id != q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, round(adc, 6) AS adc,
+         |  true AS probe_from_disk FROM r
          |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
 
     "q_pq_ivf_adc_trained" ->

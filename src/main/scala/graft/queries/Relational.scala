@@ -2277,6 +2277,63 @@ object Relational {
         .orderBy(col("status"))
     }),
 
+    // The DELETE arm of COPY-ON-WRITE MERGE (WHEN MATCHED DELETE),
+    // composed with the update/insert arms in ONE commit: even-keyed
+    // 'F' rows are updated, odd-keyed 'F' rows are DELETED, and 'N'
+    // inserts mirror the updates — all by rewriting only the files
+    // that hold an 'F' key, with every O/P file carried by reference
+    // (cow_subset pins both sides). old_intact pins delete-then-
+    // travel: the pre-merge snapshot still reads bit-identically, so
+    // the deleted rows remain reachable until vacuum — deletion
+    // changes the LATEST view, never history. The oracle recomputes
+    // the merged table from raw orders (deletes as a WHERE exclusion,
+    // updates as CASE arithmetic, inserts as a mirrored union).
+    "q_tx_merge_delete" -> ((s, d) => {
+      val dir = rtDir("txd", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val t = s"$dir/t"
+      val base = orders(s, d).select(
+        col("o_orderkey").cast("string").as("k"),
+        col("o_orderstatus").as("status"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .cast("string").as("cents"))
+      base.filter(col("k").cast("long") % 2 === 0)
+        .repartition(6, col("status"))
+        .write.format("graft.sources.TxJsonSink").option("path", t)
+        .mode("append").save()
+      base.filter(col("k").cast("long") % 2 === 1)
+        .repartition(6, col("status"))
+        .write.format("graft.sources.TxJsonSink").option("path", t)
+        .mode("append").save()
+      val preVersion = graft.sources.TxJsonSink.manifest(t).get.version
+      val fEven = base.filter(col("status") === "F" &&
+        col("k").cast("long") % 2 === 0)
+      val changes = fEven.select(col("k"), col("status"),
+          (col("cents").cast("long") + 100000).cast("string").as("cents"))
+        .unionByName(fEven.select(
+          (col("k").cast("long") + 10000000).cast("string").as("k"),
+          lit("N").as("status"), col("cents")))
+      val deletes = base.filter(col("status") === "F" &&
+        col("k").cast("long") % 2 === 1).select(col("k"))
+      val mr = graft.sources.TxJsonSink.merge(s, t, changes, "k",
+        Some(deletes))
+      val cow = mr.filesReplaced > 0 && mr.filesCarried > 0
+      def sig(df: DataFrame): (Long, Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          sum(col("cents").cast("long")), sum(col("k").cast("long"))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val oldIntact =
+        sig(graft.sources.TxJsonSink.read(s, t, Some(preVersion))) == sig(base)
+      graft.sources.TxJsonSink.read(s, t).groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast("long")).as("sum_cents"),
+          min(col("k").cast("long")).as("min_k"))
+        .withColumn("cow_subset", lit(cow))
+        .withColumn("old_intact", lit(oldIntact))
+        .orderBy(col("status"))
+    }),
+
     // JSON sink -> JSON source roundtrip (S6's format,
     // gmail_functions.py:127-129): same contract as q_csv_roundtrip but
     // through JSON lines with typed (non-string) number fields — the
@@ -3987,6 +4044,27 @@ object Relational {
         |  UNION ALL
         |  SELECT k+10000000 AS k, 'N' AS status, cents
         |  FROM base WHERE status='F')
+        |SELECT status, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_k,
+        |  true AS cow_subset, true AS old_intact
+        |FROM merged GROUP BY status ORDER BY status""".stripMargin,
+
+    "q_tx_merge_delete" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS status,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |merged AS (
+        |  SELECT k, status,
+        |    CASE WHEN status='F' AND k % 2 = 0 THEN cents+100000
+        |         ELSE cents END AS cents
+        |  FROM base WHERE NOT (status='F' AND k % 2 = 1)
+        |  UNION ALL
+        |  SELECT k+10000000 AS k, 'N' AS status, cents
+        |  FROM base WHERE status='F' AND k % 2 = 0)
         |SELECT status, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  min(k) AS min_k,

@@ -92,7 +92,7 @@ object TxJsonSink {
     Manifest(v, files.result(), total, cols)
   }
 
-  private[sources] def unescape(s: String): String = {
+  private[graft] def unescape(s: String): String = {
     val b = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -102,7 +102,14 @@ object TxJsonSink {
           case 'n' => b.append('\n'); i += 2
           case 'r' => b.append('\r'); i += 2
           case 't' => b.append('\t'); i += 2
-          case 'u' if i + 5 < s.length + 1 =>
+          // a \u escape counts only when all four hex digits are
+          // present and valid — a truncated `\uXXX` at end-of-string or
+          // a non-hex body (both possible in a hand-edited or torn
+          // manifest) falls through to the literal-char default instead
+          // of throwing StringIndexOutOfBounds / NumberFormatException
+          case 'u' if i + 6 <= s.length &&
+              (2 to 5).forall(k =>
+                Character.digit(s.charAt(i + k), 16) >= 0) =>
             b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
           case o => b.append(o); i += 2
@@ -179,23 +186,56 @@ object TxJsonSink {
     * minimal JSON payload carries no per-file stats, so here the probe
     * reads the snapshot once.
     *
-    * Deletes are out of scope by design (upsert-only): deletion rides
-    * the merge-on-read tombstone path. Column sets may differ — the
-    * rewritten file unions survivors and changes by name, composing
-    * with additive schema evolution.
+    * `deletes` is the WHEN MATCHED DELETE arm: snapshot rows whose key
+    * appears in it are dropped from the new version — their files are
+    * rewritten without them, by the same touched-files-only protocol
+    * (a delete of a key that matches nothing is a no-op, the standard
+    * WHEN MATCHED contract). Prior snapshots still list the replaced
+    * files, so the deleted rows remain TIME-TRAVELABLE until vacuum —
+    * deletion here is copy-on-write; the merge-on-read tombstone path
+    * (`q_merge_on_read`) is the deferred-rewrite alternative. A key in
+    * BOTH `changes` and `deletes` is rejected (upsert-then-delete is
+    * order-dependent; the caller must resolve intent). Column sets may
+    * differ — the rewritten file unions survivors and changes by name,
+    * composing with additive schema evolution.
     */
   def merge(spark: org.apache.spark.sql.SparkSession, dir: String,
-      changes: org.apache.spark.sql.DataFrame, key: String): MergeResult = {
+      changes: org.apache.spark.sql.DataFrame, key: String,
+      deletes: Option[org.apache.spark.sql.DataFrame] = None): MergeResult = {
     import org.apache.spark.sql.functions._
     val prev = manifest(dir).getOrElse(throw new IllegalArgumentException(
       s"merge requires a committed snapshot in $dir"))
     // the sink's payload is all-string: probe and union on string forms
     val ch = changes.select(changes.columns.map(c =>
       col(c).cast("string").as(c)).toIndexedSeq: _*)
+    // standard MERGE semantics: a target row matched by MORE THAN ONE
+    // source row is an error (nondeterministic which one would win) —
+    // reject duplicate change keys up front rather than committing a
+    // snapshot with two rows for one key. The check costs one pass over
+    // the broadcast-sized daily batch, never the table.
+    val dupKeys = ch.groupBy(col(key))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col(key)).limit(5).collect().map(_.getString(0))
+    require(dupKeys.isEmpty,
+      s"merge: changes contain multiple rows per key ($key): " +
+        dupKeys.mkString(",") + " — MERGE rejects multiple source " +
+        "matches per target row; pre-aggregate the changes to one row " +
+        "per key")
     val changeKeys = ch.select(col(key)).distinct()
+    val deleteKeys = deletes.map(_.select(col(key).cast("string").as(key))
+      .distinct())
+    deleteKeys.foreach { dk =>
+      val both = dk.join(broadcast(changeKeys), Seq(key), "left_semi")
+        .limit(5).collect().map(_.getString(0))
+      require(both.isEmpty,
+        s"merge: key(s) in both changes and deletes: ${both.mkString(",")}" +
+          " — upsert-then-delete is order-dependent, resolve before merging")
+    }
+    // a file is touched if it holds a matched key from EITHER arm
+    val touchedKeys = deleteKeys.fold(changeKeys)(changeKeys.unionByName(_))
     val snap = read(spark, dir)
       .withColumn("_file", element_at(split(input_file_name(), "/"), -1))
-    val affected = snap.join(broadcast(changeKeys), Seq(key), "left_semi")
+    val affected = snap.join(broadcast(touchedKeys), Seq(key), "left_semi")
       .select(col("_file")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq.sorted
     val prevNames = prev.files.map(_._1).toSet
@@ -204,7 +244,7 @@ object TxJsonSink {
         affected.filterNot(prevNames).mkString(","))
     val survivors = snap
       .filter(col("_file").isInCollection(affected))
-      .join(broadcast(changeKeys), Seq(key), "left_anti")
+      .join(broadcast(touchedKeys), Seq(key), "left_anti")
       .drop("_file")
     val rewritten = survivors.unionByName(ch, allowMissingColumns = true)
     rewritten.write.format("graft.sources.TxJsonSink")

@@ -148,11 +148,28 @@ object Writers {
   //   table reads skip them like `_SUCCESS`.
   //
   // CRASH SAFETY: meta is republished by the same double-rename swap
-  // as [[compact]] (never a delete-then-write window), and data files
-  // the manifest does not yet list — the window between a data append
-  // and its manifest append — are detected by a disk-vs-meta file
-  // count reconciliation and read UNCONDITIONALLY, so skipping stays
-  // sound across a crash at any point in the append protocol.
+  // as [[compact]] (never a delete-then-write window), and the append
+  // protocol has TWO distinct crash windows, both reconciled at read
+  // time from one disk-vs-meta file count compare:
+  //  - crash between the DATA append and the MANIFEST append: the new
+  //    files are in neither `_zonemap` nor meta. The reader anti-joins
+  //    the disk listing against the manifest and reads the orphans
+  //    UNCONDITIONALLY.
+  //  - crash between the MANIFEST append and the META republish: the
+  //    new files ARE in `_zonemap` (so the orphan anti-join finds
+  //    nothing) but meta's bucket envelopes don't cover them — a file
+  //    in a not-yet-listed bucket, or one extending a bucket's
+  //    envelope, would be skipped by the two-level plan. The reader
+  //    detects this by comparing meta's n_files sum against the
+  //    MANIFEST row count and, on divergence, bypasses the meta level:
+  //    it plans from the full manifest (every shard's tight per-file
+  //    bounds, no bucket pre-filter), which stays sound at the cost of
+  //    one manifest-wide scan until the next append's refreshMeta
+  //    heals the summary.
+  //  - crash inside the meta swap itself: [[publishSwapped]] parks the
+  //    previous copy at `._old` before publishing, and [[readMeta]]
+  //    falls back to it — the parked copy is at worst stale, which the
+  //    divergence check above already covers.
 
   private val ZoneBuckets = 64
 
@@ -177,6 +194,26 @@ object Writers {
       throw new java.io.IOException(s"publishSwapped: could not publish $tmp")
     }
     fs.delete(old, true)
+  }
+
+  /** The `_zonemap_meta` summary of `path`, falling back to the parked
+    * `._old` copy when a crash inside [[publishSwapped]] left no
+    * current one (the instant between parking the old meta and
+    * publishing its replacement). The fallback is at worst STALE,
+    * never wrong: the readers' meta-vs-manifest count reconciliation
+    * detects staleness and bypasses the meta level, so a reader that
+    * lands in the swap window degrades to a full-manifest plan instead
+    * of failing — or worse, silently skipping.
+    */
+  private def readMeta(spark: SparkSession, path: String): DataFrame = {
+    val dest = s"$path/_zonemap_meta"
+    val fs = hadoopPath(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src =
+      if (fs.exists(hadoopPath(dest))) dest
+      else if (fs.exists(hadoopPath(dest + "._old"))) dest + "._old"
+      else dest // nothing recoverable: fail loudly with the primary name
+    spark.read.parquet(src)
   }
 
   /** Per-file stats relation for `paths` (or the whole table when
@@ -259,22 +296,53 @@ object Writers {
     df.repartitionByRange(nFiles, col(zcol))
       .sortWithinPartitions(col(zcol))
       .write.mode("append").parquet(path)
-    val metaRow = s.read.parquet(s"$path/_zonemap_meta")
-      .select(col("z_lo"), col("z_w")).head()
+    val oldMeta = readMeta(s, path).localCheckpoint()
+    val metaRow = oldMeta.select(col("z_lo"), col("z_w")).head()
     val (zLo, zW) = (metaRow.getDouble(0), metaRow.getDouble(1))
     import s.implicits._
+    val manifest = s.read.parquet(s"$path/_zonemap")
     val onDisk = s.read.parquet(path).inputFiles.toIndexedSeq.toDF("p")
       .select(col("p"), substring_index(col("p"), "/", -1).as("name"))
-    val knownNames = s.read.parquet(s"$path/_zonemap")
+    val knownNames = manifest
       .select(substring_index(col("file"), "/", -1).as("name"))
     val newPaths = onDisk.join(knownNames, Seq("name"), "left_anti")
       .select(col("p")).collect().map(_.getString(0)).toIndexedSeq
     if (newPaths.nonEmpty) {
-      fileStats(s, path, newPaths, zcol)
+      // counted BEFORE the manifest append: the in-sync test below must
+      // compare meta against the manifest state meta claims to summarize
+      val manifestCountPre = manifest.count()
+      val batchStats = fileStats(s, path, newPaths, zcol)
         .withColumn("zb", zbOf(col("z_min"), zLo, zW))
-        .write.partitionBy("zb").mode("append")
+        .localCheckpoint()
+      batchStats.write.partitionBy("zb").mode("append")
         .parquet(s"$path/_zonemap")
-      refreshMeta(s, path, zLo, zW)
+      // INCREMENTAL meta merge: the batch's per-bucket envelopes fold
+      // into the previous summary (appends only ever EXTEND a bucket —
+      // least/greatest of old and new bounds, counts add), so the meta
+      // update costs the batch's bucket count, never a manifest-wide
+      // rescan. Safe only from a meta that was IN SYNC with the
+      // pre-append manifest: if a previous crash left meta behind
+      // (n_files sum != manifest rows before this batch), merging onto
+      // the stale base would preserve the hole — rebuild from the full
+      // manifest instead, which also heals the crash.
+      val metaTotal = oldMeta.agg(sum(col("n_files"))).head().getLong(0)
+      val inSync = metaTotal == manifestCountPre
+      if (inSync) {
+        val batchMeta = batchStats.groupBy(col("zb"))
+          .agg(min(col("z_min")).as("nb_min"),
+            max(col("z_max")).as("nb_max"),
+            count(lit(1)).as("nb_files"))
+        val merged = oldMeta
+          .select(col("zb"), col("bz_min"), col("bz_max"), col("n_files"))
+          .join(batchMeta, Seq("zb"), "full_outer")
+          .select(col("zb"),
+            least(col("bz_min"), col("nb_min")).as("bz_min"),
+            greatest(col("bz_max"), col("nb_max")).as("bz_max"),
+            (coalesce(col("n_files"), lit(0L)) +
+              coalesce(col("nb_files"), lit(0L))).as("n_files"),
+            lit(zLo).as("z_lo"), lit(zW).as("z_w"))
+        publishSwapped(merged, s"$path/_zonemap_meta")
+      } else refreshMeta(s, path, zLo, zW)
     }
   }
 
@@ -314,29 +382,44 @@ object Writers {
     publishSwapped(meta, s"$path/_zonemap_meta")
   }
 
-  /** Disk-vs-manifest reconciliation shared by the pruned readers:
-    * returns (unlistedPaths, filesOnDisk). In the normal state the
-    * manifest covers every data file and this costs one count compare;
-    * after a crash between a data append and its manifest append, the
-    * counts mismatch and the anti-join (distributed — the driver holds
-    * only the unlisted names) surfaces the orphans, which the caller
-    * reads UNCONDITIONALLY so no committed row can be lost to a stale
-    * manifest. (Spark's own FileIndex already lists the table's files
-    * on the driver for any scan; `inputFiles` reuses that listing.)
+  /** Disk-vs-meta reconciliation shared by the pruned readers: returns
+    * (unlistedPaths, metaIsStale, filesOnDisk). In the normal state the
+    * meta covers every data file and this costs one count compare.
+    * After a crash the mismatch decomposes into the two append-protocol
+    * windows (see the CRASH SAFETY note above):
+    *  - files on disk but not in the MANIFEST (crash before the
+    *    manifest append) come back as `unlistedPaths` via a distributed
+    *    anti-join — the driver holds only the orphan names — and the
+    *    caller reads them UNCONDITIONALLY;
+    *  - manifest rows the META has not absorbed (crash after the
+    *    manifest append but before refreshMeta) set `metaIsStale`:
+    *    meta's n_files sum diverges from the manifest's row count, and
+    *    the caller must bypass the per-bucket envelopes and plan from
+    *    the full manifest — the stale envelopes could silently skip a
+    *    file in an unlisted bucket or one extending a bucket's range.
+    * (Spark's own FileIndex already lists the table's files on the
+    * driver for any scan; `inputFiles` reuses that listing.)
     */
   private def reconcile(spark: SparkSession, path: String,
-      manifestTotal: Long): (Seq[String], Long) = {
+      metaTotal: Long): (Seq[String], Boolean, Long) = {
     val onDisk = spark.read.parquet(path).inputFiles.toIndexedSeq
-    if (onDisk.length.toLong == manifestTotal) (Nil, onDisk.length.toLong)
+    if (onDisk.length.toLong == metaTotal) (Nil, false, onDisk.length.toLong)
     else {
       import spark.implicits._
-      val disk = onDisk.toDF("p")
-        .select(col("p"), substring_index(col("p"), "/", -1).as("name"))
-      val known = spark.read.parquet(s"$path/_zonemap")
-        .select(substring_index(col("file"), "/", -1).as("name"))
-      val orphans = disk.join(known, Seq("name"), "left_anti")
-        .select(col("p")).collect().map(_.getString(0)).toIndexedSeq
-      (orphans, onDisk.length.toLong)
+      val manifest = spark.read.parquet(s"$path/_zonemap")
+      val manifestCount = manifest.count()
+      val stale = manifestCount != metaTotal
+      val orphans =
+        if (onDisk.length.toLong == manifestCount) Nil
+        else {
+          val disk = onDisk.toDF("p")
+            .select(col("p"), substring_index(col("p"), "/", -1).as("name"))
+          val known = manifest
+            .select(substring_index(col("file"), "/", -1).as("name"))
+          disk.join(known, Seq("name"), "left_anti")
+            .select(col("p")).collect().map(_.getString(0)).toIndexedSeq
+        }
+      (orphans, stale, onDisk.length.toLong)
     }
   }
 
@@ -352,25 +435,34 @@ object Writers {
   def readZonePruned2(spark: SparkSession, path: String,
       lo1: Double, hi1: Double, lo2: Double,
       hi2: Double): (DataFrame, Long, Long) = {
-    val meta = spark.read.parquet(s"$path/_zonemap_meta")
+    val meta = readMeta(spark, path)
       .select(col("zb"), col("b1_min"), col("b1_max"), col("b2_min"),
         col("b2_max"), col("n_files")).collect()
     val total = meta.map(_.getLong(5)).sum
-    val buckets = meta.filter(r => r.getDouble(1) <= hi1 &&
-        r.getDouble(2) >= lo1 && r.getDouble(3) <= hi2 &&
-        r.getDouble(4) >= lo2)
-      .map(_.getInt(0)).toIndexedSeq
+    val (orphans, metaStale, diskCount) = reconcile(spark, path, total)
+    val fileFilter = col("z1_min") <= hi1 && col("z1_max") >= lo1 &&
+      col("z2_min") <= hi2 && col("z2_max") >= lo2
     val hit =
-      if (buckets.isEmpty) IndexedSeq.empty[String]
-      else spark.read.parquet(s"$path/_zonemap")
-        .filter(col("zb").isin(buckets: _*))
-        .filter(col("z1_min") <= hi1 && col("z1_max") >= lo1 &&
-          col("z2_min") <= hi2 && col("z2_max") >= lo2)
-        .select(col("file")).collect().map(_.getString(0)).sorted.toIndexedSeq
-    val (orphans, _) = reconcile(spark, path, total)
+      if (metaStale)
+        // stale envelopes can't be trusted to pre-select shards: plan
+        // from the full manifest (per-file bounds are still tight)
+        spark.read.parquet(s"$path/_zonemap").filter(fileFilter)
+          .select(col("file")).collect().map(_.getString(0))
+          .sorted.toIndexedSeq
+      else {
+        val buckets = meta.filter(r => r.getDouble(1) <= hi1 &&
+            r.getDouble(2) >= lo1 && r.getDouble(3) <= hi2 &&
+            r.getDouble(4) >= lo2)
+          .map(_.getInt(0)).toIndexedSeq
+        if (buckets.isEmpty) IndexedSeq.empty[String]
+        else spark.read.parquet(s"$path/_zonemap")
+          .filter(col("zb").isin(buckets: _*))
+          .filter(fileFilter)
+          .select(col("file")).collect().map(_.getString(0))
+          .sorted.toIndexedSeq
+      }
     val all = (hit ++ orphans).sorted
-    (plannedScan(spark, path, all), all.length.toLong,
-      total + orphans.length)
+    (plannedScan(spark, path, all), all.length.toLong, diskCount)
   }
 
   /** Return (candidates, filesRead, filesTotal): a scan over ONLY the
@@ -388,22 +480,31 @@ object Writers {
     */
   def readZonePruned(spark: SparkSession, path: String,
       lo: Double, hi: Double): (DataFrame, Long, Long) = {
-    val meta = spark.read.parquet(s"$path/_zonemap_meta")
+    val meta = readMeta(spark, path)
       .select(col("zb"), col("bz_min"), col("bz_max"), col("n_files"))
       .collect()
     val total = meta.map(_.getLong(3)).sum
-    val buckets = meta
-      .filter(r => r.getDouble(1) <= hi && r.getDouble(2) >= lo)
-      .map(_.getInt(0)).toIndexedSeq
+    val (orphans, metaStale, diskCount) = reconcile(spark, path, total)
+    val fileFilter = col("z_min") <= hi && col("z_max") >= lo
     val hit =
-      if (buckets.isEmpty) IndexedSeq.empty[String]
-      else spark.read.parquet(s"$path/_zonemap")
-        .filter(col("zb").isin(buckets: _*))
-        .filter(col("z_min") <= hi && col("z_max") >= lo)
-        .select(col("file")).collect().map(_.getString(0)).sorted.toIndexedSeq
-    val (orphans, _) = reconcile(spark, path, total)
+      if (metaStale)
+        // stale envelopes can't be trusted to pre-select shards: plan
+        // from the full manifest (per-file bounds are still tight)
+        spark.read.parquet(s"$path/_zonemap").filter(fileFilter)
+          .select(col("file")).collect().map(_.getString(0))
+          .sorted.toIndexedSeq
+      else {
+        val buckets = meta
+          .filter(r => r.getDouble(1) <= hi && r.getDouble(2) >= lo)
+          .map(_.getInt(0)).toIndexedSeq
+        if (buckets.isEmpty) IndexedSeq.empty[String]
+        else spark.read.parquet(s"$path/_zonemap")
+          .filter(col("zb").isin(buckets: _*))
+          .filter(fileFilter)
+          .select(col("file")).collect().map(_.getString(0))
+          .sorted.toIndexedSeq
+      }
     val all = (hit ++ orphans).sorted
-    (plannedScan(spark, path, all), all.length.toLong,
-      total + orphans.length)
+    (plannedScan(spark, path, all), all.length.toLong, diskCount)
   }
 }

@@ -275,4 +275,85 @@ class TxJsonSinkSpec extends SparkSpec {
       .head.isNullAt(0))
     assert(mr3.version == 4)
   }
+
+  test("merge rejects multiple change rows per key (standard MERGE " +
+      "multiple-matches error)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-txdup").toString + "/t"
+    (1L to 10L).map(i => (i, s"body-$i")).toDF("id", "body")
+      .write.format("graft.sources.TxJsonSink")
+      .option("path", out).mode("append").save()
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.TxJsonSink.merge(spark, out,
+        Seq((3L, "a"), (3L, "b"), (4L, "c")).toDF("id", "body"), "id")
+    }
+    assert(e.getMessage.contains("multiple rows per key"))
+    // the rejected merge committed nothing
+    assert(graft.sources.TxJsonSink.manifest(out).get.version == 1)
+    assert(graft.sources.TxJsonSink.read(spark, out).count() == 10)
+  }
+
+  test("merge DELETE arm drops matched rows from the latest view only; " +
+      "history keeps them until vacuum") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-txdel").toString + "/t"
+    (1L to 40L).map(i => (i, s"body-$i", (i - 1) / 10))
+      .toDF("id", "body", "bucket").repartition(4, col("bucket"))
+      .write.format("graft.sources.TxJsonSink")
+      .option("path", out).mode("append").save()
+
+    // one commit: update 1-2, insert 101, DELETE 3-5 and 11
+    val mr = graft.sources.TxJsonSink.merge(spark, out,
+      Seq((1L, "upd-1", 0L), (2L, "upd-2", 0L), (101L, "new-101", 99L))
+        .toDF("id", "body", "bucket"), "id",
+      deletes = Some(Seq(3L, 4L, 5L, 11L, 999L).toDF("id")))
+    // the touched buckets' files rewritten, the rest carried (hash
+    // partitioning may co-locate buckets, so pin subset-ness, not the
+    // exact split); deleting the absent 999 is a WHEN MATCHED no-op
+    assert(mr.filesReplaced >= 1 && mr.filesCarried >= 1 &&
+      mr.filesReplaced + mr.filesCarried == 4, mr)
+
+    val latest = graft.sources.TxJsonSink.read(spark, out)
+    assert(latest.count() == 40 - 4 + 1)
+    assert(latest.filter(col("id").isin("3", "4", "5", "11")).count() == 0)
+    assert(latest.filter(col("id") === "1").select(col("body"))
+      .head.getString(0) == "upd-1")
+    assert(latest.filter(col("id") === "7").select(col("body"))
+      .head.getString(0) == "body-7")
+
+    // delete-then-travel: v1 still reads every deleted row bit-identically
+    val old = graft.sources.TxJsonSink.read(spark, out, Some(1))
+    assert(old.count() == 40)
+    assert(old.filter(col("id") === "3").select(col("body"))
+      .head.getString(0) == "body-3")
+
+    // a key in BOTH arms is order-dependent -> rejected, nothing commits
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.TxJsonSink.merge(spark, out,
+        Seq((7L, "x", 0L)).toDF("id", "body", "bucket"), "id",
+        deletes = Some(Seq(7L).toDF("id")))
+    }
+    assert(e.getMessage.contains("both changes and deletes"))
+    assert(graft.sources.TxJsonSink.manifest(out).get.version == 2)
+
+    // vacuum to the latest snapshot reclaims the rewritten files and
+    // ends the deleted rows' travelability — the documented retention
+    // trade
+    val (mDel, fDel) = graft.sources.TxJsonSink.vacuum(out, keepLast = 1)
+    assert(mDel == 1 && fDel == mr.filesReplaced, (mDel, fDel))
+    assert(graft.sources.TxJsonSink.read(spark, out).count() == 37)
+  }
+
+  test("unescape tolerates truncated and non-hex \\u escapes") {
+    import graft.sources.TxJsonSink
+    // valid escape decodes
+    assert(TxJsonSink.unescape("a\\u0041b") == "aAb")
+    // truncated at end-of-string: literal fallback, no exception
+    assert(TxJsonSink.unescape("a\\u00") == "au00")
+    assert(TxJsonSink.unescape("a\\u") == "au")
+    // non-hex body: literal fallback, no exception
+    assert(TxJsonSink.unescape("a\\uzzzzb") == "auzzzzb")
+    // a valid escape right at the end still decodes
+    assert(TxJsonSink.unescape("x\\u0041") == "xA")
+  }
 }

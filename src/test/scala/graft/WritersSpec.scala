@@ -206,4 +206,116 @@ class WritersSpec extends SparkSpec {
       Writers.readZonePruned(spark, out, 0.0, 600000.0)
     assert(readA == 11 && all.count() == orders.count())
   }
+
+  private def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+  }
+
+  test("zone map META crash window: stale bucket envelopes cannot skip " +
+      "manifest-listed files") {
+    val d = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-zmeta").toString
+    val orders = Tables.orders(spark, d)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    Writers.writeWithZoneMap(
+      orders.filter(col("o_orderkey") % 5 < 3), out, "price", 8)
+
+    // park a copy of the v1 meta, run a REAL append (data + manifest +
+    // meta), then restore the v1 meta — the post-crash state of a
+    // writer killed between the `_zonemap` shard append and
+    // refreshMeta: the manifest lists the new files (so the orphan
+    // anti-join finds NOTHING), but the bucket envelopes don't cover
+    // them. Before the fix, planning from the stale envelopes silently
+    // skipped any new file in an unlisted bucket or extending a
+    // bucket's range — lost rows.
+    val metaDir = java.nio.file.Paths.get(out, "_zonemap_meta")
+    val save = Files.createTempDirectory("graft-zmeta-save")
+    copyDir(metaDir, save)
+    Writers.appendWithZoneMap(
+      orders.filter(col("o_orderkey") % 5 === 3), out, "price", 2)
+    deleteDir(metaDir)
+    copyDir(save, metaDir)
+
+    val visible = orders.filter(col("o_orderkey") % 5 <= 3)
+    val probes = Seq((100000.0, 150000.0), (0.0, 600000.0),
+      (400000.0, 600000.0), (-10.0, -1.0))
+    probes.foreach { case (lo, hi) =>
+      val (cand, _, total) = Writers.readZonePruned(spark, out, lo, hi)
+      val p = cand.filter(col("price") >= lo && col("price") <= hi)
+        .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+      val e = visible.filter(col("price") >= lo && col("price") <= hi)
+        .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+      assert(p == e, s"stale meta lost rows for [$lo, $hi]: $p != $e")
+      assert(total == 10, s"filesTotal should count the disk: $total")
+    }
+
+    // the next append detects the stale base (meta n_files sum !=
+    // manifest rows) and REBUILDS meta from the full manifest instead
+    // of merging onto the hole — after it, two-level pruning is strict
+    // again and the incremental-merge meta equals a from-scratch rebuild
+    Writers.appendWithZoneMap(
+      orders.filter(col("o_orderkey") % 5 === 4), out, "price", 1)
+    val (_, read0, total0) = Writers.readZonePruned(spark, out, -10.0, -1.0)
+    assert(read0 == 0 && total0 == 11,
+      s"healed meta should prune fully: read=$read0 total=$total0")
+    val (allC, readA, _) = Writers.readZonePruned(spark, out, 0.0, 600000.0)
+    assert(readA == 11 && allC.count() == orders.count())
+    val rebuilt = spark.read.parquet(s"$out/_zonemap")
+      .groupBy(col("zb"))
+      .agg(min(col("z_min")).as("bz_min"), max(col("z_max")).as("bz_max"),
+        count(lit(1)).as("n_files"))
+      .orderBy(col("zb")).collect().toSeq
+    val published = spark.read.parquet(s"$out/_zonemap_meta")
+      .select(col("zb"), col("bz_min"), col("bz_max"), col("n_files"))
+      .orderBy(col("zb")).collect().toSeq
+    assert(published == rebuilt,
+      s"published meta diverges from a manifest rebuild")
+  }
+
+  test("zone map meta swap window: reader falls back to the parked ._old") {
+    val d = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-zold").toString
+    val orders = Tables.orders(spark, d)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    Writers.writeWithZoneMap(orders, out, "price", 16)
+
+    // simulate a crash inside publishSwapped AFTER parking the old meta
+    // and BEFORE publishing the replacement: only `._old` exists
+    val metaDir = java.nio.file.Paths.get(out, "_zonemap_meta")
+    Files.move(metaDir,
+      java.nio.file.Paths.get(out, "_zonemap_meta._old"))
+
+    // the reader must degrade to the parked copy, not fail — and since
+    // that copy is in sync here, pruning stays strict and sound
+    val (cand, read, total) =
+      Writers.readZonePruned(spark, out, 100000.0, 150000.0)
+    assert(read > 0 && read < total && total == 16)
+    val exact = orders.filter(col("price").between(lit(100000), lit(150000)))
+    assert(cand.filter(col("price").between(lit(100000), lit(150000)))
+      .count() == exact.count())
+
+    // an append through the fallback heals: it reads (z_lo, z_w) from
+    // the parked copy and publishes a fresh current meta
+    Writers.appendWithZoneMap(
+      orders.limit(50).withColumn("price", col("price") + 1000000),
+      out, "price", 1)
+    assert(Files.exists(metaDir), "append should republish a current meta")
+    val (_, readH, totalH) = Writers.readZonePruned(spark, out, -10.0, -1.0)
+    assert(readH == 0 && totalH == 17)
+  }
 }
