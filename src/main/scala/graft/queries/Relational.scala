@@ -1838,6 +1838,52 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // TYPED zone-map bounds — the STRING form of q_zonemap_prune: the
+    // numeric manifest casts to DOUBLE, so string keys (names, ids,
+    // URLs) were unprunable; this gates the string-bounds writer/reader
+    // (lexicographic min/max manifests, common-prefix bucket grid) on a
+    // name-range probe. Same soundness contract: the pruned scan plus
+    // the exact residual must equal the oracle's whole-table filter,
+    // and `skipped` pins a strict non-empty file subset.
+    "q_zonemap_string" -> ((s, d) => {
+      val dir = rtDir("zms", d)
+      graft.sources.Writers.writeWithZoneMapString(
+        customer(s, d).select(col("c_custkey"), col("c_name"),
+          col("c_mktsegment")),
+        dir, "c_name", 12)
+      val (lo, hi) = ("Customer#000000020", "Customer#000000090")
+      val (cand, read, total) =
+        graft.sources.Writers.readZonePrunedString(s, dir, lo, hi)
+      cand.filter(col("c_name") >= lo && col("c_name") <= hi)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("keysum"),
+          min(col("c_name")).as("first_name"))
+        .withColumn("skipped", lit(read > 0 && read < total))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // The DATE form: a date renders losslessly as its ISO-8601 string,
+    // whose lexicographic order IS the date order, so date-partitioned
+    // pruning (the single most common lake predicate) rides the string
+    // zone map unchanged — one quarter's probe over a date-sorted table.
+    "q_zonemap_date" -> ((s, d) => {
+      val dir = rtDir("zmd", d)
+      graft.sources.Writers.writeWithZoneMapString(
+        orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day")),
+        dir, "day", 16)
+      val (lo, hi) = ("1996-01-01", "1996-03-31")
+      val (cand, read, total) =
+        graft.sources.Writers.readZonePrunedString(s, dir, lo, hi)
+      cand.filter(col("day") >= lo && col("day") <= hi)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("day")).as("first_day"),
+          max(col("day")).as("last_day"),
+          sum(col("o_orderkey").cast("long")).as("keysum"))
+        .withColumn("skipped", lit(read > 0 && read < total))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ORC sink -> source roundtrip: same contract as q_csv_roundtrip
     // but through the TYPED columnar format (decimals and strings
     // survive as their own types, no stringly CSV escape hatch) — the
@@ -3921,6 +3967,26 @@ object Relational {
         |FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 100000 AND 150000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_zonemap_string" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(c_custkey) AS BIGINT) AS keysum,
+        |  min(c_name) AS first_name,
+        |  TRUE AS skipped
+        |FROM customer
+        |WHERE c_name >= 'Customer#000000020'
+        |  AND c_name <= 'Customer#000000090'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_zonemap_date" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  min(day) AS first_day, max(day) AS last_day,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS keysum,
+        |  TRUE AS skipped
+        |FROM o WHERE day >= '1996-01-01' AND day <= '1996-03-31'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_zonemap_append" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -271,10 +271,18 @@ object Writers {
       .agg(min(col("z_min")), max(col("z_max"))).head()
       .toSeq.map(_.asInstanceOf[Double]).toArray
     val zW = if (mx > mn) (mx - mn) / ZoneBuckets else 1.0
-    stats.withColumn("zb", zbOf(col("z_min"), mn, zW))
-      .write.partitionBy("zb").mode("overwrite")
+    val withZb = stats.withColumn("zb", zbOf(col("z_min"), mn, zW))
+      .localCheckpoint()
+    withZb.write.partitionBy("zb").mode("overwrite")
       .parquet(s"$path/_zonemap")
-    refreshMeta(s, path, mn, zW)
+    // meta aggregates straight off the checkpointed stats — identical
+    // to a manifest rebuild (the manifest was just written FROM these
+    // rows) without re-listing/re-reading the shard dirs it just wrote
+    val meta = withZb.groupBy(col("zb"))
+      .agg(min(col("z_min")).as("bz_min"), max(col("z_max")).as("bz_max"),
+        count(lit(1)).as("n_files"))
+      .withColumn("z_lo", lit(mn)).withColumn("z_w", lit(zW))
+    publishSwapped(meta, s"$path/_zonemap_meta")
   }
 
   /** APPEND a batch to a zone-mapped table and maintain the manifest
@@ -296,9 +304,13 @@ object Writers {
     df.repartitionByRange(nFiles, col(zcol))
       .sortWithinPartitions(col(zcol))
       .write.mode("append").parquet(path)
-    val oldMeta = readMeta(s, path).localCheckpoint()
-    val metaRow = oldMeta.select(col("z_lo"), col("z_w")).head()
-    val (zLo, zW) = (metaRow.getDouble(0), metaRow.getDouble(1))
+    // the meta summary is buckets-sized BY DESIGN (the readers collect
+    // it for planning), so the merge below runs driver-side over these
+    // rows — one collect instead of checkpoint + aggregate + join jobs
+    val metaRows = readMeta(s, path)
+      .select(col("zb"), col("bz_min"), col("bz_max"), col("n_files"),
+        col("z_lo"), col("z_w")).collect()
+    val (zLo, zW) = (metaRows.head.getDouble(4), metaRows.head.getDouble(5))
     import s.implicits._
     val manifest = s.read.parquet(s"$path/_zonemap")
     val onDisk = s.read.parquet(path).inputFiles.toIndexedSeq.toDF("p")
@@ -325,23 +337,32 @@ object Writers {
       // (n_files sum != manifest rows before this batch), merging onto
       // the stale base would preserve the hole — rebuild from the full
       // manifest instead, which also heals the crash.
-      val metaTotal = oldMeta.agg(sum(col("n_files"))).head().getLong(0)
-      val inSync = metaTotal == manifestCountPre
-      if (inSync) {
+      val metaTotal = metaRows.map(_.getLong(3)).sum
+      if (metaTotal == manifestCountPre) {
         val batchMeta = batchStats.groupBy(col("zb"))
           .agg(min(col("z_min")).as("nb_min"),
             max(col("z_max")).as("nb_max"),
             count(lit(1)).as("nb_files"))
-        val merged = oldMeta
-          .select(col("zb"), col("bz_min"), col("bz_max"), col("n_files"))
-          .join(batchMeta, Seq("zb"), "full_outer")
-          .select(col("zb"),
-            least(col("bz_min"), col("nb_min")).as("bz_min"),
-            greatest(col("bz_max"), col("nb_max")).as("bz_max"),
-            (coalesce(col("n_files"), lit(0L)) +
-              coalesce(col("nb_files"), lit(0L))).as("n_files"),
-            lit(zLo).as("z_lo"), lit(zW).as("z_w"))
-        publishSwapped(merged, s"$path/_zonemap_meta")
+          .collect().map(r => r.getInt(0) -> (r.getDouble(1),
+            r.getDouble(2), r.getLong(3))).toMap
+        val old = metaRows.map(r => r.getInt(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+        val merged = (old.keySet ++ batchMeta.keySet).toIndexedSeq.sorted
+          .map { zb =>
+            (old.get(zb), batchMeta.get(zb)) match {
+              case (Some((omn, omx, on)), Some((bmn, bmx, bn))) =>
+                (zb, math.min(omn, bmn), math.max(omx, bmx), on + bn,
+                  zLo, zW)
+              case (Some((omn, omx, on)), None) =>
+                (zb, omn, omx, on, zLo, zW)
+              case (None, Some((bmn, bmx, bn))) =>
+                (zb, bmn, bmx, bn, zLo, zW)
+              case _ => sys.error("unreachable: zb in neither side")
+            }
+          }
+        publishSwapped(
+          merged.toDF("zb", "bz_min", "bz_max", "n_files", "z_lo", "z_w"),
+          s"$path/_zonemap_meta")
       } else refreshMeta(s, path, zLo, zW)
     }
   }
@@ -380,6 +401,91 @@ object Writers {
         count(lit(1)).as("n_files"))
       .withColumn("z_lo", lit(mn)).withColumn("z_w", lit(zW))
     publishSwapped(meta, s"$path/_zonemap_meta")
+  }
+
+  // ---- TYPED zone maps (string / date bounds) --------------------------
+  //
+  // The numeric zone map casts its column to DOUBLE, which makes
+  // string (and therefore date: a DATE renders losslessly as its
+  // ISO-8601 string, whose lexicographic order IS the date order)
+  // predicates inexpressible. The string variant keeps min/max bounds
+  // as STRINGS with native lexicographic comparison end to end. The
+  // bucket function replaces the numeric (origin, width) grid: files
+  // bucket by the first two characters of z_min AFTER the corpus's
+  // creation-time COMMON PREFIX (recorded in meta as p_len, the string
+  // analogue of z_lo/z_w) — range-sorted string keys share long
+  // prefixes ("Customer#0000…", "2024-…"), so bucketing on raw leading
+  // characters would degenerate to one bucket and the meta level would
+  // stop pre-selecting manifest shards. Values outside the creation
+  // range pad with '~' / land in new bucket values — extra hive
+  // partitions, same as the numeric out-of-range rule. The crash
+  // protocol, reconciliation, and ._old fallback are shared with the
+  // numeric readers (reconcile is bounds-type-agnostic).
+
+  private def zbOfString(zmin: Column, pLen: Int): Column =
+    concat(lit("b"), substring(rpad(zmin, pLen + 2, "~"), pLen + 1, 2))
+
+  /** Write `df` range-sorted by STRING column `zcol` into `nFiles`
+    * files with a string-bounds zone-map manifest — [[writeWithZoneMap]]
+    * for keys whose order is lexicographic, not numeric.
+    */
+  def writeWithZoneMapString(df: DataFrame, path: String, zcol: String,
+      nFiles: Int): Unit = {
+    df.repartitionByRange(nFiles, col(zcol))
+      .sortWithinPartitions(col(zcol))
+      .write.mode("overwrite").parquet(path)
+    val s = df.sparkSession
+    val stats = s.read.parquet(path)
+      .select(input_file_name().as("file"), col(zcol).cast("string").as("z"))
+      .groupBy(col("file"))
+      .agg(min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+        count(lit(1)).as("n_rows"))
+      .localCheckpoint()
+    val Array(mn, mx) = stats
+      .agg(min(col("z_min")), max(col("z_max"))).head()
+      .toSeq.map(_.asInstanceOf[String]).toArray
+    val pLen = mn.zip(mx).takeWhile { case (a, b) => a == b }.length
+    stats.withColumn("zb", zbOfString(col("z_min"), pLen))
+      .write.partitionBy("zb").mode("overwrite")
+      .parquet(s"$path/_zonemap")
+    val meta = s.read.parquet(s"$path/_zonemap")
+      .groupBy(col("zb"))
+      .agg(min(col("z_min")).as("bz_min"), max(col("z_max")).as("bz_max"),
+        count(lit(1)).as("n_files"))
+      .withColumn("p_len", lit(pLen))
+    publishSwapped(meta, s"$path/_zonemap_meta")
+  }
+
+  /** String-ordered pruned read over a [[writeWithZoneMapString]] table
+    * — the [[readZonePruned]] contract (two-level planning, sound
+    * skipping, crash reconciliation) with lexicographic range bounds.
+    */
+  def readZonePrunedString(spark: SparkSession, path: String,
+      lo: String, hi: String): (DataFrame, Long, Long) = {
+    val meta = readMeta(spark, path)
+      .select(col("zb"), col("bz_min"), col("bz_max"), col("n_files"))
+      .collect()
+    val total = meta.map(_.getLong(3)).sum
+    val (orphans, metaStale, diskCount) = reconcile(spark, path, total)
+    val fileFilter = col("z_min") <= hi && col("z_max") >= lo
+    val hit =
+      if (metaStale)
+        spark.read.parquet(s"$path/_zonemap").filter(fileFilter)
+          .select(col("file")).collect().map(_.getString(0))
+          .sorted.toIndexedSeq
+      else {
+        val buckets = meta
+          .filter(r => r.getString(1) <= hi && r.getString(2) >= lo)
+          .map(_.getString(0)).toIndexedSeq
+        if (buckets.isEmpty) IndexedSeq.empty[String]
+        else spark.read.parquet(s"$path/_zonemap")
+          .filter(col("zb").isin(buckets: _*))
+          .filter(fileFilter)
+          .select(col("file")).collect().map(_.getString(0))
+          .sorted.toIndexedSeq
+      }
+    val all = (hit ++ orphans).sorted
+    (plannedScan(spark, path, all), all.length.toLong, diskCount)
   }
 
   /** Disk-vs-meta reconciliation shared by the pruned readers: returns

@@ -224,6 +224,59 @@ class WritersSpec extends SparkSpec {
         .iterator().asScala.foreach(Files.delete)
   }
 
+  test("string zone map skips files soundly with lexicographic bounds") {
+    val d = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-zstr").toString
+    val cust = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_name"))
+    Writers.writeWithZoneMapString(cust, out, "c_name", 10)
+    assert(spark.read.parquet(out).count() == cust.count())
+
+    // a mid-range name probe reads a strict subset, and pruned + exact
+    // residual equals the full-scan filter
+    val (cand, read, total) = Writers.readZonePrunedString(spark, out,
+      "Customer#000000020", "Customer#000000060")
+    assert(total == 10 && read > 0 && read < total, s"$read of $total")
+    val exact = cust.filter(col("c_name") >= "Customer#000000020" &&
+      col("c_name") <= "Customer#000000060")
+    val pruned = cand.filter(col("c_name") >= "Customer#000000020" &&
+      col("c_name") <= "Customer#000000060")
+    assert(pruned.count() == exact.count())
+    assert(pruned.agg(sum(col("c_custkey"))).head.getLong(0) ==
+      exact.agg(sum(col("c_custkey"))).head.getLong(0))
+
+    // below-range and above-range probes read zero files
+    val (_, r0, _) = Writers.readZonePrunedString(spark, out, "A", "B")
+    val (_, r1, _) = Writers.readZonePrunedString(spark, out, "Z", "ZZ")
+    assert(r0 == 0 && r1 == 0)
+
+    // soundness grid across boundary/interior/exhaustive ranges
+    val probes = Seq(
+      ("Customer#000000001", "Customer#000000001"),
+      ("Customer#000000001", "Customer#000000150"),
+      ("Customer#000000099", "Customer#000000101"),
+      ("Customer#00000005", "Customer#0000000700"))
+    probes.foreach { case (lo, hi) =>
+      val (c, _, _) = Writers.readZonePrunedString(spark, out, lo, hi)
+      val p = c.filter(col("c_name") >= lo && col("c_name") <= hi)
+        .agg(count(lit(1)), sum(col("c_custkey"))).head()
+      val e = cust.filter(col("c_name") >= lo && col("c_name") <= hi)
+        .agg(count(lit(1)), sum(col("c_custkey"))).head()
+      assert(p == e, s"unsound skip for [$lo, $hi]: $p != $e")
+    }
+
+    // crash window (data appended, manifest never learned of it): the
+    // orphaned rows are read unconditionally — same reconcile path as
+    // the numeric reader
+    cust.limit(17).withColumn("c_name",
+        concat(lit("Zz-"), col("c_name")))
+      .repartition(1).write.mode("append").parquet(out)
+    val (cAll, readA, totalA) =
+      Writers.readZonePrunedString(spark, out, "A", "Zzz")
+    assert(readA == 11 && totalA == 11)
+    assert(cAll.count() == cust.count() + 17)
+  }
+
   test("zone map META crash window: stale bucket envelopes cannot skip " +
       "manifest-listed files") {
     val d = "/root/testdata/sf0.001"
