@@ -154,9 +154,11 @@ object ScaleStress {
     "q_dedup_minhash", "q_dedup_pairs", "q_dedup_clusters", "q_dedup_hamming",
     "q_dedup_hamming64",
     // ANN (bucketed, never brute-force at scale) + PQ compression
-    // (round 9 adds the TRAINED codebook fit + probe)
+    // (round 9 adds the TRAINED codebook fit + probe; round 11 the
+    // persisted book+codes round-trip and the fused recall-vs-K sweep)
     "q_sim_topk", "q_ann_lsh", "q_ann_ivf", "q_pq_assign", "q_pq_adc",
-    "q_pq_train", "q_pq_adc_trained",
+    "q_pq_train", "q_pq_adc_trained", "q_pq_index_persist",
+    "q_pq_codebook_sweep",
     // stateful sessionization over events
     "q_sessionize",
     // round-6/7 additions over documents (histogram offsets + ranged
@@ -169,7 +171,9 @@ object ScaleStress {
     // adaptive-occupancy semantic dedup (the production path; the exact
     // within-cell variant measured 1.22 at 100x and is excluded here —
     // its saturation row is recorded in BASELINE.md) + its daily form
+    // + the disk-persisted standing index (round 11)
     "q_dedup_semantic_scaled", "q_dedup_semantic_incremental",
+    "q_dedup_semantic_index_persist",
     // multimodal fan-out pipelines (frame fan-out, batched decode,
     // overlapping windows, stride resample) — the row-multiplying
     // family, measured per round since round 8

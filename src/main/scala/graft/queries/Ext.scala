@@ -3428,6 +3428,12 @@ object Ext {
         // join's, instead of serializing commits through a fixed 8
         val parts = math.max(8L, math.min(64L,
           corpus.count() * Bands / 62500L)).toInt
+        // measured AT 100x (500k docs, 4M band-bucket state keys):
+        // HDFS-backed store 55.8 s vs RocksDB 62.1 s (and 2.2 vs 3.7 s
+        // at 1x) — the exemplar state is input-sized BY DEFINITION
+        // (one long per band bucket), so the drain's exponent (~0.70)
+        // is the state-bound floor, not a store choice; the rocksDb
+        // knob stays for deployments whose state outgrows the heap
         Relational.drainStreamFiles(
           graft.streaming.Streams.nearDupCandidates(raw, K, NumHashes,
             Bands).toDF(),

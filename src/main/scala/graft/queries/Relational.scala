@@ -149,13 +149,27 @@ object Relational {
     * call with the same (path, checkpoint) RESUMES — restored source
     * offsets, watermark, and state — instead of re-draining.
     */
+  private val StateProviderKey =
+    "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider = "org.apache.spark.sql.execution." +
+    "streaming.state.RocksDBStateStoreProvider"
+
   private[queries] def drainStreamToParquet(stream: DataFrame,
       path: String, checkpoint: String,
-      statePartitions: Int = 8): Unit = {
+      statePartitions: Int = 8, rocksDb: Boolean = false): Unit = {
     val s = stream.sparkSession
     drainConfLock.synchronized {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val prevProv = s.conf.getOption(StateProviderKey)
       s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      // RocksDB state store for INPUT-SIZED state: the default
+      // HDFS-backed store keeps each partition's whole map on-heap and
+      // replays delta chains per commit — fine for bounded final
+      // states, a memory-and-GC cliff when state tracks the corpus
+      // (the neardup drain's per-band-bucket exemplars). The provider
+      // is pinned into the checkpoint at query start, like the
+      // partition count — a per-query sizing knob.
+      if (rocksDb) s.conf.set(StateProviderKey, RocksDbProvider)
       try {
         val q = stream.writeStream.format("parquet")
           .option("path", path).option("checkpointLocation", checkpoint)
@@ -163,7 +177,13 @@ object Relational {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        if (rocksDb) prevProv match {
+          case Some(p) => s.conf.set(StateProviderKey, p)
+          case None => s.conf.unset(StateProviderKey)
+        }
+      }
     }
   }
 
@@ -180,11 +200,11 @@ object Relational {
     * resuming a completed checkpoint.
     */
   private[queries] def drainStreamFiles(stream: DataFrame, baseDir: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 8, rocksDb: Boolean = false): DataFrame = {
     val s = stream.sparkSession
     deleteRecursive(java.nio.file.Paths.get(baseDir))
     drainStreamToParquet(stream, s"$baseDir/out", s"$baseDir/ckpt",
-      statePartitions)
+      statePartitions, rocksDb)
     s.read.parquet(s"$baseDir/out")
   }
 
