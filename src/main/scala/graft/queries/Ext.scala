@@ -628,33 +628,11 @@ object Ext {
 
   /** `PqIters` Lloyd rounds over long-form subvectors `sub` from an
     * arbitrary `init` codebook — the fit shared by the production
-    * (medoid-init) book and the K-sweep's width-k inits.
+    * (medoid-init) book and the K-sweep's width-k inits. The kw-keyed
+    * multi form with one constant width.
     */
-  private def pqLloyd(sub: DataFrame, init: DataFrame): DataFrame = {
-    var book = init.localCheckpoint()
-    for (_ <- 1 to PqIters) {
-      val assigned = sub.join(broadcast(book), Seq("j"))
-        .groupBy(col("vec_id"), col("j"))
-        .agg(min(struct(pqSubDist8("").as("d"), col("cid").as("c")))
-            .getField("c").as("cid"),
-          (1 to PqSub).map(i => first(col(s"s$i")).as(s"s$i")): _*)
-      val next = assigned.groupBy(col("j"), col("cid"))
-        .agg((sum(col("s1").cast(DecimalType(18, 9))).cast("double") /
-            count(lit(1))).as("c1"),
-          (2 to PqSub).map(i =>
-            (sum(col(s"s$i").cast(DecimalType(18, 9))).cast("double") /
-              count(lit(1))).as(s"c$i")): _*)
-      book = book
-        .select(col("j") +: col("cid") +:
-          (1 to PqSub).map(i => col(s"c$i").as(s"p$i")): _*)
-        .join(next, Seq("j", "cid"), "left")
-        .select(col("j") +: col("cid") +:
-          (1 to PqSub).map(i =>
-            coalesce(col(s"c$i"), col(s"p$i")).as(s"c$i")): _*)
-        .localCheckpoint()
-    }
-    book
-  }
+  private def pqLloyd(sub: DataFrame, init: DataFrame): DataFrame =
+    pqLloydMulti(sub, init.withColumn("kw", lit(0))).drop("kw")
 
   /** [[pqLloyd]] over MULTIPLE codebooks at once: `init` carries a
     * `kw` width key and every E/M step is keyed by (kw, …), so the
@@ -666,9 +644,33 @@ object Ext {
     * fused chain at sf0.1.
     */
   private def pqLloydMulti(sub: DataFrame, init: DataFrame): DataFrame = {
-    var book = init.localCheckpoint()
+    val s = sub.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("kw",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("j",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType)) ++
+      (1 to PqSub).map(i => org.apache.spark.sql.types.StructField(s"c$i",
+        org.apache.spark.sql.types.DoubleType)))
+    // the book lives DRIVER-SIDE between rounds: it is (sum of widths)
+    // x PqM rows BY CONSTRUCTION — the same size class every consumer
+    // broadcasts anyway — so each round is ONE action (the fused
+    // E-step argmin + M-step decimal means), and the join-back/
+    // checkpoint machinery of a distributed book (2 extra jobs per
+    // round) disappears. Values are bit-identical: doubles round-trip
+    // a collect exactly, the empty-cluster keep is the None arm, and
+    // the grouped decimal sums are unchanged.
+    var book: Array[org.apache.spark.sql.Row] = init.select(
+      col("kw").cast("int").as("kw") +: col("j").cast("int").as("j") +:
+        col("cid").cast("long").as("cid") +:
+        (1 to PqSub).map(i => col(s"c$i").cast("double").as(s"c$i")): _*)
+      .collect()
+    def bookDf: DataFrame = s.createDataFrame(
+      java.util.Arrays.asList(book: _*), schema)
     for (_ <- 1 to PqIters) {
-      val assigned = sub.join(broadcast(book), Seq("j"))
+      val assigned = sub.join(broadcast(bookDf), Seq("j"))
         .groupBy(col("kw"), col("vec_id"), col("j"))
         .agg(min(struct(pqSubDist8("").as("d"), col("cid").as("c")))
             .getField("c").as("cid"),
@@ -679,16 +681,22 @@ object Ext {
           (2 to PqSub).map(i =>
             (sum(col(s"s$i").cast(DecimalType(18, 9))).cast("double") /
               count(lit(1))).as(s"c$i")): _*)
-      book = book
-        .select(col("kw") +: col("j") +: col("cid") +:
-          (1 to PqSub).map(i => col(s"c$i").as(s"p$i")): _*)
-        .join(next, Seq("kw", "j", "cid"), "left")
-        .select(col("kw") +: col("j") +: col("cid") +:
-          (1 to PqSub).map(i =>
-            coalesce(col(s"c$i"), col(s"p$i")).as(s"c$i")): _*)
-        .localCheckpoint()
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)) ->
+          (3 until 3 + PqSub).map(r.getDouble))
+        .toMap
+      book = book.map { r =>
+        next.get((r.getInt(0), r.getInt(1), r.getLong(2))) match {
+          // key columns reuse the row's own boxed values: a rebuilt
+          // Seq(getInt, getInt, getLong) weak-conforms to Seq[Long]
+          // and would silently widen kw/j out of their int slots
+          case Some(ms) => org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.take(3) ++ ms)
+          case None => r // empty cluster keeps its previous codeword
+        }
+      }
     }
-    book
+    bookDf
   }
 
   /** Width-k init codebook: the first k vectors' subvectors as the
