@@ -711,15 +711,15 @@ object Ext {
       .select(col("j") +: col("vec_id").as("cid") +:
         (1 to PqSub).map(i => col(s"s$i").as(s"c$i")): _*)
 
-  /** PQ encode against the TRAINED codebook: long-form argmin per
-    * (vec_id, subspace), pivoted to the wide codes row by a fixed
-    * conditional aggregation (one shuffle on vec_id).
+  /** PQ encode of an arbitrary (vec_id, v) relation against a FROZEN
+    * codebook: long-form argmin per (vec_id, subspace), pivoted to the
+    * wide codes row by a fixed conditional aggregation (one shuffle on
+    * vec_id). Shared by the corpus encode and the persisted index's
+    * daily maintenance append (a batch encodes against the book as
+    * written — never a refit).
     */
-  private def pqAssignTrained(s: SparkSession, d: String,
-      book: DataFrame): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"),
-      VectorOps.toDouble(col("embedding")).as("v"))
-    val long = pqSubPoints(e).join(broadcast(book), Seq("j"))
+  private def pqEncode(vecs: DataFrame, book: DataFrame): DataFrame = {
+    val long = pqSubPoints(vecs).join(broadcast(book), Seq("j"))
       .groupBy(col("vec_id"), col("j"))
       .agg(min(struct(pqSubDist8("").as("d"), col("cid").as("c")))
         .getField("c").as("cid"))
@@ -727,6 +727,11 @@ object Ext {
       max(when(col("j") === j, col("cid"))).as(s"code_$j"))
     long.groupBy(col("vec_id")).agg(pivots.head, pivots.tail: _*)
   }
+
+  private def pqAssignTrained(s: SparkSession, d: String,
+      book: DataFrame): DataFrame =
+    pqEncode(embeddings(s, d).select(col("vec_id"),
+      VectorOps.toDouble(col("embedding")).as("v")), book)
 
   /** Squared-L2 between subvector j of full-width `a` and a LOCAL
     * PqSub-wide codeword array `w` — the trained-ADC reconstruction
@@ -3943,8 +3948,20 @@ object Ext {
       val book = s2.read.parquet(s"$dir/book")
       val codes = s2.read.parquet(s"$dir/codes")
       val fromDisk = book.inputFiles.nonEmpty && codes.inputFiles.nonEmpty
-      pqAdcProbe(s2, d, book, codes)
-        .withColumn("probe_from_disk", lit(fromDisk))
+      val out = pqAdcProbe(s2, d, book, codes)
+      // MAINTENANCE: today's batch encodes against the book AS WRITTEN
+      // (never a refit) and its codes append to the index — upkeep
+      // costs the batch; tomorrow's probe sees corpus + batch
+      val batch = vecsWithNearDups(s2, d)
+        .filter(col("vec_id") =!= col("base_id"))
+        .select(col("vec_id"), col("v"))
+      pqEncode(batch, book).repartition(1, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("append").parquet(s"$dir/codes")
+      val maintained = s2.read.parquet(s"$dir/codes").count() ==
+        vecsWithNearDups(s2, d).count()
+      out.withColumn("probe_from_disk", lit(fromDisk))
+        .withColumn("index_maintained", lit(maintained))
     }),
 
     // The RECALL-vs-K curve the code budget is chosen from: train a
@@ -5151,7 +5168,7 @@ object Ext {
          |r AS (SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, round(adc, 6) AS adc,
-         |  true AS probe_from_disk FROM r
+         |  true AS probe_from_disk, true AS index_maintained FROM r
          |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
 
     // one unrolled train chain per codebook width, all scored against
