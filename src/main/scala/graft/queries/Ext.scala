@@ -3409,6 +3409,43 @@ object Ext {
         .withColumn("index_maintained", lit(maintained))
     }),
 
+    // The standing index LIFECYCLE closes with COMPACTION: daily
+    // appends fragment the band index (each adds a small file), and
+    // the standing compaction job ([[sources.Writers.compact]], the
+    // crash-safe double-rename swap) rewrites it to bounded file
+    // sizes. The gated contract: the post-compaction FRESH-SESSION
+    // probe must equal the incremental accounting bit for bit (a
+    // compaction that loses/duplicates index rows changes the
+    // answer), and `compacted` pins that files actually shrank. Note
+    // the probe runs against the corpus+batch index — batch-side
+    // band rows collide with the probe's own bands, but the verify
+    // stage semi-joins matches against the CORPUS relation, so
+    // self/batch collisions drop and the accounting is unchanged:
+    // exactly why index maintenance can append blindly.
+    "q_dedup_index_compact" -> ((s, d) => {
+      val dir = Relational.rtDir("bidxc", d)
+      Relational.deleteRecursive(java.nio.file.Paths.get(dir))
+      val all = docsWithNearDups(s, d)
+      bandsOf(all.filter(col("doc_id") === col("base_id")))
+        .repartition(8, col("band_key"))
+        .sortWithinPartitions(col("band_key"))
+        .write.mode("overwrite").parquet(dir)
+      bandsOf(all.filter(col("doc_id") =!= col("base_id")))
+        .repartition(1, col("band_key"))
+        .sortWithinPartitions(col("band_key"))
+        .write.mode("append").parquet(dir)
+      val total = s.read.parquet(dir).count()
+      val (rows, filesBefore) =
+        graft.sources.Writers.compact(s, dir, targetRowsPerFile =
+          math.max(1L, (total + 1) / 2))
+      val s2 = s.newSession()
+      val idx = s2.read.parquet(dir)
+      val compacted = rows == total &&
+        idx.inputFiles.length < filesBefore
+      incrementalCrossAccounting(s2, d, idx)
+        .withColumn("compacted", lit(compacted))
+    }),
+
     // The STREAMING LSH near-dup candidate generator
     // (Streams.nearDupCandidates — per-band-bucket exemplar state, one
     // long per bucket) under the oracle gate, by the drain pattern:
@@ -6207,6 +6244,38 @@ object Ext {
          |         JOIN documents db ON db.doc_id = m.bb)
          |SELECT src_a, src_b, count(*) AS n_pairs,
          |  true AS probe_from_disk, true AS index_maintained
+         |FROM jj GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+
+    // the post-compaction probe must equal the incremental accounting
+    "q_dedup_index_compact" ->
+      s"""WITH $sqlDocsCte,
+         |tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM docs),
+         |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
+         |hv AS (SELECT doc_id, list_transform(sh, x -> $sqlHash31) AS vs
+         |  FROM sh),
+         |sg AS (SELECT doc_id, $sqlSig AS sig FROM hv),
+         |bk AS (SELECT doc_id,
+         |    unnest([${sqlBands.mkString(", ")}]) AS band_key FROM sg),
+         |cand AS (SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS match_id
+         |  FROM bk b JOIN bk c ON b.band_key = c.band_key
+         |  JOIN docs bd ON bd.doc_id = b.doc_id
+         |  JOIN docs cd ON cd.doc_id = c.doc_id
+         |  WHERE bd.doc_id <> bd.base_id AND cd.doc_id = cd.base_id),
+         |j AS (SELECT new_id, match_id,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |          CAST(len(list_distinct(list_concat(x.sh, y.sh)))
+         |            AS DOUBLE), 6) AS jaccard
+         |  FROM cand JOIN sh x ON x.doc_id = new_id
+         |    JOIN sh y ON y.doc_id = match_id),
+         |v AS (SELECT new_id, match_id FROM j WHERE jaccard >= 0.5),
+         |m AS (SELECT d.base_id AS ba, v.match_id AS bb
+         |  FROM v JOIN docs d ON d.doc_id = v.new_id),
+         |jj AS (SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b
+         |  FROM m JOIN documents da ON da.doc_id = m.ba
+         |         JOIN documents db ON db.doc_id = m.bb)
+         |SELECT src_a, src_b, count(*) AS n_pairs,
+         |  true AS compacted
          |FROM jj GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
 
     // the drained streaming LSH hits = per-bucket (doc, min-doc) pairs

@@ -230,6 +230,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("persisted PQ index probe: the coded corpus joins its codewords " +
+      "via broadcasts only, never a shuffle join") {
+    val (p, _) = planOf("q_pq_index_persist")
+    // PqM reconstruction joins against the K-row on-disk book plus the
+    // 5-row query batch — all broadcast; a regression to a sort-merge
+    // join would shuffle the ~32x-compressed codes table, the scan
+    // whose cheapness is the index's whole point
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("persisted semantic index probe: the batch broadcasts, the " +
+      "on-disk index side never sort-merge-joins") {
+    val (p, _) = planOf("q_dedup_semantic_index_persist")
+    // the daily batch's banded rows broadcast against the standing
+    // cell+band table with the cosine verify fused into the join —
+    // the corpus-sized index scan must never shuffle
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("DSIR scores through broadcasts only — the corpus never shuffle-joins") {
     val (p, _) = planOf("q_dsir_select")
     // the 1024-row weight table broadcasts onto the per-doc counts; a
