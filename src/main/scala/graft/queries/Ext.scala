@@ -3409,6 +3409,43 @@ object Ext {
         .withColumn("index_maintained", lit(maintained))
     }),
 
+    // Standing-index MAINTENANCE as a STREAMING job — the production
+    // form of the persist queries' batch append: the band relation is
+    // MAP-ONLY (native MinHashSig signing + one generator explode, no
+    // stateful operator at all), so index upkeep runs as a Structured
+    // Streaming query appending straight to the index table through
+    // the parquet file sink — each micro-batch's bands land exactly
+    // once (checkpointed source offsets), and a crashed maintenance
+    // run resumes instead of double-appending. Drained: corpus as
+    // micro-batch 1, today's docs as micro-batch 2; the accumulated
+    // SINK IS the standing index, the fresh-session probe over it
+    // must equal the incremental accounting (batch-side rows
+    // self-collide but drop at the corpus verify — the
+    // q_dedup_index_compact argument), and the boolean pins exactly
+    // Bands rows per document ever ingested.
+    "q_stream_index_maintain" -> ((s, d) => {
+      val all = docsWithNearDups(s, d)
+      val corpus = all.filter(col("doc_id") === col("base_id"))
+        .select(col("doc_id"), col("text"))
+      val batch = all.filter(col("doc_id") =!= col("base_id"))
+        .select(col("doc_id"), col("text"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_idxm_")
+      try {
+        val t0 = System.currentTimeMillis()
+        Relational.stageStreamFile(corpus, dir, "0_docs.parquet", t0 - 60000)
+        Relational.stageStreamFile(batch, dir, "1_docs.parquet", t0 - 30000)
+        val raw = s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        val base = Relational.rtDir("sidxm", d)
+        Relational.drainStreamFiles(bandsOf(raw), base)
+        val s2 = s.newSession()
+        val idx = s2.read.parquet(s"$base/out")
+        val maintained = idx.count() == all.count() * Bands
+        incrementalCrossAccounting(s2, d, idx)
+          .withColumn("index_maintained", lit(maintained))
+      } finally Relational.deleteRecursive(dir)
+    }),
+
     // The standing index LIFECYCLE closes with COMPACTION: daily
     // appends fragment the band index (each adds a small file), and
     // the standing compaction job ([[sources.Writers.compact]], the
@@ -6244,6 +6281,39 @@ object Ext {
          |         JOIN documents db ON db.doc_id = m.bb)
          |SELECT src_a, src_b, count(*) AS n_pairs,
          |  true AS probe_from_disk, true AS index_maintained
+         |FROM jj GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+
+    // the streaming-maintained index's probe must equal the
+    // incremental accounting, with exactly Bands rows per document
+    "q_stream_index_maintain" ->
+      s"""WITH $sqlDocsCte,
+         |tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM docs),
+         |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
+         |hv AS (SELECT doc_id, list_transform(sh, x -> $sqlHash31) AS vs
+         |  FROM sh),
+         |sg AS (SELECT doc_id, $sqlSig AS sig FROM hv),
+         |bk AS (SELECT doc_id,
+         |    unnest([${sqlBands.mkString(", ")}]) AS band_key FROM sg),
+         |cand AS (SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS match_id
+         |  FROM bk b JOIN bk c ON b.band_key = c.band_key
+         |  JOIN docs bd ON bd.doc_id = b.doc_id
+         |  JOIN docs cd ON cd.doc_id = c.doc_id
+         |  WHERE bd.doc_id <> bd.base_id AND cd.doc_id = cd.base_id),
+         |j AS (SELECT new_id, match_id,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |          CAST(len(list_distinct(list_concat(x.sh, y.sh)))
+         |            AS DOUBLE), 6) AS jaccard
+         |  FROM cand JOIN sh x ON x.doc_id = new_id
+         |    JOIN sh y ON y.doc_id = match_id),
+         |v AS (SELECT new_id, match_id FROM j WHERE jaccard >= 0.5),
+         |m AS (SELECT d.base_id AS ba, v.match_id AS bb
+         |  FROM v JOIN docs d ON d.doc_id = v.new_id),
+         |jj AS (SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b
+         |  FROM m JOIN documents da ON da.doc_id = m.ba
+         |         JOIN documents db ON db.doc_id = m.bb)
+         |SELECT src_a, src_b, count(*) AS n_pairs,
+         |  true AS index_maintained
          |FROM jj GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
 
     // the post-compaction probe must equal the incremental accounting
