@@ -1531,7 +1531,13 @@ object Ext {
       val reps2 = s2.read.parquet(s"$dir/reps")
       val fromDisk = idx.inputFiles.nonEmpty
       val batchBanded = semanticBatchBanded(s2, d, bits2, reps2)
-      val out = semanticBatchProbe(idx, batchBanded)
+      // the probe MATERIALIZES (localCheckpoint is eager) before the
+      // maintenance append lands in the same directory: correctness
+      // must not hinge on InMemoryFileIndex pinning its file listing
+      // at read time — a relist (FileIndex refresh, DSv2 migration)
+      // would otherwise let the probe see its own batch and emit
+      // self-matches (cosine(v,v)=1 >= SemThr)
+      val out = semanticBatchProbe(idx, batchBanded).localCheckpoint()
       batchBanded.repartition(1, col("cell"), col("band"), col("key"))
         .sortWithinPartitions(col("cell"), col("band"), col("key"))
         .write.mode("append").parquet(s"$dir/bands")
@@ -3397,7 +3403,9 @@ object Ext {
       val s2 = s.newSession()
       val idx = s2.read.parquet(dir)
       val fromDisk = idx.inputFiles.nonEmpty
-      val out = incrementalCrossAccounting(s2, d, idx)
+      // probe pinned BEFORE the append (eager localCheckpoint), so the
+      // accounting can never depend on file-listing snapshot semantics
+      val out = incrementalCrossAccounting(s2, d, idx).localCheckpoint()
       val batch2 = docsWithNearDups(s2, d)
         .filter(col("doc_id") =!= col("base_id"))
       bandsOf(batch2).repartition(1, col("band_key"))
@@ -4022,7 +4030,9 @@ object Ext {
       val book = s2.read.parquet(s"$dir/book")
       val codes = s2.read.parquet(s"$dir/codes")
       val fromDisk = book.inputFiles.nonEmpty && codes.inputFiles.nonEmpty
-      val out = pqAdcProbe(s2, d, book, codes)
+      // probe pinned BEFORE the append (eager localCheckpoint) — see
+      // q_dedup_semantic_index_persist's listing-snapshot note
+      val out = pqAdcProbe(s2, d, book, codes).localCheckpoint()
       // MAINTENANCE: today's batch encodes against the book AS WRITTEN
       // (never a refit) and its codes append to the index — upkeep
       // costs the batch; tomorrow's probe sees corpus + batch

@@ -394,20 +394,34 @@ object Relational {
     * by unpivoting (metric, value) into the grouping first.
     */
   private[graft] def exactQuantilesBy(df: DataFrame, grpCols: Seq[String], v: String,
-      qs: Seq[(Double, String)]): DataFrame = {
-    val gc = grpCols.map(col)
-    val w = Window.partitionBy(gc: _*).orderBy(col(v))
-    val wa = Window.partitionBy(gc: _*)
+      qs: Seq[(Double, String)]): DataFrame =
     // Rank -> value over the group's DISTINCT-VALUE histogram instead
-    // of a row_number over raw rows: 0-based ranks
-    // [_cum - _vc, _cum - 1] all map to this value, so the window only
-    // ever sorts distinct values — ties collapse in the map-side
+    // of a row_number over raw rows: ties collapse in the map-side
     // partial aggregate, and a tie-heavy group costs its value
     // cardinality, not its row count (same move as quantilesRanged's
     // target-bucket histogram).
-    val base = df.select((grpCols :+ v).map(col): _*)
-      .groupBy(gc :+ col(v): _*)
-      .agg(count(lit(1)).as("_vc"))
+    exactQuantilesHist(
+      df.select((grpCols :+ v).map(col): _*)
+        .groupBy((grpCols.map(col) :+ col(v)): _*)
+        .agg(count(lit(1)).as("_vc")),
+      grpCols, v, "_vc", qs)
+
+  /** The quantile core over a PRE-AGGREGATED per-group distinct-value
+    * histogram: `hist` must be distinct on (grpCols, v) with a positive
+    * LONG weight `wc` counting the raw rows at that value. Exposed so a
+    * consumer that already built the histogram (q_outlier_mad's MAD =
+    * weighted median of |v - med| over the (value, count) relation) can
+    * quantile WITHOUT a second raw-table scan — the weighted form is
+    * identical math: 0-based ranks [_cum - _vc, _cum - 1] all map to
+    * this value, so the window only ever sorts distinct values.
+    */
+  private[graft] def exactQuantilesHist(hist: DataFrame, grpCols: Seq[String],
+      v: String, wc: String, qs: Seq[(Double, String)]): DataFrame = {
+    val gc = grpCols.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy(col(v))
+    val wa = Window.partitionBy(gc: _*)
+    val base = hist
+      .select(gc :+ col(v) :+ col(wc).as("_vc"): _*)
       .withColumn("_cum", sum(col("_vc")).over(w))
       .withColumn("_pos",
         struct(qs.zipWithIndex.map { case ((q, _), i) =>
@@ -1281,29 +1295,41 @@ object Relational {
         Seq(0.5 -> "med_price"))
         .orderBy(col("o_custkey"))),
 
-    // Robust outliers by MEDIAN ABSOLUTE DEVIATION: two passes of the
-    // exact-quantile core — the group median, then the median of
-    // |value - median| — and the 3-MAD flag (the robust z-score rule
-    // that, unlike mean/stddev, a few extreme rows cannot drag toward
-    // themselves; the standard companion to the IQR fence q_outlier_iqr
-    // ships). Each pass is the distinct-value-histogram quantile
-    // machinery, group medians broadcast back — no global sort, no raw
-    // stddev accumulation order to diverge on.
+    // Robust outliers by MEDIAN ABSOLUTE DEVIATION: the group median,
+    // then the median of |value - median|, then the 3-MAD flag (the
+    // robust z-score rule that, unlike mean/stddev, a few extreme rows
+    // cannot drag toward themselves; the standard companion to the IQR
+    // fence q_outlier_iqr ships). The raw table is scanned ONCE: the
+    // per-group (value, count) histogram is materialized and EVERY
+    // later stage runs over it — the median via the histogram quantile
+    // core, the deviation histogram by re-keying the SAME relation on
+    // |v - med| (a groups x distinct-values relation, never the raw
+    // rows), MAD as its weighted median, and the final count/flag
+    // aggregation over the deviation histogram with the counts as
+    // weights. At 100 TB the two avoided raw re-scans are the cost of
+    // the query; no global sort, no raw stddev accumulation order to
+    // diverge on.
     "q_outlier_mad" -> ((s, d) => {
-      val li = lineitem(s, d)
+      val hist = lineitem(s, d)
         .select(col("l_returnflag"), col("l_extendedprice"))
-      val med = exactQuantilesBy(li, Seq("l_returnflag"),
-        "l_extendedprice", Seq(0.5 -> "med"))
-      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("_vc"))
+        .localCheckpoint()
+      val med = exactQuantilesHist(hist, Seq("l_returnflag"),
+        "l_extendedprice", "_vc", Seq(0.5 -> "med"))
+      val devHist = hist.join(broadcast(med), Seq("l_returnflag"))
         .withColumn("adev", abs(col("l_extendedprice") - col("med")))
-      val mad = exactQuantilesBy(dev, Seq("l_returnflag"), "adev",
-        Seq(0.5 -> "mad"))
-      dev.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("adev"))
+        .agg(sum(col("_vc")).as("_vc"))
+      val mad = exactQuantilesHist(devHist, Seq("l_returnflag"), "adev",
+        "_vc", Seq(0.5 -> "mad"))
+      devHist.join(broadcast(mad), Seq("l_returnflag"))
+        .join(broadcast(med), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
+        .agg(sum(col("_vc")).as("n"),
           first(round(col("med"), 6)).as("med"),
           first(round(col("mad"), 6)).as("mad"),
-          sum(when(col("adev") > lit(3.0) * col("mad"), 1L)
+          sum(when(col("adev") > lit(3.0) * col("mad"), col("_vc"))
             .otherwise(0L)).as("n_outliers"))
         .orderBy(col("l_returnflag"))
     }),
@@ -1874,6 +1900,14 @@ object Relational {
       val (lo, hi) = ("Customer#000000020", "Customer#000000090")
       val (cand, read, total) =
         graft.sources.Writers.readZonePrunedString(s, dir, lo, hi)
+      // fail DIAGNOSABLY on a pruning regression: the gated `skipped`
+      // boolean is the point of the query, but a data/synth shift that
+      // widens the probe to every file would surface as a misleading
+      // oracle hash mismatch — name the counts instead
+      require(read > 0 && read < total,
+        s"q_zonemap_string: expected a strict non-empty file subset " +
+          s"for probe [$lo,$hi], scan read $read of $total files — " +
+          "pruning regression or data-distribution shift")
       cand.filter(col("c_name") >= lo && col("c_name") <= hi)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("keysum"),
@@ -1895,6 +1929,10 @@ object Relational {
       val (lo, hi) = ("1996-01-01", "1996-03-31")
       val (cand, read, total) =
         graft.sources.Writers.readZonePrunedString(s, dir, lo, hi)
+      require(read > 0 && read < total,
+        s"q_zonemap_date: expected a strict non-empty file subset " +
+          s"for probe [$lo,$hi], scan read $read of $total files — " +
+          "pruning regression or data-distribution shift")
       cand.filter(col("day") >= lo && col("day") <= hi)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), min(col("day")).as("first_day"),

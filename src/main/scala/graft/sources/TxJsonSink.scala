@@ -208,19 +208,27 @@ object TxJsonSink {
     // the sink's payload is all-string: probe and union on string forms
     val ch = changes.select(changes.columns.map(c =>
       col(c).cast("string").as(c)).toIndexedSeq: _*)
-    // standard MERGE semantics: a target row matched by MORE THAN ONE
+    // standard MERGE semantics: a TARGET row matched by MORE THAN ONE
     // source row is an error (nondeterministic which one would win) —
-    // reject duplicate change keys up front rather than committing a
-    // snapshot with two rows for one key. The check costs one pass over
-    // the broadcast-sized daily batch, never the table.
-    val dupKeys = ch.groupBy(col(key))
+    // but multiple NOT-MATCHED inserts of one key are legal (they all
+    // insert), so the rejection is scoped to duplicate change keys
+    // that actually MATCH the snapshot. The cheap batch-only precheck
+    // runs every merge; the snapshot probe only when duplicates exist
+    // at all (the rare/error path), so the common case costs one pass
+    // over the broadcast-sized daily batch, never the table.
+    val dupCand = ch.groupBy(col(key))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .select(col(key)).limit(5).collect().map(_.getString(0))
-    require(dupKeys.isEmpty,
-      s"merge: changes contain multiple rows per key ($key): " +
-        dupKeys.mkString(",") + " — MERGE rejects multiple source " +
-        "matches per target row; pre-aggregate the changes to one row " +
-        "per key")
+      .select(col(key))
+    if (dupCand.limit(1).collect().nonEmpty) {
+      val dupMatched = read(spark, dir)
+        .join(broadcast(dupCand), Seq(key), "left_semi")
+        .select(col(key)).distinct().limit(5).collect().map(_.getString(0))
+      require(dupMatched.isEmpty,
+        s"merge: changes contain multiple rows per matched key ($key): " +
+          dupMatched.mkString(",") + " — MERGE rejects multiple source " +
+          "matches per target row; pre-aggregate the changes to one row " +
+          "per key")
+    }
     val changeKeys = ch.select(col(key)).distinct()
     val deleteKeys = deletes.map(_.select(col(key).cast("string").as(key))
       .distinct())

@@ -71,6 +71,34 @@ class QuantileCoreSpec extends SparkSpec {
     checkAgainstReferences(toDf(data), data)
   }
 
+  test("pre-aggregated histogram path equals the raw-row path " +
+      "(the q_outlier_mad deviation-histogram shape)") {
+    // exactQuantilesHist over an explicit (group, value, weight)
+    // relation must equal exactQuantilesBy over the exploded raw rows
+    // — including weights > 1 landing the interpolation inside and
+    // beside tie runs, and a weight-1-only group (hist == raw)
+    val data = Map(
+      "a" -> (Seq.fill(7)(5.0) ++ Seq(1.0, 2.0, 9.0, 9.0, 12.0)),
+      "b" -> Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0),
+      "c" -> Seq.fill(4)(8.0))
+    val raw = toDf(data)
+    val hist = raw.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("w"))
+    val viaHist = Relational.exactQuantilesHist(hist, Seq("g"), "v", "w", qs)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val viaRaw = Relational.exactQuantilesBy(raw, Seq("g"), "v", qs)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(viaHist == viaRaw, s"hist=$viaHist raw=$viaRaw")
+    for ((g, vs) <- data) {
+      val (a, b, c) = viaHist(g)
+      assert(a == expected(vs, 0.25), s"$g q25: got $a")
+      assert(b == expected(vs, 0.5), s"$g q50: got $b")
+      assert(c == expected(vs, 0.75), s"$g q75: got $c")
+    }
+  }
+
   test("groups too small to sample fall back to bucket 0") {
     val data = Map(
       "one" -> Seq(3.14),

@@ -287,10 +287,37 @@ class TxJsonSinkSpec extends SparkSpec {
       graft.sources.TxJsonSink.merge(spark, out,
         Seq((3L, "a"), (3L, "b"), (4L, "c")).toDF("id", "body"), "id")
     }
-    assert(e.getMessage.contains("multiple rows per key"))
+    assert(e.getMessage.contains("multiple rows per matched key"))
     // the rejected merge committed nothing
     assert(graft.sources.TxJsonSink.manifest(out).get.version == 1)
     assert(graft.sources.TxJsonSink.read(spark, out).count() == 10)
+  }
+
+  test("merge accepts duplicate change keys that match NO target row " +
+      "(multiple NOT-MATCHED inserts are legal MERGE)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-txdupins").toString + "/t"
+    (1L to 10L).map(i => (i, s"body-$i")).toDF("id", "body")
+      .write.format("graft.sources.TxJsonSink")
+      .option("path", out).mode("append").save()
+    // 77 appears twice but matches nothing -> both rows insert; the
+    // matched key 4 updates normally in the same commit
+    val mr = graft.sources.TxJsonSink.merge(spark, out,
+      Seq((77L, "ins-a"), (77L, "ins-b"), (4L, "upd-4"))
+        .toDF("id", "body"), "id")
+    assert(mr.version == 2)
+    val latest = graft.sources.TxJsonSink.read(spark, out)
+    assert(latest.count() == 12)
+    assert(latest.filter(col("id") === "77").count() == 2)
+    assert(latest.filter(col("id") === "4").select(col("body"))
+      .head.getString(0) == "upd-4")
+    // once duplicated in the TARGET, a later change matching that key
+    // is a multiple-target-match and still rejects
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.TxJsonSink.merge(spark, out,
+        Seq((77L, "x"), (77L, "y")).toDF("id", "body"), "id")
+    }
+    assert(e.getMessage.contains("multiple rows per matched key"))
   }
 
   test("merge DELETE arm drops matched rows from the latest view only; " +
