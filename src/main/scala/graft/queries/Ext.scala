@@ -81,6 +81,9 @@ object Ext {
   private val PqIters = 3      // Lloyd rounds for the trained codebook
   private val PqProbeN = 50    // recall-gain probe width (queries)
   private val PqSweepKs = Seq(10, 32, 64) // codebook widths swept
+  private val PqRefitOffset = 10000000L // refit-gate batch vec_id offset
+  private val PqRefitThr = 1.5 // refit when batch MSE > thr x train MSE
+  private val PqRefitDelta = 0.5 // drift-arm per-component shift
   private val ProjDims = 8     // JL sign-projection output width
   private val WinnowW = 4      // winnowing window (grams per window)
 
@@ -718,8 +721,15 @@ object Ext {
     * daily maintenance append (a batch encodes against the book as
     * written — never a refit).
     */
-  private def pqEncode(vecs: DataFrame, book: DataFrame): DataFrame = {
-    val long = pqSubPoints(vecs).join(broadcast(book), Seq("j"))
+  private def pqEncode(vecs: DataFrame, book: DataFrame): DataFrame =
+    pqEncodeSub(pqSubPoints(vecs), book)
+
+  /** [[pqEncode]] over an ALREADY long-form (vec_id, j, s1..s8)
+    * subvector relation — the form the refit gate holds its batches
+    * in, so a batch never round-trips through the wide array shape.
+    */
+  private def pqEncodeSub(subPts: DataFrame, book: DataFrame): DataFrame = {
+    val long = subPts.join(broadcast(book), Seq("j"))
       .groupBy(col("vec_id"), col("j"))
       .agg(min(struct(pqSubDist8("").as("d"), col("cid").as("c")))
         .getField("c").as("cid"))
@@ -727,6 +737,24 @@ object Ext {
       max(when(col("j") === j, col("cid"))).as(s"code_$j"))
     long.groupBy(col("vec_id")).agg(pivots.head, pivots.tail: _*)
   }
+
+  /** Total quantization MSE of long-form subvectors against a codebook,
+    * as ONE rounded double: mean over all (vec_id, j) of the squared
+    * distance to the NEAREST codeword — the q_pq_distortion readout
+    * collapsed across subspaces (same discipline: d2 pre-rounded to 6
+    * decimals and summed in DECIMAL(18,6), so the mean is
+    * addition-order-free; the final round(·,6) is the value the refit
+    * DECISION compares, in Spark so both engines round identically).
+    * One broadcast join + two aggregations — PqIters-free, scales as a
+    * single corpus scan.
+    */
+  private def pqMseTotal(sub: DataFrame, book: DataFrame): Double =
+    sub.join(broadcast(book), Seq("j"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(pqSubDist8("")).as("d2"))
+      .agg(round(sum(round(col("d2"), 6).cast(DecimalType(18, 6)))
+        .cast("double") / count(lit(1)), 6).as("m"))
+      .head.getDouble(0)
 
   private def pqAssignTrained(s: SparkSession, d: String,
       book: DataFrame): DataFrame =
@@ -4113,6 +4141,104 @@ object Ext {
         .orderBy(col("n_codewords"))
     }),
 
+    // The DRIFT-TRIGGERED REFIT gate — the last arm of the persisted
+    // PQ index's lifecycle (persist -> maintain -> compact -> REFIT).
+    // The persisted index encodes every daily batch against the book
+    // AS WRITTEN (q_pq_index_persist pins "never a refit"), but a real
+    // corpus drifts: after enough shifted batches the frozen book's
+    // distortion degrades recall with no signal. The decision arm
+    // gated here: per-batch quantization MSE against the frozen book
+    // ([[pqMseTotal]], the q_pq_distortion machinery collapsed to one
+    // number) compared to the book's training-time MSE — when the
+    // ratio exceeds PqRefitThr, REFIT (Lloyd warm-started FROM the
+    // frozen book over corpus+batch — PqIters scans of the corpus,
+    // never a from-scratch re-init) and RE-ENCODE the whole index;
+    // otherwise append the batch's codes as usual. Both decision arms
+    // run, on batches CONSTRUCTED to land on opposite sides: `stable`
+    // is an unshifted 30% resample (ratio ~1 -> append), `drift` the
+    // same rows shifted +PqRefitDelta per component (ratio >> thr ->
+    // refit). The oracle recomputes the MSEs, the decision, AND the
+    // warm-start refit chain, so the gated row pins: the decision
+    // boolean, Lloyd's non-increase contract (`improved`: post-refit
+    // MSE over corpus+batch <= frozen-book MSE over the same points —
+    // monotone under the shared per-point rounding, so it can never
+    // flip between engines), the re-encoded index row count, and the
+    // fresh-session disk probe equalling the in-memory probe bit for
+    // bit (probe_match; booleans pinned TRUE by the twin). Refit cost
+    // scales with the CORPUS (PqIters scans + one re-encode), not
+    // with how many batches preceded it — the 100x exponent is the
+    // scaling claim.
+    "q_pq_refit_gate" -> ((s, d) => {
+      val base = Relational.rtDir("pqrefit", d)
+      Relational.deleteRecursive(java.nio.file.Paths.get(base))
+      val e = embeddings(s, d).select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val sub = pqSubPoints(e).localCheckpoint()
+      val book = pqTrainedBook(s, d)
+      val nCorpus = e.count()
+      val nBatch = e.filter(col("vec_id") % 10 < 3).count()
+      val mseTrain = pqMseTotal(sub, book)
+      def arm(name: String, delta: Double): DataFrame = {
+        val dir = s"$base/$name"
+        book.coalesce(1).write.mode("overwrite").parquet(s"$dir/book")
+        pqTrainedCodes(s, d).repartition(4, col("vec_id"))
+          .sortWithinPartitions(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$dir/codes")
+        // today's batch, long-form: a 30% resample of the corpus,
+        // vec_ids offset out of the corpus id space, each component
+        // shifted by `delta` (0.0 = bit-exact copies, no arithmetic)
+        val shifted = (1 to PqSub).map(i =>
+          (if (delta == 0.0) col(s"s$i")
+           else col(s"s$i") + lit(delta)).as(s"s$i"))
+        val subB = sub.filter(col("vec_id") % 10 < 3)
+          .select((col("vec_id") + lit(PqRefitOffset)).as("vec_id") +:
+            col("j") +: shifted: _*)
+          .localCheckpoint()
+        val mseBatch = pqMseTotal(subB, book)
+        val refit = mseBatch > PqRefitThr * mseTrain
+        val subAll = sub.unionByName(subB)
+        val mseMixed = pqMseTotal(subAll, book)
+        val (book2, codesMem, mseAfter) =
+          if (refit) {
+            val b2 = pqLloyd(subAll.localCheckpoint(), book)
+            val c2 = pqEncodeSub(subAll, b2)
+            b2.coalesce(1).write.mode("overwrite").parquet(s"$dir/book")
+            c2.repartition(4, col("vec_id"))
+              .sortWithinPartitions(col("vec_id"))
+              .write.mode("overwrite").parquet(s"$dir/codes")
+            (b2, c2, pqMseTotal(subAll, b2))
+          } else {
+            val cb = pqEncodeSub(subB, book)
+            cb.repartition(1, col("vec_id"))
+              .sortWithinPartitions(col("vec_id"))
+              .write.mode("append").parquet(s"$dir/codes")
+            (book, pqTrainedCodes(s, d).unionByName(cb), mseMixed)
+          }
+        val s2 = s.newSession()
+        val bookD = s2.read.parquet(s"$dir/book")
+        val codesD = s2.read.parquet(s"$dir/codes")
+        val fromDisk = bookD.inputFiles.nonEmpty && codesD.inputFiles.nonEmpty
+        val nIndex = codesD.count()
+        val pd = pqAdcProbe(s2, d, bookD, codesD)
+          .collect().map(_.toSeq).toSet
+        val pm = pqAdcProbe(s, d, book2, codesMem)
+          .collect().map(_.toSeq).toSet
+        val probeMatch = pd.nonEmpty && pd == pm
+        s.range(1).select(
+          lit(name).as("arm"),
+          lit(nCorpus).as("n_corpus"), lit(nBatch).as("n_batch"),
+          lit(mseTrain).as("mse_train"), lit(mseBatch).as("mse_batch"),
+          lit(refit).as("refit"),
+          lit(mseMixed).as("mse_mixed"), lit(mseAfter).as("mse_after"),
+          lit(mseAfter <= mseMixed).as("improved"),
+          lit(nIndex).as("n_index"),
+          lit(fromDisk).as("probe_from_disk"),
+          lit(probeMatch).as("probe_match"))
+      }
+      arm("stable", 0.0).unionByName(arm("drift", PqRefitDelta))
+        .orderBy(col("arm"))
+    }),
+
     // Bigram conditional-probability table (the n-gram LM building
     // block): bigram extraction is map-only (2-shingles), the
     // conditioning total comes from a window over the AGGREGATED
@@ -4296,11 +4422,14 @@ object Ext {
     * CAST(sum(DECIMAL(18,9)) AS DOUBLE)/count — addition-order-free in
     * both engines, so the books are bit-identical.
     */
-  /** Lloyd-round CTEs r=1..PqIters with name suffix `sfx` (training
-    * from b0`sfx` over the shared `sub`) — the default chain uses "",
-    * the K-sweep one chain per width.
+  /** Lloyd-round CTEs r=1..PqIters with name suffix `sfx`, training
+    * from b0`sfx` over the points relation `subRel` (aliased `sub`
+    * inside, so the distance text is shared) — the default chain uses
+    * ("", "sub"), the K-sweep one chain per width, the refit gate one
+    * warm-start chain per arm over corpus+batch.
     */
-  private def pqSqlLloydRounds(sfx: String): String = {
+  private def pqSqlLloydRounds(sfx: String,
+      subRel: String = "sub"): String = {
     val dist = (1 to PqSub)
       .map(i => s"(sub.s$i - b.c$i) * (sub.s$i - b.c$i)")
       .mkString(" + ")
@@ -4316,7 +4445,7 @@ object Ext {
          |a$r$sfx AS (SELECT vec_id, j, $sCols, cid FROM (
          |  SELECT sub.vec_id, sub.j, $sCols, b.cid, row_number() OVER (
          |    PARTITION BY sub.vec_id, sub.j ORDER BY $dist, b.cid) AS rn
-         |  FROM sub JOIN b${r - 1}$sfx b ON b.j = sub.j) WHERE rn = 1),
+         |  FROM $subRel sub JOIN b${r - 1}$sfx b ON b.j = sub.j) WHERE rn = 1),
          |m$r$sfx AS (SELECT j, cid, $mCols FROM a$r$sfx GROUP BY j, cid),
          |b$r$sfx AS (SELECT b.j, b.cid, $coal FROM b${r - 1}$sfx b
          |  LEFT JOIN m$r$sfx m ON m.j = b.j AND m.cid = b.cid)""".stripMargin)
@@ -4380,6 +4509,23 @@ object Ext {
       .mkString(" ")
 
   private val pqSqlAdcTrainedJoins: String = pqSqlAdcTrainedJoinsFrom("")
+
+  /** 1-row MSE CTE `name`: mean over all (vec_id, j) of the squared
+    * distance from `subRel`'s subvectors to their nearest codeword in
+    * `bookRel` — the oracle replay of [[pqMseTotal]], same rounding
+    * discipline (d2 pre-rounded, DECIMAL(18,6) sum, final round(·,6)).
+    */
+  private def pqSqlMseCte(name: String, subRel: String,
+      bookRel: String): String = {
+    val dist = (1 to PqSub)
+      .map(i => s"(sub.s$i - b.c$i) * (sub.s$i - b.c$i)")
+      .mkString(" + ")
+    s"""$name AS (SELECT round(CAST(sum(CAST(round(d2, 6)
+       |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
+       |  FROM (SELECT vec_id, sub.j AS j, min($dist) AS d2
+       |    FROM $subRel sub JOIN $bookRel b ON b.j = sub.j
+       |    GROUP BY vec_id, sub.j) dd)""".stripMargin
+  }
 
   /** Shared CTE body of the BPE oracles (everything after WITH): word
     * -type freqs (w0), char-split symbol streams (s0), and `rounds`
@@ -5295,6 +5441,58 @@ object Ext {
          |SELECT * FROM (
          |${rows.mkString("\nUNION ALL\n")})
          |ORDER BY n_codewords""".stripMargin
+    },
+
+    // full replay of the refit gate: both batches, the five frozen-book
+    // MSEs, the decision, and one warm-start Lloyd chain PER ARM over
+    // corpus+batch (computed unconditionally; the CASE keyed on the
+    // same decision expression selects the arm's actual post-decision
+    // MSE, so engine and oracle agree under ANY data distribution) —
+    // the probe booleans are pinned TRUE, the probe equality itself is
+    // engine-side (disk vs memory, bit-for-bit)
+    "q_pq_refit_gate" -> {
+      val sCopy = (1 to PqSub).map(i => s"s$i").mkString(", ")
+      val sShift = (1 to PqSub)
+        .map(i => s"s$i + $PqRefitDelta AS s$i").mkString(", ")
+      val bCols = (1 to PqSub).map(i => s"c$i").mkString(", ")
+      def armSel(tag: String, mb: String, mm: String, ma: String) =
+        s"""SELECT '$tag' AS arm, nc.n AS n_corpus, nb.n AS n_batch,
+           |  mt.m AS mse_train, $mb.m AS mse_batch,
+           |  $mb.m > $PqRefitThr * mt.m AS refit,
+           |  $mm.m AS mse_mixed,
+           |  CASE WHEN $mb.m > $PqRefitThr * mt.m THEN $ma.m
+           |    ELSE $mm.m END AS mse_after,
+           |  CASE WHEN $mb.m > $PqRefitThr * mt.m THEN $ma.m
+           |    ELSE $mm.m END <= $mm.m AS improved,
+           |  CAST(nc.n + nb.n AS BIGINT) AS n_index,
+           |  TRUE AS probe_from_disk, TRUE AS probe_match
+           |FROM nc, nb, mt, $mb, $mm, $ma""".stripMargin
+      s"""WITH $pqSqlBase,
+         |$pqSqlTrainChain,
+         |bts AS (SELECT vec_id + $PqRefitOffset AS vec_id, j, $sCopy
+         |  FROM sub WHERE vec_id % 10 < 3),
+         |btd AS (SELECT vec_id + $PqRefitOffset AS vec_id, j, $sShift
+         |  FROM sub WHERE vec_id % 10 < 3),
+         |sas AS (SELECT * FROM sub UNION ALL SELECT * FROM bts),
+         |sad AS (SELECT * FROM sub UNION ALL SELECT * FROM btd),
+         |b0_rs AS (SELECT j, cid, $bCols FROM b$PqIters)${
+           pqSqlLloydRounds("_rs", "sas")},
+         |b0_rd AS (SELECT j, cid, $bCols FROM b$PqIters)${
+           pqSqlLloydRounds("_rd", "sad")},
+         |${pqSqlMseCte("mt", "sub", s"b$PqIters")},
+         |${pqSqlMseCte("mbs", "bts", s"b$PqIters")},
+         |${pqSqlMseCte("mbd", "btd", s"b$PqIters")},
+         |${pqSqlMseCte("mms", "sas", s"b$PqIters")},
+         |${pqSqlMseCte("mmd", "sad", s"b$PqIters")},
+         |${pqSqlMseCte("mas", "sas", s"b${PqIters}_rs")},
+         |${pqSqlMseCte("mad", "sad", s"b${PqIters}_rd")},
+         |nc AS (SELECT count(*) AS n FROM e),
+         |nb AS (SELECT count(*) AS n FROM e WHERE vec_id % 10 < 3)
+         |SELECT * FROM (
+         |${armSel("stable", "mbs", "mms", "mas")}
+         |UNION ALL
+         |${armSel("drift", "mbd", "mmd", "mad")})
+         |ORDER BY arm""".stripMargin
     },
 
     "q_pq_ivf_adc_trained" ->
