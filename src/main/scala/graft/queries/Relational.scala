@@ -1358,6 +1358,57 @@ object Relational {
         .orderBy(col("source"))
     }),
 
+    // Quantile normalization APPLIED — the per-row remap the alignment
+    // table above exists for: every document's n_chars maps from its
+    // SOURCE's quartile grid onto the POOLED grid by piecewise-linear
+    // interpolation (below q25 / above q75: parallel shift by the knot
+    // offset; between knots: linear interp). The remap runs MAP-ONLY
+    // after the two quantile passes: the per-source knots broadcast-join
+    // back onto the scan (|sources| rows), so at 100 TB the apply step
+    // costs one pass with no shuffle. Arithmetic is EXACT by
+    // construction: n_chars is integral and the quartile grid of
+    // integers interpolates at p in quarter steps, so every knot times 4
+    // is an exact integer — the whole remap then runs in integer
+    // quarter-units with floor division (both operands non-negative:
+    // quantiles are monotone), never a float division whose rounding
+    // could diverge between engines. An interp branch can only fire
+    // when its knot interval is non-empty (x in [lo, hi) implies
+    // lo < hi), so the divisor is never zero.
+    "q_quantile_remap" -> ((s, d) => {
+      val qs = Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75")
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val perSource = exactQuantilesBy(docs, Seq("source"), "n_chars", qs)
+      val pooled = exactQuantilesBy(
+          docs.withColumn("_all", lit(1)), Seq("_all"), "n_chars",
+          Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
+        .drop("_all")
+      val knots = perSource.crossJoin(broadcast(pooled))
+        .select(col("source"),
+          (col("q25") * 4).cast("long").as("sq1"),
+          (col("q50") * 4).cast("long").as("sq2"),
+          (col("q75") * 4).cast("long").as("sq3"),
+          (col("p25") * 4).cast("long").as("pq1"),
+          (col("p50") * 4).cast("long").as("pq2"),
+          (col("p75") * 4).cast("long").as("pq3"))
+      docs.join(broadcast(knots), Seq("source"))
+        .withColumn("x4", col("n_chars").cast("long") * 4)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          when(col("x4") < col("sq1"), "lo")
+            .when(col("x4") < col("sq2"), "mid1")
+            .when(col("x4") < col("sq3"), "mid2")
+            .otherwise("hi").as("seg"),
+          when(col("x4") < col("sq1"),
+              col("x4") + col("pq1") - col("sq1"))
+            .when(col("x4") < col("sq2"), col("pq1") +
+              expr("(x4 - sq1) * (pq2 - pq1) div (sq2 - sq1)"))
+            .when(col("x4") < col("sq3"), col("pq2") +
+              expr("(x4 - sq2) * (pq3 - pq2) div (sq3 - sq2)"))
+            .otherwise(col("x4") + col("pq3") - col("sq3"))
+            .as("remap_q4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unpivot (wide -> long): the reshaping inverse of q_pivot, a pure
     // map-side generator (each row fans out to one row per metric).
     "q_unpivot" -> ((s, d) =>
@@ -4448,6 +4499,30 @@ object Relational {
         |SELECT source, q25, q50, q75, p25, p50, p75,
         |  round(q50 - p50, 6) AS median_shift
         |FROM s, g ORDER BY source""".stripMargin,
+
+    "q_quantile_remap" ->
+      """WITH s AS (SELECT source,
+        |    CAST(round(quantile_cont(n_chars, 0.25), 6) * 4 AS BIGINT) AS sq1,
+        |    CAST(round(quantile_cont(n_chars, 0.5), 6) * 4 AS BIGINT) AS sq2,
+        |    CAST(round(quantile_cont(n_chars, 0.75), 6) * 4 AS BIGINT) AS sq3
+        |  FROM documents GROUP BY source),
+        |g AS (SELECT
+        |    CAST(round(quantile_cont(n_chars, 0.25), 6) * 4 AS BIGINT) AS pq1,
+        |    CAST(round(quantile_cont(n_chars, 0.5), 6) * 4 AS BIGINT) AS pq2,
+        |    CAST(round(quantile_cont(n_chars, 0.75), 6) * 4 AS BIGINT) AS pq3
+        |  FROM documents),
+        |j AS (SELECT doc_id, d.source, n_chars,
+        |    CAST(n_chars AS BIGINT) * 4 AS x4,
+        |    sq1, sq2, sq3, pq1, pq2, pq3
+        |  FROM documents d JOIN s USING (source), g)
+        |SELECT doc_id, source, n_chars,
+        |  CASE WHEN x4 < sq1 THEN 'lo' WHEN x4 < sq2 THEN 'mid1'
+        |       WHEN x4 < sq3 THEN 'mid2' ELSE 'hi' END AS seg,
+        |  CAST(CASE WHEN x4 < sq1 THEN x4 + pq1 - sq1
+        |       WHEN x4 < sq2 THEN pq1 + (x4 - sq1) * (pq2 - pq1) // (sq2 - sq1)
+        |       WHEN x4 < sq3 THEN pq2 + (x4 - sq2) * (pq3 - pq2) // (sq3 - sq2)
+        |       ELSE x4 + pq3 - sq3 END AS BIGINT) AS remap_q4
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "q_outlier_iqr" ->
       """WITH f AS (SELECT l_returnflag,

@@ -99,6 +99,60 @@ class QuantileCoreSpec extends SparkSpec {
     }
   }
 
+  test("q_quantile_remap: piecewise map is exact, monotone, and the " +
+      "identity when a source's grid equals the pooled grid") {
+    import spark.implicits._
+    // source "a" short docs, source "b" long docs; driver-side
+    // reference recomputes the integer quarter-space remap from the
+    // float quantiles independently of the Spark plan
+    val data = Map(
+      "a" -> (1 to 200).map(i => 50 + (i * 7) % 120),
+      "b" -> (1 to 100).map(i => 400 + (i * 13) % 300))
+    val dir = java.nio.file.Files.createTempDirectory("graft-qr").toString
+    data.toSeq.flatMap { case (src, ls) =>
+      ls.zipWithIndex.map { case (n, i) =>
+        (src.hashCode.toLong * 1000 + i, src, n) }
+    }.toDF("doc_id", "source", "n_chars")
+      .repartition(8).write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_quantile_remap")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong,
+        r.getString(3), r.getLong(4)))
+    val all = data.values.flatten.map(_.toDouble).toSeq
+    def grid(vs: Seq[Double]) =
+      Seq(0.25, 0.5, 0.75).map(q => (expected(vs, q) * 4).toLong)
+    val pooled = grid(all)
+    val grids = data.map { case (s0, vs) => s0 -> grid(vs.map(_.toDouble)) }
+    def ref(src: String, n: Long): (String, Long) = {
+      val (Seq(s1, s2, s3), Seq(p1, p2, p3)) = (grids(src), pooled)
+      val x4 = n * 4
+      if (x4 < s1) ("lo", x4 + p1 - s1)
+      else if (x4 < s2) ("mid1", p1 + (x4 - s1) * (p2 - p1) / (s2 - s1))
+      else if (x4 < s3) ("mid2", p2 + (x4 - s2) * (p3 - p2) / (s3 - s2))
+      else ("hi", x4 + p3 - s3)
+    }
+    got.foreach { case (id, src, n, seg, remap) =>
+      assert((seg, remap) == ref(src, n), s"doc $id ($src, $n)")
+    }
+    // monotone within each source: a longer doc never remaps lower
+    got.groupBy(_._2).values.foreach { rows =>
+      rows.sortBy(_._3).sliding(2).foreach {
+        case Array((_, _, n1, _, r1), (_, _, n2, _, r2)) =>
+          assert(n1 > n2 || r1 <= r2, s"non-monotone at $n1->$n2")
+        case _ =>
+      }
+    }
+    // identity: one source only => source grid IS the pooled grid, so
+    // every interp knot maps to itself and remap == 4*n_chars
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-qr1").toString
+    data("a").zipWithIndex.map { case (n, i) => (i.toLong, "a", n) }
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$dir1/documents.parquet")
+    SparkEntry.queries("q_quantile_remap")(spark, dir1).collect()
+      .foreach(r => assert(r.getLong(4) == 4L * r.getInt(2),
+        s"identity broken at ${r.getInt(2)}"))
+  }
+
   test("groups too small to sample fall back to bucket 0") {
     val data = Map(
       "one" -> Seq(3.14),
