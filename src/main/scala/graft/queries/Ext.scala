@@ -84,6 +84,9 @@ object Ext {
   private val PqRefitOffset = 10000000L // refit-gate batch vec_id offset
   private val PqRefitThr = 1.5 // refit when batch MSE > thr x train MSE
   private val PqRefitDelta = 0.5 // drift-arm per-component shift
+  private val BpePasses = 2    // batched-BPE passes
+  private val BpeBatchN = 3    // max merges applied per batched pass
+  private val BpeTopM = 16     // candidate pairs collected per pass
   private val ProjDims = 8     // JL sign-projection output width
   private val WinnowW = 4      // winnowing window (grams per window)
 
@@ -485,6 +488,92 @@ object Ext {
     }
     (merges.reverse, syms)
   }
+
+  /** BATCHED BPE trainer — the production-vocab form of [[bpeTrain]]:
+    * one pair-count job per PASS instead of per MERGE. Each pass
+    * collects the top-`topM` pairs (wt desc, lexicographic ties), keeps
+    * the CONSERVATIVE mutually-disjoint prefix — a candidate survives
+    * iff NO higher-ranked candidate (selected or not) shares a symbol
+    * with it, a rule expressible as a bounded anti-join in both engines
+    * (greedy take-if-free needs recursion; this stricter rule never
+    * selects fewer than one pair, so progress is guaranteed) — and
+    * applies up to `batchN` survivors in ONE windows pass. Disjointness
+    * makes the batch apply exact: a merge can neither destroy nor
+    * create an instance of a co-selected pair (shared-symbol overlaps
+    * are excluded; new adjacencies involve the NEW symbol), and
+    * consecutive matched positions can only come from one self-pair
+    * run, so the single-boolean gaps-and-islands apply is unchanged.
+    * Driver cost: jobs-per-merge drops from 1 toward 1/batchN — the
+    * bound that matters at a 32k-merge production vocabulary, where
+    * the sequential trainer's 32k-job driver loop is the ceiling
+    * (BASELINE.md documents both). Candidate collect is <= topM rows
+    * (the sanctioned bounded collect).
+    */
+  private def bpeTrainBatched(s: SparkSession, d: String, passes: Int,
+      batchN: Int, topM: Int): List[(Long, String, String, Long)] = {
+    val wOrd = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val words = documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,12}\\z"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var syms = words
+      .select(col("w"), col("freq"),
+        posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
+      .filter(col("sym") =!= "")
+      .localCheckpoint()
+    var merges = List.empty[(Long, String, String, Long)]
+    var round = 1L
+    var p = 1
+    var exhausted = false
+    while (p <= passes && !exhausted) {
+      val withNxt = syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      val cands = withNxt.filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("wt"))
+        .orderBy(col("wt").desc, col("sym"), col("nxt")).limit(topM)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cands.isEmpty) exhausted = true
+      else {
+        val sel = cands.zipWithIndex.filter { case ((a, b, _), i) =>
+          cands.take(i).forall { case (ha, hb, _) =>
+            ha != a && ha != b && hb != a && hb != b }
+        }.map(_._1).take(batchN)
+        sel.foreach { case (a, b, wt) =>
+          merges ::= ((round, a, b, wt)); round += 1 }
+        if (p < passes) {
+          val m0 = sel.map { case (a, b, _) =>
+            col("sym") === a && col("nxt") === b }.reduce(_ || _)
+          val t = withNxt
+            .withColumn("m", coalesce(m0, lit(false)))
+            .withColumn("isl", col("pos") -
+              sum(when(col("m"), 1).otherwise(0))
+                .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("merged", col("m") &&
+              (col("pos") - min(col("pos"))
+                .over(Window.partitionBy(col("w"), col("m"), col("isl"))))
+                % 2 === 0)
+            .withColumn("kept",
+              !coalesce(lag(col("merged"), 1).over(wOrd), lit(false)))
+          syms = t.filter(col("kept"))
+            .select(col("w"), col("freq"),
+              (row_number().over(wOrd) - 1).as("pos"),
+              when(col("merged"), concat(col("sym"), col("nxt")))
+                .otherwise(col("sym")).as("sym"))
+            .localCheckpoint()
+        }
+        p += 1
+      }
+    }
+    merges.reverse
+  }
+
+  /** Test hook: the sequential trainer's merge list (CurationOpsSpec
+    * compares batched == sequential on a corpus where they provably
+    * coincide).
+    */
+  private[graft] def bpeMergesSequentialForTest(s: SparkSession, d: String,
+      rounds: Int): List[(Long, String, String, Long)] =
+    bpeTrain(s, d, rounds, applyLast = false)._1
 
   // ---- product quantization (IVF-PQ's compression half) ----------------
 
@@ -2499,6 +2588,25 @@ object Ext {
       // the last round's pick needs no merge application: nothing
       // reads the post-round-3 symbol relation
       bpeTrain(s, d, rounds = 3, applyLast = false)._1
+        .toDF("round", "lhs", "rhs", "weight")
+        .orderBy(col("round"))
+    }),
+
+    // BATCHED BPE training ([[bpeTrainBatched]]): up to BpeBatchN
+    // mutually-disjoint merges selected and applied per PASS, bounding
+    // the driver loop at jobs-per-merge -> 1/BpeBatchN — the move that
+    // keeps a production 32k-merge vocabulary off the sequential
+    // trainer's one-job-per-merge ceiling. The conservative disjoint
+    // rule (drop any candidate sharing a symbol with a higher-ranked
+    // candidate) is replayed by the oracle as a bounded anti-join over
+    // the same top-BpeTopM candidate relation, so the gated rows pin
+    // selection, order, weights, AND the batched apply. BpeSpec pins
+    // the semantic relationship to the sequential trainer on this
+    // corpus.
+    "q_bpe_merges_batched" -> ((s, d) => {
+      import s.implicits._
+      bpeTrainBatched(s, d, passes = BpePasses, batchN = BpeBatchN,
+          topM = BpeTopM)
         .toDF("round", "lhs", "rhs", "weight")
         .orderBy(col("round"))
     }),
@@ -4567,6 +4675,63 @@ object Ext {
        |$stages""".stripMargin
   }
 
+  /** CTE body of the BATCHED BPE oracle: per pass, the top-BpeTopM
+    * candidate relation (c$p, ranked wt desc / a / b), the conservative
+    * mutually-disjoint survivor prefix (e$p — a candidate survives iff
+    * no higher-ranked candidate shares a symbol; sel$p caps at
+    * BpeBatchN), and the one-shot apply of ALL selected pairs via the
+    * same gaps-and-islands windows (membership by LEFT JOIN against
+    * sel$p instead of the single-pair equality). Mirrors
+    * [[bpeTrainBatched]] stage for stage.
+    */
+  private def bpeSqlStagesBatched(passes: Int, batchN: Int,
+      topM: Int): String = {
+    val stages = (1 to passes).map { p =>
+      s"""t$p AS (SELECT w, freq, pos, sym,
+         |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |  FROM s${p - 1}),
+         |c$p AS (SELECT a, b, wt,
+         |    row_number() OVER (ORDER BY wt DESC, a, b) AS rk
+         |  FROM (SELECT sym AS a, nxt AS b, sum(freq) AS wt FROM t$p
+         |    WHERE nxt IS NOT NULL GROUP BY sym, nxt
+         |    ORDER BY wt DESC, sym, nxt LIMIT $topM)),
+         |e$p AS (SELECT a, b, wt, rk,
+         |    row_number() OVER (ORDER BY rk) AS slot
+         |  FROM c$p c WHERE NOT EXISTS (SELECT 1 FROM c$p h
+         |    WHERE h.rk < c.rk AND (h.a = c.a OR h.a = c.b
+         |      OR h.b = c.a OR h.b = c.b))),
+         |sel$p AS (SELECT a, b, wt, slot FROM e$p WHERE slot <= $batchN),
+         |u$p AS (SELECT t.w, t.freq, t.pos, t.sym, t.nxt,
+         |    (sel.a IS NOT NULL) AS m
+         |  FROM t$p t LEFT JOIN sel$p sel
+         |    ON t.sym = sel.a AND t.nxt = sel.b),
+         |v$p AS (SELECT *, pos - sum(CASE WHEN m THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY w ORDER BY pos
+         |          ROWS UNBOUNDED PRECEDING) AS isl FROM u$p),
+         |x$p AS (SELECT *, m AND (pos - min(pos)
+         |    OVER (PARTITION BY w, m, isl)) % 2 = 0 AS merged
+         |  FROM v$p),
+         |y$p AS (SELECT *, NOT coalesce(lag(merged)
+         |    OVER (PARTITION BY w ORDER BY pos), false) AS kept
+         |  FROM x$p),
+         |s$p AS (SELECT w, freq,
+         |    row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+         |    CASE WHEN merged THEN sym || nxt ELSE sym END AS sym
+         |  FROM y$p WHERE kept)""".stripMargin
+    }.mkString(",\n")
+    val sels = (1 to passes).map(p =>
+      s"SELECT $p AS pass, slot, a, b, wt FROM sel$p")
+      .mkString(" UNION ALL ")
+    s"""w0 AS (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(${sqlTokens("text")}) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]{2,12}$$') GROUP BY w),
+       |s0 AS (SELECT w, freq, unnest(range(len(cs))) AS pos,
+       |    unnest(cs) AS sym
+       |  FROM (SELECT w, freq, string_split(w, '') AS cs FROM w0)),
+       |$stages,
+       |allsel AS ($sels)""".stripMargin
+  }
+
   /** DuckDB expression: distinct k-token shingles of token-list column t
     * (whole-doc shingle for short docs), matching TextOps.distinctShingles.
     */
@@ -5605,6 +5770,12 @@ object Ext {
          |$out
          |ORDER BY round""".stripMargin
     },
+
+    "q_bpe_merges_batched" ->
+      s"""WITH ${bpeSqlStagesBatched(BpePasses, BpeBatchN, BpeTopM)}
+         |SELECT row_number() OVER (ORDER BY pass, slot) AS round,
+         |  a AS lhs, b AS rhs, CAST(wt AS BIGINT) AS weight
+         |FROM allsel ORDER BY round""".stripMargin,
 
     // encode = the post-round-3 symbol relation s3 read out per word
     // type; string_agg in pos order mirrors the engine's sorted

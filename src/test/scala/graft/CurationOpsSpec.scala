@@ -179,6 +179,80 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe batched: merges equal a brute-force batched replay, " +
+      "per-pass selections are mutually disjoint") {
+    // plain-Scala reference of the batched trainer: per pass, pair
+    // counts -> top-16 by (wt desc, pair asc) -> conservative disjoint
+    // prefix (drop on shared symbol with ANY higher-ranked candidate)
+    // -> take 3 -> one-shot greedy-leftmost apply of all selected
+    val words = Tables.documents(spark, d)
+      .select(explode(graft.ext.TextOps.tokens(col("text"))).as("w"))
+      .collect().map(_.getString(0))
+      .filter(_.matches("^[a-z]{2,12}$"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def applyBatch(s: List[String], ps: Set[(String, String)])
+        : List[String] = s match {
+      case x :: y :: rest if ps((x, y)) => (x + y) :: applyBatch(rest, ps)
+      case x :: rest => x :: applyBatch(rest, ps)
+      case Nil => Nil
+    }
+    var syms: Map[List[String], Long] =
+      words.map { case (w, f) => w.split("").toList -> f }
+        .groupBy(_._1).view.mapValues(_.values.sum).toMap
+    var expect = List.empty[(String, String, Long)]
+    for (_ <- 1 to 2) {
+      val pairCnt = syms.toSeq.flatMap { case (s, f) =>
+        s.zip(s.drop(1)).map(p => p -> f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .map { case ((a, b), n) => (a, b, n) }
+        .sortBy { case (a, b, n) => (-n, a, b) }.take(16)
+      val sel = pairCnt.zipWithIndex.filter { case ((a, b, _), i) =>
+        pairCnt.take(i).forall { case (ha, hb, _) =>
+          ha != a && ha != b && hb != a && hb != b }
+      }.map(_._1).take(3)
+      // selections mutually symbol-disjoint (the batched-apply
+      // soundness precondition)
+      val symsUsed = sel.flatMap { case (a, b, _) => Seq(a, b) }
+      assert(symsUsed.distinct.length == symsUsed.length ||
+        sel.exists { case (a, b, _) => a == b }, s"overlap in $sel")
+      expect = expect ++ sel
+      val ps = sel.map { case (a, b, _) => (a, b) }.toSet
+      syms = syms.toSeq.map { case (s, f) => applyBatch(s, ps) -> f }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    val got = SparkEntry.queries("q_bpe_merges_batched")(spark, d)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toList == expect, s"got ${got.toList}\nexp $expect")
+    // rounds arrive 1..n in order
+    val rounds = SparkEntry.queries("q_bpe_merges_batched")(spark, d)
+      .collect().map(_.getLong(0))
+    assert(rounds.toSeq == (1L to rounds.length).toSeq)
+  }
+
+  test("bpe batched: equals the sequential trainer when the top pairs " +
+      "are disjoint and stable") {
+    // crafted corpus: three disjoint dominant pairs whose counts a
+    // co-merge cannot change — the case where batched-BPE and
+    // sequential BPE provably coincide (merge order included)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_batch_eq")
+      .toString
+    // two-letter words: a merge fuses the whole word, so it can
+    // neither create a new pair nor change another pair's count
+    val text = (Seq.fill(50)("ab") ++ Seq.fill(40)("cd") ++
+      Seq.fill(30)("ef")).mkString(" ")
+    Seq((1L, text, "en", "src0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bat = SparkEntry.queries("q_bpe_merges_batched")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val seq3 = graft.queries.Ext.bpeMergesSequentialForTest(spark, dir, 3)
+      .map { case (_, a, b, _) => (a, b) }
+    assert(bat.take(3).toList == seq3,
+      s"batched ${bat.toList} vs sequential $seq3")
+  }
+
   test("bpe: a corpus with no mergeable words yields an empty merges table") {
     // all-numeric tokens: the word filter leaves nothing, so every
     // round's top-pair relation is empty — the query must degrade to
