@@ -1103,6 +1103,63 @@ object Ext {
       .orderBy(col("new_id"))
   }
 
+  /** MAP-ONLY cell-assign + bandify against DRIVER-HELD index
+    * properties — the streamable form of [[semanticBatchBanded]]'s
+    * assign step: the quantizer reps (|labels| rows, the size class
+    * every consumer broadcasts) and the key width live in the
+    * expression as literals, so the whole transform is one projection
+    * plus one generator explode — no window, no aggregation, no
+    * shuffle. Structured Streaming can run it in append mode with a
+    * plain file sink, which is what lets index upkeep be a streaming
+    * job. The argmax cell rides array_max over (score, -rep_id)
+    * structs — lexicographically identical to the batch path's
+    * row_number over (rep_score DESC, rep_id): same doubles, same
+    * operation order, same tie rule.
+    */
+  private def semanticBandifyLiteral(df: DataFrame,
+      reps: Array[(Long, Array[Double], Double)], bits: Int): DataFrame = {
+    val nrm = VectorOps.norm(col("v"))
+    val scored = reps.map { case (rid, rv, rn) =>
+      struct(
+        (VectorOps.dot(col("v"), typedLit(rv.toSeq)) / (nrm * lit(rn)))
+          .as("s"),
+        lit(-rid).as("nr"), lit(rid).as("rid"))
+    }
+    val cell = array_max(array(scored.toIndexedSeq: _*)).getField("rid")
+    df.select(col("vec_id"), col("v"), nrm.as("nrm"), cell.as("cell"),
+        col("ingest_day"),
+        explode(array((0 until SemBands).map(j =>
+          struct(lit(j).as("band"),
+            VectorOps.signBucketAt(col("v"), j * SemStride, lit(bits))
+              .as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm"),
+        col("bk.band").as("band"), col("bk.key").as("key"),
+        col("ingest_day"))
+  }
+
+  /** MAP-ONLY PQ encode against a DRIVER-HELD codebook — the streamable
+    * form of [[pqEncodeSub]]: the K x PqM book rides the expression as
+    * literals and each code_j is an array_min over (dist, cid) structs,
+    * so encoding is a single projection per row (same distances — the
+    * identical element_at/diff*diff left-associated shape — and the
+    * same min-(d, cid) tie rule as the aggregate path).
+    */
+  private def pqEncodeLiteral(df: DataFrame,
+      book: Map[Int, Array[(Long, Array[Double])]]): DataFrame = {
+    val codes = (0 until PqM).map { j =>
+      val cands = book(j).map { case (cid, w) =>
+        val dist = (0 until PqSub).map { i =>
+          val diff = element_at(col("v"), j * PqSub + i + 1) - lit(w(i))
+          diff * diff
+        }.reduce(_ + _)
+        struct(dist.as("d"), lit(cid).as("c"))
+      }
+      array_min(array(cands.toIndexedSeq: _*)).getField("c")
+        .as(s"code_$j")
+    }
+    df.select(col("vec_id") +: codes :+ col("ingest_day"): _*)
+  }
+
   /** IVF-style cell-restricted ANN top-k (the q_ann_ivf plan, shared
     * with the recall audit): deterministic medoid quantizer (min vec_id
     * per label), cells assigned by best rep score, candidates restricted
@@ -1662,6 +1719,67 @@ object Ext {
         vecsWithNearDups(s2, d).count() * SemBands
       out.withColumn("probe_from_disk", lit(fromDisk))
         .withColumn("index_maintained", lit(maintained))
+    }),
+
+    // SEMANTIC-index upkeep as a STREAMING job — the
+    // q_stream_index_maintain pattern applied to the vector side. The
+    // BUILD job persists the index PROPERTIES (quantizer reps + key
+    // width); given those, banding is MAP-ONLY
+    // ([[semanticBandifyLiteral]]: literal-reps argmax cell + generator
+    // explode — no window, no aggregation), so the band relation
+    // itself is BUILT AND MAINTAINED by one Structured Streaming query
+    // appending to the index table through the parquet file sink:
+    // corpus lands as micro-batch 1 (ingest day 0), today's batch as
+    // micro-batch 2 (day 1), each exactly once (checkpointed source
+    // offsets — a crashed upkeep run resumes instead of
+    // double-appending). The accumulated SINK IS the standing index;
+    // rows carry their ingest day, so the fresh-session probe prunes
+    // to the AS-OF-yesterday index with one pushed-down partition-style
+    // filter (day 0) — which is why the probe must equal the
+    // incremental accounting bit for bit, with the booleans pinning
+    // disk round-trip and exactly SemBands rows per vector ever
+    // ingested.
+    "q_stream_semantic_index_maintain" -> ((s, d) => {
+      val base = Relational.rtDir("ssidxm", d)
+      Relational.deleteRecursive(java.nio.file.Paths.get(base))
+      val corpus = ivfAssign(s, d).localCheckpoint()
+      semanticBitsRow(corpus, SemBands, SemStride, SemMaxBits)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/bits")
+      semanticReps(s, d).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/reps")
+      val repsL = s.read.parquet(s"$base/reps").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      val bitsL = s.read.parquet(s"$base/bits").head.getInt(0)
+      val all = vecsWithNearDups(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ssidxm_")
+      try {
+        val t0 = System.currentTimeMillis()
+        Relational.stageStreamFile(
+          all.filter(col("vec_id") === col("base_id"))
+            .select(col("vec_id"), col("v"), lit(0).as("ingest_day")),
+          dir, "0_vecs.parquet", t0 - 60000)
+        Relational.stageStreamFile(
+          all.filter(col("vec_id") =!= col("base_id"))
+            .select(col("vec_id"), col("v"), lit(1).as("ingest_day")),
+          dir, "1_vecs.parquet", t0 - 30000)
+        val schema = s.read.parquet(s"$dir/0_vecs.parquet").schema
+        val raw = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        Relational.drainStreamFiles(
+          semanticBandifyLiteral(raw, repsL, bitsL), s"$base/stream")
+        val s2 = s.newSession()
+        val idx = s2.read.parquet(s"$base/stream/out")
+        val maintained = idx.count() == all.count() * SemBands
+        val corpusBanded = idx.filter(col("ingest_day") === 0)
+          .drop("ingest_day")
+        semanticBatchProbe(corpusBanded,
+            semanticBatchBanded(s2, d, s2.read.parquet(s"$base/bits"),
+              s2.read.parquet(s"$base/reps")))
+          .withColumn("probe_from_disk", lit(idx.inputFiles.nonEmpty))
+          .withColumn("index_maintained", lit(maintained))
+      } finally Relational.deleteRecursive(dir)
     }),
 
     // The recall readout of the exact/scaled pairing (the q_ann_recall
@@ -4184,6 +4302,56 @@ object Ext {
         .withColumn("index_maintained", lit(maintained))
     }),
 
+    // PQ-index upkeep as a STREAMING job — the q_stream_index_maintain
+    // pattern applied to the compressed-codes side. Given the persisted
+    // trained book (K x PqM rows, driver-held by construction), PQ
+    // encode is MAP-ONLY ([[pqEncodeLiteral]]: per-subspace array_min
+    // over literal codewords — no join, no aggregation), so the codes
+    // table is BUILT AND MAINTAINED by one Structured Streaming query:
+    // corpus as micro-batch 1 (ingest day 0), today's batch as
+    // micro-batch 2 (day 1), exactly-once through checkpointed source
+    // offsets; the accumulated SINK IS the codes index. The
+    // fresh-session ADC probe prunes to day 0 (the as-of-yesterday
+    // index) and must equal the batch-built persisted-index probe bit
+    // for bit; the boolean pins one code row per vector ever ingested.
+    "q_stream_pq_index_maintain" -> ((s, d) => {
+      val base = Relational.rtDir("pqidxm", d)
+      Relational.deleteRecursive(java.nio.file.Paths.get(base))
+      pqTrainedBook(s, d).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/book")
+      val bookL = s.read.parquet(s"$base/book").collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          (2 until 2 + PqSub).map(r.getDouble).toArray))
+        .groupBy(_._1)
+        .map { case (j, rows) => j -> rows.map(r => (r._2, r._3)) }
+      val all = vecsWithNearDups(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_pqidxm_")
+      try {
+        val t0 = System.currentTimeMillis()
+        Relational.stageStreamFile(
+          all.filter(col("vec_id") === col("base_id"))
+            .select(col("vec_id"), col("v"), lit(0).as("ingest_day")),
+          dir, "0_vecs.parquet", t0 - 60000)
+        Relational.stageStreamFile(
+          all.filter(col("vec_id") =!= col("base_id"))
+            .select(col("vec_id"), col("v"), lit(1).as("ingest_day")),
+          dir, "1_vecs.parquet", t0 - 30000)
+        val schema = s.read.parquet(s"$dir/0_vecs.parquet").schema
+        val raw = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        Relational.drainStreamFiles(pqEncodeLiteral(raw, bookL),
+          s"$base/stream")
+        val s2 = s.newSession()
+        val bookD = s2.read.parquet(s"$base/book")
+        val codesD = s2.read.parquet(s"$base/stream/out")
+        val maintained = codesD.count() == all.count()
+        pqAdcProbe(s2, d, bookD,
+            codesD.filter(col("ingest_day") === 0).drop("ingest_day"))
+          .withColumn("probe_from_disk", lit(codesD.inputFiles.nonEmpty))
+          .withColumn("index_maintained", lit(maintained))
+      } finally Relational.deleteRecursive(dir)
+    }),
+
     // The RECALL-vs-K curve the code budget is chosen from: train a
     // codebook at each width K in PqSweepKs (width-k deterministic
     // init, same Lloyd rounds), ADC top-5 against the exact top-5, one
@@ -5109,6 +5277,43 @@ object Ext {
          |FROM bq LEFT JOIN g ON g.new_id = bq.vec_id
          |ORDER BY new_id""".stripMargin,
 
+    // the streamed upkeep must leave the day-0 probe identical to the
+    // in-session incremental answer, booleans pinned
+    "q_stream_semantic_index_maintain" ->
+      s"""WITH $semanticSqlBase,
+         |$semanticSqlBanded,
+         |batch AS (SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.001)
+         |      AS v
+         |  FROM embeddings WHERE vec_id < 20),
+         |bq AS (SELECT vec_id, v,
+         |    sqrt(list_dot_product(v, v)) AS nrm FROM batch),
+         |bassigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
+         |  SELECT bq.vec_id, bq.v, bq.nrm, reps.rep_id,
+         |    row_number() OVER (PARTITION BY bq.vec_id
+         |      ORDER BY list_dot_product(bq.v, reps.rv) / (bq.nrm * reps.rn_)
+         |        DESC, reps.rep_id) AS cell_rn
+         |  FROM bq CROSS JOIN reps) WHERE cell_rn = 1),
+         |bbanded AS (SELECT vec_id, cell, v, nrm, bnd.band,
+         |    coalesce(array_to_string(
+         |      [CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END
+         |       for i in range(bnd.band*$SemStride+1, bnd.band*$SemStride+nb.bits+1)],
+         |      ''), '') AS key
+         |  FROM bassigned CROSS JOIN nb
+         |  CROSS JOIN (VALUES ${(0 until SemBands).map(b => s"($b)").mkString(", ")}) bnd(band)),
+         |hits AS (SELECT DISTINCT b.vec_id AS new_id, c.vec_id AS match_id
+         |  FROM banded c JOIN bbanded b ON c.cell = b.cell
+         |    AND c.band = b.band AND c.key = b.key
+         |    AND list_dot_product(c.v, b.v) / (c.nrm * b.nrm) >= $SemThr),
+         |g AS (SELECT new_id, count(*) AS n_matches,
+         |    min(match_id) AS first_match FROM hits GROUP BY new_id)
+         |SELECT bq.vec_id AS new_id,
+         |  CAST(coalesce(g.n_matches, 0) AS BIGINT) AS n_matches,
+         |  g.first_match, g.new_id IS NOT NULL AS is_dup,
+         |  true AS probe_from_disk, true AS index_maintained
+         |FROM bq LEFT JOIN g ON g.new_id = bq.vec_id
+         |ORDER BY new_id""".stripMargin,
+
     // the recall readout of the exact-vs-scaled pairing: both dedup
     // algorithms run on the same corpus and the agreement is reduced to
     // one row of counts plus an integer-division recall (scaled can
@@ -5553,6 +5758,22 @@ object Ext {
     // the persisted-index probe must equal the in-session trained-ADC
     // answer bit for bit, with the from-disk boolean pinned
     "q_pq_index_persist" ->
+      s"""WITH $pqSqlBase,
+         |$pqSqlTrainChain,
+         |$pqSqlCodesTrained,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |p AS (SELECT q.q_id, c.vec_id, $pqSqlAdcTrainedDist AS adc
+         |  FROM codes_t c $pqSqlAdcTrainedJoins
+         |  JOIN q ON c.vec_id != q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, round(adc, 6) AS adc,
+         |  true AS probe_from_disk, true AS index_maintained FROM r
+         |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    // streamed codes upkeep: the day-0 ADC probe equals the batch-built
+    // persisted-index probe, booleans pinned
+    "q_stream_pq_index_maintain" ->
       s"""WITH $pqSqlBase,
          |$pqSqlTrainChain,
          |$pqSqlCodesTrained,
