@@ -145,9 +145,11 @@ object ScaleStress {
     * LSH/CC/ANN pipelines whose scale shape the design claims hinge on.
     */
   private val StressQueries = Seq(
-    // ranged-quantile family (rank-selection pushdown)
+    // ranged-quantile family (rank-selection pushdown; round 12 adds
+    // the single-scan MAD — the deviation histogram must track distinct
+    // values, not raw rows — and the map-only quantile remap apply)
     "q_agg_median", "q_winsorize", "q_outlier_iqr", "q_quantile_disc",
-    "q_histogram_eqdepth",
+    "q_histogram_eqdepth", "q_outlier_mad", "q_quantile_remap",
     // text/gram pipelines (agg-before-shuffle shapes)
     "q_ngram_novelty", "q_substring_dup", "q_bigram_lm", "q_bm25",
     // near-dup pipelines (banded LSH, never all-pairs)

@@ -1116,7 +1116,7 @@ object Ext {
     * row_number over (rep_score DESC, rep_id): same doubles, same
     * operation order, same tie rule.
     */
-  private def semanticBandifyLiteral(df: DataFrame,
+  private[queries] def semanticBandifyLiteral(df: DataFrame,
       reps: Array[(Long, Array[Double], Double)], bits: Int): DataFrame = {
     val nrm = VectorOps.norm(col("v"))
     val scored = reps.map { case (rid, rv, rn) =>
