@@ -3745,6 +3745,59 @@ object Ext {
         .withColumn("compacted", lit(compacted))
     }),
 
+    // DELETION PROPAGATION — the lifecycle arm a real 100 TB index hits
+    // that compaction/refit don't cover: takedown / PII-removal
+    // requests mean upstream row deletes must reach the standing index,
+    // not just the base table. A tombstone batch (here: corpus docs
+    // with doc_id % 50 == 7) drives [[sources.Writers.deleteKeys]] —
+    // touched-files-ONLY copy-on-write (files without a tombstoned row
+    // carry over by hard link / manifest re-listing; the rewrite cost
+    // tracks the deletion batch) behind the same crash-safe
+    // double-rename swap as compaction. The gated contract: the
+    // post-delete FRESH-SESSION probe equals the incremental accounting
+    // computed over the corpus MINUS the tombstones (a batch doc whose
+    // only near-dup was deleted must now read clean), `deleted_gone`
+    // pins zero tombstoned rows remaining AND exactly Bands rows per
+    // tombstoned doc removed, `untouched_kept` pins that exactly the
+    // touched files changed.
+    "q_dedup_index_delete" -> ((s, d) => {
+      val dir = Relational.rtDir("bidxdel", d)
+      Relational.deleteRecursive(java.nio.file.Paths.get(dir))
+      val all = docsWithNearDups(s, d)
+      bandsOf(all.filter(col("doc_id") === col("base_id")))
+        .repartition(8, col("band_key"))
+        .sortWithinPartitions(col("band_key"))
+        .write.mode("overwrite").parquet(dir)
+      bandsOf(all.filter(col("doc_id") =!= col("base_id")))
+        .repartition(1, col("band_key"))
+        .sortWithinPartitions(col("band_key"))
+        .write.mode("append").parquet(dir)
+      val pre = s.read.parquet(dir)
+      val preCount = pre.count()
+      val preFiles = pre.inputFiles
+        .map(f => new java.net.URI(f).getPath.split('/').last).toSet
+      val tomb = documents(s, d).filter(col("doc_id") % 50 === 7)
+        .select(col("doc_id"))
+      val nTomb = tomb.count()
+      val (rowsDeleted, touchedNames, _) =
+        graft.sources.Writers.deleteKeys(s, dir, "doc_id", tomb)
+      val s2 = s.newSession()
+      val idx = s2.read.parquet(dir)
+      val tomb2 = documents(s2, d).filter(col("doc_id") % 50 === 7)
+        .select(col("doc_id"))
+      val deletedGone = rowsDeleted == nTomb * Bands &&
+        idx.count() == preCount - nTomb * Bands &&
+        idx.join(broadcast(tomb2), Seq("doc_id"), "left_semi").count() == 0
+      val postFiles = idx.inputFiles
+        .map(f => new java.net.URI(f).getPath.split('/').last).toSet
+      val untouchedKept =
+        (preFiles -- postFiles) == touchedNames.toSet &&
+          (preFiles -- touchedNames.toSet).subsetOf(postFiles)
+      incrementalCrossAccounting(s2, d, idx)
+        .withColumn("deleted_gone", lit(deletedGone))
+        .withColumn("untouched_kept", lit(untouchedKept))
+    }),
+
     // The STREAMING LSH near-dup candidate generator
     // (Streams.nearDupCandidates — per-band-bucket exemplar state, one
     // long per bucket) under the oracle gate, by the drain pattern:
@@ -6946,6 +6999,41 @@ object Ext {
          |         JOIN documents db ON db.doc_id = m.bb)
          |SELECT src_a, src_b, count(*) AS n_pairs,
          |  true AS compacted
+         |FROM jj GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+
+    // post-delete accounting: the corpus side of the candidate join
+    // loses exactly the tombstoned docs (their band rows were deleted
+    // from the index); the engine's file-level booleans are pinned TRUE
+    "q_dedup_index_delete" ->
+      s"""WITH $sqlDocsCte,
+         |tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM docs),
+         |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
+         |hv AS (SELECT doc_id, list_transform(sh, x -> $sqlHash31) AS vs
+         |  FROM sh),
+         |sg AS (SELECT doc_id, $sqlSig AS sig FROM hv),
+         |bk AS (SELECT doc_id,
+         |    unnest([${sqlBands.mkString(", ")}]) AS band_key FROM sg),
+         |cand AS (SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS match_id
+         |  FROM bk b JOIN bk c ON b.band_key = c.band_key
+         |  JOIN docs bd ON bd.doc_id = b.doc_id
+         |  JOIN docs cd ON cd.doc_id = c.doc_id
+         |  WHERE bd.doc_id <> bd.base_id AND cd.doc_id = cd.base_id
+         |    AND cd.doc_id % 50 <> 7),
+         |j AS (SELECT new_id, match_id,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |          CAST(len(list_distinct(list_concat(x.sh, y.sh)))
+         |            AS DOUBLE), 6) AS jaccard
+         |  FROM cand JOIN sh x ON x.doc_id = new_id
+         |    JOIN sh y ON y.doc_id = match_id),
+         |v AS (SELECT new_id, match_id FROM j WHERE jaccard >= 0.5),
+         |m AS (SELECT d.base_id AS ba, v.match_id AS bb
+         |  FROM v JOIN docs d ON d.doc_id = v.new_id),
+         |jj AS (SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b
+         |  FROM m JOIN documents da ON da.doc_id = m.ba
+         |         JOIN documents db ON db.doc_id = m.bb)
+         |SELECT src_a, src_b, count(*) AS n_pairs,
+         |  true AS deleted_gone, true AS untouched_kept
          |FROM jj GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
 
     // the drained streaming LSH hits = per-bucket (doc, min-doc) pairs

@@ -132,6 +132,61 @@ object Writers {
     (rows, filesBefore)
   }
 
+  /** TOUCHED-FILES-ONLY copy-on-write DELETE over a plain parquet dir —
+    * the deletion-propagation primitive (takedown / PII-removal
+    * requests against a standing index): rows whose `keyCol` appears
+    * in the `keys` relation are removed by rewriting ONLY the files
+    * that contain at least one such row; untouched files carry over
+    * byte-identical (hard-linked into the staging dir — the local-FS
+    * analog of a manifest table re-listing them by metadata only), and
+    * the swap is the same crash-safe double-rename as [[compact]]:
+    * every crash window leaves either the complete old layout or the
+    * complete new one. The touched-file list is the sanctioned bounded
+    * collect: in a band-clustered index a key's rows land in at most
+    * (cluster buckets) files, so the list is sized by the TOMBSTONE
+    * BATCH, not the table. Returns (rows deleted, touched file names,
+    * file count before).
+    */
+  def deleteKeys(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame): (Long, Seq[String], Int) = {
+    import java.nio.file.{Files, Paths}
+    def localPath(uri: String): java.nio.file.Path =
+      Paths.get(new java.net.URI(uri).getPath)
+    val df = spark.read.parquet(path)
+    val before = df.inputFiles.toSeq
+    val k = broadcast(keys.select(col(keyCol)).distinct())
+    val touched = df.withColumn("_file", input_file_name())
+      .join(k, Seq(keyCol), "left_semi")
+      .select(col("_file")).distinct().collect().map(_.getString(0)).toSeq
+    if (touched.isEmpty) return (0L, Nil, before.length)
+    val touchedPaths = touched.map(localPath).toSet
+    val tmp = path.stripSuffix("/") + "._delete_tmp"
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "._delete_old")
+    fs.delete(old, true) // leftovers from a previous crashed swap
+    val touchedDf = spark.read.parquet(touched: _*)
+    val rowsTouched = touchedDf.count()
+    val survivors = touchedDf.join(k, Seq(keyCol), "left_anti")
+    val rowsDeleted = rowsTouched - survivors.count()
+    survivors.coalesce(touched.length)
+      .write.mode("overwrite").parquet(tmp)
+    // carry the untouched files over by hard link: O(1) per file, no
+    // data movement — the rewrite cost tracks the touched subset
+    for (f <- before; p = localPath(f) if !touchedPaths(p))
+      Files.createLink(Paths.get(tmp).resolve(p.getFileName), p)
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"delete: could not park $dst")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(old, dst) // roll back: restore the original layout
+      throw new java.io.IOException(s"delete: could not publish $tmp")
+    }
+    fs.delete(old, true)
+    (rowsDeleted, touchedPaths.map(_.getFileName.toString).toSeq.sorted,
+      before.length)
+  }
+
   // ---- zone maps (two-level partitioned manifest) ----------------------
   //
   // `path/_zonemap/zb=<bucket>/…` : parquet manifest, HIVE-PARTITIONED

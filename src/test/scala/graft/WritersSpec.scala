@@ -112,6 +112,44 @@ class WritersSpec extends SparkSpec {
     assert(after.count() == 1000)
   }
 
+  test("deleteKeys rewrites only touched files; untouched files carry " +
+      "over byte-identical; absent keys are a no-op") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-del").toString + "/t"
+    // 4 files clustered by id range: ids 0-24, 25-49, 50-74, 75-99
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")).write.parquet(out)
+    val pre = spark.read.parquet(out)
+    assert(pre.inputFiles.length == 4)
+    val preNames = pre.inputFiles.map(_.split('/').last).toSet
+    // tombstones hit files 1 and 3 only
+    val tomb = Seq(30L, 31L, 80L).toDF("id")
+    val (deleted, touched, before) =
+      Writers.deleteKeys(spark, out, "id", tomb)
+    assert(deleted == 3 && before == 4 && touched.length == 2)
+    val post = spark.read.parquet(out)
+    assert(post.count() == 97)
+    assert(post.filter(col("id").isin(30L, 31L, 80L)).count() == 0)
+    // survivors of the touched files are intact
+    assert(post.filter(col("id") === 32L).select(col("v"))
+      .head.getString(0) == "v32")
+    val postNames = post.inputFiles.map(_.split('/').last).toSet
+    // exactly the touched files disappeared; untouched names remain
+    assert((preNames -- postNames) == touched.toSet)
+    assert((preNames -- touched.toSet).subsetOf(postNames))
+    // a tombstone batch matching nothing must not rewrite anything
+    val (d2, t2, b2) = Writers.deleteKeys(spark, out, "id",
+      Seq(12345L).toDF("id"))
+    assert(d2 == 0 && t2.isEmpty)
+    assert(spark.read.parquet(out).inputFiles.map(_.split('/').last)
+      .toSet == postNames)
+    // deleting every remaining id in one file leaves the table readable
+    val (d3, t3, _) = Writers.deleteKeys(spark, out, "id",
+      (75 until 100).filter(_ != 80).map(_.toLong).toDF("id"))
+    assert(d3 == 24 && t3.length == 1)
+    assert(spark.read.parquet(out).count() == 73)
+  }
+
   test("zone map skips files soundly; disjoint range reads zero files") {
     val d = "/root/testdata/sf0.001"
     val out = Files.createTempDirectory("graft-zmap").toString
