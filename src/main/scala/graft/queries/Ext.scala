@@ -4405,6 +4405,46 @@ object Ext {
       } finally Relational.deleteRecursive(dir)
     }),
 
+    // DELETION PROPAGATION for the PQ codes index — the
+    // q_dedup_index_delete arm on the vector side: an upstream removal
+    // request (vec_id % 10 == 7, 10% of the corpus) drives
+    // [[sources.Writers.deleteKeys]] over the persisted codes table
+    // (touched-files-only COW behind the crash-safe swap), and the
+    // fresh-session ADC probe must equal the probe over the filtered
+    // code relation — deleted vectors can no longer be RETRIEVED, the
+    // privacy contract an ANN index actually owes. Unlike the
+    // band-index arm, spread tombstones touch most files of a
+    // hash-clustered codes table BY NATURE (the keys spray), so the
+    // gate pins row accounting (`deleted_gone`), not file locality;
+    // PqDeleteSpec pins that the deletion has retrieval teeth (the
+    // top-k actually changes).
+    "q_pq_index_delete" -> ((s, d) => {
+      val dir = Relational.rtDir("pqdel", d)
+      Relational.deleteRecursive(java.nio.file.Paths.get(dir))
+      pqTrainedBook(s, d).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/book")
+      pqTrainedCodes(s, d).repartition(4, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      val nCorpus = embeddings(s, d).count()
+      val tomb = embeddings(s, d).filter(col("vec_id") % 10 === 7)
+        .select(col("vec_id"))
+      val nTomb = tomb.count()
+      val (rowsDeleted, _, _) =
+        graft.sources.Writers.deleteKeys(s, s"$dir/codes", "vec_id", tomb)
+      val s2 = s.newSession()
+      val bookD = s2.read.parquet(s"$dir/book")
+      val codesD = s2.read.parquet(s"$dir/codes")
+      val tomb2 = embeddings(s2, d).filter(col("vec_id") % 10 === 7)
+        .select(col("vec_id"))
+      val deletedGone = rowsDeleted == nTomb &&
+        codesD.count() == nCorpus - nTomb &&
+        codesD.join(broadcast(tomb2), Seq("vec_id"), "left_semi")
+          .count() == 0
+      pqAdcProbe(s2, d, bookD, codesD)
+        .withColumn("deleted_gone", lit(deletedGone))
+    }),
+
     // The RECALL-vs-K curve the code budget is chosen from: train a
     // codebook at each width K in PqSweepKs (width-k deterministic
     // init, same Lloyd rounds), ADC top-5 against the exact top-5, one
@@ -5822,6 +5862,23 @@ object Ext {
          |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, round(adc, 6) AS adc,
          |  true AS probe_from_disk, true AS index_maintained FROM r
+         |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    // post-delete ADC probe: the code relation loses exactly the
+    // tombstoned vectors; the row-accounting boolean is pinned TRUE
+    "q_pq_index_delete" ->
+      s"""WITH $pqSqlBase,
+         |$pqSqlTrainChain,
+         |$pqSqlCodesTrained,
+         |codes_d AS (SELECT * FROM codes_t WHERE vec_id % 10 <> 7),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |p AS (SELECT q.q_id, c.vec_id, $pqSqlAdcTrainedDist AS adc
+         |  FROM codes_d c $pqSqlAdcTrainedJoins
+         |  JOIN q ON c.vec_id != q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc, vec_id) AS rn FROM p)
+         |SELECT q_id, rn, vec_id, round(adc, 6) AS adc,
+         |  true AS deleted_gone FROM r
          |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
 
     // streamed codes upkeep: the day-0 ADC probe equals the batch-built
