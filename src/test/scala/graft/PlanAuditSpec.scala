@@ -251,6 +251,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("quantile remap applies map-only: knots broadcast onto the doc " +
+      "scan, never a shuffle join") {
+    val (p, f) = planOf("q_quantile_remap")
+    // the |sources|-row knot table (and the 1-row pooled grid) must
+    // broadcast back onto the documents scan; a sort-merge join here
+    // would shuffle the full corpus for a per-row arithmetic apply
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(3000))
+    // column pruning: the apply side reads only the three used columns
+    assert(f().contains("doc_id"), "formatted plan lost the scan")
+  }
+
+  test("streamed index probes prune to the as-of day at the parquet scan") {
+    // the ingest-day filter is the probe's partition-style prune: it
+    // must reach PushedFilters on the on-disk index scan, not run as a
+    // post-scan filter over the full index
+    for (q <- Seq("q_stream_semantic_index_maintain",
+        "q_stream_pq_index_maintain")) {
+      val df = SparkEntry.queries(q)(spark, d)
+      df.collect()
+      val f = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(f.contains("PushedFilters") &&
+        f.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(ingest_day,0\\).*"),
+        s"$q: ingest_day prune not pushed\n${f.take(4000)}")
+    }
+  }
+
+  test("index deletion probes broadcast; the rewritten index never " +
+      "sort-merge-joins") {
+    for (q <- Seq("q_dedup_index_delete", "q_pq_index_delete")) {
+      val (p, _) = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q\n${p.take(3000)}")
+      assert(!p.contains("SortMergeJoin"), s"$q\n${p.take(3000)}")
+    }
+  }
+
   test("DSIR scores through broadcasts only — the corpus never shuffle-joins") {
     val (p, _) = planOf("q_dsir_select")
     // the 1024-row weight table broadcasts onto the per-doc counts; a
