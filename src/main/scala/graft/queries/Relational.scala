@@ -1935,6 +1935,68 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // STREAMING INGESTION into the zone-mapped table — the bridge
+    // between the engine's two halves: a Structured Streaming pipeline
+    // lands micro-batches in the lakehouse layer EXACTLY ONCE via
+    // [[sources.Writers.zoneMapIngestCommit]] (staged write ->
+    // atomically-published movelist -> idempotent deterministic-name
+    // moves -> diff-driven manifest refresh -> batch ledger; every
+    // foreachBatch retry window converges to one copy — see the
+    // protocol note there; ZoneMapIngestSpec replays the crash windows
+    // explicitly). Two dated drops replay as micro-batches through
+    // runWithBatchCommit, a second AvailableNow run over the same
+    // checkpoint proves no re-commit, and the FRESH-SESSION pruned
+    // read must equal q_zonemap_prune's whole-table answer with the
+    // skip boolean still strict — streaming ingestion must cost the
+    // table none of its zone-map pruning.
+    "q_stream_zonemap_ingest" -> ((s, d) => {
+      val dir = rtDir("zmsi", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val drop = java.nio.file.Files.createTempDirectory("graft_zmsi_")
+      try {
+        val t0 = System.currentTimeMillis()
+        stageStreamFile(o.filter(col("o_orderkey") % 2 === 0), drop,
+          "0_orders.parquet", t0 - 60000)
+        stageStreamFile(o.filter(col("o_orderkey") % 2 === 1), drop,
+          "1_orders.parquet", t0 - 30000)
+        val schema = s.read.parquet(s"$drop/0_orders.parquet").schema
+        val table = s"$dir/t"
+        def drainOnce(): Unit = {
+          val raw = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(drop.toString)
+          graft.streaming.Streams.runWithBatchCommit(raw, s"$dir/ckpt") {
+            (b, bid) =>
+              graft.sources.Writers.zoneMapIngestCommit(
+                b, table, "price", 8, bid)
+              ()
+          }.awaitTermination()
+        }
+        drainOnce()
+        // restart with nothing new: restored offsets -> no batch, and
+        // the ledger would refuse a re-commit even if one replayed
+        drainOnce()
+        val s2 = s.newSession()
+        val ingestedOnce = s2.read.parquet(table).count() == o.count()
+        val (cand, read, total) =
+          graft.sources.Writers.readZonePruned(s2, table, 100000.0,
+            150000.0)
+        require(read > 0 && read < total,
+          s"q_stream_zonemap_ingest: expected a strict non-empty file " +
+            s"subset, scan read $read of $total files")
+        cand.filter(col("price").between(lit(100000), lit(150000)))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("price")).cast("double").as("revenue"),
+            min(col("o_orderkey")).as("min_key"))
+          .withColumn("skipped", lit(read > 0 && read < total))
+          .withColumn("ingested_once", lit(ingestedOnce))
+          .orderBy(col("o_orderpriority"))
+      } finally deleteRecursive(drop)
+    }),
+
     // TYPED zone-map bounds — the STRING form of q_zonemap_prune: the
     // numeric manifest casts to DOUBLE, so string keys (names, ids,
     // URLs) were unprunable; this gates the string-bounds writer/reader
@@ -4073,6 +4135,16 @@ object Relational {
         |    AS revenue,
         |  min(o_orderkey) AS min_key,
         |  TRUE AS skipped
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 100000 AND 150000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_stream_zonemap_ingest" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  min(o_orderkey) AS min_key,
+        |  TRUE AS skipped, TRUE AS ingested_once
         |FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 100000 AND 150000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

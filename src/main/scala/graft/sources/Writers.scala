@@ -187,6 +187,84 @@ object Writers {
       before.length)
   }
 
+  /** EXACTLY-ONCE commit of one streaming micro-batch into a
+    * zone-mapped table — the foreachBatch body that makes streaming
+    * ingestion into the lakehouse layer safe under BOTH failure modes
+    * foreachBatch exposes (Spark's contract is at-least-once: a batch
+    * can be re-run after a crash anywhere inside the commit):
+    *
+    *  1. stage the batch under `_staging_b<id>` (overwrite — a
+    *     half-written stage from a dead attempt is wiped, and no table
+    *     file has been touched yet);
+    *  2. publish the MOVELIST (`_commits/b<id>.files`, the staged part
+    *     names in sorted order) by atomic rename — from here on every
+    *     retry replays THIS list; it never re-stages, because Spark
+    *     part names differ per attempt and a re-staged write could
+    *     otherwise interleave files of two attempts;
+    *  3. move each listed file to its DETERMINISTIC table name
+    *     (`b<id>-p<i>.parquet`): each rename is atomic, an
+    *     already-moved file is skipped, a file in neither place fails
+    *     loudly;
+    *  4. derive the zone map from disk ([[buildZoneMap]] on first
+    *     commit, diff-driven [[refreshZoneMap]] after — both
+    *     idempotent);
+    *  5. write the batch LEDGER entry — the earliest point a retry
+    *     short-circuits to "already committed".
+    *
+    * Returns false iff the ledger already had the batch. Every crash
+    * window therefore converges to exactly one copy of the batch's
+    * rows, which is what lets the zone-mapped table sit at the end of
+    * a Structured Streaming pipeline.
+    */
+  def zoneMapIngestCommit(df: DataFrame, path: String, zcol: String,
+      nFiles: Int, batchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val s = df.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ledger = new Path(s"$path/_commits/b$batchId")
+    if (fs.exists(ledger)) return false
+    fs.mkdirs(root)
+    fs.mkdirs(new Path(s"$path/_commits"))
+    val stage = new Path(s"$path/_staging_b$batchId")
+    val movelist = new Path(s"$path/_commits/b$batchId.files")
+    if (!fs.exists(movelist)) {
+      df.repartitionByRange(nFiles, col(zcol))
+        .sortWithinPartitions(col(zcol))
+        .write.mode("overwrite").parquet(stage.toString)
+      val parts = fs.listStatus(stage).map(_.getPath.getName)
+        .filter(_.startsWith("part-")).sorted
+      val tmp = new Path(s"$path/_commits/b$batchId.files.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(parts.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, movelist))
+        throw new java.io.IOException(s"ingest: could not publish $movelist")
+    }
+    val names = {
+      val in = fs.open(movelist)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+      finally in.close()
+    }
+    for ((name, i) <- names.zipWithIndex) {
+      val src = new Path(stage, name)
+      val dst = new Path(root, f"b$batchId-p$i%05d.parquet")
+      if (fs.exists(src)) {
+        if (!fs.exists(dst) && !fs.rename(src, dst))
+          throw new java.io.IOException(s"ingest: could not move $src")
+      } else require(fs.exists(dst),
+        s"ingest commit b$batchId lost staged file $name")
+    }
+    fs.delete(stage, true)
+    if (!fs.exists(new Path(s"$path/_zonemap_meta")))
+      buildZoneMap(s, path, zcol)
+    else refreshZoneMap(s, path, zcol)
+    fs.create(ledger, true).close()
+    true
+  }
+
   // ---- zone maps (two-level partitioned manifest) ----------------------
   //
   // `path/_zonemap/zb=<bucket>/…` : parquet manifest, HIVE-PARTITIONED
@@ -320,7 +398,17 @@ object Writers {
     df.repartitionByRange(nFiles, col(zcol))
       .sortWithinPartitions(col(zcol))
       .write.mode("overwrite").parquet(path)
-    val s = df.sparkSession
+    buildZoneMap(df.sparkSession, path, zcol)
+  }
+
+  /** Build the manifest + meta FROM the table's current on-disk files —
+    * the manifest half of [[writeWithZoneMap]], exposed for ingest
+    * protocols that land data files by other means (the staged-move
+    * streaming commit) and then need the zone map derived from what is
+    * actually on disk. Idempotent: a re-run recomputes the same
+    * manifest from the same files.
+    */
+  def buildZoneMap(s: SparkSession, path: String, zcol: String): Unit = {
     val stats = fileStats(s, path, Nil, zcol).localCheckpoint()
     val Array(mn, mx) = stats
       .agg(min(col("z_min")), max(col("z_max"))).head()
@@ -355,10 +443,19 @@ object Writers {
     */
   def appendWithZoneMap(df: DataFrame, path: String, zcol: String,
       nFiles: Int): Unit = {
-    val s = df.sparkSession
     df.repartitionByRange(nFiles, col(zcol))
       .sortWithinPartitions(col(zcol))
       .write.mode("append").parquet(path)
+    refreshZoneMap(df.sparkSession, path, zcol)
+  }
+
+  /** Incremental manifest + meta maintenance driven by the DISK-vs-
+    * MANIFEST diff — the maintenance half of [[appendWithZoneMap]],
+    * exposed for ingest protocols that land files by other means. A
+    * second run after a crash finds no new files and is a no-op, which
+    * is what makes the streaming ingest commit retry-safe.
+    */
+  def refreshZoneMap(s: SparkSession, path: String, zcol: String): Unit = {
     // the meta summary is buckets-sized BY DESIGN (the readers collect
     // it for planning), so the merge below runs driver-side over these
     // rows — one collect instead of checkpoint + aggregate + join jobs
