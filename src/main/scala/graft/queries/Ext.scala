@@ -567,6 +567,31 @@ object Ext {
     merges.reverse
   }
 
+  /** Test hooks: the persisted-index PROBE DataFrames, pre-checkpoint —
+    * the gated queries materialize their probes eagerly (so results
+    * can't depend on file-listing snapshot semantics across the
+    * maintenance append), which collapses the executed plan to a Scan
+    * ExistingRDD; PlanAuditSpec audits the probe JOIN SHAPE on these
+    * instead. Callers must run the corresponding gated query first so
+    * the on-disk artifacts exist.
+    */
+  private[graft] def pqPersistedProbeForTest(s: SparkSession,
+      d: String): DataFrame = {
+    val dir = Relational.rtDir("pqidx", d)
+    val s2 = s.newSession()
+    pqAdcProbe(s2, d, s2.read.parquet(s"$dir/book"),
+      s2.read.parquet(s"$dir/codes"))
+  }
+
+  private[graft] def semanticPersistedProbeForTest(s: SparkSession,
+      d: String): DataFrame = {
+    val dir = Relational.rtDir("sidx", d)
+    val s2 = s.newSession()
+    semanticBatchProbe(s2.read.parquet(s"$dir/bands"),
+      semanticBatchBanded(s2, d, s2.read.parquet(s"$dir/bits"),
+        s2.read.parquet(s"$dir/reps")))
+  }
+
   /** Test hook: the sequential trainer's merge list (CurationOpsSpec
     * compares batched == sequential on a corpus where they provably
     * coincide).

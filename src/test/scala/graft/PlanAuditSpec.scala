@@ -230,23 +230,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  /** The persist queries materialize their probes eagerly (the r11
+    * listing-snapshot ADVICE fix), so their final executed plan is a
+    * Scan ExistingRDD; the probe's JOIN SHAPE is audited on the
+    * pre-checkpoint probe hooks over the same on-disk artifacts.
+    */
+  private def diskProbePlan(gated: String,
+      probe: () => org.apache.spark.sql.DataFrame): String = {
+    SparkEntry.queries(gated)(spark, d).collect() // writes the artifacts
+    val df = probe()
+    df.collect()
+    (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p: SparkPlan => p
+    }).toString
+  }
+
   test("persisted PQ index probe: the coded corpus joins its codewords " +
       "via broadcasts only, never a shuffle join") {
-    val (p, _) = planOf("q_pq_index_persist")
     // PqM reconstruction joins against the K-row on-disk book plus the
     // 5-row query batch — all broadcast; a regression to a sort-merge
     // join would shuffle the ~32x-compressed codes table, the scan
     // whose cheapness is the index's whole point
+    val p = diskProbePlan("q_pq_index_persist",
+      () => graft.queries.Ext.pqPersistedProbeForTest(spark, d))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
   test("persisted semantic index probe: the batch broadcasts, the " +
       "on-disk index side never sort-merge-joins") {
-    val (p, _) = planOf("q_dedup_semantic_index_persist")
     // the daily batch's banded rows broadcast against the standing
     // cell+band table with the cosine verify fused into the join —
     // the corpus-sized index scan must never shuffle
+    val p = diskProbePlan("q_dedup_semantic_index_persist",
+      () => graft.queries.Ext.semanticPersistedProbeForTest(spark, d))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
