@@ -72,4 +72,82 @@ object Clusters {
     }
     (labels, i)
   }
+
+  /** INCREMENTAL component maintenance — the daily form of
+    * [[connectedComponents]]: a standing (id, root) assignment plus
+    * today's NEW edges yields the updated assignment WITHOUT re-running
+    * the propagation loop over the full graph. The new edges are
+    * batch-sized by construction (a day's verified near-dup pairs), so
+    * they collect to the driver (the sanctioned bounded collect) and a
+    * tiny union-find over the TOUCHED ROOTS resolves every merge —
+    * including two standing components bridged transitively through
+    * one new node. The update then applies as ONE map-only pass: a
+    * broadcast (old root -> new root) remap over the standing table
+    * plus an append of the new nodes' rows. At 100 TB the standing
+    * assignment never reshuffles and the full multi-round CC never
+    * re-runs; daily cost tracks the batch. Canonical ids stay the
+    * component minimum: standing roots are already their components'
+    * minima, and the union keeps the smaller root, so a merged
+    * component's root is the min over its constituents.
+    *
+    * `standing` must cover every node of the old edge set with its
+    * component-minimum root; nodes seen only in `newEdges` are adopted
+    * with themselves as base root.
+    */
+  def incrementalComponents(standing: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val s = standing.sparkSession
+    import scala.collection.mutable
+    val np = newEdges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (np.isEmpty) return standing
+    val ids = np.flatMap(p => Seq(p._1, p._2)).distinct.toIndexedSeq
+    val idsDf = s.createDataFrame(
+      s.sparkContext.parallelize(ids.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    // standing roots of the touched endpoints only — bounded by 2|np|
+    val known = standing.join(broadcast(idsDf), Seq("id"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def base(x: Long): Long = known.getOrElse(x, x)
+    val parent = mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = parent.get(x) match {
+      case Some(p) if p != x => val r = find(p); parent(x) = r; r
+      case _ => x
+    }
+    def union(x: Long, y: Long): Unit = {
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) {
+        if (rx < ry) parent(ry) = rx else parent(rx) = ry
+      }
+    }
+    np.foreach { case (a, b) => union(base(a), base(b)) }
+    val remap = known.values.toIndexedSeq.distinct
+      .map(r => (r, find(r))).filter { case (o, n) => o != n }
+    val newRows = ids.filterNot(known.contains).map(id => (id, find(id)))
+    val remapDf = s.createDataFrame(
+      s.sparkContext.parallelize(
+        remap.map { case (o, n) => org.apache.spark.sql.Row(o, n) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_old",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_new",
+          org.apache.spark.sql.types.LongType))))
+    val newDf = s.createDataFrame(
+      s.sparkContext.parallelize(
+        newRows.map { case (i, r) => org.apache.spark.sql.Row(i, r) },
+        math.max(1, newRows.length / 10000)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("root",
+          org.apache.spark.sql.types.LongType))))
+    standing
+      .join(broadcast(remapDf), col("root") === col("_old"), "left")
+      .select(col("id"), coalesce(col("_new"), col("root")).as("root"))
+      .unionByName(newDf)
+  }
 }

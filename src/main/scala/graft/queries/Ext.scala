@@ -1291,6 +1291,47 @@ object Ext {
         .select(col("id").as("doc_id"), col("root").as("cluster"))
         .orderBy(col("doc_id"))),
 
+    // INCREMENTAL cluster maintenance — the daily form of
+    // q_dedup_clusters: yesterday's standing (id, root) assignment
+    // (stood in here by CC over the CORPUS-only pair graph, the
+    // corpusBandIndex pattern) absorbs today's batch-touched pairs
+    // WITHOUT re-running multi-round propagation over the full graph.
+    // The new pairs are batch-sized, so a driver union-find over the
+    // TOUCHED ROOTS resolves every merge — including two standing
+    // components bridged transitively through one batch doc — and the
+    // update applies as ONE map-only broadcast-remap pass over the
+    // standing table plus an append of the new nodes
+    // ([[ops.Clusters.incrementalComponents]]). At 100 TB this is the
+    // difference between a batch-sized daily job and re-shuffling the
+    // whole pair graph every day. Gated EQUAL to the from-scratch CC
+    // over corpus+batch (the same recursive-CTE oracle as
+    // q_dedup_clusters), so a union-find or remap bug is a hash
+    // mismatch, not a silent drift; ClustersSpec pins the bridge-merge
+    // case synthetically.
+    "q_dedup_clusters_incremental" -> ((s, d) => {
+      val all = verifiedPairs(s, d).select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val batchIds = docsWithNearDups(s, d)
+        .filter(col("doc_id") =!= col("base_id")).select(col("doc_id"))
+        .localCheckpoint()
+      def touches(c: String) = all.join(
+        broadcast(batchIds.withColumnRenamed("doc_id", c)), Seq(c),
+        "left_semi").select(col("id_a"), col("id_b"))
+      val newPairs = touches("id_a").unionByName(touches("id_b"))
+        .distinct()
+      val corpusPairs = all
+        .join(broadcast(batchIds.withColumnRenamed("doc_id", "id_a")),
+          Seq("id_a"), "left_anti")
+        .join(broadcast(batchIds.withColumnRenamed("doc_id", "id_b")),
+          Seq("id_b"), "left_anti")
+      val standing = graft.ops.Clusters.connectedComponents(
+        corpusPairs, "id_a", "id_b")
+      graft.ops.Clusters.incrementalComponents(standing, newPairs,
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("root").as("cluster"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The actual curation decision a dedup pipeline ships: per near-dup
     // cluster, keep the best document (most tokens, ties to the lowest
     // doc_id) and report what it displaced. The (max tokens, ties to
@@ -5164,6 +5205,19 @@ object Ext {
          |SELECT id_a, id_b, jaccard FROM sim ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlPairCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM sim
+         |  UNION SELECT id_b, id_a FROM sim),
+         |walk(id, root) AS (
+         |  SELECT a AS id, a AS root FROM edges
+         |  UNION
+         |  SELECT e.b AS id, w.root FROM walk w JOIN edges e ON e.a = w.id)
+         |SELECT id AS doc_id, min(root) AS cluster
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // incremental maintenance must equal the from-scratch walk over
+    // the SAME full pair set — identical oracle to q_dedup_clusters
+    "q_dedup_clusters_incremental" ->
       s"""WITH RECURSIVE $sqlPairCtes,
          |edges AS (SELECT id_a AS a, id_b AS b FROM sim
          |  UNION SELECT id_b, id_a FROM sim),

@@ -35,6 +35,32 @@ class ClustersSpec extends SparkSpec {
     assert(got.size == 64 && got.values.forall(_ == 0L))
   }
 
+  test("incremental update equals from-scratch CC, including two " +
+      "standing components bridged through one new node") {
+    // standing graph: components {1,2,3} (root 1) and {10,11} (root 10),
+    // plus isolated pair {20,21} (root 20)
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val standing = Clusters.connectedComponents(
+      oldEdges.toDF("a", "b"), "a", "b")
+    // new node 100 bridges components 1 and 10; 200 attaches to 20;
+    // 300-301 form a brand-new component
+    val newEdges = Seq((100L, 3L), (100L, 11L), (200L, 21L),
+      (300L, 301L))
+    val got = Clusters.incrementalComponents(standing,
+        newEdges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val full = components(oldEdges ++ newEdges)
+    assert(got == full, s"incremental $got\nfull $full")
+    // the bridge really merged: 10's component now roots at 1
+    assert(got(10L) == 1L && got(100L) == 1L && got(11L) == 1L)
+    assert(got(200L) == 20L && got(300L) == 300L && got(301L) == 300L)
+    // empty day: the standing assignment passes through untouched
+    val noop = Clusters.incrementalComponents(standing,
+        Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(noop == standing.as[(Long, Long)].collect().toMap)
+  }
+
   test("edge direction does not matter") {
     assert(components(Seq((5L, 2L), (2L, 9L))) ==
       Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
