@@ -1935,6 +1935,46 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // DELETE composed with the zone map — data skipping must stay
+    // sound through a takedown: [[sources.Writers.deleteKeysZoneMapped]]
+    // runs the touched-files-only COW delete, drops the touched files'
+    // manifest rows (metadata-scale), adopts the rewritten survivors
+    // through the diff-driven refresh, and rebuilds the meta summary —
+    // so the post-delete pruned read neither crashes on a manifest row
+    // whose file is gone nor skips a file it must read. Tombstones by
+    // ORDER KEY against a PRICE-sorted table deliberately spray across
+    // every file (the worst-case locality for a delete), and the gated
+    // aggregate equals the oracle's whole-table filter with the strict
+    // skip boolean intact.
+    "q_zonemap_delete" -> ((s, d) => {
+      val dir = rtDir("zmdel", d)
+      graft.sources.Writers.writeWithZoneMap(
+        orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+        dir, "price", 16)
+      val tomb = orders(s, d).filter(col("o_orderkey") % 97 === 3)
+        .select(col("o_orderkey"))
+      val nTomb = tomb.count()
+      val (deleted, _, _) = graft.sources.Writers.deleteKeysZoneMapped(
+        s, dir, "o_orderkey", tomb, "price")
+      val s2 = s.newSession()
+      val deletedGone = deleted == nTomb &&
+        s2.read.parquet(dir).count() == orders(s2, d).count() - nTomb
+      val (cand, read, total) =
+        graft.sources.Writers.readZonePruned(s2, dir, 100000.0, 150000.0)
+      require(read > 0 && read < total,
+        s"q_zonemap_delete: expected a strict non-empty file subset, " +
+          s"scan read $read of $total files")
+      cand.filter(col("price").between(lit(100000), lit(150000)))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          min(col("o_orderkey")).as("min_key"))
+        .withColumn("skipped", lit(read > 0 && read < total))
+        .withColumn("deleted_gone", lit(deletedGone))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // STREAMING INGESTION into the zone-mapped table — the bridge
     // between the engine's two halves: a Structured Streaming pipeline
     // lands micro-batches in the lakehouse layer EXACTLY ONCE via
@@ -4137,6 +4177,17 @@ object Relational {
         |  TRUE AS skipped
         |FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 100000 AND 150000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_zonemap_delete" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  min(o_orderkey) AS min_key,
+        |  TRUE AS skipped, TRUE AS deleted_gone
+        |FROM orders
+        |WHERE o_orderkey % 97 <> 3
+        |  AND CAST(o_totalprice AS DECIMAL(18,2)) BETWEEN 100000 AND 150000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_stream_zonemap_ingest" ->

@@ -182,9 +182,72 @@ object Writers {
       fs.rename(old, dst) // roll back: restore the original layout
       throw new java.io.IOException(s"delete: could not publish $tmp")
     }
+    // carry table METADATA (zone-map manifests, commit ledgers — all
+    // underscore-prefixed, invisible to parquet reads) across the
+    // swap: it lives inside the table dir and the staged layout holds
+    // only data files; names already present in the new layout
+    // (Spark's _SUCCESS) stay as written
+    for (st <- fs.listStatus(old)
+         if st.getPath.getName.startsWith("_")
+           && !fs.exists(new org.apache.hadoop.fs.Path(dst,
+             st.getPath.getName)))
+      fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(dst, st.getPath.getName))
     fs.delete(old, true)
     (rowsDeleted, touchedPaths.map(_.getFileName.toString).toSeq.sorted,
       before.length)
+  }
+
+  /** [[deleteKeys]] for a ZONE-MAPPED table — the composition that
+    * keeps data skipping sound through a delete: the touched-files-only
+    * COW rewrite replaces files the manifest still lists, so after the
+    * data swap the touched files' manifest rows are dropped (a
+    * metadata-scale rewrite — the manifest is file-count-sized), the
+    * rewritten survivor files are adopted as orphans by the diff-driven
+    * [[refreshZoneMap]], and the meta summary is rebuilt
+    * unconditionally from the healed manifest — a reader between these
+    * steps degrades to the reconciliation paths (orphans read
+    * unconditionally; meta-divergence bypasses to the full manifest),
+    * never to a missing-file crash or an unsound skip. Numeric-bounds
+    * tables (`writeWithZoneMap`); the string variant would compose the
+    * same way against its own refresh.
+    */
+  def deleteKeysZoneMapped(spark: SparkSession, path: String,
+      keyCol: String, keys: DataFrame, zcol: String)
+      : (Long, Seq[String], Int) = {
+    val res @ (deleted, touched, _) = deleteKeys(spark, path, keyCol, keys)
+    if (deleted > 0 && touched.nonEmpty) {
+      val grid = readMeta(spark, path)
+        .select(col("z_lo"), col("z_w")).head()
+      val touchedSet = touched.toSet
+      val kept = spark.read.parquet(s"$path/_zonemap")
+        .withColumn("_name", substring_index(col("file"), "/", -1))
+        .filter(!col("_name").isInCollection(touchedSet))
+        .drop("_name")
+        .localCheckpoint() // materialize before overwriting the source
+      if (kept.isEmpty) {
+        // spread tombstones can touch EVERY file (the band/codes tables
+        // cluster by content key, not by delete key) — then nothing of
+        // the old manifest survives, an empty partitioned rewrite would
+        // leave a schema-less shard dir, and the honest move is a
+        // from-scratch rebuild over the fully-rewritten table
+        val fs = hadoopPath(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(hadoopPath(s"$path/_zonemap"), true)
+        fs.delete(hadoopPath(s"$path/_zonemap_meta"), true)
+        buildZoneMap(spark, path, zcol)
+      } else {
+        kept.write.partitionBy("zb").mode("overwrite")
+          .parquet(s"$path/_zonemap")
+        refreshZoneMap(spark, path, zcol) // adopt the rewritten survivors
+        // heal meta even when the rewrite produced no survivor files
+        // (every row of every touched file deleted): refreshZoneMap's
+        // orphan diff finds nothing then, and meta would stay divergent
+        // (sound but bypassed) until the next append
+        refreshMeta(spark, path, grid.getDouble(0), grid.getDouble(1))
+      }
+    }
+    res
   }
 
   /** EXACTLY-ONCE commit of one streaming micro-batch into a

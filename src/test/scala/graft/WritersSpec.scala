@@ -150,6 +150,51 @@ class WritersSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 73)
   }
 
+  test("deleteKeysZoneMapped keeps skipping sound: manifest rows never " +
+      "point at missing files, meta stays in sync, both branches") {
+    import spark.implicits._
+    def manifestNames(t: String) = spark.read.parquet(s"$t/_zonemap")
+      .select(col("file")).collect()
+      .map(_.getString(0).split('/').last).toSet
+    def diskNames(t: String) = spark.read.parquet(t).inputFiles
+      .map(_.split('/').last).toSet
+    def metaInSync(t: String): Boolean = {
+      val metaN = spark.read.parquet(s"$t/_zonemap_meta")
+        .agg(sum(col("n_files"))).head.getLong(0)
+      metaN == spark.read.parquet(s"$t/_zonemap").count()
+    }
+    def probesSound(t: String): Unit =
+      for ((lo, hi) <- Seq((0.0, 100.0), (250.0, 600.0), (900.0, 2000.0))) {
+        val (cand, _, _) = Writers.readZonePruned(spark, t, lo, hi)
+        assert(cand.filter(col("z").between(lo, hi)).count() ==
+          spark.read.parquet(t).filter(col("z").between(lo, hi)).count(),
+          s"unsound skip for [$lo,$hi]")
+      }
+    // table range-sorted on z, so id-keyed tombstones spray; with ids
+    // CORRELATED to z here, a narrow id band touches FEW files
+    val t = Files.createTempDirectory("graft-zmdel").toString + "/t"
+    Writers.writeWithZoneMap(
+      (0 until 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "z"),
+      t, "z", 10)
+    // PARTIAL branch: ids 100-119 live in one z-range file
+    val (d1, touched1, before1) = Writers.deleteKeysZoneMapped(
+      spark, t, "id", (100L until 120L).toDF("id"), "z")
+    assert(d1 == 20 && touched1.nonEmpty && touched1.length < before1)
+    assert(manifestNames(t) == diskNames(t), "manifest/disk diverged")
+    assert(metaInSync(t))
+    probesSound(t)
+    assert(spark.read.parquet(t).count() == 980)
+    // ALL-TOUCH branch: every 10th id hits every z-range file
+    val (d2, touched2, before2) = Writers.deleteKeysZoneMapped(
+      spark, t, "id", (0L until 1000L by 10).toDF("id"), "z")
+    assert(touched2.length == before2, "expected every file touched")
+    assert(d2 == 98) // 100 multiples of 10, minus 100 and 110 (gone)
+    assert(manifestNames(t) == diskNames(t))
+    assert(metaInSync(t))
+    probesSound(t)
+    assert(spark.read.parquet(t).count() == 882)
+  }
+
   test("zone map skips files soundly; disjoint range reads zero files") {
     val d = "/root/testdata/sf0.001"
     val out = Files.createTempDirectory("graft-zmap").toString
