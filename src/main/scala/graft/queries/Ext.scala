@@ -1848,6 +1848,96 @@ object Ext {
       } finally Relational.deleteRecursive(dir)
     }),
 
+    // The RE-BAND gate — the semantic index's DRIFT policy, the
+    // q_pq_refit_gate move applied to the occupancy knob: the standing
+    // index bands at a key width fixed at creation (bits =
+    // ceil(log2(ceil(n/SemTarget)))), and as appends grow the corpus
+    // the fixed width saturates — expected bucket occupancy doubles
+    // with n and the within-bucket verify drifts back toward the
+    // quadratic exact path. The decision arm gated here is the classic
+    // RESIZE-ON-DOUBLING hysteresis (never the raw width formula, whose
+    // boundary a +20 batch can straddle and thrash): when standing+batch
+    // reaches 2x the creation-time count, RE-BAND the whole index at
+    // the width the grown corpus dictates (a full rewrite — cost scales
+    // with the corpus, exactly like the codebook refit), else keep
+    // appending at the creation width. Both arms run on inputs
+    // CONSTRUCTED to land on opposite sides at EVERY scale: `stable` is
+    // the standard daily batch (n+20 < 2n for any real corpus),
+    // `growth` adds four shifted corpus replicas (5n >= 2n always, and
+    // 5x growth raises the width at every test scale). The oracle
+    // recomputes the counts, the decision, BOTH band relations, and the
+    // batch probe against each, so the gated rows pin the decision
+    // boolean, the before/after widths, the index row count, and the
+    // probe readout per arm.
+    "q_dedup_semantic_rebits" -> ((s, d) => {
+      val corpus = ivfAssign(s, d).localCheckpoint()
+      val nCreate = corpus.count()
+      val bits0 = semanticBitsRow(corpus, SemBands, SemStride, SemMaxBits)
+        .head.getInt(0)
+      val reps = semanticReps(s, d).localCheckpoint()
+      val e = embeddings(s, d).select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val wCell = Window.partitionBy(col("vec_id"))
+        .orderBy(col("rep_score").desc, col("rep_id"))
+      // cell-assign an arbitrary (vec_id, v) set against the INDEX reps
+      def assignSet(vs: DataFrame): DataFrame =
+        vs.withColumn("nrm", VectorOps.norm(col("v")))
+          .join(broadcast(reps))
+          .select(col("vec_id"), col("v"), col("nrm"), col("rep_id"),
+            (VectorOps.dot(col("v"), col("rv")) / (col("nrm") * col("rn_")))
+              .as("rep_score"))
+          .withColumn("rn", row_number().over(wCell))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"),
+            col("rep_id").as("cell"))
+      val nBatch = vecsWithNearDups(s, d)
+        .filter(col("vec_id") =!= col("base_id")).count()
+      def arm(name: String, replicas: Int): DataFrame = {
+        // replica shifts as PARSED DECIMAL LITERALS (0.001..0.004), the
+        // same doubles DuckDB's literals parse to — a computed 0.001*r
+        // could differ from the literal by one ulp in either engine
+        val standing =
+          if (replicas == 0) corpus
+          else (1 to replicas).map { r =>
+            assignSet(e.select(
+              (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+              transform(col("v"), x => x + lit(s"0.00$r".toDouble))
+                .as("v")))
+          }.foldLeft(corpus)(_ unionByName _).localCheckpoint()
+        val nStanding = standing.count()
+        val nTotal = nStanding + nBatch
+        val reband = nTotal >= 2 * nCreate
+        val bitsAfter =
+          if (reband)
+            semanticBitsRow(standing, SemBands, SemStride, SemMaxBits)
+              .head.getInt(0)
+          else bits0
+        val bitsRowUsed = s.range(1).select(lit(bitsAfter).as("bits"))
+        val idx = semanticBandify(standing, bitsRowUsed, SemBands,
+          SemStride)
+        val p = semanticBatchProbe(idx,
+            semanticBatchBanded(s, d, bitsRowUsed, reps))
+          .agg(count(lit(1)).as("pn"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("pd"),
+            sum(col("n_matches")).as("pm"),
+            min(col("first_match")).as("pf"))
+          .head
+        s.range(1).select(
+          lit(name).as("arm"),
+          lit(nCreate).as("n_create"), lit(nTotal).as("n_total"),
+          lit(reband).as("reband"),
+          lit(bits0).as("bits_before"), lit(bitsAfter).as("bits_after"),
+          lit(nStanding * SemBands).as("index_rows"),
+          lit(p.getLong(0)).as("probe_new"),
+          lit(p.getLong(1)).as("probe_dups"),
+          lit(p.getLong(2)).as("probe_matches"),
+          (if (p.isNullAt(3)) lit(null).cast("long")
+           else lit(p.getLong(3))).as("probe_first"))
+      }
+      arm("growth", 4).unionByName(arm("stable", 0))
+        .orderBy(col("arm"))
+    }),
+
     // The recall readout of the exact/scaled pairing (the q_ann_recall
     // move applied to dedup): run both algorithms on the same corpus
     // and reduce the agreement to one row — n_exact, n_scaled, n_both,
@@ -5448,6 +5538,93 @@ object Ext {
          |  true AS probe_from_disk, true AS index_maintained
          |FROM bq LEFT JOIN g ON g.new_id = bq.vec_id
          |ORDER BY new_id""".stripMargin,
+
+    // full replay of the re-band gate: both standing corpora, the
+    // doubling decision, the before/after widths, both band relations,
+    // and the batch probe against each
+    "q_dedup_semantic_rebits" -> {
+      val repShifts = (1 to 4).map(r =>
+        s"""SELECT vec_id + ${r * 10000000L} AS vec_id,
+           |    list_transform(CAST(embedding AS DOUBLE[]),
+           |      x -> x + 0.00$r) AS v
+           |  FROM embeddings""".stripMargin).mkString("\nUNION ALL\n")
+      def widthCte(name: String, src: String) =
+        s"""$name AS (SELECT (SELECT sum(CASE WHEN m > (1 << k.k)
+           |      THEN 1 ELSE 0 END)::INT FROM range(0, $SemMaxBits) k(k))
+           |    AS bits
+           |  FROM (SELECT (n + ${SemTarget - 1}) // $SemTarget AS m
+           |        FROM $src))""".stripMargin
+      def bandCte(name: String, src: String, nb: String) =
+        s"""$name AS (SELECT vec_id, cell, v, nrm, bnd.band,
+           |    coalesce(array_to_string(
+           |      [CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END
+           |       for i in range(bnd.band*$SemStride+1, bnd.band*$SemStride+$nb.bits+1)],
+           |      ''), '') AS key
+           |  FROM $src CROSS JOIN $nb
+           |  CROSS JOIN (VALUES ${(0 until SemBands).map(b => s"($b)").mkString(", ")}) bnd(band))""".stripMargin
+      def hitsCte(name: String, idx: String, bb: String) =
+        s"""$name AS (SELECT DISTINCT b.vec_id AS new_id,
+           |    c.vec_id AS match_id
+           |  FROM $idx c JOIN $bb b ON c.cell = b.cell
+           |    AND c.band = b.band AND c.key = b.key
+           |    AND list_dot_product(c.v, b.v) / (c.nrm * b.nrm)
+           |      >= $SemThr)""".stripMargin
+      def armRow(arm: String, nStanding: String, nb0: String,
+          nbA: String, hits: String) =
+        s"""SELECT '$arm' AS arm,
+           |  (SELECT n FROM ns) AS n_create,
+           |  (SELECT n FROM $nStanding) + (SELECT n FROM nbatch)
+           |    AS n_total,
+           |  (SELECT n FROM $nStanding) + (SELECT n FROM nbatch)
+           |    >= 2 * (SELECT n FROM ns) AS reband,
+           |  (SELECT bits FROM nb0) AS bits_before,
+           |  (SELECT bits FROM $nbA) AS bits_after,
+           |  $SemBands * (SELECT n FROM $nStanding) AS index_rows,
+           |  (SELECT n FROM nbatch) AS probe_new,
+           |  (SELECT count(DISTINCT new_id) FROM $hits) AS probe_dups,
+           |  (SELECT count(*) FROM $hits) AS probe_matches,
+           |  (SELECT min(match_id) FROM $hits) AS probe_first""".stripMargin
+      s"""WITH $semanticSqlBase,
+         |batch AS (SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.001)
+         |      AS v
+         |  FROM embeddings WHERE vec_id < 20),
+         |bq AS (SELECT vec_id, v,
+         |    sqrt(list_dot_product(v, v)) AS nrm FROM batch),
+         |bassigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
+         |  SELECT bq.vec_id, bq.v, bq.nrm, reps.rep_id,
+         |    row_number() OVER (PARTITION BY bq.vec_id
+         |      ORDER BY list_dot_product(bq.v, reps.rv) / (bq.nrm * reps.rn_)
+         |        DESC, reps.rep_id) AS cell_rn
+         |  FROM bq CROSS JOIN reps) WHERE cell_rn = 1),
+         |grown AS ($repShifts),
+         |gq AS (SELECT vec_id, v,
+         |    sqrt(list_dot_product(v, v)) AS nrm FROM grown),
+         |gassigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
+         |  SELECT gq.vec_id, gq.v, gq.nrm, reps.rep_id,
+         |    row_number() OVER (PARTITION BY gq.vec_id
+         |      ORDER BY list_dot_product(gq.v, reps.rv) / (gq.nrm * reps.rn_)
+         |        DESC, reps.rep_id) AS cell_rn
+         |  FROM gq CROSS JOIN reps) WHERE cell_rn = 1),
+         |allg AS (SELECT vec_id, v, nrm, cell FROM assigned
+         |  UNION ALL SELECT vec_id, v, nrm, cell FROM gassigned),
+         |ns AS (SELECT count(*) AS n FROM assigned),
+         |nbatch AS (SELECT count(*) AS n FROM bq),
+         |nalls AS (SELECT count(*) AS n FROM allg),
+         |${widthCte("nb0", "ns")},
+         |${widthCte("nbg", "nalls")},
+         |${bandCte("banded0", "assigned", "nb0")},
+         |${bandCte("bb0", "bassigned", "nb0")},
+         |${bandCte("bandedg", "allg", "nbg")},
+         |${bandCte("bbg", "bassigned", "nbg")},
+         |${hitsCte("hits0", "banded0", "bb0")},
+         |${hitsCte("hitsg", "bandedg", "bbg")}
+         |SELECT * FROM (
+         |${armRow("growth", "nalls", "nb0", "nbg", "hitsg")}
+         |UNION ALL
+         |${armRow("stable", "ns", "nb0", "nb0", "hits0")})
+         |ORDER BY arm""".stripMargin
+    },
 
     // the streamed upkeep must leave the day-0 probe identical to the
     // in-session incremental answer, booleans pinned

@@ -148,7 +148,15 @@ object Writers {
     * file count before).
     */
   def deleteKeys(spark: SparkSession, path: String, keyCol: String,
-      keys: DataFrame): (Long, Seq[String], Int) = {
+      keys: DataFrame,
+      // how the touched files' SURVIVORS are laid back out. The default
+      // coalesce bounds the file count but inherits the scan's packing
+      // (core-count-dependent); layout-sensitive tables pass a
+      // deterministic partitioner — deleteKeysZoneMapped range-sorts on
+      // the zone column so a delete preserves the table's clustering
+      // AND its file count at any parallelism
+      rewrite: (DataFrame, Int) => DataFrame =
+        (df, n) => df.coalesce(n)): (Long, Seq[String], Int) = {
     import java.nio.file.{Files, Paths}
     def localPath(uri: String): java.nio.file.Path =
       Paths.get(new java.net.URI(uri).getPath)
@@ -170,7 +178,7 @@ object Writers {
     val rowsTouched = touchedDf.count()
     val survivors = touchedDf.join(k, Seq(keyCol), "left_anti")
     val rowsDeleted = rowsTouched - survivors.count()
-    survivors.coalesce(touched.length)
+    rewrite(survivors, touched.length)
       .write.mode("overwrite").parquet(tmp)
     // carry the untouched files over by hard link: O(1) per file, no
     // data movement — the rewrite cost tracks the touched subset
@@ -215,7 +223,9 @@ object Writers {
   def deleteKeysZoneMapped(spark: SparkSession, path: String,
       keyCol: String, keys: DataFrame, zcol: String)
       : (Long, Seq[String], Int) = {
-    val res @ (deleted, touched, _) = deleteKeys(spark, path, keyCol, keys)
+    val res @ (deleted, touched, _) = deleteKeys(spark, path, keyCol,
+      keys, (df, n) => df.repartitionByRange(n, col(zcol))
+        .sortWithinPartitions(col(zcol)))
     if (deleted > 0 && touched.nonEmpty) {
       val grid = readMeta(spark, path)
         .select(col("z_lo"), col("z_w")).head()
