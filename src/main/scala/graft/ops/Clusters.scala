@@ -93,16 +93,35 @@ object Clusters {
     * `standing` must cover every node of the old edge set with its
     * component-minimum root; nodes seen only in `newEdges` are adopted
     * with themselves as base root.
+    *
+    * The driver collect is GUARDED: "batch-sized by construction" holds
+    * for a normal day, but a template-cluster blowup (the q_degree_dist
+    * pathology) can make one day's verified pairs millions of rows, and
+    * an unbounded collect would OOM the driver silently. Past `maxPairs`
+    * distinct pairs the function falls back to the full distributed
+    * [[connectedComponents]] over standing ∪ batch — the standing
+    * (id, root) rows ARE an edge set whose components equal the old
+    * graph's (every node wired to its component minimum), so the union
+    * graph's components equal from-scratch CC over old ∪ new edges.
+    * Same answer, cluster-side cost instead of a driver OOM.
     */
   def incrementalComponents(standing: DataFrame, newEdges: DataFrame,
-      srcCol: String, dstCol: String): DataFrame = {
+      srcCol: String, dstCol: String,
+      maxPairs: Int = 1000000): DataFrame = {
     val s = standing.sparkSession
     import scala.collection.mutable
     val np = newEdges
       .select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
-      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .distinct().limit(maxPairs + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     if (np.isEmpty) return standing
+    if (np.length > maxPairs)
+      return connectedComponents(
+        standing.select(col("id").as("a"), col("root").as("b"))
+          .unionByName(newEdges.select(col(srcCol).cast("long").as("a"),
+            col(dstCol).cast("long").as("b"))),
+        "a", "b")
     val ids = np.flatMap(p => Seq(p._1, p._2)).distinct.toIndexedSeq
     val idsDf = s.createDataFrame(
       s.sparkContext.parallelize(ids.map(org.apache.spark.sql.Row(_)), 1),

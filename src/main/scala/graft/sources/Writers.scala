@@ -137,15 +137,22 @@ object Writers {
     * requests against a standing index): rows whose `keyCol` appears
     * in the `keys` relation are removed by rewriting ONLY the files
     * that contain at least one such row; untouched files carry over
-    * byte-identical (hard-linked into the staging dir — the local-FS
-    * analog of a manifest table re-listing them by metadata only), and
-    * the swap is the same crash-safe double-rename as [[compact]]:
-    * every crash window leaves either the complete old layout or the
-    * complete new one. The touched-file list is the sanctioned bounded
-    * collect: in a band-clustered index a key's rows land in at most
-    * (cluster buckets) files, so the list is sized by the TOMBSTONE
-    * BATCH, not the table. Returns (rows deleted, touched file names,
-    * file count before).
+    * byte-identical (hard-linked into the staging dir on a local
+    * filesystem — the analog of a manifest table re-listing them by
+    * metadata only; any other scheme degrades to a filesystem-level
+    * copy, O(bytes), since a cluster table format would carry them in
+    * a manifest instead), and the swap is the same crash-safe
+    * double-rename as [[compact]]. Table METADATA (zone-map manifests,
+    * commit ledgers — underscore-prefixed, invisible to parquet reads)
+    * is copied into the staging dir BEFORE the swap, so every crash
+    * window really does leave either the complete old layout or the
+    * complete new one, metadata included — a post-swap metadata move
+    * would leave a window where the published layout has data but no
+    * ledger. The touched-file list is the sanctioned bounded collect:
+    * in a band-clustered index a key's rows land in at most (cluster
+    * buckets) files, so the list is sized by the TOMBSTONE BATCH, not
+    * the table. Returns (rows deleted, touched file names, file count
+    * before).
     */
   def deleteKeys(spark: SparkSession, path: String, keyCol: String,
       keys: DataFrame,
@@ -160,6 +167,32 @@ object Writers {
     import java.nio.file.{Files, Paths}
     def localPath(uri: String): java.nio.file.Path =
       Paths.get(new java.net.URI(uri).getPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    // the local-FS fast path is hard links; anything else (hdfs, s3a)
+    // carries bytes via FileUtil.copy — correct everywhere, O(1) only
+    // locally
+    val isLocal = {
+      val scheme = dst.toUri.getScheme
+      scheme == null || scheme == "file"
+    }
+    val old = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "._delete_old")
+    // leftovers from a previous crashed swap: before discarding, rescue
+    // any underscore metadata a pre-copy-era run stranded there (the
+    // current protocol stages metadata before the swap, so a healthy
+    // old layout only ever holds copies the new layout also has)
+    if (fs.exists(old)) {
+      for (st <- fs.listStatus(old)
+           if st.getPath.getName.startsWith("_")
+             && !st.getPath.getName.startsWith("_SUCCESS")
+             && !fs.exists(new org.apache.hadoop.fs.Path(dst,
+               st.getPath.getName)))
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(dst, st.getPath.getName))
+      fs.delete(old, true)
+    }
     val df = spark.read.parquet(path)
     val before = df.inputFiles.toSeq
     val k = broadcast(keys.select(col(keyCol)).distinct())
@@ -167,43 +200,53 @@ object Writers {
       .join(k, Seq(keyCol), "left_semi")
       .select(col("_file")).distinct().collect().map(_.getString(0)).toSeq
     if (touched.isEmpty) return (0L, Nil, before.length)
-    val touchedPaths = touched.map(localPath).toSet
+    val touchedNames = touched.map(f => localPath(f).getFileName.toString)
+      .toSet
     val tmp = path.stripSuffix("/") + "._delete_tmp"
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(
-      path.stripSuffix("/") + "._delete_old")
-    fs.delete(old, true) // leftovers from a previous crashed swap
     val touchedDf = spark.read.parquet(touched: _*)
     val rowsTouched = touchedDf.count()
     val survivors = touchedDf.join(k, Seq(keyCol), "left_anti")
     val rowsDeleted = rowsTouched - survivors.count()
     rewrite(survivors, touched.length)
       .write.mode("overwrite").parquet(tmp)
-    // carry the untouched files over by hard link: O(1) per file, no
-    // data movement — the rewrite cost tracks the touched subset
-    for (f <- before; p = localPath(f) if !touchedPaths(p))
-      Files.createLink(Paths.get(tmp).resolve(p.getFileName), p)
+    // carry the untouched files over: hard link locally (O(1) per
+    // file, no data movement — the rewrite cost tracks the touched
+    // subset), FileUtil.copy on any other scheme
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    for (f <- before
+         if !touchedNames(localPath(f).getFileName.toString)) {
+      if (isLocal) {
+        val p = localPath(f)
+        Files.createLink(Paths.get(tmp).resolve(p.getFileName), p)
+      } else {
+        val src = new org.apache.hadoop.fs.Path(f)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(tmpPath, src.getName),
+          false, conf)
+      }
+    }
+    // stage the table METADATA into the new layout BEFORE the swap (a
+    // copy, so the live table keeps its own until the rename): after
+    // the swap the published layout is complete — ledger, manifests
+    // and all — and a crash at ANY point leaves one complete layout
+    // under a recoverable name. Spark's own _SUCCESS marker is already
+    // in the staged write.
+    for (st <- fs.listStatus(dst)
+         if st.getPath.getName.startsWith("_")
+           && !st.getPath.getName.startsWith("_SUCCESS")
+           && !fs.exists(new org.apache.hadoop.fs.Path(tmpPath,
+             st.getPath.getName)))
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new org.apache.hadoop.fs.Path(tmpPath, st.getPath.getName),
+        false, conf)
     if (!fs.rename(dst, old))
       throw new java.io.IOException(s"delete: could not park $dst")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+    if (!fs.rename(tmpPath, dst)) {
       fs.rename(old, dst) // roll back: restore the original layout
       throw new java.io.IOException(s"delete: could not publish $tmp")
     }
-    // carry table METADATA (zone-map manifests, commit ledgers — all
-    // underscore-prefixed, invisible to parquet reads) across the
-    // swap: it lives inside the table dir and the staged layout holds
-    // only data files; names already present in the new layout
-    // (Spark's _SUCCESS) stay as written
-    for (st <- fs.listStatus(old)
-         if st.getPath.getName.startsWith("_")
-           && !fs.exists(new org.apache.hadoop.fs.Path(dst,
-             st.getPath.getName)))
-      fs.rename(st.getPath,
-        new org.apache.hadoop.fs.Path(dst, st.getPath.getName))
     fs.delete(old, true)
-    (rowsDeleted, touchedPaths.map(_.getFileName.toString).toSeq.sorted,
-      before.length)
+    (rowsDeleted, touchedNames.toSeq.sorted, before.length)
   }
 
   /** [[deleteKeys]] for a ZONE-MAPPED table — the composition that
@@ -301,6 +344,16 @@ object Writers {
     fs.mkdirs(new Path(s"$path/_commits"))
     val stage = new Path(s"$path/_staging_b$batchId")
     val movelist = new Path(s"$path/_commits/b$batchId.files")
+    // an EMPTY micro-batch (foreachBatch can deliver one — e.g. a
+    // trigger that found only already-processed files) commits as a
+    // no-op ledger entry: no stage, no table file, no manifest churn.
+    // A retry of the same batch id short-circuits on the ledger above.
+    // Guarded by the movelist: once an attempt has staged and
+    // published a (possibly non-empty) movelist, replay must follow it.
+    if (!fs.exists(movelist) && df.isEmpty) {
+      fs.create(ledger, true).close()
+      return true
+    }
     if (!fs.exists(movelist)) {
       df.repartitionByRange(nFiles, col(zcol))
         .sortWithinPartitions(col(zcol))
@@ -426,16 +479,38 @@ object Writers {
     * empty): one column-pruned pass over zcol (a production writer
     * collects these bounds from the write tasks' own parquet footers
     * instead of re-reading; the re-scan keeps this portable).
+    *
+    * ZERO-ROW files (a full-table takedown's survivor write, an empty
+    * micro-batch's stage) still get a manifest row, with SENTINEL
+    * bounds (+inf, -inf) that no finite probe range intersects: listed
+    * but never selected, so pruning stays strict and the reconcile
+    * path never mistakes an empty file for a crash orphan it must read
+    * forever. The scan-derived rows carry no file identity for them
+    * (input_file_name needs rows), so the listing left-joins the stats
+    * by basename — `inputFiles` and `input_file_name()` render the
+    * scheme prefix differently, full-URI equality would silently
+    * mismatch.
     */
   private def fileStats(s: SparkSession, path: String,
       paths: Seq[String], zcol: String): DataFrame = {
+    import s.implicits._
     val src = if (paths.isEmpty) s.read.parquet(path)
       else s.read.parquet(paths: _*)
-    src.select(input_file_name().as("file"),
+    val listed = (if (paths.isEmpty) src.inputFiles.toIndexedSeq
+      else paths.toIndexedSeq).toDF("file")
+      .select(col("file"), substring_index(col("file"), "/", -1).as("_n"))
+    val scanned = src.select(input_file_name().as("f"),
         col(zcol).cast("double").as("z"))
-      .groupBy(col("file"))
-      .agg(min(col("z")).as("z_min"), max(col("z")).as("z_max"),
-        count(lit(1)).as("n_rows"))
+      .groupBy(col("f"))
+      .agg(min(col("z")).as("_zmn"), max(col("z")).as("_zmx"),
+        count(lit(1)).as("_nr"))
+      .select(substring_index(col("f"), "/", -1).as("_n"),
+        col("_zmn"), col("_zmx"), col("_nr"))
+    listed.join(scanned, Seq("_n"), "left")
+      .select(col("file"),
+        coalesce(col("_zmn"), lit(Double.MaxValue)).as("z_min"),
+        coalesce(col("_zmx"), lit(-Double.MaxValue)).as("z_max"),
+        coalesce(col("_nr"), lit(0L)).as("n_rows"))
   }
 
   /** Bucket id for a z_min under the table's fixed (origin, width) —
@@ -483,11 +558,22 @@ object Writers {
     */
   def buildZoneMap(s: SparkSession, path: String, zcol: String): Unit = {
     val stats = fileStats(s, path, Nil, zcol).localCheckpoint()
-    val Array(mn, mx) = stats
+    // the bucket grid derives from FINITE bounds only; a table whose
+    // every file is empty (post-takedown) gets the SENTINEL grid
+    // z_w = 0, which [[refreshZoneMap]] recognizes as "no real grid
+    // yet — rebuild from scratch when data arrives" so a revived table
+    // gets a grid fitted to its actual range, not a degenerate one
+    val finite = stats.filter(col("n_rows") > 0)
       .agg(min(col("z_min")), max(col("z_max"))).head()
-      .toSeq.map(_.asInstanceOf[Double]).toArray
-    val zW = if (mx > mn) (mx - mn) / ZoneBuckets else 1.0
-    val withZb = stats.withColumn("zb", zbOf(col("z_min"), mn, zW))
+    val (mn, zW) =
+      if (finite.isNullAt(0)) (0.0, 0.0)
+      else {
+        val (a, b) = (finite.getDouble(0), finite.getDouble(1))
+        (a, if (b > a) (b - a) / ZoneBuckets else 1.0)
+      }
+    val withZb = stats.withColumn("zb",
+        when(col("n_rows") > 0, zbOf(col("z_min"), mn, math.max(zW, 1.0e-12)))
+          .otherwise(lit(Int.MaxValue)))
       .localCheckpoint()
     withZb.write.partitionBy("zb").mode("overwrite")
       .parquet(s"$path/_zonemap")
@@ -535,6 +621,15 @@ object Writers {
     val metaRows = readMeta(s, path)
       .select(col("zb"), col("bz_min"), col("bz_max"), col("n_files"),
         col("z_lo"), col("z_w")).collect()
+    if (metaRows.isEmpty || metaRows.head.getDouble(5) == 0.0) {
+      // the SENTINEL grid ([[buildZoneMap]] over an all-empty table —
+      // a full takedown's aftermath): there is no real bucket grid to
+      // fold the batch into, so rebuild from scratch over whatever is
+      // on disk now — the revived table gets a grid fitted to its
+      // actual value range instead of a degenerate one
+      buildZoneMap(s, path, zcol)
+      return
+    }
     val (zLo, zW) = (metaRows.head.getDouble(4), metaRows.head.getDouble(5))
     import s.implicits._
     val manifest = s.read.parquet(s"$path/_zonemap")
@@ -549,7 +644,9 @@ object Writers {
       // compare meta against the manifest state meta claims to summarize
       val manifestCountPre = manifest.count()
       val batchStats = fileStats(s, path, newPaths, zcol)
-        .withColumn("zb", zbOf(col("z_min"), zLo, zW))
+        .withColumn("zb",
+          when(col("n_rows") > 0, zbOf(col("z_min"), zLo, zW))
+            .otherwise(lit(Int.MaxValue)))
         .localCheckpoint()
       batchStats.write.partitionBy("zb").mode("append")
         .parquet(s"$path/_zonemap")

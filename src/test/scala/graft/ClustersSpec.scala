@@ -61,6 +61,35 @@ class ClustersSpec extends SparkSpec {
     assert(noop == standing.as[(Long, Long)].collect().toMap)
   }
 
+  test("a blowup day exceeding maxPairs takes the distributed fallback " +
+      "and still equals from-scratch CC") {
+    // standing: two components {0..4} and {10..14}
+    val oldEdges = (0L until 4L).map(i => (i, i + 1)) ++
+      (10L until 14L).map(i => (i, i + 1))
+    val standing = Clusters.connectedComponents(
+      oldEdges.toDF("a", "b"), "a", "b")
+    // the blowup: a template cluster wires 30 new nodes pairwise AND
+    // bridges the two standing components — far past maxPairs = 5, so
+    // the driver union-find path must NOT run
+    val blowup = (for {
+      i <- 100L until 110L; j <- (i + 1) until 110L
+    } yield (i, j)) ++ Seq((100L, 4L), (100L, 14L))
+    assert(blowup.length > 5)
+    val got = Clusters.incrementalComponents(standing,
+        blowup.toDF("a", "b"), "a", "b", maxPairs = 5)
+      .as[(Long, Long)].collect().toMap
+    val full = components(oldEdges ++ blowup)
+    assert(got == full, s"fallback diverged from from-scratch CC")
+    // everything merged through the bridge: one component rooted at 0
+    assert(got(14L) == 0L && got(109L) == 0L)
+    // and below the guard the driver path still gives the same answer
+    val small = Clusters.incrementalComponents(standing,
+        Seq((100L, 4L), (100L, 14L)).toDF("a", "b"), "a", "b",
+        maxPairs = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(small == components(oldEdges ++ Seq((100L, 4L), (100L, 14L))))
+  }
+
   test("edge direction does not matter") {
     assert(components(Seq((5L, 2L), (2L, 9L))) ==
       Map(2L -> 2L, 5L -> 2L, 9L -> 2L))

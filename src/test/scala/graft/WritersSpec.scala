@@ -422,6 +422,72 @@ class WritersSpec extends SparkSpec {
       s"published meta diverges from a manifest rebuild")
   }
 
+  test("full-table takedown leaves an empty, readable, zone-mapped " +
+      "table that a later append revives") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-zm-takedown").toString + "/t"
+    Writers.writeWithZoneMap(
+      (0 until 200).map(i => (i.toLong, i.toDouble)).toDF("id", "z"),
+      t, "z", 4)
+    // every key tombstoned: all files touched, zero survivors
+    val (deleted, touched, before) = Writers.deleteKeysZoneMapped(
+      spark, t, "id", (0L until 200L).toDF("id"), "z")
+    assert(deleted == 200 && touched.length == before)
+    // the table reads as EMPTY, not as a schema-inference crash
+    val empty = spark.read.parquet(t)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "z"))
+    // zone-mapped readers degrade to a sound empty plan
+    val (cand, _, _) = Writers.readZonePruned(spark, t, 0.0, 1000.0)
+    assert(cand.count() == 0)
+    // and the table comes back to life: the next append rebuilds the
+    // zone map from scratch (no stale grid to bucket against)
+    Writers.appendWithZoneMap(
+      (500 until 600).map(i => (i.toLong, i.toDouble)).toDF("id", "z"),
+      t, "z", 2)
+    assert(spark.read.parquet(t).count() == 100)
+    val (c2, r2, _) = Writers.readZonePruned(spark, t, 500.0, 540.0)
+    assert(r2 > 0)
+    assert(c2.filter(col("z").between(500.0, 540.0)).count() == 41)
+    val (_, r3, _) = Writers.readZonePruned(spark, t, 0.0, 100.0)
+    assert(r3 == 0, "rebuilt map should prune a now-empty range fully")
+  }
+
+  test("deleteKeys stages metadata before the swap and rescues " +
+      "metadata stranded in a crashed old layout") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-del-meta").toString + "/t"
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")).write.parquet(t)
+    // a ledger dir the table's ingest protocol owns — deleteKeys must
+    // carry it through the swap with no window where the published
+    // layout lacks it
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$t/_commits"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$t/_commits/b7"), true)
+      .close()
+    val (d1, _, _) = Writers.deleteKeys(spark, t, "id", Seq(30L).toDF("id"))
+    assert(d1 == 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$t/_commits/b7")),
+      "ledger lost across the COW swap")
+    // RESCUE path: a pre-copy-era crash left metadata only in
+    // ._delete_old (published layout lost it); the next run must
+    // recover it before discarding the leftovers
+    val old = new org.apache.hadoop.fs.Path(s"$t._delete_old")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(old, "_stranded"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$old/_stranded/marker"),
+      true).close()
+    val (d2, _, _) = Writers.deleteKeys(spark, t, "id", Seq(40L).toDF("id"))
+    assert(d2 == 1)
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$t/_stranded/marker")),
+      "metadata stranded in ._delete_old was destroyed, not rescued")
+    assert(!fs.exists(old))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$t/_commits/b7")))
+    assert(spark.read.parquet(t).count() == 98)
+  }
+
   test("zone map meta swap window: reader falls back to the parked ._old") {
     val d = "/root/testdata/sf0.001"
     val out = Files.createTempDirectory("graft-zold").toString

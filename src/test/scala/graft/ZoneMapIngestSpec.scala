@@ -83,4 +83,33 @@ class ZoneMapIngestSpec extends SparkSpec {
       .filter(col("price").between(100, 300)).count()
     assert(pruned == full && full > 0)
   }
+
+  test("an empty micro-batch commits as a no-op ledger entry — " +
+      "first-ever batch and mid-stream, no crash, no table churn") {
+    val t = Files.createTempDirectory("graft-zmi-empty").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val none = rows(0 until 1, "x").filter(col("id") < 0)
+
+    // FIRST-EVER batch empty: commits (ledger written), no data files,
+    // no zone map to trip over
+    assert(Writers.zoneMapIngestCommit(none, t, "price", 4, 0L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$t/_commits/b0")))
+    assert(!Writers.zoneMapIngestCommit(none, t, "price", 4, 0L),
+      "replay of a committed empty batch must short-circuit")
+
+    // a real batch lands next and builds the table + zone map
+    assert(Writers.zoneMapIngestCommit(rows(0 until 60, "b1"), t,
+      "price", 4, 1L))
+    assert(spark.read.parquet(t).count() == 60)
+
+    // MID-STREAM empty batch: no-op entry, table and manifest untouched
+    val manifestBefore = spark.read.parquet(s"$t/_zonemap").count()
+    assert(Writers.zoneMapIngestCommit(none, t, "price", 4, 2L))
+    assert(spark.read.parquet(t).count() == 60)
+    assert(spark.read.parquet(s"$t/_zonemap").count() == manifestBefore)
+    val (cand, _, _) = Writers.readZonePruned(spark, t, 0, 500)
+    assert(cand.filter(col("price").between(0, 500)).count() ==
+      spark.read.parquet(t).filter(col("price").between(0, 500)).count())
+  }
 }
