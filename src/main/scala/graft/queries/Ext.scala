@@ -1167,9 +1167,12 @@ object Ext {
     * literals and each code_j is an array_min over (dist, cid) structs,
     * so encoding is a single projection per row (same distances — the
     * identical element_at/diff*diff left-associated shape — and the
-    * same min-(d, cid) tie rule as the aggregate path).
+    * same min-(d, cid) tie rule as the aggregate path). KEPT as the
+    * bit-exactness anchor for [[pqEncodeBroadcast]] (PqTrainedSpec
+    * pins the agreement); production paths use the broadcast form —
+    * a literal book is a plan-size hazard at real K x M x dim.
     */
-  private def pqEncodeLiteral(df: DataFrame,
+  private[graft] def pqEncodeLiteral(df: DataFrame,
       book: Map[Int, Array[(Long, Array[Double])]]): DataFrame = {
     val codes = (0 until PqM).map { j =>
       val cands = book(j).map { case (cid, w) =>
@@ -1183,6 +1186,25 @@ object Ext {
         .as(s"code_$j")
     }
     df.select(col("vec_id") +: codes :+ col("ingest_day"): _*)
+  }
+
+  /** The BROADCAST form of [[pqEncodeLiteral]] — same map-only shape,
+    * same bit-exact codes, but the book rides a torrent-broadcast
+    * handle instead of the expression tree: the serialized plan stays
+    * bytes-sized at ANY K x M x dim (a production 256 x 16 x 1024 book
+    * is ~16 MB — as literals that lands in every task binary; as a
+    * broadcast it ships once per executor). The whole codes row is ONE
+    * native-expression call ([[graft.functions.PqEncodeCodes]]);
+    * whole-stage codegen's subexpression elimination evaluates it once
+    * and the per-subspace columns unpack it.
+    */
+  private[graft] def pqEncodeBroadcast(df: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[
+        Array[Array[(Long, Array[Double])]]]): DataFrame = {
+    val codes = graft.functions.PqEncodeExpr.codes(col("v"), bc)
+    df.select(col("vec_id") +:
+      (0 until PqM).map(j => element_at(codes, j + 1).as(s"code_$j")) :+
+      col("ingest_day"): _*)
   }
 
   /** IVF-style cell-restricted ANN top-k (the q_ann_ivf plan, shared
@@ -4514,9 +4536,11 @@ object Ext {
     // PQ-index upkeep as a STREAMING job — the q_stream_index_maintain
     // pattern applied to the compressed-codes side. Given the persisted
     // trained book (K x PqM rows, driver-held by construction), PQ
-    // encode is MAP-ONLY ([[pqEncodeLiteral]]: per-subspace array_min
-    // over literal codewords — no join, no aggregation), so the codes
-    // table is BUILT AND MAINTAINED by one Structured Streaming query:
+    // encode is MAP-ONLY ([[pqEncodeBroadcast]]: one native-expression
+    // argmin per row against the TORRENT-BROADCAST book — no join, no
+    // aggregation, and no K x M x dim literal in the task binary), so
+    // the codes table is BUILT AND MAINTAINED by one Structured
+    // Streaming query:
     // corpus as micro-batch 1 (ingest day 0), today's batch as
     // micro-batch 2 (day 1), exactly-once through checkpointed source
     // offsets; the accumulated SINK IS the codes index. The
@@ -4533,6 +4557,8 @@ object Ext {
           (2 until 2 + PqSub).map(r.getDouble).toArray))
         .groupBy(_._1)
         .map { case (j, rows) => j -> rows.map(r => (r._2, r._3)) }
+      val bookBc = s.sparkContext.broadcast(
+        (0 until PqM).map(bookL(_)).toArray)
       val all = vecsWithNearDups(s, d)
       val dir = java.nio.file.Files.createTempDirectory("graft_pqidxm_")
       try {
@@ -4548,7 +4574,7 @@ object Ext {
         val schema = s.read.parquet(s"$dir/0_vecs.parquet").schema
         val raw = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-        Relational.drainStreamFiles(pqEncodeLiteral(raw, bookL),
+        Relational.drainStreamFiles(pqEncodeBroadcast(raw, bookBc),
           s"$base/stream")
         val s2 = s.newSession()
         val bookD = s2.read.parquet(s"$base/book")

@@ -21,6 +21,49 @@ class PqTrainedSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
+  test("broadcast PQ encode is bit-identical to the literal form and " +
+      "keeps the plan bytes-sized at production book widths") {
+    import spark.implicits._
+    // synthetic K=64, M=8, sub=8 book — deterministic closed form
+    def w(j: Int, k: Int): Array[Double] =
+      (0 until 8).map(i => ((j * 31 + k * 17 + i * 7) % 23) / 7.0).toArray
+    val book: Map[Int, Array[(Long, Array[Double])]] =
+      (0 until 8).map(j => j ->
+        (0 until 64).map(k => (k.toLong * 3 + 1, w(j, k))).toArray).toMap
+    val vecs = (0 until 500).map { n =>
+      (n.toLong, (0 until 64).map(i =>
+        ((n * 13 + i * 5) % 29) / 9.0).toArray.toSeq, n % 2)
+    }.toDF("vec_id", "v", "ingest_day")
+    val lit = graft.queries.Ext.pqEncodeLiteral(vecs, book)
+    val bc = spark.sparkContext.broadcast(
+      (0 until 8).map(book(_)).toArray)
+    val bcd = graft.queries.Ext.pqEncodeBroadcast(vecs, bc)
+    // bit-identical codes, row for row (ties included: equidistant
+    // codewords must resolve to the same smaller cid in both forms)
+    val a = lit.orderBy(col("vec_id")).collect().toSeq
+    val b = bcd.orderBy(col("vec_id")).collect().toSeq
+    assert(a == b, "broadcast codes diverge from the literal anchor")
+    // every vec hit a real codeword id
+    assert(b.forall(r => (1 to 8).forall(i => r.getLong(i) % 3 == 1)))
+    // the plan-size contract: the literal plan carries K x M x sub
+    // codeword doubles as Literal NODES (4096 here, ~4M at a
+    // production 256 x 16 x 1024 book — all serialized into every
+    // task binary); the broadcast plan carries a handle and only
+    // bookkeeping literals. Count the nodes — plan toString truncates,
+    // so string length can't pin this.
+    // counted on the ANALYZED plan: the optimizer folds a projection
+    // over this in-memory test relation into a LocalRelation, but a
+    // real scan (the streaming source) keeps the projection — and its
+    // literals — in every task
+    def literals(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.expressions.map(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal => l
+      }.size).sum
+    val (nLit, nBc) = (literals(lit), literals(bcd))
+    assert(nLit >= 64 * 8 * 8, s"literal plan should carry the book: $nLit")
+    assert(nBc < 100, s"broadcast plan still carries literals: $nBc")
+  }
+
   test("training preserves the code budget: same (subspace, codeword) " +
       "key set as the medoid book") {
     val book = SparkEntry.queries("q_pq_train")(spark, d)
