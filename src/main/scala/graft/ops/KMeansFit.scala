@@ -28,18 +28,15 @@ import graft.ext.VectorOps
   */
 object KMeansFit {
 
-  /** Returns (assignments: idCol, cluster; centroids: cluster, dim,
-    * mean_x) after `iters` Lloyd rounds.
+  /** Returns (assignments: idCol, cluster; centroids: cluster,
+    * centroid) after `iters` Lloyd rounds from the deterministic
+    * farthest-first init.
     */
   def fit(points: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1)
     val pts = points.select(col(idCol), VectorOps.toDouble(col(vecCol))
       .as("_v")).localCheckpoint()
-
-    def dist2(a: Column, b: Column): Column =
-      graft.ext.TextOps.let(zip_with(a, b, (x, y) => x - y))(d =>
-        VectorOps.dot(d, d))
 
     // reproducible farthest-first init (deterministic k-means++ stand-in,
     // no rand()): seed with the hash-smallest point, then k-1 rounds of
@@ -58,7 +55,41 @@ object KMeansFit {
         .select(lit(i.toLong).as("_cid"), col("_v").as("_c"))
       centroids = centroids.unionByName(far).localCheckpoint()
     }
+    lloyd(pts, idCol, centroids, iters)
+  }
 
+  /** Lloyd rounds from a CALLER-SUPPLIED init — the warm-start form:
+    * `init` is (cluster, centroid) with the caller's cluster ids kept
+    * through the fit (an IVF coarse quantizer initialized from the
+    * label medoids keeps the medoid vec_ids as cell ids, so trained
+    * and medoid cells compare row for row). Same loop, same decimal
+    * M-step, same tie rules as [[fit]].
+    */
+  def fitFrom(points: DataFrame, idCol: String, vecCol: String,
+      init: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1)
+    val pts = points.select(col(idCol), VectorOps.toDouble(col(vecCol))
+      .as("_v")).localCheckpoint()
+    val c0 = init.select(col("cluster").cast("long").as("_cid"),
+      VectorOps.toDouble(col("centroid")).as("_c")).localCheckpoint()
+    lloyd(pts, idCol, c0, iters)
+  }
+
+  private def dist2(a: Column, b: Column): Column =
+    graft.ext.TextOps.let(zip_with(a, b, (x, y) => x - y))(d =>
+      VectorOps.dot(d, d))
+
+  /** The E/M loop shared by [[fit]] and [[fitFrom]]:
+    *  - E-step: assignment = argmin squared-L2, ties broken by centroid
+    *    id via a min(struct(dist, cid)) aggregate — BROADCAST centroids
+    *    (k rows) against the point scan, so the big side never shuffles;
+    *  - M-step: per-(cluster, dimension) DECIMAL(18,9) component sums —
+    *    addition-order-free, so centroids are bit-identical under any
+    *    partitioning;
+    *  - empty clusters keep their previous centroid (the join-back).
+    */
+  private def lloyd(pts: DataFrame, idCol: String, init: DataFrame,
+      iters: Int): (DataFrame, DataFrame) = {
     def eStep(cs: DataFrame): DataFrame = pts.crossJoin(broadcast(cs))
       .select(col(idCol), col("_v"),
         struct(dist2(col("_v"), col("_c")).as("d"), col("_cid").as("cid"))
@@ -67,6 +98,7 @@ object KMeansFit {
       .agg(first(col("_v")).as("_v"), min(col("_dc")).as("_best"))
       .select(col(idCol), col("_v"), col("_best.cid").as("_cid"))
 
+    var centroids = init
     for (_ <- 1 to iters) {
       val assigned = eStep(centroids)
       val next = assigned

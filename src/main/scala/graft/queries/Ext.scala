@@ -2328,6 +2328,69 @@ object Ext {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // TRAINED IVF coarse quantizer — the production upgrade of
+    // q_ann_ivf's medoid cells (the same move q_pq_train made for the
+    // codes): cell centers are Lloyd-refined in FULL embedding space
+    // (ops.KMeansFit.fitFrom, warm-started from the label medoids so
+    // cell ids stay the rep vec_ids and the decimal M-step keeps the
+    // fit bit-exact across engines), assignment is a squared-L2 argmin
+    // against the K broadcast centers, and the gated readout scores
+    // trained vs medoid cells against the exact top-5 over a 50-query
+    // batch at FIXED probe cost (nprobe=1 both arms) — the recall the
+    // training BUYS without touching the search plan. At scale the fit
+    // is PqIters passes of (broadcast E-step + keyed M-step) and the
+    // probe is the same single equi-join on cell id as q_ann_ivf.
+    "q_ann_ivf_trained" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+          VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+        .localCheckpoint() // feeds init, fit, both probes, and the truth
+      val init = pqReps(s, d)
+        .select(col("rep_id").as("cluster"), col("rv").as("centroid"))
+      val (assignedT, _) = graft.ops.KMeansFit.fitFrom(
+        e.select(col("vec_id"), col("v")), "vec_id", "v", init, PqIters)
+      val cellsT = e.join(assignedT, Seq("vec_id"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("cluster").as("cell"))
+      val cellsM = ivfAssign(s, d)
+      val q = e.filter(col("vec_id") < PqProbeN)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      def topk(cells: DataFrame): DataFrame = {
+        val qc = cells.join(broadcast(q), col("vec_id") === col("q_id"))
+          .select(col("q_id"), col("qv"), col("qn"),
+            col("cell").as("q_cell"))
+        cells.join(broadcast(qc),
+            col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+              .as("score"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= AnnK)
+          .select(col("q_id"), col("vec_id"))
+      }
+      val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (VectorOps.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= AnnK)
+        .select(col("q_id"), col("vec_id")).localCheckpoint()
+      val hm = exact.join(topk(cellsM), Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_medoid"))
+      val ht = exact.join(topk(cellsT), Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_trained"))
+      hm.crossJoin(ht).select(
+        lit(PqProbeN.toLong).as("n_q"),
+        col("hits_medoid"), col("hits_trained"),
+        round(col("hits_medoid").cast("double") / (PqProbeN * AnnK), 6)
+          .as("recall_medoid"),
+        round(col("hits_trained").cast("double") / (PqProbeN * AnnK), 6)
+          .as("recall_trained"))
+    }),
+
     // ---- benchmark decontamination --------------------------------------
     // Flag training docs sharing any DecontK-gram with the held-out eval
     // set (doc_id % EvalMod == 0) — the standard train/test contamination
@@ -5061,6 +5124,50 @@ object Ext {
 
   private val pqSqlAdcTrainedJoins: String = pqSqlAdcTrainedJoinsFrom("")
 
+  /** Full-width (EmbDim-term) squared-L2 chain between list `vec` and
+    * the c1..c`EmbDim` columns of alias `b` — the same left-associated
+    * term order as ops.KMeansFit's zip_with-diff dot fold, so the
+    * trained-cell argmins agree bit for bit.
+    */
+  private def ivfSqlDist(vec: String, b: String): String =
+    (1 to EmbDim).map(i => s"($vec[$i]-$b.c$i)*($vec[$i]-$b.c$i)")
+      .mkString(" + ")
+
+  /** Trained-coarse-quantizer CTE chain — the oracle replay of
+    * ops.KMeansFit.fitFrom warm-started from the label medoids:
+    * b0t (medoid centers, cell ids = rep vec_ids), `PqIters` unrolled
+    * Lloyd rounds (argmin E-step ties by cid, DECIMAL(18,9)-mean
+    * M-step, empty-cell keep) ending at b`PqIters`t, plus the final
+    * assignment relation cells_t — [[pqSqlLloydRounds]] in full
+    * embedding space with no subspace key.
+    */
+  private val ivfSqlTrainChain: String = {
+    val b0Cols = (1 to EmbDim).map(i => s"rv[$i] AS c$i").mkString(", ")
+    val sb = new StringBuilder(
+      s"b0t AS (SELECT rep_id AS cid, $b0Cols FROM reps)")
+    for (r <- 1 to PqIters) {
+      val mCols = (1 to EmbDim).map(i =>
+        s"CAST(sum(CAST(v[$i] AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c$i")
+        .mkString(", ")
+      val coal = (1 to EmbDim).map(i => s"coalesce(m.c$i, b.c$i) AS c$i")
+        .mkString(", ")
+      sb.append(s""",
+         |a${r}t AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, b.cid, row_number() OVER (
+         |    PARTITION BY e.vec_id ORDER BY ${ivfSqlDist("e.v", "b")}, b.cid) AS rn
+         |  FROM e CROSS JOIN b${r - 1}t b) WHERE rn = 1),
+         |m${r}t AS (SELECT cid, $mCols FROM a${r}t GROUP BY cid),
+         |b${r}t AS (SELECT b.cid, $coal FROM b${r - 1}t b
+         |  LEFT JOIN m${r}t m ON m.cid = b.cid)""".stripMargin)
+    }
+    sb.append(s""",
+       |cells_t AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT e.vec_id, b.cid, row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY ${ivfSqlDist("e.v", "b")}, b.cid) AS rn
+       |  FROM e CROSS JOIN b${PqIters}t b) WHERE rn = 1)""".stripMargin)
+    sb.toString
+  }
+
   /** 1-row MSE CTE `name`: mean over all (vec_id, j) of the squared
     * distance from `subRel`'s subvectors to their nearest codeword in
     * `bookRel` — the oracle replay of [[pqMseTotal]], same rounding
@@ -5985,6 +6092,64 @@ object Ext {
          |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM p)
          |SELECT q_id, rn, vec_id, round(score, 6) AS score FROM r
          |WHERE rn <= $AnnK ORDER BY q_id, rn""".stripMargin,
+
+    // trained-vs-medoid coarse quantizer readout: the 64-dim Lloyd
+    // chain (cells_t) against the cosine-medoid cells, both scored on
+    // the exact 50-query top-5 at nprobe=1
+    "q_ann_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |reps AS (SELECT r.rep_id, e.v AS rv, e.nrm AS rn_
+         |  FROM (SELECT label, min(vec_id) AS rep_id FROM e GROUP BY label) r
+         |  JOIN e ON e.vec_id = r.rep_id),
+         |$ivfSqlTrainChain,
+         |scored_cells AS (SELECT e.vec_id, e.v, e.nrm, reps.rep_id,
+         |    list_dot_product(e.v, reps.rv) / (e.nrm * reps.rn_) AS rep_score
+         |  FROM e CROSS JOIN reps),
+         |assigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY rep_score DESC, rep_id) AS cell_rn FROM scored_cells)
+         |  WHERE cell_rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+         |  WHERE vec_id < $PqProbeN),
+         |px AS (SELECT q.q_id, c.vec_id,
+         |    list_dot_product(q.qv, c.v) / (q.qn * c.nrm) AS score
+         |  FROM e c JOIN q ON c.vec_id != q.q_id),
+         |rx AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM px)
+         |  WHERE rn <= $AnnK),
+         |qm AS (SELECT q.q_id, q.qv, q.qn, a.cell AS q_cell FROM q
+         |  JOIN assigned a ON a.vec_id = q.q_id),
+         |pm AS (SELECT qm.q_id, a.vec_id,
+         |    list_dot_product(qm.qv, a.v) / (qm.qn * a.nrm) AS score
+         |  FROM assigned a JOIN qm ON a.cell = qm.q_cell
+         |    AND a.vec_id != qm.q_id),
+         |rm AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM pm)
+         |  WHERE rn <= $AnnK),
+         |at_ AS (SELECT c.vec_id, e.v, e.nrm, c.cell FROM cells_t c
+         |  JOIN e ON e.vec_id = c.vec_id),
+         |qt AS (SELECT q.q_id, q.qv, q.qn, a.cell AS q_cell FROM q
+         |  JOIN at_ a ON a.vec_id = q.q_id),
+         |pt AS (SELECT qt.q_id, a.vec_id,
+         |    list_dot_product(qt.qv, a.v) / (qt.qn * a.nrm) AS score
+         |  FROM at_ a JOIN qt ON a.cell = qt.q_cell
+         |    AND a.vec_id != qt.q_id),
+         |rt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM pt)
+         |  WHERE rn <= $AnnK),
+         |hm AS (SELECT count(*) AS hits_medoid FROM rx
+         |  JOIN rm ON rm.q_id = rx.q_id AND rm.vec_id = rx.vec_id),
+         |ht AS (SELECT count(*) AS hits_trained FROM rx
+         |  JOIN rt ON rt.q_id = rx.q_id AND rt.vec_id = rx.vec_id)
+         |SELECT CAST($PqProbeN AS BIGINT) AS n_q, hm.hits_medoid,
+         |  ht.hits_trained,
+         |  round(CAST(hm.hits_medoid AS DOUBLE) / ${PqProbeN * AnnK}, 6)
+         |    AS recall_medoid,
+         |  round(CAST(ht.hits_trained AS DOUBLE) / ${PqProbeN * AnnK}, 6)
+         |    AS recall_trained
+         |FROM hm CROSS JOIN ht""".stripMargin,
 
     "q_pq_assign" ->
       s"""WITH $pqSqlBase,

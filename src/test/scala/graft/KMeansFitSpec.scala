@@ -72,6 +72,37 @@ class KMeansFitSpec extends SparkSpec {
     }
   }
 
+  test("fitFrom keeps the caller's cluster ids and refines a medoid " +
+      "init toward the blob means") {
+    import spark.implicits._
+    // medoid-style init: one MEMBER point per blob (not the mean),
+    // with caller-chosen ids 100/200/300 that must survive the fit
+    val init = Seq(
+      (100L, Seq(0.2, 0.4)), (200L, Seq(10.2, 10.4)),
+      (300L, Seq(20.2, 0.4))).toDF("cluster", "centroid")
+    val (assigned, centroids) =
+      KMeansFit.fitFrom(blobs, "id", "vec", init, 3)
+    assert(centroids.collect().map(_.getLong(0)).toSet ==
+      Set(100L, 200L, 300L), "caller cluster ids not preserved")
+    assert(assigned.select(col("cluster")).distinct().collect()
+      .map(_.getLong(0)).toSet == Set(100L, 200L, 300L))
+    // each blob lands wholly in one cell
+    val m = assigned.withColumn("blob", col("id") % 3)
+      .groupBy(col("blob"), col("cluster")).count().collect()
+    assert(m.groupBy(_.getLong(0)).values.forall(_.length == 1))
+    // refinement: trained centers sit at the blob MEANS (jitter mean
+    // 0.2 per axis), strictly closer than the member-point init
+    val cs = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val means = Map(100L -> Array(0.2, 0.2), 200L -> Array(10.2, 10.2),
+      300L -> Array(20.2, 0.2))
+    means.foreach { case (cid, mu) =>
+      val c = cs(cid)
+      val err = math.hypot(c(0) - mu(0), c(1) - mu(1))
+      assert(err < 0.05, s"cell $cid center ${c.toSeq} far from mean")
+    }
+  }
+
   test("centroids are bit-identical under different partitionings") {
     val a = KMeansFit.fit(blobs.repartition(3), "id", "vec", 3, 3)._2
     val b = KMeansFit.fit(blobs.repartition(11), "id", "vec", 3, 3)._2
