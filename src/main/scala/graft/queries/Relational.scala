@@ -2095,6 +2095,198 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // DELETE composed with the DATE/string zone map — the takedown a
+    // production user actually runs first (order-key tombstones
+    // against a date-sorted table): the lexicographic twin of
+    // q_zonemap_delete through [[deleteKeysZoneMappedString]]. The
+    // spray-across-files tombstones exercise manifest surgery,
+    // survivor adoption, and the meta heal; the post-delete quarter
+    // probe must stay a strict subset AND aggregate exactly like the
+    // oracle's whole-table filter minus the tombstones.
+    "q_zonemap_delete_date" -> ((s, d) => {
+      val dir = rtDir("zmdd", d)
+      graft.sources.Writers.writeWithZoneMapString(
+        orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day")),
+        dir, "day", 16)
+      val tomb = orders(s, d).filter(col("o_orderkey") % 97 === 3)
+        .select(col("o_orderkey"))
+      val nTomb = tomb.count()
+      val (deleted, _, _) = graft.sources.Writers
+        .deleteKeysZoneMappedString(s, dir, "o_orderkey", tomb, "day")
+      val s2 = s.newSession()
+      val deletedGone = deleted == nTomb &&
+        s2.read.parquet(dir).count() == orders(s2, d).count() - nTomb
+      val (lo, hi) = ("1996-01-01", "1996-03-31")
+      val (cand, read, total) =
+        graft.sources.Writers.readZonePrunedString(s2, dir, lo, hi)
+      require(read > 0 && read < total,
+        s"q_zonemap_delete_date: expected a strict non-empty file " +
+          s"subset, scan read $read of $total files")
+      cand.filter(col("day") >= lo && col("day") <= hi)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("day")).as("first_day"),
+          max(col("day")).as("last_day"),
+          sum(col("o_orderkey").cast("long")).as("keysum"))
+        .withColumn("skipped", lit(read > 0 && read < total))
+        .withColumn("deleted_gone", lit(deletedGone))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // DELETE composed with the Z-ORDERED two-column zone map: after a
+    // spray takedown ([[deleteKeysZoneMapped2]] — survivors re-Morton,
+    // four-bound manifest rows drop/adopt, meta heals), range probes
+    // on EITHER dimension must still each read a strict subset and
+    // aggregate exactly like the oracle's filtered whole table.
+    "q_zonemap_delete_zorder" -> ((s, d) => {
+      val dir = rtDir("zzdel", d)
+      val base = orders(s, d).select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.Writers.writeZOrderedWithZoneMap(
+        base, dir, "day", "price", 16)
+      val tomb = orders(s, d).filter(col("o_orderkey") % 97 === 3)
+        .select(col("o_orderkey"))
+      val nTomb = tomb.count()
+      val (deleted, _, _) = graft.sources.Writers
+        .deleteKeysZoneMapped2(s, dir, "o_orderkey", tomb, "day", "price")
+      val s2 = s.newSession()
+      val deletedGone = deleted == nTomb &&
+        s2.read.parquet(dir).count() == orders(s2, d).count() - nTomb
+      val inf = Double.MaxValue
+      val (dayDf, dayRead, total) = graft.sources.Writers
+        .readZonePruned2(s2, dir, 365.0, 546.0, -inf, inf)
+      val (priceDf, priceRead, _) = graft.sources.Writers
+        .readZonePruned2(s2, dir, -inf, inf, 100000.0, 150000.0)
+      require(dayRead > 0 && dayRead < total &&
+        priceRead > 0 && priceRead < total,
+        s"q_zonemap_delete_zorder: expected strict subsets, read " +
+          s"day=$dayRead price=$priceRead of $total files")
+      val aDay = dayDf
+        .filter(col("day").between(lit(365), lit(546)))
+        .agg(count(lit(1)).as("n_date"),
+          sum(col("o_orderkey")).as("keysum_date"))
+      val aPrice = priceDf
+        .filter(col("price").between(lit(100000), lit(150000)))
+        .agg(count(lit(1)).as("n_price"),
+          sum(col("price")).cast("double").as("revenue_price"))
+      aDay.crossJoin(aPrice)
+        .withColumn("skipped_date", lit(dayRead > 0 && dayRead < total))
+        .withColumn("skipped_price",
+          lit(priceRead > 0 && priceRead < total))
+        .withColumn("deleted_gone", lit(deletedGone))
+    }),
+
+    // EXACTLY-ONCE streaming ingestion into the DATE/string zone map —
+    // q_stream_zonemap_ingest's lexicographic twin through
+    // [[zoneMapIngestCommitString]]: two dated drops as micro-batches,
+    // a restart that must not re-commit, and a fresh-session quarter
+    // probe that equals q_zonemap_date's whole-table answer with the
+    // skip boolean strict.
+    "q_stream_zonemap_ingest_date" -> ((s, d) => {
+      val dir = rtDir("zmsd", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      val drop = java.nio.file.Files.createTempDirectory("graft_zmsd_")
+      try {
+        val t0 = System.currentTimeMillis()
+        stageStreamFile(o.filter(col("o_orderkey") % 2 === 0), drop,
+          "0_orders.parquet", t0 - 60000)
+        stageStreamFile(o.filter(col("o_orderkey") % 2 === 1), drop,
+          "1_orders.parquet", t0 - 30000)
+        val schema = s.read.parquet(s"$drop/0_orders.parquet").schema
+        val table = s"$dir/t"
+        def drainOnce(): Unit = {
+          val raw = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(drop.toString)
+          graft.streaming.Streams.runWithBatchCommit(raw, s"$dir/ckpt") {
+            (b, bid) =>
+              graft.sources.Writers.zoneMapIngestCommitString(
+                b, table, "day", 8, bid)
+              ()
+          }.awaitTermination()
+        }
+        drainOnce()
+        drainOnce()
+        val s2 = s.newSession()
+        val ingestedOnce = s2.read.parquet(table).count() == o.count()
+        val (lo, hi) = ("1996-01-01", "1996-03-31")
+        val (cand, read, total) =
+          graft.sources.Writers.readZonePrunedString(s2, table, lo, hi)
+        require(read > 0 && read < total,
+          s"q_stream_zonemap_ingest_date: expected a strict non-empty " +
+            s"file subset, scan read $read of $total files")
+        cand.filter(col("day") >= lo && col("day") <= hi)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), min(col("day")).as("first_day"),
+            max(col("day")).as("last_day"),
+            sum(col("o_orderkey").cast("long")).as("keysum"))
+          .withColumn("skipped", lit(read > 0 && read < total))
+          .withColumn("ingested_once", lit(ingestedOnce))
+          .orderBy(col("o_orderstatus"))
+      } finally deleteRecursive(drop)
+    }),
+
+    // EXACTLY-ONCE streaming ingestion into the Z-ORDERED table
+    // ([[zoneMapIngestCommit2]]): each micro-batch stages in its own
+    // Morton layout, the four-bound manifest absorbs it
+    // incrementally, and after a no-op restart BOTH single-dimension
+    // probes prune strictly and aggregate exactly.
+    "q_stream_zonemap_ingest_zorder" -> ((s, d) => {
+      val dir = rtDir("zzsi", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val drop = java.nio.file.Files.createTempDirectory("graft_zzsi_")
+      try {
+        val t0 = System.currentTimeMillis()
+        stageStreamFile(o.filter(col("o_orderkey") % 2 === 0), drop,
+          "0_orders.parquet", t0 - 60000)
+        stageStreamFile(o.filter(col("o_orderkey") % 2 === 1), drop,
+          "1_orders.parquet", t0 - 30000)
+        val schema = s.read.parquet(s"$drop/0_orders.parquet").schema
+        val table = s"$dir/t"
+        def drainOnce(): Unit = {
+          val raw = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(drop.toString)
+          graft.streaming.Streams.runWithBatchCommit(raw, s"$dir/ckpt") {
+            (b, bid) =>
+              graft.sources.Writers.zoneMapIngestCommit2(
+                b, table, "day", "price", 8, bid)
+              ()
+          }.awaitTermination()
+        }
+        drainOnce()
+        drainOnce()
+        val s2 = s.newSession()
+        val ingestedOnce = s2.read.parquet(table).count() == o.count()
+        val inf = Double.MaxValue
+        val (dayDf, dayRead, total) = graft.sources.Writers
+          .readZonePruned2(s2, table, 365.0, 546.0, -inf, inf)
+        val (priceDf, priceRead, _) = graft.sources.Writers
+          .readZonePruned2(s2, table, -inf, inf, 100000.0, 150000.0)
+        require(dayRead > 0 && dayRead < total &&
+          priceRead > 0 && priceRead < total,
+          s"q_stream_zonemap_ingest_zorder: expected strict subsets, " +
+            s"read day=$dayRead price=$priceRead of $total files")
+        val aDay = dayDf
+          .filter(col("day").between(lit(365), lit(546)))
+          .agg(count(lit(1)).as("n_date"),
+            sum(col("o_orderkey")).as("keysum_date"))
+        val aPrice = priceDf
+          .filter(col("price").between(lit(100000), lit(150000)))
+          .agg(count(lit(1)).as("n_price"),
+            sum(col("price")).cast("double").as("revenue_price"))
+        aDay.crossJoin(aPrice)
+          .withColumn("skipped_date", lit(dayRead > 0 && dayRead < total))
+          .withColumn("skipped_price",
+            lit(priceRead > 0 && priceRead < total))
+          .withColumn("ingested_once", lit(ingestedOnce))
+      } finally deleteRecursive(drop)
+    }),
+
     // ORC sink -> source roundtrip: same contract as q_csv_roundtrip
     // but through the TYPED columnar format (decimals and strings
     // survive as their own types, no stringly CSV escape hatch) — the
@@ -4219,6 +4411,68 @@ object Relational {
         |  TRUE AS skipped
         |FROM o WHERE day >= '1996-01-01' AND day <= '1996-03-31'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_zonemap_delete_date" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders
+        |    WHERE o_orderkey % 97 <> 3)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  min(day) AS first_day, max(day) AS last_day,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS keysum,
+        |  TRUE AS skipped, TRUE AS deleted_gone
+        |FROM o WHERE day >= '1996-01-01' AND day <= '1996-03-31'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_zonemap_delete_zorder" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 3)
+        |SELECT
+        |  CAST(sum(CASE WHEN date_diff('day', DATE '1995-01-01',
+        |      o_orderdate) BETWEEN 365 AND 546 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_date,
+        |  CAST(sum(CASE WHEN date_diff('day', DATE '1995-01-01',
+        |      o_orderdate) BETWEEN 365 AND 546 THEN o_orderkey END)
+        |    AS BIGINT) AS keysum_date,
+        |  CAST(sum(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      BETWEEN 100000 AND 150000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_price,
+        |  CAST(sum(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      BETWEEN 100000 AND 150000
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |    AS DOUBLE) AS revenue_price,
+        |  TRUE AS skipped_date,
+        |  TRUE AS skipped_price,
+        |  TRUE AS deleted_gone
+        |FROM o""".stripMargin,
+
+    "q_stream_zonemap_ingest_date" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  min(day) AS first_day, max(day) AS last_day,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS keysum,
+        |  TRUE AS skipped, TRUE AS ingested_once
+        |FROM o WHERE day >= '1996-01-01' AND day <= '1996-03-31'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_stream_zonemap_ingest_zorder" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN date_diff('day', DATE '1995-01-01',
+        |      o_orderdate) BETWEEN 365 AND 546 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_date,
+        |  CAST(sum(CASE WHEN date_diff('day', DATE '1995-01-01',
+        |      o_orderdate) BETWEEN 365 AND 546 THEN o_orderkey END)
+        |    AS BIGINT) AS keysum_date,
+        |  CAST(sum(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      BETWEEN 100000 AND 150000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_price,
+        |  CAST(sum(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      BETWEEN 100000 AND 150000
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |    AS DOUBLE) AS revenue_price,
+        |  TRUE AS skipped_date,
+        |  TRUE AS skipped_price,
+        |  TRUE AS ingested_once
+        |FROM orders""".stripMargin,
 
     "q_zonemap_append" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -73,7 +73,17 @@ object Writers {
     * format ships (Delta OPTIMIZE ZORDER BY, Iceberg sort orders).
     */
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
-      nFiles: Int): Unit = {
+      nFiles: Int): Unit =
+    zOrderLayout(df, c1, c2, nFiles).write.mode("overwrite").parquet(path)
+
+  /** The Morton layout WITHOUT the write — `df` range-partitioned and
+    * sorted on the interleaved code of (c1, c2), scaled against the
+    * input's own min/max. Exposed separately so the COW delete's
+    * survivor rewrite and the streaming ingest's stage write lay rows
+    * out exactly like the original [[writeZOrdered]] did.
+    */
+  private def zOrderLayout(df: DataFrame, c1: String, c2: String,
+      nFiles: Int): DataFrame = {
     val mm = df.agg(
       min(col(c1)).cast("double").as("mn1"),
       max(col(c1)).cast("double").as("mx1"),
@@ -93,7 +103,6 @@ object Writers {
     z.repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Rewrite an existing parquet directory into ~`targetRowsPerFile`
@@ -333,7 +342,45 @@ object Writers {
     * a Structured Streaming pipeline.
     */
   def zoneMapIngestCommit(df: DataFrame, path: String, zcol: String,
-      nFiles: Int, batchId: Long): Boolean = {
+      nFiles: Int, batchId: Long): Boolean =
+    ingestCommitCore(df, path, batchId,
+      b => b.repartitionByRange(nFiles, col(zcol))
+        .sortWithinPartitions(col(zcol)),
+      (s, metaExists) =>
+        if (!metaExists) buildZoneMap(s, path, zcol)
+        else refreshZoneMap(s, path, zcol))
+
+  /** [[zoneMapIngestCommit]] for the STRING/date zone map — same
+    * exactly-once protocol, batches range-sorted lexicographically and
+    * the manifest derived by the string build/refresh pair.
+    */
+  def zoneMapIngestCommitString(df: DataFrame, path: String,
+      zcol: String, nFiles: Int, batchId: Long): Boolean =
+    ingestCommitCore(df, path, batchId,
+      b => b.repartitionByRange(nFiles, col(zcol))
+        .sortWithinPartitions(col(zcol)),
+      (s, metaExists) =>
+        if (!metaExists) buildZoneMapString(s, path, zcol)
+        else refreshZoneMapString(s, path, zcol))
+
+  /** [[zoneMapIngestCommit]] for the TWO-COLUMN (Morton) zone map:
+    * batches stage in their own Z-order layout (tight bounds in both
+    * dimensions per staged file — the batch's grid, not the table's,
+    * which only shifts where file boundaries fall, never what bounds
+    * the manifest records) and the manifest derives from the files on
+    * disk by the 2-col build/refresh pair.
+    */
+  def zoneMapIngestCommit2(df: DataFrame, path: String, c1: String,
+      c2: String, nFiles: Int, batchId: Long): Boolean =
+    ingestCommitCore(df, path, batchId,
+      b => zOrderLayout(b, c1, c2, nFiles),
+      (s, metaExists) =>
+        if (!metaExists) buildZoneMap2(s, path, c1, c2)
+        else refreshZoneMap2(s, path, c1, c2))
+
+  private def ingestCommitCore(df: DataFrame, path: String,
+      batchId: Long, stageLayout: DataFrame => DataFrame,
+      derive: (SparkSession, Boolean) => Unit): Boolean = {
     import org.apache.hadoop.fs.Path
     val s = df.sparkSession
     val root = new Path(path)
@@ -355,9 +402,7 @@ object Writers {
       return true
     }
     if (!fs.exists(movelist)) {
-      df.repartitionByRange(nFiles, col(zcol))
-        .sortWithinPartitions(col(zcol))
-        .write.mode("overwrite").parquet(stage.toString)
+      stageLayout(df).write.mode("overwrite").parquet(stage.toString)
       val parts = fs.listStatus(stage).map(_.getPath.getName)
         .filter(_.startsWith("part-")).sorted
       val tmp = new Path(s"$path/_commits/b$batchId.files.tmp")
@@ -384,9 +429,7 @@ object Writers {
         s"ingest commit b$batchId lost staged file $name")
     }
     fs.delete(stage, true)
-    if (!fs.exists(new Path(s"$path/_zonemap_meta")))
-      buildZoneMap(s, path, zcol)
-    else refreshZoneMap(s, path, zcol)
+    derive(s, fs.exists(new Path(s"$path/_zonemap_meta")))
     fs.create(ledger, true).close()
     true
   }
@@ -700,29 +743,183 @@ object Writers {
   def writeZOrderedWithZoneMap(df: DataFrame, path: String, c1: String,
       c2: String, nFiles: Int): Unit = {
     writeZOrdered(df, path, c1, c2, nFiles)
-    val s = df.sparkSession
-    val stats = s.read.parquet(path)
-      .select(input_file_name().as("file"),
+    buildZoneMap2(df.sparkSession, path, c1, c2)
+  }
+
+  /** [[fileStats]] with bounds in BOTH mapped columns — same listing
+    * left-join and zero-row sentinel discipline (all four bounds
+    * sentinel, so no finite 2-D probe box selects an empty file).
+    */
+  private def fileStats2(s: SparkSession, path: String,
+      paths: Seq[String], c1: String, c2: String): DataFrame = {
+    import s.implicits._
+    val src = if (paths.isEmpty) s.read.parquet(path)
+      else s.read.parquet(paths: _*)
+    val listed = (if (paths.isEmpty) src.inputFiles.toIndexedSeq
+      else paths.toIndexedSeq).toDF("file")
+      .select(col("file"), substring_index(col("file"), "/", -1).as("_n"))
+    val scanned = src.select(input_file_name().as("f"),
         col(c1).cast("double").as("z1"), col(c2).cast("double").as("z2"))
-      .groupBy(col("file"))
-      .agg(min(col("z1")).as("z1_min"), max(col("z1")).as("z1_max"),
-        min(col("z2")).as("z2_min"), max(col("z2")).as("z2_max"),
-        count(lit(1)).as("n_rows"))
-      .localCheckpoint()
-    val Array(mn, mx) = stats
+      .groupBy(col("f"))
+      .agg(min(col("z1")).as("_a"), max(col("z1")).as("_b"),
+        min(col("z2")).as("_c"), max(col("z2")).as("_d"),
+        count(lit(1)).as("_nr"))
+      .select(substring_index(col("f"), "/", -1).as("_n"),
+        col("_a"), col("_b"), col("_c"), col("_d"), col("_nr"))
+    listed.join(scanned, Seq("_n"), "left")
+      .select(col("file"),
+        coalesce(col("_a"), lit(Double.MaxValue)).as("z1_min"),
+        coalesce(col("_b"), lit(-Double.MaxValue)).as("z1_max"),
+        coalesce(col("_c"), lit(Double.MaxValue)).as("z2_min"),
+        coalesce(col("_d"), lit(-Double.MaxValue)).as("z2_max"),
+        coalesce(col("_nr"), lit(0L)).as("n_rows"))
+  }
+
+  /** Build the TWO-COLUMN manifest + meta from the table's current
+    * files — [[buildZoneMap]] over the Morton layout: per-file bounds
+    * in both dimensions, buckets on the c1 grid (the same fixed-origin
+    * rule), sentinel grid z_w = 0 when every file is empty.
+    */
+  def buildZoneMap2(s: SparkSession, path: String, c1: String,
+      c2: String): Unit = {
+    val stats = fileStats2(s, path, Nil, c1, c2).localCheckpoint()
+    val finite = stats.filter(col("n_rows") > 0)
       .agg(min(col("z1_min")), max(col("z1_max"))).head()
-      .toSeq.map(_.asInstanceOf[Double]).toArray
-    val zW = if (mx > mn) (mx - mn) / ZoneBuckets else 1.0
-    stats.withColumn("zb", zbOf(col("z1_min"), mn, zW))
-      .write.partitionBy("zb").mode("overwrite")
+    val (mn, zW) =
+      if (finite.isNullAt(0)) (0.0, 0.0)
+      else {
+        val (a, b) = (finite.getDouble(0), finite.getDouble(1))
+        (a, if (b > a) (b - a) / ZoneBuckets else 1.0)
+      }
+    val withZb = stats.withColumn("zb",
+        when(col("n_rows") > 0,
+          zbOf(col("z1_min"), mn, math.max(zW, 1.0e-12)))
+          .otherwise(lit(Int.MaxValue)))
+      .localCheckpoint()
+    withZb.write.partitionBy("zb").mode("overwrite")
       .parquet(s"$path/_zonemap")
-    val meta = s.read.parquet(s"$path/_zonemap")
-      .groupBy(col("zb"))
+    val meta = withZb.groupBy(col("zb"))
       .agg(min(col("z1_min")).as("b1_min"), max(col("z1_max")).as("b1_max"),
         min(col("z2_min")).as("b2_min"), max(col("z2_max")).as("b2_max"),
         count(lit(1)).as("n_files"))
       .withColumn("z_lo", lit(mn)).withColumn("z_w", lit(zW))
     publishSwapped(meta, s"$path/_zonemap_meta")
+  }
+
+  /** Diff-driven incremental maintenance of the two-column manifest —
+    * [[refreshZoneMap]]'s shape with four bounds per file: batch stats
+    * append to their c1-grid shards, the meta merges driver-side when
+    * in sync, rebuilds from the manifest when stale or the grid is the
+    * sentinel.
+    */
+  def refreshZoneMap2(s: SparkSession, path: String, c1: String,
+      c2: String): Unit = {
+    val metaRows = readMeta(s, path)
+      .select(col("zb"), col("b1_min"), col("b1_max"), col("b2_min"),
+        col("b2_max"), col("n_files"), col("z_lo"), col("z_w")).collect()
+    if (metaRows.isEmpty || metaRows.head.getDouble(7) == 0.0) {
+      buildZoneMap2(s, path, c1, c2)
+      return
+    }
+    val (zLo, zW) = (metaRows.head.getDouble(6), metaRows.head.getDouble(7))
+    import s.implicits._
+    val manifest = s.read.parquet(s"$path/_zonemap")
+    val onDisk = s.read.parquet(path).inputFiles.toIndexedSeq.toDF("p")
+      .select(col("p"), substring_index(col("p"), "/", -1).as("name"))
+    val knownNames = manifest
+      .select(substring_index(col("file"), "/", -1).as("name"))
+    val newPaths = onDisk.join(knownNames, Seq("name"), "left_anti")
+      .select(col("p")).collect().map(_.getString(0)).toIndexedSeq
+    if (newPaths.nonEmpty) {
+      val manifestCountPre = manifest.count()
+      val batchStats = fileStats2(s, path, newPaths, c1, c2)
+        .withColumn("zb",
+          when(col("n_rows") > 0, zbOf(col("z1_min"), zLo, zW))
+            .otherwise(lit(Int.MaxValue)))
+        .localCheckpoint()
+      batchStats.write.partitionBy("zb").mode("append")
+        .parquet(s"$path/_zonemap")
+      val metaTotal = metaRows.map(_.getLong(5)).sum
+      if (metaTotal == manifestCountPre) {
+        type B = (Double, Double, Double, Double, Long)
+        val batchMeta = batchStats.groupBy(col("zb"))
+          .agg(min(col("z1_min")).as("a"), max(col("z1_max")).as("b"),
+            min(col("z2_min")).as("c"), max(col("z2_max")).as("e"),
+            count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> (r.getDouble(1),
+            r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+          .toMap
+        val old = metaRows.map(r => r.getInt(0) -> (r.getDouble(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+          .toMap
+        def merge(o: Option[B], b: Option[B]): B = (o, b) match {
+          case (Some((a1, b1, c1m, d1, n1)), Some((a2, b2, c2m, d2, n2))) =>
+            (math.min(a1, a2), math.max(b1, b2), math.min(c1m, c2m),
+              math.max(d1, d2), n1 + n2)
+          case (Some(x), None) => x
+          case (None, Some(x)) => x
+          case _ => sys.error("unreachable: zb in neither side")
+        }
+        val merged = (old.keySet ++ batchMeta.keySet).toIndexedSeq.sorted
+          .map { zb =>
+            val (a, b, c, e, n) = merge(old.get(zb), batchMeta.get(zb))
+            (zb, a, b, c, e, n, zLo, zW)
+          }
+        publishSwapped(
+          merged.toDF("zb", "b1_min", "b1_max", "b2_min", "b2_max",
+            "n_files", "z_lo", "z_w"),
+          s"$path/_zonemap_meta")
+      } else refreshMeta2(s, path, zLo, zW)
+    }
+  }
+
+  /** Republish the 2-col meta from the manifest (the stale-base heal). */
+  private def refreshMeta2(s: SparkSession, path: String, zLo: Double,
+      zW: Double): Unit = {
+    val meta = s.read.parquet(s"$path/_zonemap")
+      .groupBy(col("zb"))
+      .agg(min(col("z1_min")).as("b1_min"), max(col("z1_max")).as("b1_max"),
+        min(col("z2_min")).as("b2_min"), max(col("z2_max")).as("b2_max"),
+        count(lit(1)).as("n_files"))
+      .withColumn("z_lo", lit(zLo)).withColumn("z_w", lit(zW))
+    publishSwapped(meta, s"$path/_zonemap_meta")
+  }
+
+  /** [[deleteKeysZoneMapped]] for the Z-ORDERED two-column table: the
+    * COW delete re-Mortons the touched files' survivors (their own
+    * grid — bounds stay tight in both dimensions whatever the scaling
+    * origin), the touched manifest rows drop, the rewritten files are
+    * adopted with four-bound stats, and the meta heals. Skipping on
+    * EITHER column stays sound through the takedown.
+    */
+  def deleteKeysZoneMapped2(spark: SparkSession, path: String,
+      keyCol: String, keys: DataFrame, c1: String, c2: String)
+      : (Long, Seq[String], Int) = {
+    val res @ (deleted, touched, _) = deleteKeys(spark, path, keyCol,
+      keys, (df, n) => zOrderLayout(df, c1, c2, n))
+    if (deleted > 0 && touched.nonEmpty) {
+      val grid = readMeta(spark, path)
+        .select(col("z_lo"), col("z_w")).head()
+      val touchedSet = touched.toSet
+      val kept = spark.read.parquet(s"$path/_zonemap")
+        .withColumn("_name", substring_index(col("file"), "/", -1))
+        .filter(!col("_name").isInCollection(touchedSet))
+        .drop("_name")
+        .localCheckpoint()
+      if (kept.isEmpty) {
+        val fs = hadoopPath(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(hadoopPath(s"$path/_zonemap"), true)
+        fs.delete(hadoopPath(s"$path/_zonemap_meta"), true)
+        buildZoneMap2(spark, path, c1, c2)
+      } else {
+        kept.write.partitionBy("zb").mode("overwrite")
+          .parquet(s"$path/_zonemap")
+        refreshZoneMap2(spark, path, c1, c2)
+        refreshMeta2(spark, path, grid.getDouble(0), grid.getDouble(1))
+      }
+    }
+    res
   }
 
   // ---- TYPED zone maps (string / date bounds) --------------------------
@@ -747,6 +944,144 @@ object Writers {
   private def zbOfString(zmin: Column, pLen: Int): Column =
     concat(lit("b"), substring(rpad(zmin, pLen + 2, "~"), pLen + 1, 2))
 
+  // string sentinels for ZERO-ROW files (the [[fileStats]] rule in
+  // lexicographic space): z_min above any real key, z_max below — no
+  // finite probe range selects the file, but it stays listed so the
+  // reconcile path never mistakes it for a crash orphan. U+FFFF is a
+  // noncharacter that sorts above all BMP text in UTF-8 binary order.
+  private val StrSentinelLo = "￿"
+  private val StrSentinelHi = ""
+  private val StrSentinelBucket = "b!empty"
+
+  /** [[fileStats]] with STRING bounds — lexicographic min/max, same
+    * listing left-join and zero-row sentinel discipline.
+    */
+  private def fileStatsString(s: SparkSession, path: String,
+      paths: Seq[String], zcol: String): DataFrame = {
+    import s.implicits._
+    val src = if (paths.isEmpty) s.read.parquet(path)
+      else s.read.parquet(paths: _*)
+    val listed = (if (paths.isEmpty) src.inputFiles.toIndexedSeq
+      else paths.toIndexedSeq).toDF("file")
+      .select(col("file"), substring_index(col("file"), "/", -1).as("_n"))
+    val scanned = src.select(input_file_name().as("f"),
+        col(zcol).cast("string").as("z"))
+      .groupBy(col("f"))
+      .agg(min(col("z")).as("_zmn"), max(col("z")).as("_zmx"),
+        count(lit(1)).as("_nr"))
+      .select(substring_index(col("f"), "/", -1).as("_n"),
+        col("_zmn"), col("_zmx"), col("_nr"))
+    listed.join(scanned, Seq("_n"), "left")
+      .select(col("file"),
+        coalesce(col("_zmn"), lit(StrSentinelLo)).as("z_min"),
+        coalesce(col("_zmx"), lit(StrSentinelHi)).as("z_max"),
+        coalesce(col("_nr"), lit(0L)).as("n_rows"))
+  }
+
+  /** Build the STRING manifest + meta from the table's current files —
+    * [[buildZoneMap]] with lexicographic bounds. The bucket grid is the
+    * creation-time common prefix (p_len); an all-empty table records
+    * the SENTINEL grid p_len = -1 ("no real grid yet"), which
+    * [[refreshZoneMapString]] turns into a from-scratch rebuild when
+    * data arrives.
+    */
+  def buildZoneMapString(s: SparkSession, path: String,
+      zcol: String): Unit = {
+    val stats = fileStatsString(s, path, Nil, zcol).localCheckpoint()
+    val finite = stats.filter(col("n_rows") > 0)
+      .agg(min(col("z_min")), max(col("z_max"))).head()
+    val pLen =
+      if (finite.isNullAt(0)) -1
+      else {
+        val (mn, mx) = (finite.getString(0), finite.getString(1))
+        mn.zip(mx).takeWhile { case (a, b) => a == b }.length
+      }
+    val withZb = stats.withColumn("zb",
+        when(col("n_rows") > 0, zbOfString(col("z_min"), math.max(pLen, 0)))
+          .otherwise(lit(StrSentinelBucket)))
+      .localCheckpoint()
+    withZb.write.partitionBy("zb").mode("overwrite")
+      .parquet(s"$path/_zonemap")
+    val meta = withZb.groupBy(col("zb"))
+      .agg(min(col("z_min")).as("bz_min"), max(col("z_max")).as("bz_max"),
+        count(lit(1)).as("n_files"))
+      .withColumn("p_len", lit(pLen))
+    publishSwapped(meta, s"$path/_zonemap_meta")
+  }
+
+  /** Diff-driven incremental maintenance of the STRING manifest —
+    * [[refreshZoneMap]] with lexicographic bounds: new files' stats
+    * append to their prefix-bucket shards, the meta summary merges
+    * driver-side (least/greatest strings, counts add) when in sync,
+    * rebuilds from the manifest when stale, and a sentinel grid
+    * triggers the from-scratch rebuild.
+    */
+  def refreshZoneMapString(s: SparkSession, path: String,
+      zcol: String): Unit = {
+    val metaRows = readMeta(s, path)
+      .select(col("zb"), col("bz_min"), col("bz_max"), col("n_files"),
+        col("p_len")).collect()
+    if (metaRows.isEmpty || metaRows.head.getInt(4) < 0) {
+      buildZoneMapString(s, path, zcol)
+      return
+    }
+    val pLen = metaRows.head.getInt(4)
+    import s.implicits._
+    val manifest = s.read.parquet(s"$path/_zonemap")
+    val onDisk = s.read.parquet(path).inputFiles.toIndexedSeq.toDF("p")
+      .select(col("p"), substring_index(col("p"), "/", -1).as("name"))
+    val knownNames = manifest
+      .select(substring_index(col("file"), "/", -1).as("name"))
+    val newPaths = onDisk.join(knownNames, Seq("name"), "left_anti")
+      .select(col("p")).collect().map(_.getString(0)).toIndexedSeq
+    if (newPaths.nonEmpty) {
+      val manifestCountPre = manifest.count()
+      val batchStats = fileStatsString(s, path, newPaths, zcol)
+        .withColumn("zb",
+          when(col("n_rows") > 0, zbOfString(col("z_min"), pLen))
+            .otherwise(lit(StrSentinelBucket)))
+        .localCheckpoint()
+      batchStats.write.partitionBy("zb").mode("append")
+        .parquet(s"$path/_zonemap")
+      val metaTotal = metaRows.map(_.getLong(3)).sum
+      if (metaTotal == manifestCountPre) {
+        val batchMeta = batchStats.groupBy(col("zb"))
+          .agg(min(col("z_min")).as("nb_min"),
+            max(col("z_max")).as("nb_max"),
+            count(lit(1)).as("nb_files"))
+          .collect().map(r => r.getString(0) -> (r.getString(1),
+            r.getString(2), r.getLong(3))).toMap
+        val old = metaRows.map(r => r.getString(0) ->
+          (r.getString(1), r.getString(2), r.getLong(3))).toMap
+        val merged = (old.keySet ++ batchMeta.keySet).toIndexedSeq.sorted
+          .map { zb =>
+            (old.get(zb), batchMeta.get(zb)) match {
+              case (Some((omn, omx, on)), Some((bmn, bmx, bn))) =>
+                (zb, if (omn <= bmn) omn else bmn,
+                  if (omx >= bmx) omx else bmx, on + bn, pLen)
+              case (Some((omn, omx, on)), None) => (zb, omn, omx, on, pLen)
+              case (None, Some((bmn, bmx, bn))) => (zb, bmn, bmx, bn, pLen)
+              case _ => sys.error("unreachable: zb in neither side")
+            }
+          }
+        publishSwapped(
+          merged.toDF("zb", "bz_min", "bz_max", "n_files", "p_len"),
+          s"$path/_zonemap_meta")
+      } else refreshMetaString(s, path, pLen)
+    }
+  }
+
+  /** Republish the string meta from the manifest (the stale-base heal). */
+  private def refreshMetaString(s: SparkSession, path: String,
+      pLen: Int): Unit = {
+    val meta = s.read.parquet(s"$path/_zonemap")
+      .groupBy(col("zb"))
+      .agg(min(col("z_min")).as("bz_min"), max(col("z_max")).as("bz_max"),
+        count(lit(1)).as("n_files"))
+      .withColumn("p_len", lit(pLen))
+    publishSwapped(meta, s"$path/_zonemap_meta")
+  }
+
   /** Write `df` range-sorted by STRING column `zcol` into `nFiles`
     * files with a string-bounds zone-map manifest — [[writeWithZoneMap]]
     * for keys whose order is lexicographic, not numeric.
@@ -756,26 +1091,54 @@ object Writers {
     df.repartitionByRange(nFiles, col(zcol))
       .sortWithinPartitions(col(zcol))
       .write.mode("overwrite").parquet(path)
-    val s = df.sparkSession
-    val stats = s.read.parquet(path)
-      .select(input_file_name().as("file"), col(zcol).cast("string").as("z"))
-      .groupBy(col("file"))
-      .agg(min(col("z")).as("z_min"), max(col("z")).as("z_max"),
-        count(lit(1)).as("n_rows"))
-      .localCheckpoint()
-    val Array(mn, mx) = stats
-      .agg(min(col("z_min")), max(col("z_max"))).head()
-      .toSeq.map(_.asInstanceOf[String]).toArray
-    val pLen = mn.zip(mx).takeWhile { case (a, b) => a == b }.length
-    stats.withColumn("zb", zbOfString(col("z_min"), pLen))
-      .write.partitionBy("zb").mode("overwrite")
-      .parquet(s"$path/_zonemap")
-    val meta = s.read.parquet(s"$path/_zonemap")
-      .groupBy(col("zb"))
-      .agg(min(col("z_min")).as("bz_min"), max(col("z_max")).as("bz_max"),
-        count(lit(1)).as("n_files"))
-      .withColumn("p_len", lit(pLen))
-    publishSwapped(meta, s"$path/_zonemap_meta")
+    buildZoneMapString(df.sparkSession, path, zcol)
+  }
+
+  /** APPEND a batch to a string-zone-mapped table with incremental
+    * manifest maintenance — [[appendWithZoneMap]]'s lexicographic twin.
+    */
+  def appendWithZoneMapString(df: DataFrame, path: String, zcol: String,
+      nFiles: Int): Unit = {
+    df.repartitionByRange(nFiles, col(zcol))
+      .sortWithinPartitions(col(zcol))
+      .write.mode("append").parquet(path)
+    refreshZoneMapString(df.sparkSession, path, zcol)
+  }
+
+  /** [[deleteKeysZoneMapped]] for the STRING/date zone map: the same
+    * touched-files-only COW delete + manifest surgery + diff-driven
+    * survivor adoption + meta heal, with lexicographic bounds. A
+    * takedown against a date-partitioned table is the first delete a
+    * production user runs — this is that path.
+    */
+  def deleteKeysZoneMappedString(spark: SparkSession, path: String,
+      keyCol: String, keys: DataFrame, zcol: String)
+      : (Long, Seq[String], Int) = {
+    val res @ (deleted, touched, _) = deleteKeys(spark, path, keyCol,
+      keys, (df, n) => df.repartitionByRange(n, col(zcol))
+        .sortWithinPartitions(col(zcol)))
+    if (deleted > 0 && touched.nonEmpty) {
+      val pLen = readMeta(spark, path).select(col("p_len")).head.getInt(0)
+      val touchedSet = touched.toSet
+      val kept = spark.read.parquet(s"$path/_zonemap")
+        .withColumn("_name", substring_index(col("file"), "/", -1))
+        .filter(!col("_name").isInCollection(touchedSet))
+        .drop("_name")
+        .localCheckpoint()
+      if (kept.isEmpty) {
+        val fs = hadoopPath(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(hadoopPath(s"$path/_zonemap"), true)
+        fs.delete(hadoopPath(s"$path/_zonemap_meta"), true)
+        buildZoneMapString(spark, path, zcol)
+      } else {
+        kept.write.partitionBy("zb").mode("overwrite")
+          .parquet(s"$path/_zonemap")
+        refreshZoneMapString(spark, path, zcol)
+        refreshMetaString(spark, path, pLen)
+      }
+    }
+    res
   }
 
   /** String-ordered pruned read over a [[writeWithZoneMapString]] table

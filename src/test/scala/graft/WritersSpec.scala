@@ -422,6 +422,163 @@ class WritersSpec extends SparkSpec {
       s"published meta diverges from a manifest rebuild")
   }
 
+  test("deleteKeysZoneMappedString keeps lexicographic skipping sound " +
+      "through partial, all-touch, and takedown branches") {
+    import spark.implicits._
+    def manifestNames(t: String) = spark.read.parquet(s"$t/_zonemap")
+      .select(col("file")).collect()
+      .map(_.getString(0).split('/').last).toSet
+    def diskNames(t: String) = spark.read.parquet(t).inputFiles
+      .map(_.split('/').last).toSet
+    def metaInSync(t: String): Boolean = {
+      val metaN = spark.read.parquet(s"$t/_zonemap_meta")
+        .agg(sum(col("n_files"))).head.getLong(0)
+      metaN == spark.read.parquet(s"$t/_zonemap").count()
+    }
+    def probesSound(t: String): Unit =
+      for ((lo, hi) <- Seq(("k0000", "k0100"), ("k0250", "k0600"),
+          ("k0900", "k9999"), ("a", "zz"))) {
+        val (cand, _, _) = Writers.readZonePrunedString(spark, t, lo, hi)
+        assert(cand.filter(col("z").between(lo, hi)).count() ==
+          spark.read.parquet(t).filter(col("z").between(lo, hi)).count(),
+          s"unsound skip for [$lo,$hi]")
+      }
+    val t = Files.createTempDirectory("graft-zsdel").toString + "/t"
+    Writers.writeWithZoneMapString(
+      (0 until 1000).map(i => (i.toLong, f"k$i%04d")).toDF("id", "z"),
+      t, "z", 10)
+    // PARTIAL: a narrow id band lives in one lexicographic-range file
+    val (d1, touched1, before1) = Writers.deleteKeysZoneMappedString(
+      spark, t, "id", (100L until 120L).toDF("id"), "z")
+    assert(d1 == 20 && touched1.nonEmpty && touched1.length < before1)
+    assert(manifestNames(t) == diskNames(t))
+    assert(metaInSync(t))
+    probesSound(t)
+    assert(spark.read.parquet(t).count() == 980)
+    // ALL-TOUCH: every 10th id sprays across every file
+    val (d2, touched2, before2) = Writers.deleteKeysZoneMappedString(
+      spark, t, "id", (0L until 1000L by 10).toDF("id"), "z")
+    assert(touched2.length == before2 && d2 == 98)
+    assert(manifestNames(t) == diskNames(t))
+    assert(metaInSync(t))
+    probesSound(t)
+    // TAKEDOWN: everything goes; table reads empty, readers degrade
+    // soundly, and an append revives with a fresh prefix grid
+    val rest = spark.read.parquet(t).select(col("id")).as[Long].collect()
+    val (d3, _, _) = Writers.deleteKeysZoneMappedString(
+      spark, t, "id", rest.toIndexedSeq.toDF("id"), "z")
+    assert(d3 == 882 && spark.read.parquet(t).count() == 0)
+    val (c0, _, _) = Writers.readZonePrunedString(spark, t, "a", "zz")
+    assert(c0.count() == 0)
+    Writers.appendWithZoneMapString(
+      (2000 until 2100).map(i => (i.toLong, f"k$i%04d")).toDF("id", "z"),
+      t, "z", 2)
+    assert(spark.read.parquet(t).count() == 100)
+    val (c1, r1, _) = Writers.readZonePrunedString(spark, t,
+      "k2000", "k2049")
+    assert(r1 > 0 && c1.filter(col("z").between("k2000", "k2049"))
+      .count() == 50)
+    val (_, r2, _) = Writers.readZonePrunedString(spark, t, "k0", "k1999")
+    assert(r2 == 0, "revived grid should prune the dead range fully")
+  }
+
+  test("deleteKeysZoneMapped2 keeps 2-D skipping sound through the " +
+      "COW delete and a later append") {
+    import spark.implicits._
+    val inf = Double.MaxValue
+    def metaInSync(t: String): Boolean = {
+      val metaN = spark.read.parquet(s"$t/_zonemap_meta")
+        .agg(sum(col("n_files"))).head.getLong(0)
+      metaN == spark.read.parquet(s"$t/_zonemap").count()
+    }
+    def probesSound(t: String): Unit =
+      for ((l1, h1, l2, h2) <- Seq(
+          (10.0, 30.0, -inf, inf), (-inf, inf, 500.0, 800.0),
+          (0.0, 100.0, 0.0, 3000.0), (90.0, 95.0, 2700.0, 2850.0))) {
+        val (cand, _, _) =
+          Writers.readZonePruned2(spark, t, l1, h1, l2, h2)
+        val p = cand.filter(col("x").between(l1, h1) &&
+          col("y").between(l2, h2)).count()
+        val e = spark.read.parquet(t).filter(col("x").between(l1, h1) &&
+          col("y").between(l2, h2)).count()
+        assert(p == e, s"unsound 2-D skip for [$l1,$h1]x[$l2,$h2]")
+      }
+    // 2-D grid: x in [0,100), y = 30x-ish so both dims have real spread
+    val t = Files.createTempDirectory("graft-z2del").toString + "/t"
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, (i % 100).toDouble, ((i * 37) % 3000).toDouble)
+    }.toDF("id", "x", "y")
+    Writers.writeZOrderedWithZoneMap(rows, t, "x", "y", 16)
+    val (d1, touched1, before1) = Writers.deleteKeysZoneMapped2(
+      spark, t, "id", (0L until 2000L by 7).toDF("id"), "x", "y")
+    assert(d1 == 286 && touched1.nonEmpty)
+    assert(metaInSync(t))
+    probesSound(t)
+    assert(spark.read.parquet(t).count() == 1714)
+    // both-column pruning still bites after the delete
+    val (_, rX, totX) = Writers.readZonePruned2(spark, t,
+      10.0, 20.0, -inf, inf)
+    val (_, rY, _) = Writers.readZonePruned2(spark, t,
+      -inf, inf, 100.0, 400.0)
+    assert(rX > 0 && rX < totX, s"x-probe read $rX of $totX")
+    assert(rY > 0 && rY < totX, s"y-probe read $rY of $totX")
+    // an appended batch is adopted incrementally and stays prunable
+    val more = (5000 until 5200).map { i =>
+      (i.toLong, 200.0 + (i % 10), 5000.0 + (i % 50))
+    }.toDF("id", "x", "y")
+    Writers.writeZOrdered(more, s"$t/._stage_tmp", "x", "y", 2)
+    spark.read.parquet(s"$t/._stage_tmp").write.mode("append").parquet(t)
+    Writers.refreshZoneMap2(spark, t, "x", "y")
+    assert(metaInSync(t))
+    probesSound(t)
+    val (c2, r2, _) = Writers.readZonePruned2(spark, t,
+      200.0, 300.0, -inf, inf)
+    assert(r2 >= 1 && c2.count() == 200)
+  }
+
+  test("zoneMapIngestCommitString and zoneMapIngestCommit2 commit " +
+      "exactly once and keep pruning strict") {
+    import spark.implicits._
+    // STRING table: two batches + a replay + an empty batch
+    val ts = Files.createTempDirectory("graft-zmis").toString + "/t"
+    val b0 = (0 until 500).map(i => (i.toLong, f"n$i%04d")).toDF("id", "z")
+    val b1 = (500 until 800).map(i => (i.toLong, f"n$i%04d")).toDF("id", "z")
+    assert(Writers.zoneMapIngestCommitString(b0, ts, "z", 4, 0L))
+    assert(Writers.zoneMapIngestCommitString(b1, ts, "z", 4, 1L))
+    assert(!Writers.zoneMapIngestCommitString(b1, ts, "z", 4, 1L))
+    assert(Writers.zoneMapIngestCommitString(
+      b0.filter(col("id") < 0), ts, "z", 4, 2L))
+    assert(spark.read.parquet(ts).count() == 800)
+    val (cs, rs, tots) = Writers.readZonePrunedString(spark, ts,
+      "n0100", "n0199")
+    assert(rs > 0 && rs < tots)
+    assert(cs.filter(col("z").between("n0100", "n0199")).count() == 100)
+    // MORTON table: two batches + a replay; both dims prune after
+    val t2 = Files.createTempDirectory("graft-zmi2").toString + "/t"
+    val m0 = (0 until 1000).map(i =>
+      (i.toLong, (i % 50).toDouble, (i * 13 % 997).toDouble))
+      .toDF("id", "x", "y")
+    val m1 = (1000 until 1600).map(i =>
+      (i.toLong, (i % 50).toDouble, (i * 13 % 997).toDouble))
+      .toDF("id", "x", "y")
+    assert(Writers.zoneMapIngestCommit2(m0, t2, "x", "y", 8, 0L))
+    assert(Writers.zoneMapIngestCommit2(m1, t2, "x", "y", 8, 1L))
+    assert(!Writers.zoneMapIngestCommit2(m1, t2, "x", "y", 8, 1L))
+    assert(spark.read.parquet(t2).count() == 1600)
+    val inf = Double.MaxValue
+    val (cx, rx, totx) = Writers.readZonePruned2(spark, t2,
+      5.0, 10.0, -inf, inf)
+    assert(rx > 0 && rx < totx, s"x-probe read $rx of $totx")
+    assert(cx.filter(col("x").between(5.0, 10.0)).count() ==
+      spark.read.parquet(t2).filter(col("x").between(5.0, 10.0)).count())
+    val (cy, ry, _) = Writers.readZonePruned2(spark, t2,
+      -inf, inf, 100.0, 300.0)
+    assert(ry > 0 && ry < totx, s"y-probe read $ry of $totx")
+    assert(cy.filter(col("y").between(100.0, 300.0)).count() ==
+      spark.read.parquet(t2).filter(col("y").between(100.0, 300.0))
+        .count())
+  }
+
   test("full-table takedown leaves an empty, readable, zone-mapped " +
       "table that a later append revives") {
     import spark.implicits._
