@@ -2287,6 +2287,61 @@ object Relational {
       } finally deleteRecursive(drop)
     }),
 
+    // THE UNIFIED LAKEHOUSE TABLE — commit log AND file skipping in one
+    // format ([[sources.SnapshotTable]]: snapshot -> manifest-list with
+    // bound envelopes -> per-file-bounds manifests, the Iceberg pyramid
+    // in miniature): two append commits, a COW delete commit, then
+    // (a) a PRUNED read at the LATEST snapshot — tombstones gone,
+    //     skipping strict;
+    // (b) a PRUNED TIME-TRAVEL read at the pre-delete version — the
+    //     deleted rows readable bit for bit, pruning still strict
+    //     (bounds are immutable with the files they describe, so time
+    //     travel and skipping compose for free);
+    // (c) vacuum(keepLast=2) — the pre-delete version must SURVIVE
+    //     retention while v1's snapshot entry goes.
+    // The oracle recomputes both aggregates from the raw table, so an
+    // unsound skip, a leaked tombstone, or a vacuum that reclaimed a
+    // still-referenced file all fail the hash.
+    "q_snapshot_time_travel" -> ((s, d) => {
+      val dir = rtDir("snap", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), dir, "price", 8)
+      val vPre = graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), dir, "price", 8)
+      val tomb = o.filter(col("o_orderkey") % 97 === 3)
+        .select(col("o_orderkey"))
+      val nTomb = tomb.count()
+      val (deleted, _) = graft.sources.SnapshotTable.commitDelete(
+        s, dir, "o_orderkey", tomb, "price")
+      val (sDel, _) = graft.sources.SnapshotTable.vacuum(dir, keepLast = 2)
+      val s2 = s.newSession()
+      val deletedGone = deleted == nTomb &&
+        graft.sources.SnapshotTable.read(s2, dir).count() ==
+          o.count() - nTomb
+      val (lo, hi) = (100000.0, 150000.0)
+      val (candL, readL, totalL) = graft.sources.SnapshotTable
+        .readPruned(s2, dir, lo, hi)
+      val (candT, readT, totalT) = graft.sources.SnapshotTable
+        .readPruned(s2, dir, lo, hi, Some(vPre))
+      require(readL > 0 && readL < totalL && readT > 0 && readT < totalT,
+        s"q_snapshot_time_travel: expected strict subsets, read " +
+          s"latest=$readL/$totalL travel=$readT/$totalT")
+      val aL = candL.filter(col("price").between(lit(100000), lit(150000)))
+        .agg(count(lit(1)).as("n_latest"),
+          sum(col("price")).cast("double").as("revenue_latest"))
+      val aT = candT.filter(col("price").between(lit(100000), lit(150000)))
+        .agg(count(lit(1)).as("n_travel"),
+          sum(col("price")).cast("double").as("revenue_travel"))
+      aL.crossJoin(aT)
+        .withColumn("skipped_latest", lit(readL > 0 && readL < totalL))
+        .withColumn("skipped_travel", lit(readT > 0 && readT < totalT))
+        .withColumn("deleted_gone", lit(deletedGone))
+        .withColumn("travel_survived_vacuum", lit(sDel == 1))
+    }),
+
     // ORC sink -> source roundtrip: same contract as q_csv_roundtrip
     // but through the TYPED columnar format (decimals and strings
     // survive as their own types, no stringly CSV escape hatch) — the
@@ -4411,6 +4466,30 @@ object Relational {
         |  TRUE AS skipped
         |FROM o WHERE day >= '1996-01-01' AND day <= '1996-03-31'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_snapshot_time_travel" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN o_orderkey % 97 <> 3
+        |      AND CAST(o_totalprice AS DECIMAL(18,2))
+        |        BETWEEN 100000 AND 150000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_latest,
+        |  CAST(sum(CASE WHEN o_orderkey % 97 <> 3
+        |      AND CAST(o_totalprice AS DECIMAL(18,2))
+        |        BETWEEN 100000 AND 150000
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |    AS DOUBLE) AS revenue_latest,
+        |  CAST(sum(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      BETWEEN 100000 AND 150000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_travel,
+        |  CAST(sum(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      BETWEEN 100000 AND 150000
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |    AS DOUBLE) AS revenue_travel,
+        |  TRUE AS skipped_latest,
+        |  TRUE AS skipped_travel,
+        |  TRUE AS deleted_gone,
+        |  TRUE AS travel_survived_vacuum
+        |FROM orders""".stripMargin,
 
     "q_zonemap_delete_date" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus,

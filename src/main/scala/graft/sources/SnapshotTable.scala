@@ -1,0 +1,314 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SNAPSHOT TABLE — the unification of the repo's two half-lakehouses:
+  * [[TxJsonSink]] has the commit-log mechanism (immutable versioned
+  * manifests, atomic latest-pointer, time travel, vacuum) but a
+  * stats-free JSON payload; the [[Writers]] zone maps have file-bounds
+  * skipping but a single mutable manifest with no history. This layer
+  * is one table format with BOTH, the Iceberg/Delta shape in
+  * miniature, over plain parquet data files:
+  *
+  * {{{
+  *   path/
+  *     v3-p00000.parquet …      immutable data files, one prefix/commit
+  *     _log/
+  *       m-3.json               manifest: per-FILE zone bounds of one
+  *                              commit's files (batch-sized)
+  *       v1 v2 v3               snapshots: the MANIFEST LIST — one line
+  *                              per manifest with its bound ENVELOPE
+  *       LATEST                 atomic pointer to the current version
+  * }}}
+  *
+  * The three-level metadata tree is what makes planning scale: a probe
+  * reads the snapshot's manifest list (O(commits) lines), drops whole
+  * manifests whose envelope misses the range, parses only surviving
+  * manifests (each batch-sized), and opens only the files whose bounds
+  * intersect — the driver never materializes the full file list of a
+  * 100 TB table. This is exactly Iceberg's snapshot → manifest-list →
+  * manifest pyramid; the [[Writers]] zone map's bucket meta is the
+  * same idea with a hash grid instead of commit grouping.
+  *
+  * CRASH SAFETY: data files and manifests are written before the
+  * snapshot file, the snapshot before the pointer swing, and every
+  * metadata write is tmp + ATOMIC_MOVE — a crash anywhere leaves the
+  * previous snapshot fully intact (readers resolve through LATEST) and
+  * the orphaned files invisible; the next commit of that version
+  * sweeps them. Single-writer, single-filesystem by design — the same
+  * documented scope as [[TxJsonSink]] (an object-store port swaps
+  * java.nio for the FileSystem API; the protocol is unchanged).
+  *
+  * Deletion is COPY-ON-WRITE at the file level and O(metadata) at the
+  * manifest level: touched files' survivors rewrite as new files,
+  * touched MANIFESTS rewrite minus their dead rows, untouched
+  * manifests carry into the new snapshot BY REFERENCE. Old snapshots
+  * still list the replaced files, so every prior version stays
+  * readable bit for bit until [[vacuum]] reclaims it.
+  */
+object SnapshotTable {
+
+  case class FileStat(file: String, zMin: Double, zMax: Double, rows: Long)
+  case class ManifestRef(name: String, zMin: Double, zMax: Double,
+      files: Int, rows: Long)
+
+  // ---- driver-side metadata I/O (tmp + ATOMIC_MOVE everywhere) --------
+
+  private def logDir(path: String) = Paths.get(path, "_log")
+
+  private def writeAtomic(p: java.nio.file.Path, content: String): Unit = {
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Latest committed version, resolved through the atomic pointer —
+    * None before the first commit.
+    */
+  def latestVersion(path: String): Option[Int] = {
+    val p = logDir(path).resolve("LATEST")
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .trim.toInt)
+    else None
+  }
+
+  private val FileLine =
+    """\{"file":"([^"]+)","z_min":([^,]+),"z_max":([^,]+),"rows":(\d+)\}""".r
+  private val RefLine =
+    ("""\{"manifest":"([^"]+)","z_min":([^,]+),"z_max":([^,]+),""" +
+      """"files":(\d+),"rows":(\d+)\}""").r
+
+  private def manifestLines(stats: Seq[FileStat]): String =
+    stats.map(f =>
+      s"""{"file":"${f.file}","z_min":${f.zMin},"z_max":${f.zMax},""" +
+        s""""rows":${f.rows}}""").mkString("\n")
+
+  private def parseManifest(path: String, name: String): Seq[FileStat] =
+    Files.readAllLines(logDir(path).resolve(name), StandardCharsets.UTF_8)
+      .asScala.toIndexedSeq.collect {
+        case FileLine(f, mn, mx, n) =>
+          FileStat(f, mn.toDouble, mx.toDouble, n.toLong)
+      }
+
+  private def snapshotLines(refs: Seq[ManifestRef]): String =
+    refs.map(r =>
+      s"""{"manifest":"${r.name}","z_min":${r.zMin},"z_max":${r.zMax},""" +
+        s""""files":${r.files},"rows":${r.rows}}""").mkString("\n")
+
+  /** The manifest list of `version` (or latest). */
+  def snapshot(path: String, version: Option[Int] = None)
+      : Seq[ManifestRef] = {
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    val p = logDir(path).resolve(s"v$v")
+    require(Files.exists(p), s"snapshot v$v does not exist (vacuumed?)")
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toIndexedSeq
+      .collect {
+        case RefLine(m, mn, mx, nf, nr) =>
+          ManifestRef(m, mn.toDouble, mx.toDouble, nf.toInt, nr.toLong)
+      }
+  }
+
+  private def envelope(stats: Seq[FileStat], name: String): ManifestRef = {
+    // zero-row files carry the fileStats sentinels; the envelope over
+    // finite bounds only, falling back to the never-selected sentinel
+    // envelope when every file is empty
+    val finite = stats.filter(_.rows > 0)
+    if (finite.isEmpty)
+      ManifestRef(name, Double.MaxValue, -Double.MaxValue, stats.size, 0L)
+    else ManifestRef(name, finite.map(_.zMin).min, finite.map(_.zMax).max,
+      stats.size, stats.map(_.rows).sum)
+  }
+
+  /** Sweep data files and metadata of an uncommitted version `v` — the
+    * leftovers of an attempt that died before its pointer swing. They
+    * were never visible (readers resolve through LATEST), and the
+    * retrying commit must not interleave with them.
+    */
+  private def sweepUncommitted(path: String, v: Int): Unit = {
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith(s"v$v-p") && f.isFile)
+      .foreach(_.delete())
+    val log = logDir(path).toFile
+    Option(log.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName == s"v$v" || f.getName == s"m-$v.json" ||
+        f.getName.startsWith(s"m-$v-r"))
+      .foreach(_.delete())
+  }
+
+  /** Stage `df` range-sorted on `zcol`, move the staged parts to their
+    * immutable `v<N>-p<i>.parquet` names, and return their stats (the
+    * distributed bound scan; the collect is batch-sized by
+    * construction).
+    */
+  private def writeDataFiles(df: DataFrame, path: String, v: Int,
+      zcol: String, nFiles: Int): Seq[FileStat] = {
+    val s = df.sparkSession
+    val stage = s"$path/_log/_stage"
+    df.repartitionByRange(nFiles, col(zcol))
+      .sortWithinPartitions(col(zcol))
+      .write.mode("overwrite").parquet(stage)
+    val stageDir = Paths.get(stage)
+    val parts = Files.list(stageDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part-"))
+      .toIndexedSeq.sorted
+    val moved = parts.zipWithIndex.map { case (nm, i) =>
+      val dst = f"v$v-p$i%05d.parquet"
+      Files.move(stageDir.resolve(nm), Paths.get(path, dst),
+        StandardCopyOption.ATOMIC_MOVE)
+      dst
+    }
+    Writers.fileStats(s, path, moved.map(n => s"$path/$n"), zcol)
+      .collect().map(r => FileStat(
+        r.getString(0).split('/').last, r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toIndexedSeq.sortBy(_.file)
+  }
+
+  /** APPEND commit: new data files + their manifest + a new snapshot
+    * inheriting every previous manifest by reference + the pointer
+    * swing. Returns the committed version. Cost tracks the batch —
+    * the inherited metadata is copied as lines, never re-derived.
+    */
+  def commitAppend(df: DataFrame, path: String, zcol: String,
+      nFiles: Int): Int = {
+    val prev = latestVersion(path)
+    val v = prev.getOrElse(0) + 1
+    sweepUncommitted(path, v)
+    val stats = writeDataFiles(df, path, v, zcol, nFiles)
+    val mName = s"m-$v.json"
+    writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
+    val prevRefs = prev.map(p => snapshot(path, Some(p))).getOrElse(Nil)
+    writeAtomic(logDir(path).resolve(s"v$v"),
+      snapshotLines(prevRefs :+ envelope(stats, mName)))
+    writeAtomic(logDir(path).resolve("LATEST"), v.toString)
+    v
+  }
+
+  /** COPY-ON-WRITE DELETE commit: rows whose `keyCol` appears in `keys`
+    * vanish from the NEW snapshot — touched files' survivors rewrite
+    * as new files, touched manifests rewrite minus their dead rows
+    * (metadata-sized), untouched manifests carry by reference, and
+    * every PRIOR snapshot still reads the original files bit for bit.
+    * Returns (rows deleted, new version; the previous version when the
+    * keys match nothing).
+    */
+  def commitDelete(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame, zcol: String, nFiles: Int = 0): (Long, Int) = {
+    val prev = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    val refs = snapshot(path, Some(prev))
+    val byManifest = refs.map(r => r -> parseManifest(path, r.name))
+    val allPaths = byManifest.flatMap(_._2).map(f => s"$path/${f.file}")
+    val snapDf = spark.read.parquet(allPaths: _*)
+    val k = broadcast(keys.select(col(keyCol)).distinct())
+    val touched = snapDf.withColumn("_f", input_file_name())
+      .join(k, Seq(keyCol), "left_semi")
+      .select(col("_f")).distinct().collect()
+      .map(_.getString(0).split('/').last).toSet
+    if (touched.isEmpty) return (0L, prev)
+    val touchedPaths = touched.toIndexedSeq.sorted.map(n => s"$path/$n")
+    val touchedDf = spark.read.parquet(touchedPaths: _*)
+    val rowsTouched = touchedDf.count()
+    val survivors = touchedDf.join(k, Seq(keyCol), "left_anti")
+    val rowsDeleted = rowsTouched - survivors.count()
+    val v = prev + 1
+    sweepUncommitted(path, v)
+    val survStats = writeDataFiles(survivors, path, v, zcol,
+      if (nFiles > 0) nFiles else touched.size)
+    val mName = s"m-$v.json"
+    writeAtomic(logDir(path).resolve(mName), manifestLines(survStats))
+    var ri = 0
+    val carried = byManifest.flatMap { case (ref, fs) =>
+      val kept = fs.filterNot(f => touched(f.file))
+      if (kept.size == fs.size) Some(ref) // untouched: by reference
+      else if (kept.isEmpty) None // fully consumed
+      else {
+        ri += 1
+        val rn = s"m-$v-r$ri.json"
+        writeAtomic(logDir(path).resolve(rn), manifestLines(kept))
+        Some(envelope(kept, rn))
+      }
+    }
+    writeAtomic(logDir(path).resolve(s"v$v"),
+      snapshotLines(carried :+ envelope(survStats, mName)))
+    writeAtomic(logDir(path).resolve("LATEST"), v.toString)
+    (rowsDeleted, v)
+  }
+
+  /** Read a snapshot: exactly the files its manifests list — later
+    * commits are invisible (snapshot isolation), earlier versions stay
+    * readable (time travel).
+    */
+  def read(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val paths = snapshot(path, version)
+      .flatMap(r => parseManifest(path, r.name))
+      .map(f => s"$path/${f.file}")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** ZONE-PRUNED snapshot read: (candidates, filesRead, filesTotal).
+    * Planning descends the metadata pyramid — manifest-list envelopes
+    * first, surviving manifests' file bounds second — and skipping is
+    * SOUND by the same argument as [[Writers.readZonePruned]]: a file
+    * is dropped only when its recorded bounds exclude the whole range,
+    * so the candidates plus the exact residual equal a full-snapshot
+    * filter. Works at any `version`: bounds are immutable with the
+    * files they describe, so time travel and pruning compose for free.
+    */
+  def readPruned(spark: SparkSession, path: String, lo: Double,
+      hi: Double, version: Option[Int] = None)
+      : (DataFrame, Long, Long) = {
+    val refs = snapshot(path, version)
+    val total = refs.map(_.files.toLong).sum
+    val hitRefs = refs.filter(r => r.zMin <= hi && r.zMax >= lo)
+    val hit = hitRefs.flatMap(r => parseManifest(path, r.name))
+      .filter(f => f.zMin <= hi && f.zMax >= lo)
+      .map(f => s"$path/${f.file}").sorted
+    val df =
+      if (hit.nonEmpty) spark.read.parquet(hit: _*)
+      else read(spark, path, version).filter(lit(false))
+    (df, hit.length.toLong, total)
+  }
+
+  /** Retention GC — drop snapshots older than the last `keepLast`
+    * versions, then every manifest and data file no retained snapshot
+    * references. Vacuumed versions stop being time-travelable (the
+    * explicit retention trade every table format makes); retained
+    * reads are unaffected. Returns (snapshotsDeleted, filesDeleted).
+    */
+  def vacuum(path: String, keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val latest = latestVersion(path).getOrElse(return (0, 0))
+    val cutoff = latest - keepLast + 1
+    val keepManifests = (math.max(1, cutoff) to latest)
+      .filter(v => Files.exists(logDir(path).resolve(s"v$v")))
+      .flatMap(v => snapshot(path, Some(v))).map(_.name).toSet
+    val keepFiles = keepManifests
+      .flatMap(m => parseManifest(path, m)).map(_.file)
+    var sDel = 0
+    (1 until cutoff).foreach { v =>
+      if (Files.deleteIfExists(logDir(path).resolve(s"v$v"))) sDel += 1
+    }
+    val log = logDir(path).toFile
+    Option(log.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("m-") &&
+        f.getName.endsWith(".json") && !keepManifests(f.getName))
+      .foreach(_.delete())
+    var fDel = 0
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.startsWith("v") &&
+        f.getName.endsWith(".parquet") && !keepFiles(f.getName))
+      .foreach { f => if (f.delete()) fDel += 1 }
+    (sDel, fDel)
+  }
+}

@@ -534,7 +534,7 @@ object Writers {
     * scheme prefix differently, full-URI equality would silently
     * mismatch.
     */
-  private def fileStats(s: SparkSession, path: String,
+  private[sources] def fileStats(s: SparkSession, path: String,
       paths: Seq[String], zcol: String): DataFrame = {
     import s.implicits._
     val src = if (paths.isEmpty) s.read.parquet(path)
