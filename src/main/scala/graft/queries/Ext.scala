@@ -1960,6 +1960,132 @@ object Ext {
         .orderBy(col("arm"))
     }),
 
+    // STREAMING UPKEEP + DRIFT POLICY AS ONE LIFECYCLE — the
+    // composition round 12 left open: q_stream_semantic_index_maintain
+    // streams appends at the CREATION width forever, and
+    // q_dedup_semantic_rebits gates the resize-on-doubling decision as
+    // a batch query. Here the decision lives INSIDE the streaming job:
+    // each micro-batch's foreachBatch checks standing+batch against
+    // 2x the creation count; below the doubling it appends at the
+    // current width (map-only, the maintain path), at or above it
+    // RE-BANDS the whole standing index at the width the grown corpus
+    // dictates (the full rewrite the policy buys) and republishes the
+    // width table the probes read. Micro-batch 1 is the corpus (n,
+    // appends at bits0); micro-batch 2 is the 4-replica growth batch
+    // (4n — lands exactly like the rebits growth arm, 5n >= 2n at
+    // every scale), so the stream re-bands MID-RUN and the
+    // fresh-session probe against the rewritten index must equal the
+    // batch rebits growth arm's full recomputation bit for bit. The
+    // gated row pins the decision, both widths, the rewritten index's
+    // row count, and the probe readout; booleans pin disk round-trip
+    // and that the width table really changed mid-stream.
+    "q_stream_semantic_rebits" -> ((s, d) => {
+      val base = Relational.rtDir("ssrb", d)
+      Relational.deleteRecursive(java.nio.file.Paths.get(base))
+      val corpus = ivfAssign(s, d).localCheckpoint()
+      val nCreate = corpus.count()
+      semanticBitsRow(corpus, SemBands, SemStride, SemMaxBits)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/bits")
+      semanticReps(s, d).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/reps")
+      val repsL = s.read.parquet(s"$base/reps").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      val bits0 = s.read.parquet(s"$base/bits").head.getInt(0)
+      // the adaptive width as pure integer arithmetic — the same
+      // compare-chain as semanticBitsRow (never a libm log2), callable
+      // from the per-batch policy where only a COUNT exists
+      def widthOf(n: Long): Int = {
+        val m = (n + SemTarget - 1) / SemTarget
+        (0 until SemMaxBits).count(k => m > (1L << k))
+      }
+      val e = embeddings(s, d).select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+      val growth = (1 to 4).map { r =>
+        e.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+          transform(col("v"), x => x + lit(s"0.00$r".toDouble)).as("v"))
+      }.reduce(_ unionByName _)
+      val idxPath = s"$base/index"
+      val drop = java.nio.file.Files.createTempDirectory("graft_ssrb_")
+      try {
+        val t0 = System.currentTimeMillis()
+        Relational.stageStreamFile(
+          corpus.select(col("vec_id"), col("v"), lit(0).as("ingest_day")),
+          drop, "0_vecs.parquet", t0 - 60000)
+        Relational.stageStreamFile(
+          growth.select(col("vec_id"), col("v"), lit(1).as("ingest_day")),
+          drop, "1_vecs.parquet", t0 - 30000)
+        val schema = s.read.parquet(s"$drop/0_vecs.parquet").schema
+        val raw = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(drop.toString)
+        graft.streaming.Streams.runWithBatchCommit(raw, s"$base/ckpt") {
+          (b, _) =>
+            val sb = b.sparkSession
+            val exists = new java.io.File(idxPath).exists()
+            val nStanding =
+              if (exists) sb.read.parquet(idxPath).count() / SemBands
+              else 0L
+            val nBatch = b.count()
+            val curBits = sb.read.parquet(s"$base/bits").head.getInt(0)
+            if (nStanding + nBatch >= 2 * nCreate) {
+              // RESIZE-ON-DOUBLING: rewrite standing + batch at the
+              // grown width, republish the width table the probes read.
+              // The standing vectors ride the index itself (band 0
+              // holds one (vec_id, v) per vector), materialized
+              // eagerly so the overwrite below never reads its own
+              // target.
+              val newBits = widthOf(nStanding + nBatch)
+              val standingVecs =
+                if (exists) sb.read.parquet(idxPath)
+                  .filter(col("band") === 0)
+                  .select(col("vec_id"), col("v"), col("ingest_day"))
+                else b.limit(0).select(col("vec_id"), col("v"),
+                  col("ingest_day"))
+              val allVecs = standingVecs
+                .unionByName(b.select(col("vec_id"), col("v"),
+                  col("ingest_day")))
+                .localCheckpoint()
+              semanticBandifyLiteral(allVecs, repsL, newBits)
+                .write.mode("overwrite").parquet(idxPath)
+              sb.range(1).select(lit(newBits).as("bits")).coalesce(1)
+                .write.mode("overwrite").parquet(s"$base/bits")
+            } else
+              semanticBandifyLiteral(
+                  b.select(col("vec_id"), col("v"), col("ingest_day")),
+                  repsL, curBits)
+                .write.mode("append").parquet(idxPath)
+        }.awaitTermination()
+        val s2 = s.newSession()
+        val idx = s2.read.parquet(idxPath)
+        val bitsAfter = s2.read.parquet(s"$base/bits").head.getInt(0)
+        val nStandingFinal = idx.count() / SemBands
+        val nProbe = vecsWithNearDups(s2, d)
+          .filter(col("vec_id") =!= col("base_id")).count()
+        val nTotal = nStandingFinal + nProbe
+        val p = semanticBatchProbe(idx.drop("ingest_day"),
+            semanticBatchBanded(s2, d, s2.read.parquet(s"$base/bits"),
+              s2.read.parquet(s"$base/reps")))
+          .agg(count(lit(1)).as("pn"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("pd"),
+            sum(col("n_matches")).as("pm"),
+            min(col("first_match")).as("pf"))
+          .head
+        s2.range(1).select(
+          lit(nCreate).as("n_create"), lit(nTotal).as("n_total"),
+          lit(nTotal >= 2 * nCreate).as("reband"),
+          lit(bits0).as("bits_before"), lit(bitsAfter).as("bits_after"),
+          lit(nStandingFinal * SemBands).as("index_rows"),
+          lit(p.getLong(0)).as("probe_new"),
+          lit(p.getLong(1)).as("probe_dups"),
+          lit(p.getLong(2)).as("probe_matches"),
+          (if (p.isNullAt(3)) lit(null).cast("long")
+           else lit(p.getLong(3))).as("probe_first"),
+          lit(idx.inputFiles.nonEmpty).as("probe_from_disk"),
+          lit(bitsAfter > bits0).as("rebanded_mid_stream"))
+      } finally Relational.deleteRecursive(drop)
+    }),
+
     // The recall readout of the exact/scaled pairing (the q_ann_recall
     // move applied to dedup): run both algorithms on the same corpus
     // and reduce the agreement to one row — n_exact, n_scaled, n_both,
@@ -4980,6 +5106,65 @@ object Ext {
 
   private def semanticSqlScaledDropped: String = semanticSqlScaledDroppedCfg("")
 
+  // ---- rebits oracle CTE generators, shared by the batch gate
+  // (q_dedup_semantic_rebits) and its streaming twin
+  // (q_stream_semantic_rebits) -----------------------------------------
+
+  /** The 4 shifted corpus replicas of the growth arm — shifts as parsed
+    * decimal literals (0.001..0.004), the same doubles both engines
+    * parse.
+    */
+  private val semanticSqlRepShifts: String = (1 to 4).map(r =>
+    s"""SELECT vec_id + ${r * 10000000L} AS vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> x + 0.00$r) AS v
+       |  FROM embeddings""".stripMargin).mkString("\nUNION ALL\n")
+
+  /** 1-row adaptive-width CTE over the count relation `src`. */
+  private def semanticSqlWidthCte(name: String, src: String): String =
+    s"""$name AS (SELECT (SELECT sum(CASE WHEN m > (1 << k.k)
+       |      THEN 1 ELSE 0 END)::INT FROM range(0, $SemMaxBits) k(k))
+       |    AS bits
+       |  FROM (SELECT (n + ${SemTarget - 1}) // $SemTarget AS m
+       |        FROM $src))""".stripMargin
+
+  /** Band relation of `src` at the width in 1-row CTE `nb`. */
+  private def semanticSqlBandAtWidth(name: String, src: String,
+      nb: String): String =
+    s"""$name AS (SELECT vec_id, cell, v, nrm, bnd.band,
+       |    coalesce(array_to_string(
+       |      [CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END
+       |       for i in range(bnd.band*$SemStride+1, bnd.band*$SemStride+$nb.bits+1)],
+       |      ''), '') AS key
+       |  FROM $src CROSS JOIN $nb
+       |  CROSS JOIN (VALUES ${(0 until SemBands).map(b => s"($b)").mkString(", ")}) bnd(band))""".stripMargin
+
+  /** Distinct verified (new_id, match_id) hits of batch `bb` vs `idx`. */
+  private def semanticSqlHitsCte(name: String, idx: String,
+      bb: String): String =
+    s"""$name AS (SELECT DISTINCT b.vec_id AS new_id,
+       |    c.vec_id AS match_id
+       |  FROM $idx c JOIN $bb b ON c.cell = b.cell
+       |    AND c.band = b.band AND c.key = b.key
+       |    AND list_dot_product(c.v, b.v) / (c.nrm * b.nrm)
+       |      >= $SemThr)""".stripMargin
+
+  /** The gated readout columns of one rebits arm. */
+  private def semanticSqlRebitsCols(nStanding: String, nb0: String,
+      nbA: String, hits: String): String =
+    s"""  (SELECT n FROM ns) AS n_create,
+       |  (SELECT n FROM $nStanding) + (SELECT n FROM nbatch)
+       |    AS n_total,
+       |  (SELECT n FROM $nStanding) + (SELECT n FROM nbatch)
+       |    >= 2 * (SELECT n FROM ns) AS reband,
+       |  (SELECT bits FROM $nb0) AS bits_before,
+       |  (SELECT bits FROM $nbA) AS bits_after,
+       |  $SemBands * (SELECT n FROM $nStanding) AS index_rows,
+       |  (SELECT n FROM nbatch) AS probe_new,
+       |  (SELECT count(DISTINCT new_id) FROM $hits) AS probe_dups,
+       |  (SELECT count(*) FROM $hits) AS probe_matches,
+       |  (SELECT min(match_id) FROM $hits) AS probe_first""".stripMargin
+
   /** DuckDB twin of [[pqSubDist]]: same terms, same left-associated
     * order, parenthesized per subspace so the float grouping matches
     * the Spark fold exactly.
@@ -5676,47 +5861,17 @@ object Ext {
     // doubling decision, the before/after widths, both band relations,
     // and the batch probe against each
     "q_dedup_semantic_rebits" -> {
-      val repShifts = (1 to 4).map(r =>
-        s"""SELECT vec_id + ${r * 10000000L} AS vec_id,
-           |    list_transform(CAST(embedding AS DOUBLE[]),
-           |      x -> x + 0.00$r) AS v
-           |  FROM embeddings""".stripMargin).mkString("\nUNION ALL\n")
+      val repShifts = semanticSqlRepShifts
       def widthCte(name: String, src: String) =
-        s"""$name AS (SELECT (SELECT sum(CASE WHEN m > (1 << k.k)
-           |      THEN 1 ELSE 0 END)::INT FROM range(0, $SemMaxBits) k(k))
-           |    AS bits
-           |  FROM (SELECT (n + ${SemTarget - 1}) // $SemTarget AS m
-           |        FROM $src))""".stripMargin
+        semanticSqlWidthCte(name, src)
       def bandCte(name: String, src: String, nb: String) =
-        s"""$name AS (SELECT vec_id, cell, v, nrm, bnd.band,
-           |    coalesce(array_to_string(
-           |      [CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END
-           |       for i in range(bnd.band*$SemStride+1, bnd.band*$SemStride+$nb.bits+1)],
-           |      ''), '') AS key
-           |  FROM $src CROSS JOIN $nb
-           |  CROSS JOIN (VALUES ${(0 until SemBands).map(b => s"($b)").mkString(", ")}) bnd(band))""".stripMargin
+        semanticSqlBandAtWidth(name, src, nb)
       def hitsCte(name: String, idx: String, bb: String) =
-        s"""$name AS (SELECT DISTINCT b.vec_id AS new_id,
-           |    c.vec_id AS match_id
-           |  FROM $idx c JOIN $bb b ON c.cell = b.cell
-           |    AND c.band = b.band AND c.key = b.key
-           |    AND list_dot_product(c.v, b.v) / (c.nrm * b.nrm)
-           |      >= $SemThr)""".stripMargin
+        semanticSqlHitsCte(name, idx, bb)
       def armRow(arm: String, nStanding: String, nb0: String,
           nbA: String, hits: String) =
         s"""SELECT '$arm' AS arm,
-           |  (SELECT n FROM ns) AS n_create,
-           |  (SELECT n FROM $nStanding) + (SELECT n FROM nbatch)
-           |    AS n_total,
-           |  (SELECT n FROM $nStanding) + (SELECT n FROM nbatch)
-           |    >= 2 * (SELECT n FROM ns) AS reband,
-           |  (SELECT bits FROM nb0) AS bits_before,
-           |  (SELECT bits FROM $nbA) AS bits_after,
-           |  $SemBands * (SELECT n FROM $nStanding) AS index_rows,
-           |  (SELECT n FROM nbatch) AS probe_new,
-           |  (SELECT count(DISTINCT new_id) FROM $hits) AS probe_dups,
-           |  (SELECT count(*) FROM $hits) AS probe_matches,
-           |  (SELECT min(match_id) FROM $hits) AS probe_first""".stripMargin
+           |${semanticSqlRebitsCols(nStanding, nb0, nbA, hits)}""".stripMargin
       s"""WITH $semanticSqlBase,
          |batch AS (SELECT vec_id + 1000000 AS vec_id,
          |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.001)
@@ -5758,6 +5913,47 @@ object Ext {
          |${armRow("stable", "ns", "nb0", "nb0", "hits0")})
          |ORDER BY arm""".stripMargin
     },
+
+    // the streamed resize-on-doubling lifecycle must equal the batch
+    // rebits growth arm's full recomputation (same grown index, same
+    // raised width, same probe), booleans pinned
+    "q_stream_semantic_rebits" ->
+      s"""WITH $semanticSqlBase,
+         |batch AS (SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.001)
+         |      AS v
+         |  FROM embeddings WHERE vec_id < 20),
+         |bq AS (SELECT vec_id, v,
+         |    sqrt(list_dot_product(v, v)) AS nrm FROM batch),
+         |bassigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
+         |  SELECT bq.vec_id, bq.v, bq.nrm, reps.rep_id,
+         |    row_number() OVER (PARTITION BY bq.vec_id
+         |      ORDER BY list_dot_product(bq.v, reps.rv) / (bq.nrm * reps.rn_)
+         |        DESC, reps.rep_id) AS cell_rn
+         |  FROM bq CROSS JOIN reps) WHERE cell_rn = 1),
+         |grown AS ($semanticSqlRepShifts),
+         |gq AS (SELECT vec_id, v,
+         |    sqrt(list_dot_product(v, v)) AS nrm FROM grown),
+         |gassigned AS (SELECT vec_id, v, nrm, rep_id AS cell FROM (
+         |  SELECT gq.vec_id, gq.v, gq.nrm, reps.rep_id,
+         |    row_number() OVER (PARTITION BY gq.vec_id
+         |      ORDER BY list_dot_product(gq.v, reps.rv) / (gq.nrm * reps.rn_)
+         |        DESC, reps.rep_id) AS cell_rn
+         |  FROM gq CROSS JOIN reps) WHERE cell_rn = 1),
+         |allg AS (SELECT vec_id, v, nrm, cell FROM assigned
+         |  UNION ALL SELECT vec_id, v, nrm, cell FROM gassigned),
+         |ns AS (SELECT count(*) AS n FROM assigned),
+         |nbatch AS (SELECT count(*) AS n FROM bq),
+         |nalls AS (SELECT count(*) AS n FROM allg),
+         |${semanticSqlWidthCte("nb0", "ns")},
+         |${semanticSqlWidthCte("nbg", "nalls")},
+         |${semanticSqlBandAtWidth("bandedg", "allg", "nbg")},
+         |${semanticSqlBandAtWidth("bbg", "bassigned", "nbg")},
+         |${semanticSqlHitsCte("hitsg", "bandedg", "bbg")}
+         |SELECT
+         |${semanticSqlRebitsCols("nalls", "nb0", "nbg", "hitsg")},
+         |  true AS probe_from_disk,
+         |  true AS rebanded_mid_stream""".stripMargin,
 
     // the streamed upkeep must leave the day-0 probe identical to the
     // in-session incremental answer, booleans pinned
