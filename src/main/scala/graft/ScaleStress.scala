@@ -179,7 +179,13 @@ object ScaleStress {
     // multimodal fan-out pipelines (frame fan-out, batched decode,
     // overlapping windows, stride resample) — the row-multiplying
     // family, measured per round since round 8
-    "q_frames", "q_image_features", "q_audio_windows", "q_media_resize")
+    "q_frames", "q_image_features", "q_audio_windows", "q_media_resize",
+    // round-13 additions: trained coarse quantizer, incremental CC,
+    // the unified snapshot table, typed/Morton zone-map deletes, and
+    // the streamed resize-on-doubling lifecycle
+    "q_ann_ivf_trained", "q_dedup_clusters_incremental",
+    "q_snapshot_time_travel", "q_zonemap_delete_date",
+    "q_zonemap_delete_zorder", "q_stream_semantic_rebits")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1141,7 +1141,7 @@ object Ext {
     * row_number over (rep_score DESC, rep_id): same doubles, same
     * operation order, same tie rule.
     */
-  private[queries] def semanticBandifyLiteral(df: DataFrame,
+  private[graft] def semanticBandifyLiteral(df: DataFrame,
       reps: Array[(Long, Array[Double], Double)], bits: Int): DataFrame = {
     val nrm = VectorOps.norm(col("v"))
     val scored = reps.map { case (rid, rv, rn) =>
@@ -1153,6 +1153,30 @@ object Ext {
     val cell = array_max(array(scored.toIndexedSeq: _*)).getField("rid")
     df.select(col("vec_id"), col("v"), nrm.as("nrm"), cell.as("cell"),
         col("ingest_day"),
+        explode(array((0 until SemBands).map(j =>
+          struct(lit(j).as("band"),
+            VectorOps.signBucketAt(col("v"), j * SemStride, lit(bits))
+              .as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm"),
+        col("bk.band").as("band"), col("bk.key").as("key"),
+        col("ingest_day"))
+  }
+
+  /** The BROADCAST form of [[semanticBandifyLiteral]] — same map-only
+    * shape, same bit-exact cells/keys, but the quantizer reps ride a
+    * torrent-broadcast handle through the native cell argmax
+    * ([[graft.functions.SemanticCellArgmax]]) instead of typedLit
+    * arrays in the expression tree: at a production cell count
+    * (thousands of cells x real embedding widths) the literal form is
+    * the same megabytes-per-task-binary hazard the PQ encode had. The
+    * band keys never involved the reps and stay as-is.
+    */
+  private[graft] def semanticBandifyBroadcast(df: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[
+        Array[(Long, Array[Double], Double)]], bits: Int): DataFrame = {
+    val cell = graft.functions.SemanticCellExpr.cell(col("v"), bc)
+    df.select(col("vec_id"), col("v"), VectorOps.norm(col("v")).as("nrm"),
+        cell.as("cell"), col("ingest_day"),
         explode(array((0 until SemBands).map(j =>
           struct(lit(j).as("band"),
             VectorOps.signBucketAt(col("v"), j * SemStride, lit(bits))
@@ -1839,6 +1863,7 @@ object Ext {
         .map(r => (r.getLong(0),
           r.getSeq[Double](1).toArray, r.getDouble(2)))
         .sortBy(_._1)
+      val repsBc = s.sparkContext.broadcast(repsL)
       val bitsL = s.read.parquet(s"$base/bits").head.getInt(0)
       val all = vecsWithNearDups(s, d)
       val dir = java.nio.file.Files.createTempDirectory("graft_ssidxm_")
@@ -1856,7 +1881,7 @@ object Ext {
         val raw = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(dir.toString)
         Relational.drainStreamFiles(
-          semanticBandifyLiteral(raw, repsL, bitsL), s"$base/stream")
+          semanticBandifyBroadcast(raw, repsBc, bitsL), s"$base/stream")
         val s2 = s.newSession()
         val idx = s2.read.parquet(s"$base/stream/out")
         val maintained = idx.count() == all.count() * SemBands
@@ -1992,6 +2017,7 @@ object Ext {
         .map(r => (r.getLong(0),
           r.getSeq[Double](1).toArray, r.getDouble(2)))
         .sortBy(_._1)
+      val repsBc = s.sparkContext.broadcast(repsL)
       val bits0 = s.read.parquet(s"$base/bits").head.getInt(0)
       // the adaptive width as pure integer arithmetic — the same
       // compare-chain as semanticBitsRow (never a libm log2), callable
@@ -2046,14 +2072,14 @@ object Ext {
                 .unionByName(b.select(col("vec_id"), col("v"),
                   col("ingest_day")))
                 .localCheckpoint()
-              semanticBandifyLiteral(allVecs, repsL, newBits)
+              semanticBandifyBroadcast(allVecs, repsBc, newBits)
                 .write.mode("overwrite").parquet(idxPath)
               sb.range(1).select(lit(newBits).as("bits")).coalesce(1)
                 .write.mode("overwrite").parquet(s"$base/bits")
             } else
-              semanticBandifyLiteral(
+              semanticBandifyBroadcast(
                   b.select(col("vec_id"), col("v"), col("ingest_day")),
-                  repsL, curBits)
+                  repsBc, curBits)
                 .write.mode("append").parquet(idxPath)
         }.awaitTermination()
         val s2 = s.newSession()

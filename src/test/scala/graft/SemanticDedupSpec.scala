@@ -122,4 +122,45 @@ class SemanticDedupSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("band layout needs embedding dim")),
       s"unexpected failure: ${messages(ex).mkString(" | ")}")
   }
+
+  test("broadcast cell argmax is bit-identical to the literal bandify " +
+      "and keeps the reps out of the plan") {
+    import spark.implicits._
+    // synthetic reps with DELIBERATE tie structure: reps 2 and 4 are
+    // the same vector, so any input scores them equally and the tie
+    // must resolve to the smaller rid in both forms
+    def rv(k: Int): Array[Double] =
+      Array.tabulate(64)(j => math.cos(k * 7.0 + j * 0.31))
+    val reps: Array[(Long, Array[Double], Double)] =
+      Array(2L -> rv(1), 4L -> rv(1), 7L -> rv(2), 11L -> rv(3))
+        .map { case (id, v) =>
+          (id, v, math.sqrt(v.map(x => x * x).sum)) }
+    val vecs = (0 until 300).map { n =>
+      (n.toLong, (0 until 64).map(j =>
+        math.sin(n * 3.0 + j * 0.17)).toArray.toSeq, n % 2)
+    }.toDF("vec_id", "v", "ingest_day")
+    val lit = graft.queries.Ext.semanticBandifyLiteral(vecs, reps, 4)
+    val bc = spark.sparkContext.broadcast(reps)
+    val bcd = graft.queries.Ext.semanticBandifyBroadcast(vecs, bc, 4)
+    val a = lit.orderBy(col("vec_id"), col("band")).collect().toSeq
+    val b = bcd.orderBy(col("vec_id"), col("band")).collect().toSeq
+    assert(a == b, "broadcast bandify diverges from the literal anchor")
+    // the duplicated rep's tie really resolved low
+    assert(b.forall(_.getLong(1) != 4L), "tie must resolve to rid 2, not 4")
+    // plan-size contract: the literal plan carries one ARRAY literal
+    // per rep vector (the typedLit payload — dim doubles each); the
+    // broadcast plan carries none (counted across the whole analyzed
+    // tree — the payload sits in an inner Project)
+    def arrayLits(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case p =>
+        p.expressions.map(_.collect {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType.isInstanceOf[
+              org.apache.spark.sql.types.ArrayType] => l
+        }.size).sum
+      }.sum
+    assert(arrayLits(lit) >= reps.length,
+      s"literal plan should carry the reps: ${arrayLits(lit)}")
+    assert(arrayLits(bcd) == 0, s"broadcast plan: ${arrayLits(bcd)}")
+  }
 }
