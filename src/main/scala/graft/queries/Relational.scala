@@ -2342,6 +2342,78 @@ object Relational {
         .withColumn("travel_survived_vacuum", lit(sDel == 1))
     }),
 
+    // STREAMING INGESTION + COMPACTION on the unified snapshot table —
+    // the lifecycle arms every other table in the repo already has:
+    // micro-batches land EXACTLY ONCE through
+    // [[sources.SnapshotTable.commitAppendOnce]] (the batch id rides
+    // the LATEST pointer itself — version and provenance publish in
+    // ONE atomic move, so a replay after a crash-after-swing
+    // short-circuits and a crash-before-swing retry sweeps the
+    // invisible orphans), a restart over the same checkpoint must not
+    // re-commit, then [[compactCommit]] rewrites the fragmented
+    // per-batch layout into ~target-sized files AS A NEW VERSION —
+    // same rows (the oracle proves none lost or doubled), fresh
+    // layout, with the PRE-COMPACT version still readable bit for bit.
+    // The fresh-session pruned read at latest and the pruned
+    // time-travel read at the pre-compact version must both stay
+    // strict subsets and aggregate exactly.
+    "q_snapshot_stream_ingest" -> ((s, d) => {
+      val dir = rtDir("snapsi", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val drop = java.nio.file.Files.createTempDirectory("graft_snapsi_")
+      try {
+        val t0 = System.currentTimeMillis()
+        stageStreamFile(o.filter(col("o_orderkey") % 2 === 0), drop,
+          "0_orders.parquet", t0 - 60000)
+        stageStreamFile(o.filter(col("o_orderkey") % 2 === 1), drop,
+          "1_orders.parquet", t0 - 30000)
+        val schema = s.read.parquet(s"$drop/0_orders.parquet").schema
+        val table = s"$dir/t"
+        def drainOnce(): Unit = {
+          val raw = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(drop.toString)
+          graft.streaming.Streams.runWithBatchCommit(raw, s"$dir/ckpt") {
+            (b, bid) =>
+              graft.sources.SnapshotTable.commitAppendOnce(
+                b, table, "price", 6, bid)
+              ()
+          }.awaitTermination()
+        }
+        drainOnce()
+        drainOnce() // restored offsets: no batch, no re-commit
+        val vPre = graft.sources.SnapshotTable.latestVersion(table).get
+        val (before, after, _) = graft.sources.SnapshotTable
+          .compactCommit(s, table, "price", o.count() / 4 + 1)
+        val s2 = s.newSession()
+        val ingestedOnce =
+          graft.sources.SnapshotTable.read(s2, table).count() == o.count()
+        val compacted = after < before
+        val (lo, hi) = (100000.0, 150000.0)
+        val (candL, readL, totalL) = graft.sources.SnapshotTable
+          .readPruned(s2, table, lo, hi)
+        val (candT, readT, totalT) = graft.sources.SnapshotTable
+          .readPruned(s2, table, lo, hi, Some(vPre))
+        require(readL > 0 && readL < totalL && readT > 0 && readT < totalT,
+          s"q_snapshot_stream_ingest: expected strict subsets, read " +
+            s"latest=$readL/$totalL travel=$readT/$totalT")
+        val aL = candL
+          .filter(col("price").between(lit(100000), lit(150000)))
+          .agg(count(lit(1)).as("n_latest"),
+            sum(col("price")).cast("double").as("revenue_latest"))
+        val aT = candT
+          .filter(col("price").between(lit(100000), lit(150000)))
+          .agg(count(lit(1)).as("n_travel"),
+            sum(col("price")).cast("double").as("revenue_travel"))
+        aL.crossJoin(aT)
+          .withColumn("skipped_latest", lit(readL > 0 && readL < totalL))
+          .withColumn("skipped_travel", lit(readT > 0 && readT < totalT))
+          .withColumn("ingested_once", lit(ingestedOnce))
+          .withColumn("compacted", lit(compacted))
+      } finally deleteRecursive(drop)
+    }),
+
     // ORC sink -> source roundtrip: same contract as q_csv_roundtrip
     // but through the TYPED columnar format (decimals and strings
     // survive as their own types, no stringly CSV escape hatch) — the
@@ -4490,6 +4562,22 @@ object Relational {
         |  TRUE AS deleted_gone,
         |  TRUE AS travel_survived_vacuum
         |FROM orders""".stripMargin,
+
+    "q_snapshot_stream_ingest" ->
+      """WITH b AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders
+        |  WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        |    BETWEEN 100000 AND 150000)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_latest,
+        |  CAST(sum(price) AS DOUBLE) AS revenue_latest,
+        |  CAST(count(*) AS BIGINT) AS n_travel,
+        |  CAST(sum(price) AS DOUBLE) AS revenue_travel,
+        |  TRUE AS skipped_latest,
+        |  TRUE AS skipped_travel,
+        |  TRUE AS ingested_once,
+        |  TRUE AS compacted
+        |FROM b""".stripMargin,
 
     "q_zonemap_delete_date" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus,

@@ -68,16 +68,32 @@ object SnapshotTable {
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** The LATEST pointer's payload: (version, batch id of the commit
+    * that produced it — −1 for non-streaming commits). One file, one
+    * ATOMIC_MOVE, so version AND provenance publish together: that is
+    * what makes the streaming commit exactly-once (see
+    * [[commitAppendOnce]]) without a separate ledger whose write would
+    * open a crash window after the pointer swing.
+    */
+  private def readPointer(path: String): Option[(Int, Long)] = {
+    val p = logDir(path).resolve("LATEST")
+    if (!Files.exists(p)) None
+    else {
+      val parts = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .trim.split("\\s+")
+      Some((parts(0).toInt,
+        if (parts.length > 1) parts(1).toLong else -1L))
+    }
+  }
+
+  private def swingPointer(path: String, v: Int, batchId: Long): Unit =
+    writeAtomic(logDir(path).resolve("LATEST"), s"$v $batchId")
+
   /** Latest committed version, resolved through the atomic pointer —
     * None before the first commit.
     */
-  def latestVersion(path: String): Option[Int] = {
-    val p = logDir(path).resolve("LATEST")
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        .trim.toInt)
-    else None
-  }
+  def latestVersion(path: String): Option[Int] =
+    readPointer(path).map(_._1)
 
   private val FileLine =
     """\{"file":"([^"]+)","z_min":([^,]+),"z_max":([^,]+),"rows":(\d+)\}""".r
@@ -188,8 +204,74 @@ object SnapshotTable {
     val prevRefs = prev.map(p => snapshot(path, Some(p))).getOrElse(Nil)
     writeAtomic(logDir(path).resolve(s"v$v"),
       snapshotLines(prevRefs :+ envelope(stats, mName)))
-    writeAtomic(logDir(path).resolve("LATEST"), v.toString)
+    swingPointer(path, v, -1L)
     v
+  }
+
+  /** EXACTLY-ONCE streaming append — the foreachBatch body that makes
+    * the snapshot table a streaming sink: Spark's contract is
+    * at-least-once (a batch can replay after a crash anywhere in the
+    * commit), and a naive [[commitAppend]] would commit the replay as
+    * a SECOND version. The batch id rides the LATEST pointer itself
+    * (one file, one ATOMIC_MOVE — version and provenance publish
+    * together), so the two crash windows both converge:
+    *  - crash BEFORE the pointer swing: nothing became visible, the
+    *    retry sweeps the uncommitted version's orphans and re-commits;
+    *  - crash AFTER the swing: the retry reads its own batch id off
+    *    the pointer and short-circuits to "already committed".
+    * Checking only the LAST batch id suffices because foreachBatch is
+    * sequential — batch N+1 never starts until N's commit returned
+    * (the same argument as [[Writers.zoneMapIngestCommit]]'s ledger,
+    * collapsed into the pointer). Returns false on the short-circuit.
+    */
+  def commitAppendOnce(df: DataFrame, path: String, zcol: String,
+      nFiles: Int, batchId: Long): Boolean = {
+    require(batchId >= 0, "batchId must be >= 0 (-1 marks non-batch commits)")
+    val prev = readPointer(path)
+    if (prev.exists(_._2 == batchId)) return false
+    val v = prev.map(_._1).getOrElse(0) + 1
+    sweepUncommitted(path, v)
+    val stats = writeDataFiles(df, path, v, zcol, nFiles)
+    val mName = s"m-$v.json"
+    writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
+    val prevRefs = prev.map(p => snapshot(path, Some(p._1))).getOrElse(Nil)
+    writeAtomic(logDir(path).resolve(s"v$v"),
+      snapshotLines(prevRefs :+ envelope(stats, mName)))
+    swingPointer(path, v, batchId)
+    true
+  }
+
+  /** COMPACTION commit — the OPTIMIZE job every streaming sink needs
+    * once per-batch appends have fragmented the layout: the latest
+    * snapshot's rows rewrite into ~`targetRowsPerFile` files as a NEW
+    * version whose manifest replaces every previous one (same rows,
+    * fresh layout — the oracle proves no row lost or doubled), while
+    * prior versions keep reading the ORIGINAL files bit for bit until
+    * vacuum. Cost is table-sized by definition; at scale this runs as
+    * the standing background job, bin-packing only the small-file tail
+    * — the full rewrite here keeps the gate's oracle sharp. Returns
+    * (filesBefore, filesAfter, newVersion).
+    */
+  def compactCommit(spark: SparkSession, path: String, zcol: String,
+      targetRowsPerFile: Long): (Int, Int, Int) = {
+    val prev = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    val refs = snapshot(path, Some(prev))
+    val stats = refs.flatMap(r => parseManifest(path, r.name))
+    val filesBefore = stats.size
+    val rows = stats.map(_.rows).sum
+    val nFiles = math.max(1L,
+      (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val v = prev + 1
+    sweepUncommitted(path, v)
+    val df = read(spark, path, Some(prev))
+    val newStats = writeDataFiles(df, path, v, zcol, nFiles)
+    val mName = s"m-$v.json"
+    writeAtomic(logDir(path).resolve(mName), manifestLines(newStats))
+    writeAtomic(logDir(path).resolve(s"v$v"),
+      snapshotLines(Seq(envelope(newStats, mName))))
+    swingPointer(path, v, -1L)
+    (filesBefore, newStats.size, v)
   }
 
   /** COPY-ON-WRITE DELETE commit: rows whose `keyCol` appears in `keys`
@@ -239,7 +321,7 @@ object SnapshotTable {
     }
     writeAtomic(logDir(path).resolve(s"v$v"),
       snapshotLines(carried :+ envelope(survStats, mName)))
-    writeAtomic(logDir(path).resolve("LATEST"), v.toString)
+    swingPointer(path, v, -1L)
     (rowsDeleted, v)
   }
 

@@ -117,6 +117,71 @@ class SnapshotTableSpec extends SparkSpec {
         .count())
   }
 
+  test("commitAppendOnce is exactly-once across both replay windows") {
+    val t = Files.createTempDirectory("graft-snapso").toString + "/t"
+    // batch 0 commits; a replay of the SAME batch id (crash after the
+    // pointer swing) must short-circuit without a new version
+    assert(SnapshotTable.commitAppendOnce(rows(0 until 300), t, "z", 3, 0L))
+    assert(!SnapshotTable.commitAppendOnce(rows(0 until 300), t, "z", 3, 0L))
+    assert(SnapshotTable.latestVersion(t).contains(1))
+    assert(SnapshotTable.read(spark, t).count() == 300)
+    // crash BEFORE the swing: a dead attempt left v2 orphans (data +
+    // manifest + snapshot, no pointer) — the retry sweeps them and
+    // commits the real batch exactly once
+    rows(900 until 920).coalesce(1).write.mode("overwrite")
+      .parquet(s"$t/_log/_stage_dead")
+    val dead = Files.list(Paths.get(s"$t/_log/_stage_dead")).iterator()
+    val part = Iterator.continually(dead).flatMap(p =>
+      if (p.hasNext) Some(p.next()) else None)
+      .find(_.getFileName.toString.startsWith("part-")).get
+    Files.move(part, Paths.get(t, "v2-p00000.parquet"))
+    Files.write(Paths.get(s"$t/_log/m-2.json"),
+      """{"file":"v2-p00000.parquet","z_min":900.0,"z_max":919.0,"rows":20}"""
+        .getBytes("UTF-8"))
+    assert(SnapshotTable.commitAppendOnce(rows(300 until 500), t, "z", 2, 1L))
+    assert(SnapshotTable.latestVersion(t).contains(2))
+    val got = SnapshotTable.read(spark, t)
+    assert(got.count() == 500)
+    assert(got.filter(col("id") >= 900).count() == 0,
+      "dead attempt's orphan rows leaked into the committed snapshot")
+    // a NON-batch commit after the stream keeps its own provenance and
+    // never collides with a batch id
+    SnapshotTable.commitAppend(rows(500 until 550), t, "z", 1)
+    assert(SnapshotTable.commitAppendOnce(rows(550 until 560), t, "z", 1, 1L),
+      "a -1-provenance commit must not shadow batch id 1")
+  }
+
+  test("compactCommit merges the fragmented layout as a new version; " +
+      "the pre-compact version still reads the original files") {
+    val t = Files.createTempDirectory("graft-snapcp").toString + "/t"
+    // five tiny per-batch commits fragment the layout
+    for (b <- 0 until 5)
+      SnapshotTable.commitAppendOnce(
+        rows(b * 100 until (b + 1) * 100), t, "z", 3, b.toLong)
+    val vPre = SnapshotTable.latestVersion(t).get
+    val preFiles = SnapshotTable.snapshot(t, Some(vPre)).map(_.files).sum
+    val (before, after, v) =
+      SnapshotTable.compactCommit(spark, t, "z", 200L)
+    assert(before == preFiles && after < before && v == vPre + 1,
+      s"compact $before -> $after at v$v")
+    // same rows, fresh layout
+    val latest = SnapshotTable.read(spark, t)
+    assert(latest.count() == 500)
+    assert(latest.agg(sum(col("id"))).head.getLong(0) ==
+      (0L until 500L).sum)
+    assert(latest.inputFiles.length == after)
+    // the pre-compact version is untouched
+    assert(SnapshotTable.read(spark, t, Some(vPre)).count() == 500)
+    // pruning stays strict over the compacted layout
+    val (cand, read, total) = SnapshotTable.readPruned(spark, t, 100, 180)
+    assert(read > 0 && read < total)
+    assert(cand.filter(col("z").between(100, 180)).count() == 81)
+    // vacuum to the compacted version reclaims every pre-compact file
+    val (sDel, fDel) = SnapshotTable.vacuum(t, keepLast = 1)
+    assert(sDel == vPre && fDel == preFiles, s"vacuum ($sDel, $fDel)")
+    assert(SnapshotTable.read(spark, t).count() == 500)
+  }
+
   test("a commit that dies before the pointer swing is invisible and " +
       "swept by the retry") {
     val t = Files.createTempDirectory("graft-snapc").toString + "/t"
