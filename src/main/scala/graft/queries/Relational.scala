@@ -2342,6 +2342,59 @@ object Relational {
         .withColumn("travel_survived_vacuum", lit(sDel == 1))
     }),
 
+    // COPY-ON-WRITE MERGE (upsert) on the unified snapshot table — the
+    // CDC write path ([[sources.SnapshotTable.commitMerge]]): a change
+    // batch UPDATES every key%10==7 row (price doubled) and INSERTS a
+    // shifted twin per updated key, rewriting ONLY the files that held
+    // a matched key (untouched manifests carry by reference); the
+    // pre-merge version stays readable bit for bit. The oracle
+    // recomputes both reads from the raw table (updates move rows in
+    // and out of the probe band, so a lost update, doubled insert, or
+    // leaked old row all fail the hash), and both pruned reads must
+    // stay strict subsets.
+    "q_snapshot_merge" -> ((s, d) => {
+      val dir = rtDir("snapmg", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), dir, "price", 8)
+      val vPre = graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), dir, "price", 8)
+      val upd = o.filter(col("o_orderkey") % 10 === 7)
+      val changes = upd
+        .withColumn("price",
+          (col("price") * 2).cast("decimal(18,2)"))
+        .unionByName(upd.select(
+          (col("o_orderkey") + lit(1000000000L)).as("o_orderkey"),
+          col("o_orderpriority"),
+          (col("price") + lit(7)).cast("decimal(18,2)").as("price")))
+      val (replaced, carriedN, _) = graft.sources.SnapshotTable
+        .commitMerge(s, dir, changes, "o_orderkey", "price")
+      val s2 = s.newSession()
+      val merged = replaced > 0 &&
+        graft.sources.SnapshotTable.read(s2, dir).count() ==
+          o.count() + upd.count()
+      val (lo, hi) = (100000.0, 150000.0)
+      val (candL, readL, totalL) = graft.sources.SnapshotTable
+        .readPruned(s2, dir, lo, hi)
+      val (candT, readT, totalT) = graft.sources.SnapshotTable
+        .readPruned(s2, dir, lo, hi, Some(vPre))
+      require(readL > 0 && readL < totalL && readT > 0 && readT < totalT,
+        s"q_snapshot_merge: expected strict subsets, read " +
+          s"latest=$readL/$totalL travel=$readT/$totalT")
+      val aL = candL.filter(col("price").between(lit(100000), lit(150000)))
+        .agg(count(lit(1)).as("n_latest"),
+          sum(col("price")).cast("double").as("revenue_latest"))
+      val aT = candT.filter(col("price").between(lit(100000), lit(150000)))
+        .agg(count(lit(1)).as("n_travel"),
+          sum(col("price")).cast("double").as("revenue_travel"))
+      aL.crossJoin(aT)
+        .withColumn("skipped_latest", lit(readL > 0 && readL < totalL))
+        .withColumn("skipped_travel", lit(readT > 0 && readT < totalT))
+        .withColumn("merged_cow", lit(merged && carriedN > 0))
+    }),
+
     // STREAMING INGESTION + COMPACTION on the unified snapshot table —
     // the lifecycle arms every other table in the repo already has:
     // micro-batches land EXACTLY ONCE through
@@ -4562,6 +4615,31 @@ object Relational {
         |  TRUE AS deleted_gone,
         |  TRUE AS travel_survived_vacuum
         |FROM orders""".stripMargin,
+
+    "q_snapshot_merge" ->
+      """WITH merged AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 7
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |        AS DECIMAL(18,2))
+        |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 7
+        |      AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 10 = 7),
+        |l AS (SELECT count(*) AS n_latest,
+        |    CAST(sum(price) AS DOUBLE) AS revenue_latest
+        |  FROM merged WHERE price BETWEEN 100000 AND 150000),
+        |t AS (SELECT count(*) AS n_travel,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue_travel
+        |  FROM orders
+        |  WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        |    BETWEEN 100000 AND 150000)
+        |SELECT l.n_latest, l.revenue_latest, t.n_travel, t.revenue_travel,
+        |  TRUE AS skipped_latest, TRUE AS skipped_travel,
+        |  TRUE AS merged_cow
+        |FROM l CROSS JOIN t""".stripMargin,
 
     "q_snapshot_stream_ingest" ->
       """WITH b AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price

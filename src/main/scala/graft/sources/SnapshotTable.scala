@@ -325,6 +325,73 @@ object SnapshotTable {
     (rowsDeleted, v)
   }
 
+  /** COPY-ON-WRITE MERGE (upsert) commit — the CDC write path: rows of
+    * `changes` REPLACE same-key rows of the latest snapshot, new keys
+    * INSERT, and only the files holding a matched key rewrite; their
+    * manifests rewrite minus the dead rows, untouched manifests carry
+    * by reference, and the pre-merge version stays readable bit for
+    * bit until vacuum — [[TxJsonSink.merge]]'s shape on the
+    * stats-carrying format. A change set with MULTIPLE rows per
+    * matched key is rejected (nondeterministic which would win — the
+    * standard MERGE contract; multiple inserts of one NEW key are the
+    * caller's own data). Returns (filesReplaced, filesCarried,
+    * newVersion).
+    */
+  def commitMerge(spark: SparkSession, path: String,
+      changes: DataFrame, key: String, zcol: String): (Int, Int, Int) = {
+    val prev = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    val refs = snapshot(path, Some(prev))
+    val byManifest = refs.map(r => r -> parseManifest(path, r.name))
+    val filesBefore = byManifest.map(_._2.size).sum
+    val allPaths = byManifest.flatMap(_._2).map(f => s"$path/${f.file}")
+    val snapDf = spark.read.parquet(allPaths: _*)
+    val dupCand = changes.groupBy(col(key))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col(key))
+    if (dupCand.limit(1).collect().nonEmpty) {
+      val dupMatched = snapDf
+        .join(broadcast(dupCand), Seq(key), "left_semi")
+        .select(col(key)).distinct().limit(5).collect().map(_.get(0))
+      require(dupMatched.isEmpty,
+        s"merge: changes carry multiple rows per matched key ($key): " +
+          dupMatched.mkString(",") + " — pre-aggregate to one row per key")
+    }
+    val k = broadcast(changes.select(col(key)).distinct())
+    val touched = snapDf.withColumn("_f", input_file_name())
+      .join(k, Seq(key), "left_semi")
+      .select(col("_f")).distinct().collect()
+      .map(_.getString(0).split('/').last).toSet
+    val survivors =
+      if (touched.isEmpty) changes.limit(0)
+      else spark.read.parquet(
+          touched.toIndexedSeq.sorted.map(n => s"$path/$n"): _*)
+        .join(k, Seq(key), "left_anti")
+    val rewrite = survivors.unionByName(changes,
+      allowMissingColumns = true)
+    val v = prev + 1
+    sweepUncommitted(path, v)
+    val newStats = writeDataFiles(rewrite, path, v, zcol,
+      math.max(1, touched.size))
+    val mName = s"m-$v.json"
+    writeAtomic(logDir(path).resolve(mName), manifestLines(newStats))
+    var ri = 0
+    val carried = byManifest.flatMap { case (ref, fs) =>
+      val kept = fs.filterNot(f => touched(f.file))
+      if (kept.size == fs.size) Some(ref)
+      else if (kept.isEmpty) None
+      else {
+        ri += 1
+        val rn = s"m-$v-r$ri.json"
+        writeAtomic(logDir(path).resolve(rn), manifestLines(kept))
+        Some(envelope(kept, rn))
+      }
+    }
+    writeAtomic(logDir(path).resolve(s"v$v"),
+      snapshotLines(carried :+ envelope(newStats, mName)))
+    swingPointer(path, v, -1L)
+    (touched.size, filesBefore - touched.size, v)
+  }
+
   /** Read a snapshot: exactly the files its manifests list — later
     * commits are invisible (snapshot isolation), earlier versions stay
     * readable (time travel).

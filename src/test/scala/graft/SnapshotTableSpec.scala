@@ -117,6 +117,45 @@ class SnapshotTableSpec extends SparkSpec {
         .count())
   }
 
+  test("commitMerge upserts copy-on-write: matched keys replaced, new " +
+      "keys inserted, untouched manifests carried, history intact") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft-snapmg").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 500), t, "z", 4)
+    SnapshotTable.commitAppend(rows(500 until 900), t, "z", 4)
+    // updates hit only v2's key range; inserts are brand-new keys
+    val changes = (700 until 720).map(i =>
+        (i.toLong, i * 10.0, "upd")) ++
+      (5000 until 5010).map(i => (i.toLong, i.toDouble, "ins"))
+    val (replaced, carried, v) = SnapshotTable.commitMerge(spark, t,
+      changes.toDF("id", "z", "tag"), "id", "z")
+    assert(v == 3 && replaced > 0 && carried > 0)
+    val refs3 = SnapshotTable.snapshot(t, Some(3)).map(_.name)
+    assert(refs3.contains("m-1.json"),
+      s"v1's untouched manifest should carry by reference: $refs3")
+    val latest = SnapshotTable.read(spark, t)
+    assert(latest.count() == 910)
+    // matched rows really replaced (z rewritten), inserts present
+    assert(latest.filter(col("id") === 705L).head.getDouble(1) == 7050.0)
+    assert(latest.filter(col("tag") === "upd").count() == 20)
+    assert(latest.filter(col("tag") === "ins").count() == 10)
+    // the pre-merge version still reads the ORIGINAL values
+    val pre = SnapshotTable.read(spark, t, Some(2))
+    assert(pre.count() == 900)
+    assert(pre.filter(col("id") === 705L).head.getDouble(1) == 705.0)
+    // multiple change rows per MATCHED key are rejected
+    val dup = Seq((700L, 1.0, "a"), (700L, 2.0, "b")).toDF("id", "z", "tag")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commitMerge(spark, t, dup, "id", "z")
+    }
+    assert(e.getMessage.contains("multiple rows per matched key"))
+    // pruning stays strict and sound over the merged layout
+    val (cand, read, total) = SnapshotTable.readPruned(spark, t, 0, 300)
+    assert(read > 0 && read < total)
+    assert(cand.filter(col("z").between(0, 300)).count() ==
+      latest.filter(col("z").between(0, 300)).count())
+  }
+
   test("commitAppendOnce is exactly-once across both replay windows") {
     val t = Files.createTempDirectory("graft-snapso").toString + "/t"
     // batch 0 commits; a replay of the SAME batch id (crash after the
