@@ -2467,6 +2467,166 @@ object Relational {
       } finally deleteRecursive(drop)
     }),
 
+    // SCHEMA EVOLUTION on the unified snapshot table — the schema
+    // travels in the commit log (`s-<v>.json`, the merge of every
+    // commit's schema; [[sources.SnapshotTable.readSchema]]), so reads
+    // apply the VERSION's schema explicitly: files written before a
+    // column existed fill it with null, no footer-sampling mergeSchema
+    // job ever runs, and time travel sees the schema AS OF that
+    // version (the v1 read must surface exactly the two original
+    // columns). The COW delete after the evolution is the sharp edge:
+    // it rewrites survivors from old- and new-schema files TOGETHER,
+    // and a schema-inferred read there would silently drop the evolved
+    // column from the new files — the oracle recomputes the per-group
+    // counts and sums from the raw table, so a dropped column, a
+    // non-null backfill, or lost evolved values all fail the hash.
+    "q_snapshot_schema_evolve" -> ((s, d) => {
+      val dir = rtDir("snapse", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        col("o_orderpriority"))
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .drop("o_orderpriority"), dir, "price", 8)
+      val v2 = graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), dir, "price", 8)
+      graft.sources.SnapshotTable.commitDelete(s, dir, "o_orderkey",
+        o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")),
+        "price")
+      val s2 = s.newSession()
+      val v1Df = graft.sources.SnapshotTable.read(s2, dir, Some(1))
+      require(v1Df.schema.fields.length == 2,
+        s"q_snapshot_schema_evolve: v1 must read its own two-column " +
+          s"schema, got ${v1Df.schema.fieldNames.mkString(",")}")
+      val latest = graft.sources.SnapshotTable.read(s2, dir)
+      require(latest.schema.fields.length == 3,
+        s"q_snapshot_schema_evolve: latest must read the merged " +
+          s"schema, got ${latest.schema.fieldNames.mkString(",")}")
+      latest.agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+            .as("n_prio_null"),
+          sum(when(col("o_orderpriority").isNull, col("price")))
+            .cast("double").as("price_null_sum"),
+          countDistinct(col("o_orderpriority")).as("n_prio_values"),
+          sum(when(col("o_orderpriority").isNotNull, col("price")))
+            .cast("double").as("price_set_sum"))
+        .crossJoin(v1Df.agg(
+          count(lit(1)).as("n_v1"),
+          sum(col("price")).cast("double").as("price_v1_sum")))
+        .withColumn("travel_two_cols", lit(true))
+        .withColumn("evolved_three_cols", lit(v2 == 2))
+    }),
+
+    // CHANGES FEED on the unified snapshot table — the row-level diff
+    // between two versions ([[sources.SnapshotTable.readChanges]]),
+    // the read that makes the table a SOURCE for incremental
+    // consumers. Planning diffs manifest FILE sets so cost is
+    // O(delta): the append leg (v1->v2) must read a strict subset of
+    // files and emit inserts only; the COW-delete leg (v2->v3) puts
+    // rewritten survivors on both sides of the file diff and the
+    // full-row exceptAll must CANCEL them, leaving pure deletes; the
+    // MERGE leg (v3->v4) emits standard CDC pairs — the old row as a
+    // delete, the updated row as an insert, equal in number. The
+    // oracle recomputes every leg's aggregate from the raw table, so a
+    // leaked survivor, a swallowed delete, or a doubled insert all
+    // fail the hash.
+    "q_snapshot_changes" -> ((s, d) => {
+      val dir = rtDir("snapch", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), dir, "price", 8)
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), dir, "price", 8)
+      graft.sources.SnapshotTable.commitDelete(s, dir, "o_orderkey",
+        o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")),
+        "price")
+      val upd = o.filter(col("o_orderkey") % 10 === 7 &&
+          col("o_orderkey") % 97 =!= 3)
+        .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+      graft.sources.SnapshotTable.commitMerge(s, dir, upd,
+        "o_orderkey", "price")
+      val s2 = s.newSession()
+      val (c12, fr12, tot12) = graft.sources.SnapshotTable
+        .readChanges(s2, dir, 1, 2)
+      val (c23, _, _) = graft.sources.SnapshotTable.readChanges(s2, dir, 2, 3)
+      val (c34, _, _) = graft.sources.SnapshotTable.readChanges(s2, dir, 3, 4)
+      require(fr12 < tot12,
+        s"q_snapshot_changes: append leg must be O(delta), read " +
+          s"$fr12/$tot12 files")
+      val ins = (c: org.apache.spark.sql.DataFrame) =>
+        c.filter(col("_change") === "insert")
+      val del = (c: org.apache.spark.sql.DataFrame) =>
+        c.filter(col("_change") === "delete")
+      require(del(c12).limit(1).collect().isEmpty,
+        "q_snapshot_changes: append leg emitted deletes")
+      require(ins(c23).limit(1).collect().isEmpty,
+        "q_snapshot_changes: COW survivors failed to cancel")
+      val a12 = ins(c12).agg(
+        count(lit(1)).as("n_ins_12"),
+        sum(col("o_orderkey")).as("keysum_ins_12"))
+      val a23 = del(c23).agg(
+        count(lit(1)).as("n_del_23"),
+        sum(col("o_orderkey")).as("keysum_del_23"))
+      val a34 = ins(c34).agg(
+          count(lit(1)).as("n_ins_34"),
+          sum(col("price")).cast("double").as("price_ins_34"))
+        .crossJoin(del(c34).agg(
+          count(lit(1)).as("n_del_34"),
+          sum(col("o_orderkey")).as("keysum_del_34")))
+      a12.crossJoin(a23).crossJoin(a34)
+        .withColumn("delta_only", lit(true))
+        .withColumn("cow_cancelled", lit(true))
+    }),
+
+    // METADATA-ONLY AGGREGATES on the unified snapshot table — the
+    // planning payoff of exact per-file bounds in the commit log
+    // ([[sources.SnapshotTable.statsAgg]] / [[countRange]]): COUNT,
+    // MIN, MAX answer from manifest lines with ZERO data files opened
+    // (O(metadata) on a 100 TB table), and a range COUNT opens ONLY the
+    // files straddling a predicate edge — fully-inside files count
+    // from their recorded row counts, disjoint files skip. The gate
+    // commits two range-clustered batches, then requires: the
+    // unbounded count scanned zero files, the range count drew >0 rows
+    // from metadata AND scanned a strict subset of files. The oracle
+    // recomputes all four aggregates from the raw table, so a stale
+    // bound, a sentinel leaking into min/max, or an unsound full-inside
+    // classification all fail the hash.
+    "q_snapshot_stats_agg" -> ((s, d) => {
+      val dir = rtDir("snapst", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), dir, "price", 24)
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), dir, "price", 24)
+      val s2 = s.newSession()
+      val (nTotal, pMin, pMax) = graft.sources.SnapshotTable.statsAgg(dir)
+      val (nFull, metaFull, scanFull, totFull) = graft.sources.SnapshotTable
+        .countRange(s2, dir, "price", Double.NegativeInfinity,
+          Double.PositiveInfinity)
+      val (nRange, metaRange, scanRange, _) = graft.sources.SnapshotTable
+        .countRange(s2, dir, "price", 100000.0, 150000.0)
+      require(scanFull == 0 && nFull == nTotal && metaFull == nTotal,
+        s"q_snapshot_stats_agg: unbounded count must be metadata-only, " +
+          s"scanned $scanFull files, meta $metaFull vs total $nTotal")
+      require(metaRange > 0 && scanRange > 0 && scanRange < totFull,
+        s"q_snapshot_stats_agg: range count must mix metadata and a " +
+          s"strict straddle scan, meta=$metaRange scanned=$scanRange" +
+          s"/$totFull")
+      s2.range(1).select(
+        lit(nTotal).as("n_total"),
+        lit(pMin).as("price_min"),
+        lit(pMax).as("price_max"),
+        lit(nRange).as("n_range"),
+        lit(true).as("meta_only_total"),
+        lit(true).as("straddle_only"))
+    }),
+
     // ORC sink -> source roundtrip: same contract as q_csv_roundtrip
     // but through the TYPED columnar format (decimals and strings
     // survive as their own types, no stringly CSV escape hatch) — the
@@ -4656,6 +4816,66 @@ object Relational {
         |  TRUE AS ingested_once,
         |  TRUE AS compacted
         |FROM b""".stripMargin,
+
+    "q_snapshot_schema_evolve" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderpriority AS prio FROM orders),
+        |latest AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_prio_null,
+        |    CAST(sum(CASE WHEN k % 2 = 0 THEN price END) AS DOUBLE)
+        |      AS price_null_sum,
+        |    CAST(count(DISTINCT CASE WHEN k % 2 = 1 THEN prio END)
+        |      AS BIGINT) AS n_prio_values,
+        |    CAST(sum(CASE WHEN k % 2 = 1 THEN price END) AS DOUBLE)
+        |      AS price_set_sum
+        |  FROM o WHERE k % 97 <> 3),
+        |v1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_v1,
+        |    CAST(sum(price) AS DOUBLE) AS price_v1_sum
+        |  FROM o WHERE k % 2 = 0)
+        |SELECT latest.n_total, latest.n_prio_null, latest.price_null_sum,
+        |  latest.n_prio_values, latest.price_set_sum,
+        |  v1.n_v1, v1.price_v1_sum,
+        |  TRUE AS travel_two_cols, TRUE AS evolved_three_cols
+        |FROM latest CROSS JOIN v1""".stripMargin,
+
+    "q_snapshot_changes" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |i12 AS (SELECT CAST(count(*) AS BIGINT) AS n_ins_12,
+        |    CAST(sum(k) AS BIGINT) AS keysum_ins_12
+        |  FROM o WHERE k % 2 = 1),
+        |d23 AS (SELECT CAST(count(*) AS BIGINT) AS n_del_23,
+        |    CAST(sum(k) AS BIGINT) AS keysum_del_23
+        |  FROM o WHERE k % 97 = 3),
+        |u34 AS (SELECT CAST(count(*) AS BIGINT) AS n_ins_34,
+        |    CAST(sum(CAST(price * 2 AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS price_ins_34,
+        |    CAST(count(*) AS BIGINT) AS n_del_34,
+        |    CAST(sum(k) AS BIGINT) AS keysum_del_34
+        |  FROM o WHERE k % 10 = 7 AND k % 97 <> 3)
+        |SELECT i12.n_ins_12, i12.keysum_ins_12,
+        |  d23.n_del_23, d23.keysum_del_23,
+        |  u34.n_ins_34, u34.price_ins_34, u34.n_del_34, u34.keysum_del_34,
+        |  TRUE AS delta_only, TRUE AS cow_cancelled
+        |FROM i12 CROSS JOIN d23 CROSS JOIN u34""".stripMargin,
+
+    "q_snapshot_stats_agg" ->
+      """SELECT
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price_min,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price_max,
+        |  CAST(sum(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      BETWEEN 100000 AND 150000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_range,
+        |  TRUE AS meta_only_total,
+        |  TRUE AS straddle_only
+        |FROM orders""".stripMargin,
 
     "q_zonemap_delete_date" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus,

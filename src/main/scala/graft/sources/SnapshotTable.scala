@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** SNAPSHOT TABLE — the unification of the repo's two half-lakehouses:
   * [[TxJsonSink]] has the commit-log mechanism (immutable versioned
@@ -143,6 +144,65 @@ object SnapshotTable {
       stats.size, stats.map(_.rows).sum)
   }
 
+  // ---- schema evolution: the schema travels in the commit log --------
+  // Every commit writes `s-<v>.json` — the MERGE of the previous
+  // version's schema with the committed batch's (new columns append;
+  // a column absent on either side becomes nullable; a TYPE change is
+  // rejected). Reads apply the version's schema explicitly, so (a) old
+  // files fill evolved columns with null, (b) planning never runs a
+  // footer-sampling mergeSchema job over a 100 TB file list — the same
+  // reason Iceberg/Delta keep schemas in metadata — and (c) time
+  // travel sees the schema AS OF that version.
+
+  private def schemaPath(path: String, v: Int) =
+    logDir(path).resolve(s"s-$v.json")
+
+  /** The committed schema of `version` — None for tables written
+    * before schema tracking (reads then fall back to file inference).
+    */
+  def readSchema(path: String, version: Int): Option[StructType] = {
+    val p = schemaPath(path, version)
+    if (!Files.exists(p)) None
+    else Some(DataType.fromJson(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType])
+  }
+
+  private def mergeSchemas(prev: StructType, next: StructType)
+      : StructType = {
+    val pNames = prev.fieldNames.toSet
+    val nNames = next.fieldNames.toSet
+    next.fields.filter(f => pNames(f.name)).foreach { f =>
+      require(prev(f.name).dataType == f.dataType,
+        s"schema evolution cannot change the type of '${f.name}': " +
+          s"${prev(f.name).dataType} -> ${f.dataType}")
+    }
+    StructType(
+      prev.fields.map(f => if (nNames(f.name)) f
+        else f.copy(nullable = true)) ++
+      next.fields.filterNot(f => pNames(f.name))
+        .map(_.copy(nullable = true)))
+  }
+
+  private def writeMergedSchema(path: String, v: Int, prevV: Option[Int],
+      batch: StructType): Unit = {
+    val merged = prevV.flatMap(readSchema(path, _)) match {
+      case Some(p) => mergeSchemas(p, batch)
+      case None => batch
+    }
+    writeAtomic(schemaPath(path, v), merged.json)
+  }
+
+  /** Read `paths` under `version`'s committed schema — files written
+    * before a column existed fill it with null; without a schema file
+    * the read falls back to inference (pre-evolution tables).
+    */
+  private def readFiles(spark: SparkSession, path: String, version: Int,
+      paths: Seq[String]): DataFrame = readSchema(path, version) match {
+    case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+    case None => spark.read.parquet(paths: _*)
+  }
+
   /** Sweep data files and metadata of an uncommitted version `v` — the
     * leftovers of an attempt that died before its pointer swing. They
     * were never visible (readers resolve through LATEST), and the
@@ -156,7 +216,7 @@ object SnapshotTable {
     val log = logDir(path).toFile
     Option(log.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName == s"v$v" || f.getName == s"m-$v.json" ||
-        f.getName.startsWith(s"m-$v-r"))
+        f.getName == s"s-$v.json" || f.getName.startsWith(s"m-$v-r"))
       .foreach(_.delete())
   }
 
@@ -198,6 +258,7 @@ object SnapshotTable {
     val prev = latestVersion(path)
     val v = prev.getOrElse(0) + 1
     sweepUncommitted(path, v)
+    writeMergedSchema(path, v, prev, df.schema)
     val stats = writeDataFiles(df, path, v, zcol, nFiles)
     val mName = s"m-$v.json"
     writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
@@ -231,6 +292,7 @@ object SnapshotTable {
     if (prev.exists(_._2 == batchId)) return false
     val v = prev.map(_._1).getOrElse(0) + 1
     sweepUncommitted(path, v)
+    writeMergedSchema(path, v, prev.map(_._1), df.schema)
     val stats = writeDataFiles(df, path, v, zcol, nFiles)
     val mName = s"m-$v.json"
     writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
@@ -265,6 +327,7 @@ object SnapshotTable {
     val v = prev + 1
     sweepUncommitted(path, v)
     val df = read(spark, path, Some(prev))
+    writeMergedSchema(path, v, Some(prev), df.schema)
     val newStats = writeDataFiles(df, path, v, zcol, nFiles)
     val mName = s"m-$v.json"
     writeAtomic(logDir(path).resolve(mName), manifestLines(newStats))
@@ -289,7 +352,7 @@ object SnapshotTable {
     val refs = snapshot(path, Some(prev))
     val byManifest = refs.map(r => r -> parseManifest(path, r.name))
     val allPaths = byManifest.flatMap(_._2).map(f => s"$path/${f.file}")
-    val snapDf = spark.read.parquet(allPaths: _*)
+    val snapDf = readFiles(spark, path, prev, allPaths)
     val k = broadcast(keys.select(col(keyCol)).distinct())
     val touched = snapDf.withColumn("_f", input_file_name())
       .join(k, Seq(keyCol), "left_semi")
@@ -297,12 +360,13 @@ object SnapshotTable {
       .map(_.getString(0).split('/').last).toSet
     if (touched.isEmpty) return (0L, prev)
     val touchedPaths = touched.toIndexedSeq.sorted.map(n => s"$path/$n")
-    val touchedDf = spark.read.parquet(touchedPaths: _*)
+    val touchedDf = readFiles(spark, path, prev, touchedPaths)
     val rowsTouched = touchedDf.count()
     val survivors = touchedDf.join(k, Seq(keyCol), "left_anti")
     val rowsDeleted = rowsTouched - survivors.count()
     val v = prev + 1
     sweepUncommitted(path, v)
+    writeMergedSchema(path, v, Some(prev), survivors.schema)
     val survStats = writeDataFiles(survivors, path, v, zcol,
       if (nFiles > 0) nFiles else touched.size)
     val mName = s"m-$v.json"
@@ -345,7 +409,7 @@ object SnapshotTable {
     val byManifest = refs.map(r => r -> parseManifest(path, r.name))
     val filesBefore = byManifest.map(_._2.size).sum
     val allPaths = byManifest.flatMap(_._2).map(f => s"$path/${f.file}")
-    val snapDf = spark.read.parquet(allPaths: _*)
+    val snapDf = readFiles(spark, path, prev, allPaths)
     val dupCand = changes.groupBy(col(key))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col(key))
     if (dupCand.limit(1).collect().nonEmpty) {
@@ -363,13 +427,14 @@ object SnapshotTable {
       .map(_.getString(0).split('/').last).toSet
     val survivors =
       if (touched.isEmpty) changes.limit(0)
-      else spark.read.parquet(
-          touched.toIndexedSeq.sorted.map(n => s"$path/$n"): _*)
+      else readFiles(spark, path, prev,
+          touched.toIndexedSeq.sorted.map(n => s"$path/$n"))
         .join(k, Seq(key), "left_anti")
     val rewrite = survivors.unionByName(changes,
       allowMissingColumns = true)
     val v = prev + 1
     sweepUncommitted(path, v)
+    writeMergedSchema(path, v, Some(prev), rewrite.schema)
     val newStats = writeDataFiles(rewrite, path, v, zcol,
       math.max(1, touched.size))
     val mName = s"m-$v.json"
@@ -398,10 +463,12 @@ object SnapshotTable {
     */
   def read(spark: SparkSession, path: String,
       version: Option[Int] = None): DataFrame = {
-    val paths = snapshot(path, version)
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    val paths = snapshot(path, Some(v))
       .flatMap(r => parseManifest(path, r.name))
       .map(f => s"$path/${f.file}")
-    spark.read.parquet(paths: _*)
+    readFiles(spark, path, v, paths)
   }
 
   /** ZONE-PRUNED snapshot read: (candidates, filesRead, filesTotal).
@@ -416,16 +483,113 @@ object SnapshotTable {
   def readPruned(spark: SparkSession, path: String, lo: Double,
       hi: Double, version: Option[Int] = None)
       : (DataFrame, Long, Long) = {
-    val refs = snapshot(path, version)
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    val refs = snapshot(path, Some(v))
     val total = refs.map(_.files.toLong).sum
     val hitRefs = refs.filter(r => r.zMin <= hi && r.zMax >= lo)
     val hit = hitRefs.flatMap(r => parseManifest(path, r.name))
       .filter(f => f.zMin <= hi && f.zMax >= lo)
       .map(f => s"$path/${f.file}").sorted
     val df =
-      if (hit.nonEmpty) spark.read.parquet(hit: _*)
-      else read(spark, path, version).filter(lit(false))
+      if (hit.nonEmpty) readFiles(spark, path, v, hit)
+      else read(spark, path, Some(v)).filter(lit(false))
     (df, hit.length.toLong, total)
+  }
+
+  /** CHANGES FEED — the row-level diff between two committed versions,
+    * the read that makes the table a source for INCREMENTAL consumers
+    * (a downstream index, a materialized aggregate, a replication
+    * stream) without re-reading the table. Cost is O(delta), not
+    * O(table): planning diffs the two manifest lists as FILE sets and
+    * reads only files present on one side — an append-only history
+    * reads exactly the appended files. A COW rewrite (delete/merge/
+    * compact) moves surviving rows into new files, putting them on
+    * BOTH sides of the file diff; the full-row `exceptAll` cancels
+    * them (bag semantics, so duplicate rows cancel pairwise), leaving
+    * the true inserts and deletes. Returns (changes with a `_change`
+    * column of "insert"/"delete", filesRead, filesTotal-at-`to`).
+    */
+  def readChanges(spark: SparkSession, path: String, fromV: Int,
+      toV: Int): (DataFrame, Long, Long) = {
+    require(fromV <= toV, s"readChanges: from v$fromV > to v$toV")
+    def fileSet(v: Int): Set[String] =
+      snapshot(path, Some(v)).flatMap(r => parseManifest(path, r.name))
+        .filter(_.rows > 0).map(_.file).toSet
+    val from = fileSet(fromV)
+    val to = fileSet(toV)
+    val total = snapshot(path, Some(toV)).map(_.files.toLong).sum
+    val addedF = (to -- from).toIndexedSeq.sorted.map(n => s"$path/$n")
+    val removedF = (from -- to).toIndexedSeq.sorted.map(n => s"$path/$n")
+    // both sides read under toV's schema (a superset of fromV's — the
+    // s-files accumulate merges), so exceptAll compares like with like
+    // and pre-evolution rows fill the evolved columns with null
+    def readOr(paths: Seq[String], other: Seq[String]): DataFrame =
+      if (paths.nonEmpty) readFiles(spark, path, toV, paths)
+      else readFiles(spark, path, toV, other).filter(lit(false))
+    if (addedF.isEmpty && removedF.isEmpty) {
+      val empty = read(spark, path, Some(toV)).filter(lit(false))
+      return (empty.withColumn("_change", lit("insert")), 0L, total)
+    }
+    val added = readOr(addedF, removedF)
+    val removed = readOr(removedF, addedF)
+    val inserts = added.exceptAll(removed)
+      .withColumn("_change", lit("insert"))
+    val deletes = removed.exceptAll(added)
+      .withColumn("_change", lit("delete"))
+    (inserts.unionByName(deletes),
+      (addedF.size + removedF.size).toLong, total)
+  }
+
+  /** METADATA-ONLY aggregates: COUNT(*), MIN(zcol), MAX(zcol) answered
+    * from the manifest stats alone — ZERO data files opened, cost
+    * O(manifest lines) regardless of table size. This is the planning
+    * payoff of carrying exact per-file bounds in the commit log: on a
+    * 100 TB table the answer comes off kilobytes of metadata. Sound
+    * because [[Writers.fileStats]] records the TRUE per-file min/max
+    * and row count at write time and files are immutable afterwards;
+    * works at any `version` for the same reason time travel does.
+    * Empty-file sentinels are excluded the same way [[envelope]] does.
+    */
+  def statsAgg(path: String, version: Option[Int] = None)
+      : (Long, Double, Double) = {
+    val stats = snapshot(path, version)
+      .flatMap(r => parseManifest(path, r.name)).filter(_.rows > 0)
+    require(stats.nonEmpty, s"statsAgg: snapshot of $path holds no rows")
+    (stats.map(_.rows).sum, stats.map(_.zMin).min, stats.map(_.zMax).max)
+  }
+
+  /** Zone-accelerated COUNT over `[lo, hi]`: files whose bounds fall
+    * FULLY inside the range are counted from metadata (no I/O), files
+    * disjoint from the range are skipped, and only the files that
+    * STRADDLE a boundary are scanned with the residual filter. On a
+    * range-clustered table the straddle set is O(boundary) — two files
+    * per predicate edge — independent of how many files the range
+    * covers, so a count over 10% of a 100 TB table opens a handful of
+    * files. Sound by the zone-map argument both ways: full-inside
+    * files can hold no row outside the range, disjoint files no row
+    * inside it. Returns (count, rowsFromMetadata, filesScanned,
+    * filesTotal) — the second component is the evidence that the
+    * metadata path contributed, not just a narrowed scan.
+    */
+  def countRange(spark: SparkSession, path: String, zcol: String,
+      lo: Double, hi: Double, version: Option[Int] = None)
+      : (Long, Long, Long, Long) = {
+    val refs = snapshot(path, version)
+    val total = refs.map(_.files.toLong).sum
+    val files = refs.filter(r => r.zMin <= hi && r.zMax >= lo)
+      .flatMap(r => parseManifest(path, r.name))
+      .filter(f => f.rows > 0 && f.zMin <= hi && f.zMax >= lo)
+    val (inside, straddle) =
+      files.partition(f => f.zMin >= lo && f.zMax <= hi)
+    val metaRows = inside.map(_.rows).sum
+    val scanned =
+      if (straddle.isEmpty) 0L
+      else spark.read.parquet(
+          straddle.map(f => s"$path/${f.file}").sorted: _*)
+        .filter(col(zcol).cast("double").between(lit(lo), lit(hi)))
+        .count()
+    (metaRows + scanned, metaRows, straddle.size.toLong, total)
   }
 
   /** Retention GC — drop snapshots older than the last `keepLast`
@@ -446,6 +610,7 @@ object SnapshotTable {
     var sDel = 0
     (1 until cutoff).foreach { v =>
       if (Files.deleteIfExists(logDir(path).resolve(s"v$v"))) sDel += 1
+      Files.deleteIfExists(schemaPath(path, v))
     }
     val log = logDir(path).toFile
     Option(log.listFiles()).getOrElse(Array.empty[java.io.File])

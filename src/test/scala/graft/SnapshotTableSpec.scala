@@ -221,6 +221,140 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t).count() == 500)
   }
 
+  test("schema evolution: the commit log carries the merged schema, " +
+      "time travel sees the version's own, COW rewrites keep evolved " +
+      "columns, type changes are rejected") {
+    val t = Files.createTempDirectory("graft-snapse").toString + "/t"
+    SnapshotTable.commitAppend(
+      (0 until 400).map(i => (i.toLong, i.toDouble)).toDF("id", "z"),
+      t, "z", 4)
+    // evolve: a new string column arrives with the second commit
+    SnapshotTable.commitAppend(
+      (400 until 600).map(i => (i.toLong, i.toDouble, s"t${i % 3}"))
+        .toDF("id", "z", "tag"), t, "z", 2)
+    val latest = SnapshotTable.read(spark, t)
+    assert(latest.schema.fieldNames.toSeq == Seq("id", "z", "tag"))
+    assert(latest.filter(col("tag").isNull).count() == 400)
+    assert(latest.filter(col("tag") === "t0").count() ===
+      (400 until 600).count(_ % 3 == 0))
+    // time travel reads v1 under v1's OWN schema
+    assert(SnapshotTable.read(spark, t, Some(1))
+      .schema.fieldNames.toSeq == Seq("id", "z"))
+    // pruned reads carry the version schema too
+    val (cand, _, _) = SnapshotTable.readPruned(spark, t, 450.0, 500.0)
+    assert(cand.schema.fieldNames.contains("tag"))
+    // the sharp edge: a COW delete touching old- AND new-schema files
+    // rewrites survivors together without dropping the evolved column
+    SnapshotTable.commitDelete(spark, t,
+      "id", (Seq(100L, 500L)).toDF("id"), "z")
+    val after = SnapshotTable.read(spark, t)
+    assert(after.count() == 598)
+    assert(after.filter(col("tag").isNotNull).count() == 199)
+    assert(after.filter(col("id") === 501L).select(col("tag"))
+      .head.getString(0) == "t0")
+    // merge inserts with the evolved schema; pre-evolution survivors null
+    SnapshotTable.commitMerge(spark, t,
+      Seq((100L, 100.0, "back")).toDF("id", "z", "tag"), "id", "z")
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("tag") === "back").count() == 1)
+    // a type change is rejected outright
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commitAppend(
+        (0 until 5).map(i => (i.toLong, i.toDouble, i))
+          .toDF("id", "z", "tag"), t, "z", 1)
+    }
+    assert(e.getMessage.contains("cannot change the type"))
+    // readChanges under an evolved span compares like with like
+    val (c12, _, _) = SnapshotTable.readChanges(spark, t, 1, 2)
+    assert(c12.filter(col("_change") === "insert").count() == 200)
+    assert(c12.schema.fieldNames.contains("tag"))
+  }
+
+  test("readChanges diffs versions at O(delta): appends emit inserts " +
+      "only, COW survivors cancel, merges emit delete+insert pairs") {
+    val t = Files.createTempDirectory("graft-snapch").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 600), t, "z", 6)
+    SnapshotTable.commitAppend(rows(600 until 800), t, "z", 2)
+    // append leg: only v2's two files read, inserts only
+    val (c12, fr12, tot12) = SnapshotTable.readChanges(spark, t, 1, 2)
+    assert(fr12 == 2 && tot12 == 8)
+    assert(c12.filter(col("_change") === "delete").count() == 0)
+    assert(c12.filter(col("_change") === "insert").count() == 200)
+    assert(c12.agg(sum(col("id"))).head.getLong(0) ==
+      (600L until 800L).sum)
+    // same-version diff is empty without reading anything
+    val (c22, fr22, _) = SnapshotTable.readChanges(spark, t, 2, 2)
+    assert(fr22 == 0 && c22.count() == 0)
+    // COW delete leg: the touched files' survivors land on BOTH sides
+    // of the file diff and must cancel — deletes only, exactly the keys
+    SnapshotTable.commitDelete(spark, t, "id",
+      (100L until 130L).toDF("id"), "z")
+    val (c23, _, _) = SnapshotTable.readChanges(spark, t, 2, 3)
+    assert(c23.filter(col("_change") === "insert").count() == 0,
+      "rewritten survivors leaked as inserts")
+    val dels = c23.filter(col("_change") === "delete")
+    assert(dels.count() == 30)
+    assert(dels.agg(sum(col("id"))).head.getLong(0) ==
+      (100L until 130L).sum)
+    // merge leg: updates surface as CDC pairs (old row delete, new row
+    // insert), brand-new keys as bare inserts
+    val changes = ((200 until 210).map(i => (i.toLong, i * 10.0, "upd")) ++
+      Seq((9000L, 9000.0, "new"))).toDF("id", "z", "tag")
+    SnapshotTable.commitMerge(spark, t, changes, "id", "z")
+    val (c34, _, _) = SnapshotTable.readChanges(spark, t, 3, 4)
+    val ins34 = c34.filter(col("_change") === "insert")
+    val del34 = c34.filter(col("_change") === "delete")
+    assert(ins34.count() == 11 && del34.count() == 10)
+    assert(ins34.filter(col("tag") === "upd").count() == 10)
+    assert(del34.agg(sum(col("id"))).head.getLong(0) ==
+      (200L until 210L).sum)
+    // multi-version span composes the legs: vs v1, inserts are the
+    // appended 200 plus the 10 updated rows plus the new key; deletes
+    // are the 30 COW-deleted plus the 10 pre-update rows
+    val (c14, _, _) = SnapshotTable.readChanges(spark, t, 1, 4)
+    assert(c14.filter(col("_change") === "insert").count() == 211)
+    assert(c14.filter(col("_change") === "delete").count() == 40)
+  }
+
+  test("statsAgg and countRange answer from metadata: zero files for " +
+      "unbounded aggregates, straddle-only scans for ranges") {
+    val t = Files.createTempDirectory("graft-snapsa").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 800), t, "z", 8)
+    SnapshotTable.commitAppend(rows(800 until 1000), t, "z", 2)
+    val (n, mn, mx) = SnapshotTable.statsAgg(t)
+    assert(n == 1000 && mn == 0.0 && mx == 999.0)
+    // unbounded count: every file fully inside, nothing scanned
+    val (nF, metaF, scanF, totF) = SnapshotTable.countRange(spark, t, "z",
+      Double.NegativeInfinity, Double.PositiveInfinity)
+    assert(nF == 1000 && metaF == 1000 && scanF == 0 && totF == 10)
+    // a mid-range count: exact, with a strict straddle subset and a
+    // real metadata contribution (the 8 v1 files each span 100 ids)
+    val (nR, metaR, scanR, _) = SnapshotTable.countRange(spark, t, "z",
+      50.0, 449.0)
+    assert(nR == 400, s"range count $nR")
+    assert(metaR > 0 && scanR > 0 && scanR < totF,
+      s"meta=$metaR scanned=$scanR/$totF")
+    // disjoint range: zero everything
+    val (n0, meta0, scan0, _) = SnapshotTable.countRange(spark, t, "z",
+      5000.0, 9000.0)
+    assert(n0 == 0 && meta0 == 0 && scan0 == 0)
+    // boundary-exact: bounds are inclusive min/max, so a range that
+    // ENDS exactly on a file boundary keeps that file metadata-only
+    val (nB, _, _, _) = SnapshotTable.countRange(spark, t, "z", 0.0, 99.0)
+    assert(nB == 100)
+    // versioned: v1's stats exclude the later commit
+    val (n1, mn1, mx1) = SnapshotTable.statsAgg(t, Some(1))
+    assert(n1 == 800 && mn1 == 0.0 && mx1 == 799.0)
+    // stats stay exact after a COW delete rewrites bounds
+    SnapshotTable.commitDelete(spark, t, "id",
+      (990L until 1000L).toDF("id"), "z")
+    val (nD, _, mxD) = SnapshotTable.statsAgg(t)
+    assert(nD == 990 && mxD == 989.0)
+    val (nRD, _, _, _) = SnapshotTable.countRange(spark, t, "z",
+      900.0, 2000.0)
+    assert(nRD == 90)
+  }
+
   test("a commit that dies before the pointer swing is invisible and " +
       "swept by the retry") {
     val t = Files.createTempDirectory("graft-snapc").toString + "/t"
