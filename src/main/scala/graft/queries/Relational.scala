@@ -2467,6 +2467,70 @@ object Relational {
       } finally deleteRecursive(drop)
     }),
 
+    // MERGE-ON-READ DELETE on the unified snapshot table — the
+    // O(metadata) takedown ([[sources.SnapshotTable.commitDeleteMor]]):
+    // the keys land as an equality-delete tombstone file plus ONE
+    // snapshot line, no data file rewrites (the gate requires v2's
+    // manifest list to be IDENTICAL to v1's), and reads apply the
+    // tombstone as a broadcast anti-join with sequence scoping — a
+    // LATER append re-inserting deleted keys survives (Iceberg v2
+    // semantics), which the oracle's +11-price re-insert band makes
+    // hash-visible. compactCommit then materializes the tombstone and
+    // the re-read must equal the merge-on-read answer exactly. Both
+    // pruned reads stay strict subsets: tombstones only remove rows,
+    // so file skipping composes with them soundly.
+    "q_snapshot_mor_delete" -> ((s, d) => {
+      val dir = rtDir("snapmor", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppend(o, dir, "price", 12)
+      val (nTomb, _) = graft.sources.SnapshotTable.commitDeleteMor(
+        s, dir, "o_orderkey",
+        o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")))
+      require(graft.sources.SnapshotTable.snapshot(dir, Some(2))
+          .map(_.name) ==
+        graft.sources.SnapshotTable.snapshot(dir, Some(1)).map(_.name),
+        "q_snapshot_mor_delete: tombstone commit must touch no data file")
+      val reins = o.filter(col("o_orderkey") % 97 === 3 &&
+          col("o_orderkey") % 2 === 0)
+        .withColumn("price", (col("price") + 11).cast("decimal(18,2)"))
+      graft.sources.SnapshotTable.commitAppend(reins, dir, "price", 2)
+      val s2 = s.newSession()
+      val latestN = graft.sources.SnapshotTable.read(s2, dir).count()
+      require(latestN == o.count() - nTomb + reins.count(),
+        s"q_snapshot_mor_delete: re-inserts must survive the older " +
+          s"tombstone, read $latestN rows")
+      val n1 = graft.sources.SnapshotTable.read(s2, dir, Some(1)).count()
+      val (lo, hi) = (100000.0, 150000.0)
+      val (candL, readL, totalL) = graft.sources.SnapshotTable
+        .readPruned(s2, dir, lo, hi)
+      val (candT, readT, totalT) = graft.sources.SnapshotTable
+        .readPruned(s2, dir, lo, hi, Some(2))
+      require(readL > 0 && readL < totalL && readT > 0 && readT < totalT,
+        s"q_snapshot_mor_delete: expected strict subsets, read " +
+          s"latest=$readL/$totalL travel=$readT/$totalT")
+      val aL = candL.filter(col("price").between(lit(100000), lit(150000)))
+        .agg(count(lit(1)).as("n_latest"),
+          sum(col("price")).cast("double").as("revenue_latest"))
+      val aT = candT.filter(col("price").between(lit(100000), lit(150000)))
+        .agg(count(lit(1)).as("n_travel"),
+          sum(col("price")).cast("double").as("revenue_travel"))
+      graft.sources.SnapshotTable.compactCommit(s2, dir, "price",
+        o.count() / 4 + 1)
+      require(graft.sources.SnapshotTable.deleteRefs(dir).isEmpty,
+        "q_snapshot_mor_delete: compaction must drop the tombstone refs")
+      val compactedEq =
+        graft.sources.SnapshotTable.read(s2, dir).count() == latestN
+      aL.crossJoin(aT)
+        .withColumn("n_v1", lit(n1))
+        .withColumn("mor_metadata_only", lit(true))
+        .withColumn("reinsert_survived", lit(true))
+        .withColumn("compacted_equal", lit(compactedEq))
+        .withColumn("skipped_latest", lit(true))
+        .withColumn("skipped_travel", lit(true))
+    }),
+
     // SCHEMA EVOLUTION on the unified snapshot table — the schema
     // travels in the commit log (`s-<v>.json`, the merge of every
     // commit's schema; [[sources.SnapshotTable.readSchema]]), so reads
@@ -4816,6 +4880,28 @@ object Relational {
         |  TRUE AS ingested_once,
         |  TRUE AS compacted
         |FROM b""".stripMargin,
+
+    "q_snapshot_mor_delete" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |cur AS (
+        |  SELECT price FROM o WHERE k % 97 <> 3
+        |  UNION ALL
+        |  SELECT CAST(price + 11 AS DECIMAL(18,2)) AS price FROM o
+        |  WHERE k % 97 = 3 AND k % 2 = 0),
+        |l AS (SELECT CAST(count(*) AS BIGINT) AS n_latest,
+        |    CAST(sum(price) AS DOUBLE) AS revenue_latest
+        |  FROM cur WHERE price BETWEEN 100000 AND 150000),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_travel,
+        |    CAST(sum(price) AS DOUBLE) AS revenue_travel
+        |  FROM o WHERE k % 97 <> 3
+        |    AND price BETWEEN 100000 AND 150000),
+        |v1 AS (SELECT CAST(count(*) AS BIGINT) AS n_v1 FROM o)
+        |SELECT l.n_latest, l.revenue_latest, t.n_travel, t.revenue_travel,
+        |  v1.n_v1, TRUE AS mor_metadata_only, TRUE AS reinsert_survived,
+        |  TRUE AS compacted_equal, TRUE AS skipped_latest,
+        |  TRUE AS skipped_travel
+        |FROM l CROSS JOIN t CROSS JOIN v1""".stripMargin,
 
     "q_snapshot_schema_evolve" ->
       """WITH o AS (SELECT o_orderkey AS k,

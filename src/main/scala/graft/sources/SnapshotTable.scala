@@ -57,6 +57,12 @@ object SnapshotTable {
   case class FileStat(file: String, zMin: Double, zMax: Double, rows: Long)
   case class ManifestRef(name: String, zMin: Double, zMax: Double,
       files: Int, rows: Long)
+  /** An equality-delete tombstone: `file` holds the distinct keys of
+    * column `key`; it applies to rows in manifests COMMITTED BEFORE
+    * version `v` (Iceberg v2's sequence-number scoping) — a later
+    * re-insert of a deleted key survives.
+    */
+  case class DeleteRef(file: String, key: String, rows: Long, v: Int)
 
   // ---- driver-side metadata I/O (tmp + ATOMIC_MOVE everywhere) --------
 
@@ -115,9 +121,46 @@ object SnapshotTable {
       }
 
   private def snapshotLines(refs: Seq[ManifestRef]): String =
-    refs.map(r =>
-      s"""{"manifest":"${r.name}","z_min":${r.zMin},"z_max":${r.zMax},""" +
-        s""""files":${r.files},"rows":${r.rows}}""").mkString("\n")
+    refs.map(refLine).mkString("\n")
+
+  private def refLine(r: ManifestRef): String =
+    s"""{"manifest":"${r.name}","z_min":${r.zMin},"z_max":${r.zMax},""" +
+      s""""files":${r.files},"rows":${r.rows}}"""
+
+  private val DelLine =
+    """\{"delete":"([^"]+)","key":"([^"]+)","rows":(\d+),"v":(\d+)\}""".r
+
+  private def delLine(d: DeleteRef): String =
+    s"""{"delete":"${d.file}","key":"${d.key}","rows":${d.rows},""" +
+      s""""v":${d.v}}"""
+
+  /** The raw snapshot lines of `v` — manifest refs AND tombstone refs,
+    * carried verbatim by append commits so a tombstone stays visible
+    * until a compaction materializes it.
+    */
+  private def rawSnapshotLines(path: String, v: Int): Seq[String] = {
+    val p = logDir(path).resolve(s"v$v")
+    require(Files.exists(p), s"snapshot v$v does not exist (vacuumed?)")
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toIndexedSeq
+  }
+
+  /** The equality-delete tombstones of `version`'s snapshot. */
+  def deleteRefs(path: String, version: Option[Int] = None)
+      : Seq[DeleteRef] = {
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    rawSnapshotLines(path, v).collect {
+      case DelLine(f, k, n, dv) => DeleteRef(f, k, n.toLong, dv.toInt)
+    }
+  }
+
+  /** The commit version a manifest's FILES belong to for tombstone
+    * scoping ("m-5.json" and the COW rewrite "m-5-r2.json" are both 5
+    * — a rewrite can only happen tombstone-free, see [[commitDelete]],
+    * so its rows re-enter the sequence at the rewrite version).
+    */
+  private def manifestVersion(name: String): Int =
+    name.stripPrefix("m-").takeWhile(_.isDigit).toInt
 
   /** The manifest list of `version` (or latest). */
   def snapshot(path: String, version: Option[Int] = None)
@@ -211,7 +254,8 @@ object SnapshotTable {
   private def sweepUncommitted(path: String, v: Int): Unit = {
     Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.startsWith(s"v$v-p") && f.isFile)
+      .filter(f => (f.getName.startsWith(s"v$v-p") ||
+        f.getName.startsWith(s"v$v-d")) && f.isFile)
       .foreach(_.delete())
     val log = logDir(path).toFile
     Option(log.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -262,9 +306,10 @@ object SnapshotTable {
     val stats = writeDataFiles(df, path, v, zcol, nFiles)
     val mName = s"m-$v.json"
     writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
-    val prevRefs = prev.map(p => snapshot(path, Some(p))).getOrElse(Nil)
+    // raw-line carry: manifest refs AND tombstone refs survive appends
+    val prevLines = prev.map(p => rawSnapshotLines(path, p)).getOrElse(Nil)
     writeAtomic(logDir(path).resolve(s"v$v"),
-      snapshotLines(prevRefs :+ envelope(stats, mName)))
+      (prevLines :+ refLine(envelope(stats, mName))).mkString("\n"))
     swingPointer(path, v, -1L)
     v
   }
@@ -296,9 +341,10 @@ object SnapshotTable {
     val stats = writeDataFiles(df, path, v, zcol, nFiles)
     val mName = s"m-$v.json"
     writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
-    val prevRefs = prev.map(p => snapshot(path, Some(p._1))).getOrElse(Nil)
+    val prevLines =
+      prev.map(p => rawSnapshotLines(path, p._1)).getOrElse(Nil)
     writeAtomic(logDir(path).resolve(s"v$v"),
-      snapshotLines(prevRefs :+ envelope(stats, mName)))
+      (prevLines :+ refLine(envelope(stats, mName))).mkString("\n"))
     swingPointer(path, v, batchId)
     true
   }
@@ -349,6 +395,9 @@ object SnapshotTable {
       keys: DataFrame, zcol: String, nFiles: Int = 0): (Long, Int) = {
     val prev = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    require(deleteRefs(path, Some(prev)).isEmpty,
+      "snapshot carries merge-on-read tombstones - run compactCommit " +
+        "to materialize them before a copy-on-write rewrite")
     val refs = snapshot(path, Some(prev))
     val byManifest = refs.map(r => r -> parseManifest(path, r.name))
     val allPaths = byManifest.flatMap(_._2).map(f => s"$path/${f.file}")
@@ -389,6 +438,51 @@ object SnapshotTable {
     (rowsDeleted, v)
   }
 
+  /** MERGE-ON-READ DELETE commit — the O(metadata) takedown: the keys
+    * land as an equality-delete TOMBSTONE file and a one-line snapshot
+    * entry; NO data file is touched, so the commit costs the tombstone
+    * regardless of table size (the COW [[commitDelete]] rewrite is the
+    * right tool when the delete is large or read-amplification
+    * matters; this is the right tool when a takedown must land NOW on
+    * a 100 TB table). Reads apply the tombstone as a broadcast
+    * anti-join, scoped by sequence number: it deletes only from
+    * manifests committed BEFORE it, so a later re-insert of a deleted
+    * key survives (Iceberg v2 semantics). [[compactCommit]]
+    * materializes tombstones and drops them from the new snapshot.
+    * Tombstone sets are takedown-sized by contract — the file stages
+    * as a single part. Returns (distinct tombstone keys, new version;
+    * the previous version when `keys` is empty).
+    */
+  def commitDeleteMor(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame): (Long, Int) = {
+    val prev = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    val v = prev + 1
+    sweepUncommitted(path, v)
+    val stage = s"$path/_log/_stage"
+    keys.select(col(keyCol)).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val stageDir = Paths.get(stage)
+    val part = Files.list(stageDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part-"))
+      .toIndexedSeq.sorted.headOption.getOrElse(
+        throw new IllegalStateException("tombstone stage produced no part"))
+    val dst = f"v$v-d00000.parquet"
+    Files.move(stageDir.resolve(part), Paths.get(path, dst),
+      StandardCopyOption.ATOMIC_MOVE)
+    val n = spark.read.parquet(s"$path/$dst").count()
+    if (n == 0) { Files.deleteIfExists(Paths.get(path, dst)); return (0L, prev) }
+    // the schema is unchanged by a tombstone; carry it so readFiles
+    // keeps resolving this version without inference
+    readSchema(path, prev).foreach(sc =>
+      writeAtomic(schemaPath(path, v), sc.json))
+    writeAtomic(logDir(path).resolve(s"v$v"),
+      (rawSnapshotLines(path, prev) :+
+        delLine(DeleteRef(dst, keyCol, n, v))).mkString("\n"))
+    swingPointer(path, v, -1L)
+    (n, v)
+  }
+
   /** COPY-ON-WRITE MERGE (upsert) commit — the CDC write path: rows of
     * `changes` REPLACE same-key rows of the latest snapshot, new keys
     * INSERT, and only the files holding a matched key rewrite; their
@@ -405,6 +499,9 @@ object SnapshotTable {
       changes: DataFrame, key: String, zcol: String): (Int, Int, Int) = {
     val prev = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    require(deleteRefs(path, Some(prev)).isEmpty,
+      "snapshot carries merge-on-read tombstones - run compactCommit " +
+        "to materialize them before a copy-on-write rewrite")
     val refs = snapshot(path, Some(prev))
     val byManifest = refs.map(r => r -> parseManifest(path, r.name))
     val filesBefore = byManifest.map(_._2.size).sum
@@ -461,14 +558,42 @@ object SnapshotTable {
     * commits are invisible (snapshot isolation), earlier versions stay
     * readable (time travel).
     */
+  /** Read `(manifestVersion, filePath)` pairs under `v`'s schema and
+    * apply `v`'s tombstones with sequence scoping: a tombstone at
+    * version d deletes only from files whose manifest committed before
+    * d. Files sharing an applicable-tombstone set read as ONE scan (at
+    * most #tombstones+1 groups — no tombstones means the single-scan
+    * fast path), each group anti-joined against its broadcast key
+    * files.
+    */
+  private def readApplying(spark: SparkSession, path: String, v: Int,
+      pairs: Seq[(Int, String)]): DataFrame = {
+    val dels = deleteRefs(path, Some(v))
+    if (dels.isEmpty) readFiles(spark, path, v, pairs.map(_._2))
+    else pairs.groupBy { case (mv, _) =>
+        dels.filter(_.v > mv).map(_.file).sorted }
+      .toSeq.sortBy(_._1.mkString(","))
+      .map { case (delFiles, grp) =>
+        val base = readFiles(spark, path, v, grp.map(_._2))
+        delFiles.foldLeft(base) { (df, dfile) =>
+          val d = dels.find(_.file == dfile).get
+          df.join(broadcast(spark.read.parquet(s"$path/${d.file}")),
+            Seq(d.key), "left_anti")
+        }
+      }.reduce(_ unionByName _)
+  }
+
+  private def manifestFilePairs(path: String, v: Int)
+      : Seq[(Int, String)] =
+    snapshot(path, Some(v)).flatMap(r =>
+      parseManifest(path, r.name).map(f =>
+        (manifestVersion(r.name), s"$path/${f.file}")))
+
   def read(spark: SparkSession, path: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot in $path"))
-    val paths = snapshot(path, Some(v))
-      .flatMap(r => parseManifest(path, r.name))
-      .map(f => s"$path/${f.file}")
-    readFiles(spark, path, v, paths)
+    readApplying(spark, path, v, manifestFilePairs(path, v))
   }
 
   /** ZONE-PRUNED snapshot read: (candidates, filesRead, filesTotal).
@@ -488,11 +613,13 @@ object SnapshotTable {
     val refs = snapshot(path, Some(v))
     val total = refs.map(_.files.toLong).sum
     val hitRefs = refs.filter(r => r.zMin <= hi && r.zMax >= lo)
-    val hit = hitRefs.flatMap(r => parseManifest(path, r.name))
-      .filter(f => f.zMin <= hi && f.zMax >= lo)
-      .map(f => s"$path/${f.file}").sorted
+    val hit = hitRefs.flatMap(r =>
+        parseManifest(path, r.name)
+          .filter(f => f.zMin <= hi && f.zMax >= lo)
+          .map(f => (manifestVersion(r.name), s"$path/${f.file}")))
+      .sortBy(_._2)
     val df =
-      if (hit.nonEmpty) readFiles(spark, path, v, hit)
+      if (hit.nonEmpty) readApplying(spark, path, v, hit)
       else read(spark, path, Some(v)).filter(lit(false))
     (df, hit.length.toLong, total)
   }
@@ -513,6 +640,10 @@ object SnapshotTable {
   def readChanges(spark: SparkSession, path: String, fromV: Int,
       toV: Int): (DataFrame, Long, Long) = {
     require(fromV <= toV, s"readChanges: from v$fromV > to v$toV")
+    Seq(fromV, toV).foreach(v => require(
+      deleteRefs(path, Some(v)).isEmpty,
+      s"readChanges: v$v carries merge-on-read tombstones - run " +
+        "compactCommit to materialize them first"))
     def fileSet(v: Int): Set[String] =
       snapshot(path, Some(v)).flatMap(r => parseManifest(path, r.name))
         .filter(_.rows > 0).map(_.file).toSet
@@ -553,6 +684,10 @@ object SnapshotTable {
     */
   def statsAgg(path: String, version: Option[Int] = None)
       : (Long, Double, Double) = {
+    val vv = version.orElse(latestVersion(path))
+    require(deleteRefs(path, vv).isEmpty,
+      "statsAgg: snapshot carries merge-on-read tombstones whose rows " +
+        "the manifest stats still count - run compactCommit first")
     val stats = snapshot(path, version)
       .flatMap(r => parseManifest(path, r.name)).filter(_.rows > 0)
     require(stats.nonEmpty, s"statsAgg: snapshot of $path holds no rows")
@@ -575,6 +710,10 @@ object SnapshotTable {
   def countRange(spark: SparkSession, path: String, zcol: String,
       lo: Double, hi: Double, version: Option[Int] = None)
       : (Long, Long, Long, Long) = {
+    require(deleteRefs(path,
+        version.orElse(latestVersion(path))).isEmpty,
+      "countRange: snapshot carries merge-on-read tombstones whose " +
+        "rows the manifest stats still count - run compactCommit first")
     val refs = snapshot(path, version)
     val total = refs.map(_.files.toLong).sum
     val files = refs.filter(r => r.zMin <= hi && r.zMax >= lo)
@@ -602,11 +741,13 @@ object SnapshotTable {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val latest = latestVersion(path).getOrElse(return (0, 0))
     val cutoff = latest - keepLast + 1
-    val keepManifests = (math.max(1, cutoff) to latest)
+    val retained = (math.max(1, cutoff) to latest)
       .filter(v => Files.exists(logDir(path).resolve(s"v$v")))
-      .flatMap(v => snapshot(path, Some(v))).map(_.name).toSet
+    val keepManifests =
+      retained.flatMap(v => snapshot(path, Some(v))).map(_.name).toSet
     val keepFiles = keepManifests
-      .flatMap(m => parseManifest(path, m)).map(_.file)
+      .flatMap(m => parseManifest(path, m)).map(_.file) ++
+      retained.flatMap(v => deleteRefs(path, Some(v))).map(_.file)
     var sDel = 0
     (1 until cutoff).foreach { v =>
       if (Files.deleteIfExists(logDir(path).resolve(s"v$v"))) sDel += 1

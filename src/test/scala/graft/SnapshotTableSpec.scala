@@ -221,6 +221,70 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t).count() == 500)
   }
 
+  test("merge-on-read delete: O(metadata) tombstone commit, sequence-" +
+      "scoped reads, re-inserts survive, compaction materializes") {
+    val t = Files.createTempDirectory("graft-snapmor").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 1000), t, "z", 8)
+    val (nTomb, v2) = SnapshotTable.commitDeleteMor(spark, t, "id",
+      (100L until 160L).toDF("id"))
+    assert(nTomb == 60 && v2 == 2)
+    // NO data file was touched: v2 lists exactly v1's manifests
+    assert(SnapshotTable.snapshot(t, Some(2)).map(_.name) ==
+      SnapshotTable.snapshot(t, Some(1)).map(_.name))
+    assert(SnapshotTable.deleteRefs(t).map(_.rows) == Seq(60L))
+    // reads apply the tombstone; v1 still reads everything
+    assert(SnapshotTable.read(spark, t).count() == 940)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("id").between(100, 159)).count() == 0)
+    assert(SnapshotTable.read(spark, t, Some(1)).count() == 1000)
+    // pruned reads stay sound under the tombstone
+    val (cand, read2, tot2) = SnapshotTable.readPruned(spark, t, 50, 300)
+    assert(read2 > 0 && read2 < tot2)
+    assert(cand.filter(col("z").between(50, 300)).count() == 191)
+    // sequence scoping: a LATER append re-inserting deleted keys
+    // survives the older tombstone
+    SnapshotTable.commitAppend(
+      (100L until 110L).map(i => (i, i.toDouble, "re")).toDF("id", "z", "tag"),
+      t, "z", 1)
+    val latest = SnapshotTable.read(spark, t)
+    assert(latest.count() == 950)
+    assert(latest.filter(col("id") === 105L).count() == 1)
+    // a SECOND tombstone composes (and hits both eras it postdates)
+    SnapshotTable.commitDeleteMor(spark, t, "id",
+      Seq(105L, 500L).toDF("id"))
+    assert(SnapshotTable.read(spark, t).count() == 948)
+    // COW rewrites and metadata stats refuse until compaction
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitDelete(spark, t, "id", Seq(1L).toDF("id"), "z")
+    }
+    intercept[IllegalArgumentException] { SnapshotTable.statsAgg(t) }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readChanges(spark, t, 2, 4)
+    }
+    // compaction materializes the tombstones and drops the refs
+    val vPre = SnapshotTable.latestVersion(t).get
+    SnapshotTable.compactCommit(spark, t, "z", 500L)
+    assert(SnapshotTable.deleteRefs(t).isEmpty)
+    val compacted = SnapshotTable.read(spark, t)
+    assert(compacted.count() == 948)
+    assert(compacted.filter(col("id") === 105L).count() == 0)
+    assert(compacted.filter(col("id") === 106L).count() == 1)
+    // the pre-compact version still applies its tombstones when read
+    assert(SnapshotTable.read(spark, t, Some(vPre)).count() == 948)
+    // stats answer again after materialization
+    val (n, _, _) = SnapshotTable.statsAgg(t)
+    assert(n == 948)
+    // vacuum keeps tombstone files while a retained snapshot lists them
+    val (_, _) = SnapshotTable.vacuum(t, keepLast = 2)
+    assert(SnapshotTable.read(spark, t, Some(vPre)).count() == 948,
+      "retained pre-compact read lost its tombstone file")
+    SnapshotTable.vacuum(t, keepLast = 1)
+    assert(Option(new java.io.File(t).listFiles()).get
+      .forall(f => !f.getName.contains("-d0")),
+      "unreferenced tombstone files must be reclaimed")
+    assert(SnapshotTable.read(spark, t).count() == 948)
+  }
+
   test("schema evolution: the commit log carries the merged schema, " +
       "time travel sees the version's own, COW rewrites keep evolved " +
       "columns, type changes are rejected") {
