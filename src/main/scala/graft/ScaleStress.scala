@@ -185,7 +185,15 @@ object ScaleStress {
     // the streamed resize-on-doubling lifecycle
     "q_ann_ivf_trained", "q_dedup_clusters_incremental",
     "q_snapshot_time_travel", "q_zonemap_delete_date",
-    "q_zonemap_delete_zorder", "q_stream_semantic_rebits")
+    "q_zonemap_delete_zorder", "q_stream_semantic_rebits",
+    // round-13 snapshot-table completion: COW merge, exactly-once
+    // streaming ingest + compaction, O(metadata) MOR delete, O(delta)
+    // changes feed, metadata-only aggregates, schema evolution, and
+    // incremental view maintenance
+    "q_snapshot_merge", "q_snapshot_stream_ingest",
+    "q_snapshot_mor_delete", "q_snapshot_changes",
+    "q_snapshot_stats_agg", "q_snapshot_schema_evolve",
+    "q_snapshot_incremental_agg")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

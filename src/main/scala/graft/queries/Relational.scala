@@ -2362,11 +2362,14 @@ object Relational {
       val vPre = graft.sources.SnapshotTable.commitAppend(
         o.filter(col("o_orderkey") % 2 === 1), dir, "price", 8)
       val upd = o.filter(col("o_orderkey") % 10 === 7)
+      // inserted twins take NEGATED keys: disjoint from every positive
+      // orderkey at any scale replica (an additive offset collides with
+      // the scale harness's own per-replica key offsets)
       val changes = upd
         .withColumn("price",
           (col("price") * 2).cast("decimal(18,2)"))
         .unionByName(upd.select(
-          (col("o_orderkey") + lit(1000000000L)).as("o_orderkey"),
+          (-col("o_orderkey") - lit(1L)).as("o_orderkey"),
           col("o_orderpriority"),
           (col("price") + lit(7)).cast("decimal(18,2)").as("price")))
       val (replaced, carriedN, _) = graft.sources.SnapshotTable
@@ -2465,6 +2468,62 @@ object Relational {
           .withColumn("ingested_once", lit(ingestedOnce))
           .withColumn("compacted", lit(compacted))
       } finally deleteRecursive(drop)
+    }),
+
+    // INCREMENTAL VIEW MAINTENANCE off the changes feed — the consumer
+    // the feed exists for ([[sources.SnapshotTable.incrementalAgg]]): a
+    // standing per-group count+sum materializes once at v1, then each
+    // commit's [[readChanges]] delta folds in at O(delta) + O(|view|)
+    // — the base table is NEVER re-read. The three legs exercise the
+    // three delta shapes: a pure-insert append, a pure-delete COW
+    // takedown, and a MERGE whose CDC delete+insert pairs must NET to
+    // the update's effect in exact decimal arithmetic. The gate
+    // require()s the maintained view equals a from-scratch recompute
+    // bag-exactly, and the oracle recomputes the final view from the
+    // raw table — a drifted sum, a lost group, or a double-applied
+    // delta all fail the hash.
+    "q_snapshot_incremental_agg" -> ((s, d) => {
+      val dir = rtDir("snapmv", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), dir, "price", 8)
+      val s2 = s.newSession()
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("price")).as("price"))
+      var mv = aggOf(graft.sources.SnapshotTable.read(s2, dir))
+        .localCheckpoint()
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), dir, "price", 8)
+      graft.sources.SnapshotTable.commitDelete(s, dir, "o_orderkey",
+        o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")),
+        "price")
+      graft.sources.SnapshotTable.commitMerge(s, dir,
+        o.filter(col("o_orderkey") % 10 === 7 &&
+            col("o_orderkey") % 97 =!= 3)
+          .withColumn("price", (col("price") * 2).cast("decimal(18,2)")),
+        "o_orderkey", "price")
+      Seq((1, 2), (2, 3), (3, 4)).foreach { case (a, b) =>
+        val (ch, _, _) = graft.sources.SnapshotTable
+          .readChanges(s2, dir, a, b)
+        mv = graft.sources.SnapshotTable.incrementalAgg(mv, ch,
+          Seq("o_orderpriority"), Seq("price")).localCheckpoint()
+      }
+      // teeth: the maintained view equals a from-scratch recompute
+      val wide = (df: org.apache.spark.sql.DataFrame) =>
+        df.select(col("o_orderpriority"), col("n"),
+          col("price").cast("decimal(38,2)").as("price"))
+      val fresh = wide(aggOf(graft.sources.SnapshotTable.read(s2, dir)))
+      require(wide(mv).exceptAll(fresh).isEmpty &&
+        fresh.exceptAll(wide(mv)).isEmpty,
+        "q_snapshot_incremental_agg: maintained view diverged from " +
+          "the recompute")
+      mv.select(col("o_orderpriority"), col("n"),
+          col("price").cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // MERGE-ON-READ DELETE on the unified snapshot table — the
@@ -4880,6 +4939,19 @@ object Relational {
         |  TRUE AS ingested_once,
         |  TRUE AS compacted
         |FROM b""".stripMargin,
+
+    "q_snapshot_incremental_agg" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |cur AS (SELECT o_orderpriority,
+        |    CASE WHEN k % 10 = 7
+        |      THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price END
+        |      AS price
+        |  FROM o WHERE k % 97 <> 3)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price) AS DOUBLE) AS revenue
+        |FROM cur GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_snapshot_mor_delete" ->
       """WITH o AS (SELECT o_orderkey AS k,

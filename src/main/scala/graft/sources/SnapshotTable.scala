@@ -672,6 +672,35 @@ object SnapshotTable {
       (addedF.size + removedF.size).toLong, total)
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE — apply a [[readChanges]] delta to a
+    * standing grouped aggregate instead of recomputing it: count and
+    * SUM are self-maintainable (insert adds, delete subtracts — min/
+    * max are not; they need a recompute leg on deletes), so a
+    * downstream materialized aggregate stays exact at O(delta) +
+    * O(|view|) per refresh and the base table is never re-read. The
+    * view's schema contract: `groupCols` ++ a long count `n` ++
+    * `sumCols` under their own names; groups whose count reaches zero
+    * drop out. Decimal sums stay in exact decimal arithmetic
+    * throughout. The CDC delete+insert pairs a MERGE emits net to the
+    * update's true effect.
+    */
+  def incrementalAgg(mv: DataFrame, changes: DataFrame,
+      groupCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val sign = when(col("_change") === lit("insert"), lit(1))
+      .otherwise(lit(-1))
+    val aggs = sum(sign.cast("long")).as("_dn") +:
+      sumCols.map(c => sum(col(c) * sign).as(s"_d_$c"))
+    val delta = changes.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    mv.join(delta, groupCols, "full_outer")
+      .select((groupCols.map(col) :+
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+          .as("n")) ++
+        sumCols.map(c => (coalesce(col(c), lit(0)) +
+          coalesce(col(s"_d_$c"), lit(0))).as(c)): _*)
+      .filter(col("n") > 0)
+  }
+
   /** METADATA-ONLY aggregates: COUNT(*), MIN(zcol), MAX(zcol) answered
     * from the manifest stats alone — ZERO data files opened, cost
     * O(manifest lines) regardless of table size. This is the planning

@@ -221,6 +221,42 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t).count() == 500)
   }
 
+  test("incrementalAgg maintains a grouped count+sum exactly: groups " +
+      "drop at zero, merge pairs net, empty deltas no-op") {
+    val t = Files.createTempDirectory("graft-snapmv").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 300), t, "z", 3)
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("tag")).agg(count(lit(1)).as("n"),
+        sum(col("z")).as("z"))
+    var mv = aggOf(SnapshotTable.read(spark, t)).localCheckpoint()
+    // leg 1: append
+    SnapshotTable.commitAppend(rows(300 until 400), t, "z", 1)
+    // leg 2: delete EVERY p3 row — the group must drop out of the view
+    val p3 = (0 until 400).filter(_ % 7 == 3).map(_.toLong)
+    SnapshotTable.commitDelete(spark, t, "id", p3.toDF("id"), "z")
+    // leg 3: merge that only UPDATES (CDC pairs must net, counts flat)
+    SnapshotTable.commitMerge(spark, t,
+      Seq((0L, 1000.0, "p0")).toDF("id", "z", "tag"), "id", "z")
+    for (Seq(a, b) <- (1 to 4).sliding(2)) {
+      val (ch, _, _) = SnapshotTable.readChanges(spark, t, a, b)
+      mv = SnapshotTable.incrementalAgg(mv, ch, Seq("tag"), Seq("z"))
+        .localCheckpoint()
+    }
+    val fresh = aggOf(SnapshotTable.read(spark, t))
+    assert(mv.exceptAll(fresh).isEmpty && fresh.exceptAll(mv).isEmpty,
+      "maintained view diverged from recompute")
+    assert(mv.filter(col("tag") === "p3").count() == 0,
+      "fully-deleted group must leave the view")
+    assert(mv.count() == 6)
+    // counts unchanged by the update leg, sum moved by exactly the delta
+    assert(mv.filter(col("tag") === "p0").head.getLong(1) ==
+      fresh.filter(col("tag") === "p0").head.getLong(1))
+    // an empty delta is a no-op
+    val (same, _, _) = SnapshotTable.readChanges(spark, t, 4, 4)
+    val mv2 = SnapshotTable.incrementalAgg(mv, same, Seq("tag"), Seq("z"))
+    assert(mv2.exceptAll(mv).isEmpty && mv.exceptAll(mv2).isEmpty)
+  }
+
   test("merge-on-read delete: O(metadata) tombstone commit, sequence-" +
       "scoped reads, re-inserts survive, compaction materializes") {
     val t = Files.createTempDirectory("graft-snapmor").toString + "/t"
