@@ -2470,6 +2470,75 @@ object Relational {
       } finally deleteRecursive(drop)
     }),
 
+    // INCREMENTAL COMPACTION on the unified snapshot table — the
+    // standing background job at 100 TB, where a full rewrite is not
+    // an option ([[sources.SnapshotTable.compactSmallFiles]]): only
+    // files under the row threshold rewrite (bin-packed), every big
+    // file carries BY NAME (its manifest rewritten minus the compacted
+    // files), and cost tracks the SMALL-FILE TAIL. The sharp edge is
+    // live tombstones: the gate lands a merge-on-read delete spanning
+    // BOTH eras first, so the compaction must PARTIALLY MATERIALIZE —
+    // rewritten rows apply their tombstones before re-entering the
+    // sequence at the new version, carried rows keep owing theirs at
+    // read time (the rewrite manifest keeps the ORIGINAL version in
+    // its name; a renumbered rewrite would resurrect deleted rows,
+    // which the oracle's band aggregate makes hash-visible).
+    "q_snapshot_compact_small" -> ((s, d) => {
+      val dir = rtDir("snapcs", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), dir, "price", 4)
+      Seq(1, 3, 5).foreach { m =>
+        graft.sources.SnapshotTable.commitAppend(
+          o.filter(col("o_orderkey") % 6 === m), dir, "price", 2)
+      }
+      // the pre-delete, pre-compaction version the travel read targets
+      val vPre = graft.sources.SnapshotTable.latestVersion(dir).get
+      graft.sources.SnapshotTable.commitDeleteMor(s, dir, "o_orderkey",
+        o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")))
+      val (compacted, carried, v6) = graft.sources.SnapshotTable
+        .compactSmallFiles(s, dir, "price", o.count() / 10,
+          o.count() / 4 + 1)
+      require(compacted == 6 && carried == 4,
+        s"q_snapshot_compact_small: expected the 6-file small tail " +
+          s"and 4 carried, got ($compacted, $carried)")
+      require(graft.sources.SnapshotTable.snapshot(dir, Some(v6))
+          .map(_.name).contains("m-1.json"),
+        "q_snapshot_compact_small: the all-big v1 manifest must carry " +
+          "by reference")
+      require(graft.sources.SnapshotTable.deleteRefs(dir).nonEmpty,
+        "q_snapshot_compact_small: tombstone refs must survive the " +
+          "incremental compaction")
+      val s2 = s.newSession()
+      val (lo, hi) = (100000.0, 150000.0)
+      val (candL, readL, totalL) = graft.sources.SnapshotTable
+        .readPruned(s2, dir, lo, hi)
+      val (candT, readT, totalT) = graft.sources.SnapshotTable
+        .readPruned(s2, dir, lo, hi, Some(vPre))
+      require(readL > 0 && readL < totalL && readT > 0 && readT < totalT,
+        s"q_snapshot_compact_small: expected strict subsets, read " +
+          s"latest=$readL/$totalL travel=$readT/$totalT")
+      val aL = candL.filter(col("price").between(lit(100000), lit(150000)))
+        .agg(count(lit(1)).as("n_latest"),
+          sum(col("price")).cast("double").as("revenue_latest"))
+      val aT = candT.filter(col("price").between(lit(100000), lit(150000)))
+        .agg(count(lit(1)).as("n_travel"),
+          sum(col("price")).cast("double").as("revenue_travel"))
+      val latestN = graft.sources.SnapshotTable.read(s2, dir).count()
+      graft.sources.SnapshotTable.compactCommit(s2, dir, "price",
+        o.count() / 4 + 1)
+      val fullyEq = graft.sources.SnapshotTable.deleteRefs(dir).isEmpty &&
+        graft.sources.SnapshotTable.read(s2, dir).count() == latestN
+      aL.crossJoin(aT)
+        .withColumn("small_tail_only", lit(true))
+        .withColumn("tombstones_carried", lit(true))
+        .withColumn("fully_compacted_equal", lit(fullyEq))
+        .withColumn("skipped_latest", lit(true))
+        .withColumn("skipped_travel", lit(true))
+    }),
+
     // INCREMENTAL VIEW MAINTENANCE off the changes feed — the consumer
     // the feed exists for ([[sources.SnapshotTable.incrementalAgg]]): a
     // standing per-group count+sum materializes once at v1, then each
@@ -4939,6 +5008,22 @@ object Relational {
         |  TRUE AS ingested_once,
         |  TRUE AS compacted
         |FROM b""".stripMargin,
+
+    "q_snapshot_compact_small" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |l AS (SELECT CAST(count(*) AS BIGINT) AS n_latest,
+        |    CAST(sum(price) AS DOUBLE) AS revenue_latest
+        |  FROM o WHERE k % 97 <> 3
+        |    AND price BETWEEN 100000 AND 150000),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_travel,
+        |    CAST(sum(price) AS DOUBLE) AS revenue_travel
+        |  FROM o WHERE price BETWEEN 100000 AND 150000)
+        |SELECT l.n_latest, l.revenue_latest, t.n_travel, t.revenue_travel,
+        |  TRUE AS small_tail_only, TRUE AS tombstones_carried,
+        |  TRUE AS fully_compacted_equal, TRUE AS skipped_latest,
+        |  TRUE AS skipped_travel
+        |FROM l CROSS JOIN t""".stripMargin,
 
     "q_snapshot_incremental_agg" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderpriority,

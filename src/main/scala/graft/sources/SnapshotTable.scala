@@ -260,7 +260,8 @@ object SnapshotTable {
     val log = logDir(path).toFile
     Option(log.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName == s"v$v" || f.getName == s"m-$v.json" ||
-        f.getName == s"s-$v.json" || f.getName.startsWith(s"m-$v-r"))
+        f.getName == s"s-$v.json" || f.getName.startsWith(s"m-$v-r") ||
+        f.getName.matches(s"m-\\d+-r$v-\\d+\\.json"))
       .foreach(_.delete())
   }
 
@@ -381,6 +382,75 @@ object SnapshotTable {
       snapshotLines(Seq(envelope(newStats, mName))))
     swingPointer(path, v, -1L)
     (filesBefore, newStats.size, v)
+  }
+
+  /** INCREMENTAL COMPACTION — the standing background job of a
+    * streamed-into table at scale, where [[compactCommit]]'s full
+    * rewrite is not an option: only files UNDER `smallThresholdRows`
+    * rewrite (bin-packed to ~`targetRowsPerFile`); every file at or
+    * above the threshold carries — its name unchanged, its manifest
+    * rewritten minus the compacted files (the COW delete's metadata
+    * surgery), untouched manifests by reference. Cost tracks the
+    * SMALL-FILE TAIL, not the table. Live tombstones are handled by
+    * PARTIAL MATERIALIZATION: the rewritten rows read through
+    * [[readApplying]], so each small file's applicable tombstones are
+    * applied before its rows re-enter the sequence at the new version
+    * (they would otherwise escape scoping), while carried files keep
+    * their tombstone refs and read-time anti-joins — the same rows
+    * before and after, which the gate's oracle pins. Returns
+    * (filesCompacted, filesCarried, newVersion; the previous version
+    * when fewer than two files are under the threshold).
+    */
+  def compactSmallFiles(spark: SparkSession, path: String, zcol: String,
+      smallThresholdRows: Long, targetRowsPerFile: Long)
+      : (Int, Int, Int) = {
+    val prev = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    val dels = deleteRefs(path, Some(prev))
+    val byManifest = snapshot(path, Some(prev))
+      .map(r => r -> parseManifest(path, r.name))
+    val isSmall = (f: FileStat) => f.rows < smallThresholdRows
+    val small = byManifest.flatMap { case (r, fs) =>
+      fs.filter(isSmall).map(f => (manifestVersion(r.name), f)) }
+    val carriedCount = byManifest.map(_._2.count(f => !isSmall(f))).sum
+    if (small.size <= 1) return (0, carriedCount + small.size, prev)
+    val v = prev + 1
+    sweepUncommitted(path, v)
+    val df = readApplying(spark, path, prev,
+      small.map { case (mv, f) => (mv, s"$path/${f.file}") })
+    val smallRows = small.map(_._2.rows).sum
+    val nFiles = math.max(1L,
+      (smallRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    readSchema(path, prev).foreach(sc =>
+      writeAtomic(schemaPath(path, v), sc.json))
+    val newStats = writeDataFiles(df, path, v, zcol, nFiles)
+    val mName = s"m-$v.json"
+    writeAtomic(logDir(path).resolve(mName), manifestLines(newStats))
+    val smallNames = small.map(_._2.file).toSet
+    var ri = 0
+    val carried = byManifest.flatMap { case (ref, fs) =>
+      val kept = fs.filterNot(f => smallNames(f.file))
+      if (kept.size == fs.size) Some(ref)
+      else if (kept.isEmpty) None
+      else {
+        // the rewrite KEEPS the original version in its name: the
+        // carried rows were NOT materialized, so they must stay at
+        // their old sequence number or pending tombstones (dv < v)
+        // would stop applying to them — unlike the COW delete/merge
+        // rewrites, which run tombstone-free by contract
+        ri += 1
+        val rn = s"m-${manifestVersion(ref.name)}-r$v-$ri.json"
+        writeAtomic(logDir(path).resolve(rn), manifestLines(kept))
+        Some(envelope(kept, rn))
+      }
+    }
+    // carried files still need their tombstones; the compacted rows
+    // had theirs applied in the rewrite
+    writeAtomic(logDir(path).resolve(s"v$v"),
+      (carried.map(refLine) ++ dels.map(delLine) :+
+        refLine(envelope(newStats, mName))).mkString("\n"))
+    swingPointer(path, v, -1L)
+    (small.size, carriedCount, v)
   }
 
   /** COPY-ON-WRITE DELETE commit: rows whose `keyCol` appears in `keys`

@@ -221,6 +221,61 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t).count() == 500)
   }
 
+  test("compactSmallFiles rewrites only the small tail, carries big " +
+      "files by name, and partially materializes live tombstones " +
+      "without breaking sequence scoping") {
+    import scala.jdk.CollectionConverters._
+    val t = Files.createTempDirectory("graft-snapcs").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 350), t, "z", 2) // 2x175 big
+    SnapshotTable.commitAppend(rows(350 until 400), t, "z", 2) // 2x25 small
+    // hand-merge m-2's lines into m-1.json: a MIXED manifest (the API
+    // writes even files; production mixtures arrive from upstream) —
+    // the sharp edge is a partial rewrite of a manifest whose carried
+    // rows still owe a tombstone
+    val log = Paths.get(t, "_log")
+    val merged = (Files.readAllLines(log.resolve("m-1.json")).asScala ++
+      Files.readAllLines(log.resolve("m-2.json")).asScala).asJava
+    Files.write(log.resolve("m-1.json"), merged)
+    Files.delete(log.resolve("m-2.json"))
+    Files.write(log.resolve("v2"),
+      ("""{"manifest":"m-1.json","z_min":0.0,"z_max":399.0,""" +
+        """"files":4,"rows":400}""").getBytes("UTF-8"))
+    assert(SnapshotTable.read(spark, t).count() == 400)
+    // tombstone hits BOTH eras: big-file rows and small-file rows
+    SnapshotTable.commitDeleteMor(spark, t, "id",
+      ((10L until 20L) ++ (360L until 370L)).toDF("id"))
+    assert(SnapshotTable.read(spark, t).count() == 380)
+    val (compacted, carried, v) =
+      SnapshotTable.compactSmallFiles(spark, t, "z", 100L, 200L)
+    assert(compacted == 2 && carried == 2 && v == 4,
+      s"($compacted, $carried, $v)")
+    // the rewrite manifest keeps the ORIGINAL manifest version in its
+    // name; tombstone refs carried too
+    assert(SnapshotTable.snapshot(t, Some(v)).map(_.name)
+      .contains(s"m-1-r$v-1.json"))
+    assert(SnapshotTable.deleteRefs(t).nonEmpty)
+    val latest = SnapshotTable.read(spark, t)
+    assert(latest.count() == 380)
+    // sequence scoping held: the carried big-file rows still owe the
+    // tombstone (a version-renumbered rewrite would resurrect 10..19)
+    assert(latest.filter(col("id").between(10, 19)).count() == 0,
+      "carried rows escaped their tombstone - scoping broke")
+    // and the small rows were materialized (physically gone)
+    assert(latest.filter(col("id").between(360, 369)).count() == 0)
+    // fewer than two small files: a no-op that keeps the version
+    val (c0, _, v0) = SnapshotTable.compactSmallFiles(spark, t, "z",
+      100L, 200L)
+    assert(c0 == 0 && v0 == v)
+    // pruning stays strict and sound over the mixed layout
+    val (cand, rd, tot) = SnapshotTable.readPruned(spark, t, 300, 399)
+    assert(rd > 0 && rd < tot)
+    assert(cand.filter(col("z").between(300, 399)).count() == 90)
+    // a full compact afterwards materializes everything
+    SnapshotTable.compactCommit(spark, t, "z", 400L)
+    assert(SnapshotTable.deleteRefs(t).isEmpty)
+    assert(SnapshotTable.read(spark, t).count() == 380)
+  }
+
   test("incrementalAgg maintains a grouped count+sum exactly: groups " +
       "drop at zero, merge pairs net, empty deltas no-op") {
     val t = Files.createTempDirectory("graft-snapmv").toString + "/t"
