@@ -193,7 +193,8 @@ object ScaleStress {
     "q_snapshot_merge", "q_snapshot_stream_ingest",
     "q_snapshot_mor_delete", "q_snapshot_changes",
     "q_snapshot_stats_agg", "q_snapshot_schema_evolve",
-    "q_snapshot_incremental_agg", "q_snapshot_compact_small")
+    "q_snapshot_incremental_agg", "q_snapshot_compact_small",
+    "q_snapshot_index_sync")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

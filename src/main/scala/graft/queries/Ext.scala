@@ -4191,6 +4191,72 @@ object Ext {
         .withColumn("untouched_kept", lit(untouchedKept))
     }),
 
+    // TABLE -> INDEX SYNC through the snapshot table — the two
+    // lifecycle families meet: the documents corpus lives in a
+    // [[sources.SnapshotTable]] (commit log + skipping), and the
+    // standing band index is maintained ONLY from the table's own
+    // change surfaces — never by re-reading the table. An append
+    // commit's [[readChanges]] delta (required to read a strict
+    // subset of files: O(delta)) drives the index append; a
+    // merge-on-read takedown's TOMBSTONE FILE is itself the delete
+    // feed driving [[sources.Writers.deleteKeys]] against the index —
+    // the takedown lands O(metadata) on the table and propagates to
+    // the derived index without either side scanning the corpus. The
+    // gate require()s the maintained index bag-equal to one rebuilt
+    // from the table's latest read (tombstones applied), and the
+    // accounting oracle equals q_dedup_index_delete's — same final
+    // index, different (incremental) plumbing.
+    "q_snapshot_index_sync" -> ((s, d) => {
+      val tdir = Relational.rtDir("snapist", d)
+      val xdir = Relational.rtDir("snapisx", d)
+      Relational.deleteRecursive(java.nio.file.Paths.get(tdir))
+      Relational.deleteRecursive(java.nio.file.Paths.get(xdir))
+      val all = docsWithNearDups(s, d)
+      val corpus = all.filter(col("doc_id") === col("base_id"))
+        .select(col("doc_id"), col("text"))
+      val batch = all.filter(col("doc_id") =!= col("base_id"))
+        .select(col("doc_id"), col("text"))
+      graft.sources.SnapshotTable.commitAppend(corpus, tdir, "doc_id", 8)
+      bandsOf(graft.sources.SnapshotTable.read(s, tdir))
+        .repartition(8, col("band_key"))
+        .sortWithinPartitions(col("band_key"))
+        .write.mode("overwrite").parquet(xdir)
+      // day 2: append commit; the O(delta) changes feed drives the
+      // index append
+      graft.sources.SnapshotTable.commitAppend(batch, tdir, "doc_id", 1)
+      val (ch12, fr12, tot12) = graft.sources.SnapshotTable
+        .readChanges(s, tdir, 1, 2)
+      require(fr12 < tot12,
+        s"q_snapshot_index_sync: append delta must be O(delta), read " +
+          s"$fr12/$tot12 files")
+      bandsOf(ch12.filter(col("_change") === "insert")
+          .select(col("doc_id"), col("text")))
+        .repartition(1, col("band_key"))
+        .sortWithinPartitions(col("band_key"))
+        .write.mode("append").parquet(xdir)
+      // day 3: merge-on-read takedown; the tombstone file IS the
+      // delete feed for the index
+      val tomb = documents(s, d).filter(col("doc_id") % 50 === 7)
+        .select(col("doc_id"))
+      val nTomb = tomb.count()
+      graft.sources.SnapshotTable.commitDeleteMor(s, tdir, "doc_id", tomb)
+      val dref = graft.sources.SnapshotTable.deleteRefs(tdir).head
+      val tombKeys = s.read.parquet(s"$tdir/${dref.file}")
+      val (rowsDeleted, _, _) =
+        graft.sources.Writers.deleteKeys(s, xdir, "doc_id", tombKeys)
+      val s2 = s.newSession()
+      val idx = s2.read.parquet(xdir)
+      val fromScratch = bandsOf(
+        graft.sources.SnapshotTable.read(s2, tdir))
+      require(idx.exceptAll(fromScratch).isEmpty &&
+        fromScratch.exceptAll(idx).isEmpty,
+        "q_snapshot_index_sync: maintained index diverged from a " +
+          "rebuild off the table's latest read")
+      incrementalCrossAccounting(s2, d, idx)
+        .withColumn("delta_only", lit(true))
+        .withColumn("takedown_synced", lit(rowsDeleted == nTomb * Bands))
+    }),
+
     // The STREAMING LSH near-dup candidate generator
     // (Streams.nearDupCandidates — per-band-bucket exemplar state, one
     // long per bucket) under the oracle gate, by the drain pattern:
@@ -7760,6 +7826,42 @@ object Ext {
          |         JOIN documents db ON db.doc_id = m.bb)
          |SELECT src_a, src_b, count(*) AS n_pairs,
          |  true AS deleted_gone, true AS untouched_kept
+         |FROM jj GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+
+    // table->index sync: same final index as q_dedup_index_delete
+    // (corpus+batch bands minus the tombstoned docs), maintained
+    // incrementally through the snapshot table's change surfaces —
+    // the oracle is therefore the same accounting
+    "q_snapshot_index_sync" ->
+      s"""WITH $sqlDocsCte,
+         |tok AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM docs),
+         |sh AS (SELECT doc_id, $sqlShingles AS sh FROM tok),
+         |hv AS (SELECT doc_id, list_transform(sh, x -> $sqlHash31) AS vs
+         |  FROM sh),
+         |sg AS (SELECT doc_id, $sqlSig AS sig FROM hv),
+         |bk AS (SELECT doc_id,
+         |    unnest([${sqlBands.mkString(", ")}]) AS band_key FROM sg),
+         |cand AS (SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS match_id
+         |  FROM bk b JOIN bk c ON b.band_key = c.band_key
+         |  JOIN docs bd ON bd.doc_id = b.doc_id
+         |  JOIN docs cd ON cd.doc_id = c.doc_id
+         |  WHERE bd.doc_id <> bd.base_id AND cd.doc_id = cd.base_id
+         |    AND cd.doc_id % 50 <> 7),
+         |j AS (SELECT new_id, match_id,
+         |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+         |          CAST(len(list_distinct(list_concat(x.sh, y.sh)))
+         |            AS DOUBLE), 6) AS jaccard
+         |  FROM cand JOIN sh x ON x.doc_id = new_id
+         |    JOIN sh y ON y.doc_id = match_id),
+         |v AS (SELECT new_id, match_id FROM j WHERE jaccard >= 0.5),
+         |m AS (SELECT d.base_id AS ba, v.match_id AS bb
+         |  FROM v JOIN docs d ON d.doc_id = v.new_id),
+         |jj AS (SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b
+         |  FROM m JOIN documents da ON da.doc_id = m.ba
+         |         JOIN documents db ON db.doc_id = m.bb)
+         |SELECT src_a, src_b, count(*) AS n_pairs,
+         |  true AS delta_only, true AS takedown_synced
          |FROM jj GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
 
     // the drained streaming LSH hits = per-bucket (doc, min-doc) pairs
