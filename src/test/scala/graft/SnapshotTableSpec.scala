@@ -510,6 +510,44 @@ class SnapshotTableSpec extends SparkSpec {
     assert(nRD == 90)
   }
 
+  test("dead tombstone and compaction attempts are invisible and " +
+      "swept by the retry") {
+    val t = Files.createTempDirectory("graft-snapdw").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 200), t, "z", 2)
+    // a MOR delete that died between the tombstone-file move and the
+    // snapshot write: the orphan d-file references nothing and readers
+    // see v1 untouched
+    (900L until 910L).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(s"$t/_log/_stage_dead")
+    val part = Files.list(Paths.get(s"$t/_log/_stage_dead")).iterator()
+    val first = Iterator.continually(part).flatMap(p =>
+      if (p.hasNext) Some(p.next()) else None)
+      .find(_.getFileName.toString.startsWith("part-")).get
+    Files.move(first, Paths.get(t, "v2-d00000.parquet"))
+    assert(SnapshotTable.latestVersion(t).contains(1))
+    assert(SnapshotTable.read(spark, t).count() == 200)
+    assert(SnapshotTable.deleteRefs(t).isEmpty)
+    // the retry sweeps the orphan and commits the REAL tombstone
+    val (n, v) = SnapshotTable.commitDeleteMor(spark, t, "id",
+      (0L until 5L).toDF("id"))
+    assert(n == 5 && v == 2)
+    assert(SnapshotTable.read(spark, t).count() == 195)
+    // the swept orphan's keys (900..909) never took effect
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("id") >= 100).count() == 100)
+    // a compactSmallFiles attempt that died after writing its
+    // carry-rewrite manifest but before the pointer swing: the
+    // original-version rewrite name (m-1-r3-1) must be swept by the
+    // v3 retry, not mistaken for live metadata
+    Files.write(Paths.get(s"$t/_log/m-1-r3-1.json"),
+      """{"file":"v9-p00000.parquet","z_min":0.0,"z_max":1.0,"rows":1}"""
+        .getBytes("UTF-8"))
+    SnapshotTable.commitAppend(rows(200 until 300), t, "z", 1) // v3
+    assert(!Files.exists(Paths.get(s"$t/_log/m-1-r3-1.json")),
+      "dead carry-rewrite manifest survived the v3 retry sweep")
+    assert(SnapshotTable.read(spark, t).count() == 295)
+  }
+
   test("a commit that dies before the pointer swing is invisible and " +
       "swept by the retry") {
     val t = Files.createTempDirectory("graft-snapc").toString + "/t"
