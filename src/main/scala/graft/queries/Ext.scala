@@ -81,7 +81,6 @@ object Ext {
   private val PqIters = 3      // Lloyd rounds for the trained codebook
   private val PqProbeN = 50    // recall-gain probe width (queries)
   private val PqSweepKs = Seq(10, 32, 64) // codebook widths swept
-  private val PqRefitOffset = 10000000L // refit-gate batch vec_id offset
   private val PqRefitThr = 1.5 // refit when batch MSE > thr x train MSE
   private val PqRefitDelta = 0.5 // drift-arm per-component shift
   private val BpePasses = 2    // batched-BPE passes
@@ -5022,8 +5021,12 @@ object Ext {
         val shifted = (1 to PqSub).map(i =>
           (if (delta == 0.0) col(s"s$i")
            else col(s"s$i") + lit(delta)).as(s"s$i"))
+        // batch vec_ids take NEGATED keys: disjoint from every positive
+        // corpus id at any scale replica (an additive offset silently
+        // depends on the scale harness's per-replica key spacing — the
+        // q_snapshot_merge collision post-mortem's convention)
         val subB = sub.filter(col("vec_id") % 10 < 3)
-          .select((col("vec_id") + lit(PqRefitOffset)).as("vec_id") +:
+          .select((-col("vec_id") - lit(1L)).as("vec_id") +:
             col("j") +: shifted: _*)
           .localCheckpoint()
         val mseBatch = pqMseTotal(subB, book)
@@ -6700,9 +6703,9 @@ object Ext {
            |FROM nc, nb, mt, $mb, $mm, $ma""".stripMargin
       s"""WITH $pqSqlBase,
          |$pqSqlTrainChain,
-         |bts AS (SELECT vec_id + $PqRefitOffset AS vec_id, j, $sCopy
+         |bts AS (SELECT -vec_id - 1 AS vec_id, j, $sCopy
          |  FROM sub WHERE vec_id % 10 < 3),
-         |btd AS (SELECT vec_id + $PqRefitOffset AS vec_id, j, $sShift
+         |btd AS (SELECT -vec_id - 1 AS vec_id, j, $sShift
          |  FROM sub WHERE vec_id % 10 < 3),
          |sas AS (SELECT * FROM sub UNION ALL SELECT * FROM bts),
          |sad AS (SELECT * FROM sub UNION ALL SELECT * FROM btd),

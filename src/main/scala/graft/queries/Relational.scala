@@ -2819,6 +2819,292 @@ object Relational {
         lit(true).as("straddle_only"))
     }),
 
+    // TYPED ENVELOPES in the unified snapshot table — the manifests
+    // carry per-column min/max for STRING and DATE columns (UTF-8 /
+    // epoch-day order), so [[sources.SnapshotTable.readPrunedCol]]
+    // serves a quarter probe on either representation with strict file
+    // skipping, on a table whose cluster column is the STRING day (the
+    // legacy double channel records only the never-pruning sentinel
+    // there — the typed stats do all the work). Two commits, two
+    // fresh-session probes (string day, DATE column), both required
+    // strict subsets; the oracle recomputes the quarter aggregate and
+    // the date-leg count from the raw table, so an unsound skip on
+    // either type fails the hash.
+    "q_snapshot_prune_date" -> ((s, d) => {
+      val dir = rtDir("snaptd", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        to_date(col("o_orderdate")).as("odate"))
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), dir, "day", 8)
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), dir, "day", 8)
+      val s2 = s.newSession()
+      val (lo, hi) = ("1996-01-01", "1996-03-31")
+      val (candS, readS, totalS) = graft.sources.SnapshotTable
+        .readPrunedCol(s2, dir, "day", lo, hi)
+      val (candD, readD, totalD) = graft.sources.SnapshotTable
+        .readPrunedCol(s2, dir, "odate", lo, hi)
+      require(readS > 0 && readS < totalS && readD > 0 && readD < totalD,
+        s"q_snapshot_prune_date: expected strict subsets, read " +
+          s"string=$readS/$totalS date=$readD/$totalD")
+      val nDateLeg = candD.filter(
+        col("odate").between(lit(lo).cast("date"), lit(hi).cast("date")))
+        .count()
+      candS.filter(col("day") >= lo && col("day") <= hi)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), min(col("day")).as("first_day"),
+          max(col("day")).as("last_day"),
+          sum(col("o_orderkey").cast("long")).as("keysum"))
+        .withColumn("n_date_leg", lit(nDateLeg))
+        .withColumn("skipped_string", lit(readS > 0 && readS < totalS))
+        .withColumn("skipped_date", lit(readD > 0 && readD < totalD))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Z-ORDERED clustering in the unified snapshot table
+    // ([[sources.SnapshotTable.commitAppendZOrdered]]): rows lay out on
+    // the Morton interleave of (day, price), each file covers a
+    // compact 2-D block, and the typed per-column envelopes make a
+    // fresh-session range probe on EITHER dimension a strict subset —
+    // where a one-column sort gives the second column the full value
+    // range in every file and prunes nothing. The oracle recomputes
+    // both aggregates from the raw table; the Writers twin
+    // (q_zonemap_zorder) pins the standalone format, this pins the
+    // commit-log one.
+    "q_snapshot_zorder" -> ((s, d) => {
+      val dir = rtDir("snapzz", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val base = orders(s, d).select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppendZOrdered(
+        base, dir, "day", "price", 16)
+      val s2 = s.newSession()
+      val (dayDf, dayRead, total) = graft.sources.SnapshotTable
+        .readPrunedCol(s2, dir, "day", 365, 546)
+      val (priceDf, priceRead, _) = graft.sources.SnapshotTable
+        .readPrunedCol(s2, dir, "price", 100000, 150000)
+      require(dayRead > 0 && dayRead < total &&
+        priceRead > 0 && priceRead < total,
+        s"q_snapshot_zorder: expected strict subsets, read " +
+          s"day=$dayRead price=$priceRead of $total files")
+      val aDay = dayDf
+        .filter(col("day").between(lit(365), lit(546)))
+        .agg(count(lit(1)).as("n_date"),
+          sum(col("o_orderkey")).as("keysum_date"))
+      val aPrice = priceDf
+        .filter(col("price").between(lit(100000), lit(150000)))
+        .agg(count(lit(1)).as("n_price"),
+          sum(col("price")).cast("double").as("revenue_price"))
+      aDay.crossJoin(aPrice)
+        .withColumn("skipped_date", lit(dayRead > 0 && dayRead < total))
+        .withColumn("skipped_price",
+          lit(priceRead > 0 && priceRead < total))
+    }),
+
+    // PLANNED copy-on-write rewrites — the round's scale fix: on a
+    // key-clustered table, a narrow-band DELETE and a narrow-band
+    // MERGE find their touched files through the KEY column's typed
+    // bounds in the metadata pyramid
+    // ([[sources.SnapshotTable.commitDeletePlanned]] /
+    // [[commitMergePlanned]]) — the probe scan opens a strict subset
+    // of files instead of reading the whole table to learn what a
+    // 10-key takedown touches (which is O(table) planning however
+    // touched-files-only the rewrite itself is). Band edges derive
+    // from min/max with the same integer arithmetic on both sides, so
+    // the oracle recomputes the post-delete post-merge table exactly;
+    // the planned/total strictness is require()d, and the inserted
+    // twins take negated keys per the repo's collision convention.
+    "q_snapshot_planned_rewrite" -> ((s, d) => {
+      val dir = rtDir("snappl", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), dir, "o_orderkey", 12)
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), dir, "o_orderkey", 12)
+      val r = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val w = (mx - mn) / 50
+      val del = o.filter(col("o_orderkey") <= mn + w)
+        .select(col("o_orderkey"))
+      val (deleted, p1, t1, _) = graft.sources.SnapshotTable
+        .commitDeletePlanned(s, dir, "o_orderkey", del, "o_orderkey")
+      val upd = o.filter(col("o_orderkey") > mn + w &&
+        col("o_orderkey") <= mn + 2 * w)
+      val changes = upd
+        .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+        .unionByName(upd.select(
+          (-col("o_orderkey") - lit(1L)).as("o_orderkey"),
+          (col("price") + lit(7)).cast("decimal(18,2)").as("price")))
+      val (rep, _, p2, t2, _) = graft.sources.SnapshotTable
+        .commitMergePlanned(s, dir, changes, "o_orderkey", "o_orderkey")
+      require(deleted > 0 && rep > 0,
+        s"q_snapshot_planned_rewrite: bands matched nothing " +
+          s"(deleted=$deleted, replaced=$rep)")
+      require(p1 > 0 && p1 < t1 && p2 > 0 && p2 < t2,
+        s"q_snapshot_planned_rewrite: planning must prune through the " +
+          s"pyramid, read delete=$p1/$t1 merge=$p2/$t2")
+      val s2 = s.newSession()
+      graft.sources.SnapshotTable.read(s2, dir).agg(
+          count(lit(1)).as("n_total"),
+          sum(col("o_orderkey")).as("keysum"),
+          sum(col("price")).cast("double").as("revenue"),
+          sum(when(col("o_orderkey") < 0, 1L).otherwise(0L))
+            .as("n_inserted"))
+        .withColumn("planned_delete_subset", lit(p1 > 0 && p1 < t1))
+        .withColumn("planned_merge_subset", lit(p2 > 0 && p2 < t2))
+    }),
+
+    // MERGE-ON-READ MERGE on the unified snapshot table — the O(batch)
+    // upsert ([[sources.SnapshotTable.commitMergeMor]]): the change
+    // keys land as an equality-delete tombstone and the change rows
+    // append as ordinary data files, BOTH at v3 — sequence scoping
+    // makes that an upsert (the tombstone deletes only from manifests
+    // before it, so the batch's own rows are exempt) with NO existing
+    // file touched: the gate requires v3's data-side manifest list to
+    // be v2's VERBATIM plus the batch manifest. The fresh-session read
+    // must equal the COW-merge answer (same oracle arithmetic as
+    // q_snapshot_merge), both pruned probes stay strict, and
+    // compactCommit must materialize to the same rows with the
+    // tombstone refs dropped.
+    "q_snapshot_mor_merge" -> ((s, d) => {
+      val dir = rtDir("snapmrm", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), dir, "price", 8)
+      val vPre = graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), dir, "price", 8)
+      val upd = o.filter(col("o_orderkey") % 10 === 7)
+      val changes = upd
+        .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+        .unionByName(upd.select(
+          (-col("o_orderkey") - lit(1L)).as("o_orderkey"),
+          col("o_orderpriority"),
+          (col("price") + lit(7)).cast("decimal(18,2)").as("price")))
+      val preNames = graft.sources.SnapshotTable
+        .snapshot(dir, Some(vPre)).map(_.name)
+      val (nKeys, v3) = graft.sources.SnapshotTable
+        .commitMergeMor(s, dir, changes, "o_orderkey", "price", 4)
+      require(graft.sources.SnapshotTable.snapshot(dir, Some(v3))
+          .map(_.name) == preNames :+ s"m-$v3.json",
+        "q_snapshot_mor_merge: the data side must carry verbatim plus " +
+          "the batch manifest — no existing file touched")
+      val s2 = s.newSession()
+      val merged = nKeys > 0 &&
+        graft.sources.SnapshotTable.read(s2, dir).count() ==
+          o.count() + upd.count()
+      val (lo, hi) = (100000.0, 150000.0)
+      val (candL, readL, totalL) = graft.sources.SnapshotTable
+        .readPruned(s2, dir, lo, hi)
+      val (candT, readT, totalT) = graft.sources.SnapshotTable
+        .readPruned(s2, dir, lo, hi, Some(vPre))
+      require(readL > 0 && readL < totalL && readT > 0 && readT < totalT,
+        s"q_snapshot_mor_merge: expected strict subsets, read " +
+          s"latest=$readL/$totalL travel=$readT/$totalT")
+      val aL = candL.filter(col("price").between(lit(100000), lit(150000)))
+        .agg(count(lit(1)).as("n_latest"),
+          sum(col("price")).cast("double").as("revenue_latest"))
+      val aT = candT.filter(col("price").between(lit(100000), lit(150000)))
+        .agg(count(lit(1)).as("n_travel"),
+          sum(col("price")).cast("double").as("revenue_travel"))
+      val nLatest = graft.sources.SnapshotTable.read(s2, dir).count()
+      graft.sources.SnapshotTable.compactCommit(s2, dir, "price",
+        o.count() / 4 + 1)
+      val compactedEq =
+        graft.sources.SnapshotTable.deleteRefs(dir).isEmpty &&
+        graft.sources.SnapshotTable.read(s2, dir).count() == nLatest
+      aL.crossJoin(aT)
+        .withColumn("skipped_latest", lit(readL > 0 && readL < totalL))
+        .withColumn("skipped_travel", lit(readT > 0 && readT < totalT))
+        .withColumn("mor_data_side_verbatim", lit(merged))
+        .withColumn("compacted_equal", lit(compactedEq))
+    }),
+
+    // STREAMING CHANGES-FEED CONSUMER — the snapshot table as a
+    // first-class CDC SOURCE ([[sources.SnapshotChangesSource]]): each
+    // committed version is announced as one control row through a real
+    // checkpointed micro-batch stream (version cursor as offset, one
+    // version per trigger), and [[sources.SnapshotTable.maintainAgg]]
+    // folds each announced range into a durable materialized aggregate
+    // at O(delta) — its own atomically-published cursor makes replayed
+    // batches no-ops, so the at-least-once stream maintains the view
+    // effectively-exactly-once. The gate drains append/append/COW-
+    // delete/merge history, REQUIRES a checkpoint-restart drain to
+    // re-announce nothing, commits one more version while the consumer
+    // is down, drains the catch-up, and requires the final view to
+    // equal a from-scratch recompute bag-exactly; the oracle recomputes
+    // it from the raw table.
+    "q_stream_snapshot_changes" -> ((s, d) => {
+      val dir = rtDir("snapcdc", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val table = s"$dir/t"
+      val view = s"$dir/view"
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), table, "price", 8)
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), table, "price", 8)
+      graft.sources.SnapshotTable.commitDelete(s, table, "o_orderkey",
+        o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")),
+        "price")
+      graft.sources.SnapshotTable.commitMerge(s, table,
+        o.filter(col("o_orderkey") % 10 === 7 &&
+            col("o_orderkey") % 97 =!= 3)
+          .withColumn("price", (col("price") * 2).cast("decimal(18,2)")),
+        "o_orderkey", "price")
+      def drain(): Unit = {
+        val raw = s.readStream
+          .format("graft.sources.SnapshotChangesSource")
+          .option("path", table).option("maxVersionsPerTrigger", 1).load()
+        graft.streaming.Streams.runWithBatchCommit(raw, s"$dir/ckpt") {
+          (b, _) =>
+            Option(b.agg(max(col("version"))).head().get(0))
+              .map(_.asInstanceOf[Int]).foreach { v =>
+                graft.sources.SnapshotTable.maintainAgg(b.sparkSession,
+                  table, view, Seq("o_orderpriority"), Seq("price"), v)
+              }
+        }.awaitTermination()
+      }
+      drain()
+      require(graft.sources.SnapshotTable.maintainedCursor(view) == 4,
+        "q_stream_snapshot_changes: first drain must reach v4")
+      drain() // checkpoint restart: nothing re-announced, cursor fixed
+      require(graft.sources.SnapshotTable.maintainedCursor(view) == 4,
+        "q_stream_snapshot_changes: restart re-announced versions")
+      // a version committed while the consumer is down catches up alone
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 5 === 0).select(
+          (-col("o_orderkey") - lit(1L)).as("o_orderkey"),
+          col("o_orderpriority"),
+          (col("price") + lit(11)).cast("decimal(18,2)").as("price")),
+        table, "price", 4)
+      drain()
+      require(graft.sources.SnapshotTable.maintainedCursor(view) == 5,
+        "q_stream_snapshot_changes: catch-up drain must reach v5")
+      val s2 = s.newSession()
+      val mv = graft.sources.SnapshotTable.readMaintainedAgg(s2, view)
+      val wide = (df: org.apache.spark.sql.DataFrame) =>
+        df.select(col("o_orderpriority"), col("n"),
+          col("price").cast("decimal(38,2)").as("price"))
+      val fresh = wide(graft.sources.SnapshotTable.read(s2, table)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("price")))
+      require(wide(mv).exceptAll(fresh).isEmpty &&
+        fresh.exceptAll(wide(mv)).isEmpty,
+        "q_stream_snapshot_changes: maintained view diverged from " +
+          "the recompute")
+      mv.select(col("o_orderpriority"), col("n"),
+          col("price").cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ORC sink -> source roundtrip: same contract as q_csv_roundtrip
     // but through the TYPED columnar format (decimals and strings
     // survive as their own types, no stringly CSV escape hatch) — the
@@ -5119,6 +5405,104 @@ object Relational {
         |  TRUE AS meta_only_total,
         |  TRUE AS straddle_only
         |FROM orders""".stripMargin,
+
+    "q_snapshot_prune_date" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders),
+        |g AS (SELECT o_orderstatus, count(*) AS n,
+        |    min(day) AS first_day, max(day) AS last_day,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS keysum
+        |  FROM o WHERE day >= '1996-01-01' AND day <= '1996-03-31'
+        |  GROUP BY o_orderstatus),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_date_leg FROM o
+        |  WHERE day >= '1996-01-01' AND day <= '1996-03-31')
+        |SELECT g.o_orderstatus, g.n, g.first_day, g.last_day, g.keysum,
+        |  t.n_date_leg, TRUE AS skipped_string, TRUE AS skipped_date
+        |FROM g CROSS JOIN t ORDER BY g.o_orderstatus""".stripMargin,
+
+    "q_snapshot_zorder" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN date_diff('day', DATE '1995-01-01',
+        |      o_orderdate) BETWEEN 365 AND 546 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_date,
+        |  CAST(sum(CASE WHEN date_diff('day', DATE '1995-01-01',
+        |      o_orderdate) BETWEEN 365 AND 546 THEN o_orderkey END)
+        |    AS BIGINT) AS keysum_date,
+        |  CAST(sum(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      BETWEEN 100000 AND 150000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_price,
+        |  CAST(sum(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      BETWEEN 100000 AND 150000
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |    AS DOUBLE) AS revenue_price,
+        |  TRUE AS skipped_date,
+        |  TRUE AS skipped_price
+        |FROM orders""".stripMargin,
+
+    "q_snapshot_planned_rewrite" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |b AS (SELECT min(k) AS mn, max(k) AS mx FROM o),
+        |e AS (SELECT mn + (mx - mn) // 50 AS e1,
+        |    mn + 2 * ((mx - mn) // 50) AS e2 FROM b),
+        |cur AS (
+        |  SELECT k, CASE WHEN k > e.e1 AND k <= e.e2
+        |      THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price END
+        |      AS price
+        |    FROM o, e WHERE k > e.e1
+        |  UNION ALL
+        |  SELECT -k - 1 AS k, CAST(price + 7 AS DECIMAL(18,2)) AS price
+        |    FROM o, e WHERE k > e.e1 AND k <= e.e2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(k) AS BIGINT) AS keysum,
+        |  CAST(sum(price) AS DOUBLE) AS revenue,
+        |  CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inserted,
+        |  TRUE AS planned_delete_subset,
+        |  TRUE AS planned_merge_subset
+        |FROM cur""".stripMargin,
+
+    "q_snapshot_mor_merge" ->
+      """WITH merged AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 7
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |        AS DECIMAL(18,2))
+        |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 7
+        |      AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 10 = 7),
+        |l AS (SELECT count(*) AS n_latest,
+        |    CAST(sum(price) AS DOUBLE) AS revenue_latest
+        |  FROM merged WHERE price BETWEEN 100000 AND 150000),
+        |t AS (SELECT count(*) AS n_travel,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue_travel
+        |  FROM orders
+        |  WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        |    BETWEEN 100000 AND 150000)
+        |SELECT l.n_latest, l.revenue_latest, t.n_travel, t.revenue_travel,
+        |  TRUE AS skipped_latest, TRUE AS skipped_travel,
+        |  TRUE AS mor_data_side_verbatim, TRUE AS compacted_equal
+        |FROM l CROSS JOIN t""".stripMargin,
+
+    "q_stream_snapshot_changes" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |cur AS (
+        |  SELECT o_orderpriority, CASE WHEN k % 10 = 7
+        |      THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price END
+        |      AS price
+        |  FROM o WHERE k % 97 <> 3
+        |  UNION ALL
+        |  SELECT o_orderpriority, CAST(price + 11 AS DECIMAL(18,2))
+        |      AS price
+        |  FROM o WHERE k % 5 = 0)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price) AS DOUBLE) AS revenue
+        |FROM cur GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_zonemap_delete_date" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus,

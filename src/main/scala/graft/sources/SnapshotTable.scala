@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types._
 
 /** SNAPSHOT TABLE — the unification of the repo's two half-lakehouses:
   * [[TxJsonSink]] has the commit-log mechanism (immutable versioned
@@ -20,10 +20,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   path/
   *     v3-p00000.parquet …      immutable data files, one prefix/commit
   *     _log/
-  *       m-3.json               manifest: per-FILE zone bounds of one
-  *                              commit's files (batch-sized)
+  *       m-3.json               manifest: per-FILE stats of one commit's
+  *                              files (batch-sized): legacy double zone
+  *                              bounds + typed PER-COLUMN min/max
   *       v1 v2 v3               snapshots: the MANIFEST LIST — one line
   *                              per manifest with its bound ENVELOPE
+  *                              (legacy + per-column)
+  *       s-3.json               the schema AS OF v3 (see below)
+  *       c-4                    a claim: version 4 is being written
   *       LATEST                 atomic pointer to the current version
   * }}}
   *
@@ -36,14 +40,39 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * manifest pyramid; the [[Writers]] zone map's bucket meta is the
   * same idea with a hash grid instead of commit grouping.
   *
+  * PER-COLUMN STATS (this is what lets keyed writes plan through the
+  * pyramid, not only reads): every data file's manifest line carries
+  * typed min/max for each supported top-level column — integral,
+  * float/double, decimal, string (UTF-8 byte order, matching Spark's
+  * UTF8String comparison), date (epoch day), timestamp (epoch micros).
+  * [[readPrunedCol]] serves range probes on ANY stat-carrying column,
+  * and [[commitDeletePlanned]]/[[commitMergePlanned]] use the key
+  * column's bounds to find candidate files BEFORE any data I/O — a
+  * 10-key delete on a 100 TB table opens the handful of files whose
+  * recorded key range can hold those keys, instead of scanning the
+  * table to learn which files it touches.
+  *
   * CRASH SAFETY: data files and manifests are written before the
   * snapshot file, the snapshot before the pointer swing, and every
   * metadata write is tmp + ATOMIC_MOVE — a crash anywhere leaves the
   * previous snapshot fully intact (readers resolve through LATEST) and
   * the orphaned files invisible; the next commit of that version
-  * sweeps them. Single-writer, single-filesystem by design — the same
-  * documented scope as [[TxJsonSink]] (an object-store port swaps
-  * java.nio for the FileSystem API; the protocol is unchanged).
+  * sweeps them.
+  *
+  * CONCURRENT WRITERS (optimistic concurrency on the pointer swing):
+  * a committer CLAIMS its target version by atomically creating
+  * `_log/c-<v>` (createFile is the filesystem's CAS), verifies the
+  * pointer did not move between read and claim, writes, swings the
+  * pointer, and releases the claim. Appends that lose the race WAIT
+  * for the winner's swing and re-plan against the new snapshot (their
+  * payload is position-independent); copy-on-write rewrites FAIL
+  * CLEANLY instead (their plan is version-specific). A claim whose
+  * holder died without releasing blocks waiters for [[claimStaleMs]],
+  * then is broken and its orphans swept — the standard lease trade
+  * every lock-service-free format makes on a plain filesystem.
+  * Single-FILESYSTEM by design — the same documented scope as
+  * [[TxJsonSink]] (an object-store port swaps java.nio for the
+  * FileSystem API plus a conditional-put; the protocol is unchanged).
   *
   * Deletion is COPY-ON-WRITE at the file level and O(metadata) at the
   * manifest level: touched files' survivors rewrite as new files,
@@ -54,15 +83,101 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object SnapshotTable {
 
-  case class FileStat(file: String, zMin: Double, zMax: Double, rows: Long)
+  /** Typed min/max of one column in one data file (or, on a manifest
+    * ref, the envelope over its files). `lo`/`hi` are canonical string
+    * forms under tag `t`: l=integral (long), d=float/double,
+    * dec=decimal (plain string), s=string (UTF-8 byte order), dt=date
+    * (epoch day), ts=timestamp (epoch micros). Both None means the
+    * column holds NO non-null value — prunable for any non-null
+    * predicate. A column of unsupported type simply has no ColStat,
+    * which planning treats as "unknown: keep".
+    */
+  case class ColStat(col: String, t: String,
+      lo: Option[String], hi: Option[String])
+
+  case class FileStat(file: String, zMin: Double, zMax: Double,
+      rows: Long, cols: Seq[ColStat] = Nil)
   case class ManifestRef(name: String, zMin: Double, zMax: Double,
-      files: Int, rows: Long)
+      files: Int, rows: Long, cols: Seq[ColStat] = Nil)
   /** An equality-delete tombstone: `file` holds the distinct keys of
     * column `key`; it applies to rows in manifests COMMITTED BEFORE
     * version `v` (Iceberg v2's sequence-number scoping) — a later
     * re-insert of a deleted key survives.
     */
   case class DeleteRef(file: String, key: String, rows: Long, v: Int)
+
+  // ---- typed column stats: tags, canonical forms, comparison ---------
+
+  private[sources] def colTag(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("l")
+    case FloatType | DoubleType => Some("d")
+    case _: DecimalType => Some("dec")
+    case StringType => Some("s")
+    case DateType => Some("dt")
+    case TimestampType => Some("ts")
+    case _ => None
+  }
+
+  /** Canonical string of a collected min/max (or caller-supplied bound)
+    * under `t`. Accepts both the java.sql and java.time externals (the
+    * session's datetime.java8API flag decides which Spark hands back)
+    * and, for bounds arriving from a caller, plain "yyyy-MM-dd" /
+    * ISO-instant strings.
+    */
+  private def canonOf(t: String, v: Any): String = (t, v) match {
+    case ("l", n: java.lang.Number) => n.longValue.toString
+    case ("l", s: String) => s.trim.toLong.toString
+    case ("d", n: java.lang.Number) => n.doubleValue.toString
+    case ("d", s: String) => s.trim.toDouble.toString
+    case ("dec", d: java.math.BigDecimal) => d.toPlainString
+    case ("dec", d: scala.math.BigDecimal) => d.bigDecimal.toPlainString
+    case ("dec", x) => new java.math.BigDecimal(x.toString).toPlainString
+    case ("s", x) => x.toString
+    case ("dt", d: java.sql.Date) => d.toLocalDate.toEpochDay.toString
+    case ("dt", d: java.time.LocalDate) => d.toEpochDay.toString
+    case ("dt", s: String) =>
+      java.time.LocalDate.parse(s.trim).toEpochDay.toString
+    case ("ts", x) =>
+      val i = x match {
+        case ts: java.sql.Timestamp => ts.toInstant
+        case in: java.time.Instant => in
+        case s: String => java.time.Instant.parse(s.trim)
+        case other => throw new IllegalArgumentException(
+          s"cannot canonicalize $other as a timestamp bound")
+      }
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case (tag, other) => throw new IllegalArgumentException(
+      s"cannot canonicalize ${other.getClass.getName} under tag '$tag'")
+  }
+
+  /** Order of two canonical values under tag `t`. Strings compare as
+    * UTF-8 bytes — the SAME total order as Spark's UTF8String binary
+    * comparison, so bounds recorded by a Spark min/max stay sound
+    * against bounds compared here (Java's String.compareTo differs for
+    * supplementary characters and would not be).
+    */
+  private def cmpCanon(t: String, a: String, b: String): Int = t match {
+    case "l" | "dt" | "ts" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "d" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "dec" =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case "s" =>
+      val x = a.getBytes(StandardCharsets.UTF_8)
+      val y = b.getBytes(StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    case other =>
+      throw new IllegalArgumentException(s"unknown stat tag '$other'")
+  }
+
+  private def statFor(cols: Seq[ColStat], c: String): Option[ColStat] =
+    cols.find(_.col == c)
 
   // ---- driver-side metadata I/O (tmp + ATOMIC_MOVE everywhere) --------
 
@@ -102,22 +217,150 @@ object SnapshotTable {
   def latestVersion(path: String): Option[Int] =
     readPointer(path).map(_._1)
 
+  // ---- optimistic concurrency: version claims -------------------------
+
+  /** How long a waiter lets a competing claim block before declaring
+    * its holder dead and breaking it. A lease, not a proof — a holder
+    * merely SLOWER than this can lose its in-flight commit to the
+    * takeover (the standard trade of lock-service-free formats on a
+    * plain filesystem; Delta on S3 pre-conditional-put had the same).
+    * Volatile test hook; production default 60 s.
+    */
+  @volatile private[graft] var claimStaleMs: Long = 60000L
+
+  private def claimPath(path: String, v: Int) =
+    logDir(path).resolve(s"c-$v")
+
+  /** Atomically claim version `v` — createFile IS the filesystem CAS. */
+  private def tryClaim(path: String, v: Int): Boolean = {
+    Files.createDirectories(logDir(path))
+    try { Files.createFile(claimPath(path, v)); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
+  private def releaseClaim(path: String, v: Int): Unit =
+    Files.deleteIfExists(claimPath(path, v))
+
+  /** Claim the next commit slot for an APPEND: loop of (read pointer,
+    * claim prev+1, verify the pointer did not move under the claim);
+    * on contention, wait for the holder's swing (or its release, or
+    * staleness) and re-plan against whatever is latest then. Returns
+    * (pointer as read, claimed version) with the claim HELD — the
+    * caller must release it in a finally.
+    */
+  private def claimNext(path: String): (Option[(Int, Long)], Int) = {
+    while (true) {
+      val ptr = readPointer(path)
+      val v = ptr.map(_._1).getOrElse(0) + 1
+      if (tryClaim(path, v)) {
+        // a racing writer may have committed v and released between our
+        // pointer read and the claim — verify, else re-plan
+        if (readPointer(path) == ptr) return (ptr, v)
+        releaseClaim(path, v)
+      } else {
+        val t0 = System.currentTimeMillis()
+        var moved = false
+        while (!moved && System.currentTimeMillis() - t0 < claimStaleMs) {
+          if (latestVersion(path).exists(_ >= v) ||
+            !Files.exists(claimPath(path, v))) moved = true
+          else Thread.sleep(2)
+        }
+        // stale holder: break the claim; the next claimant's
+        // sweepUncommitted clears its orphans
+        if (!moved) releaseClaim(path, v)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Claim `prev + 1` for a COPY-ON-WRITE rewrite (delete/merge/
+    * compact/tombstone): these plan against `prev` specifically, so a
+    * lost race FAILS CLEANLY instead of re-planning — the caller
+    * re-runs against the new snapshot if it still wants to. Claim is
+    * HELD on return; release in a finally.
+    */
+  private def claimCow(path: String, prev: Int, op: String): Int = {
+    val v = prev + 1
+    if (!tryClaim(path, v))
+      throw new java.util.ConcurrentModificationException(
+        s"$op: another writer holds the claim on v$v of $path")
+    if (!latestVersion(path).contains(prev)) {
+      releaseClaim(path, v)
+      throw new java.util.ConcurrentModificationException(
+        s"$op: table $path moved past v$prev while planning")
+    }
+    v
+  }
+
+  // ---- manifest / snapshot / tombstone line encoding ------------------
+
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case c => c.toString
+  }
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b += '\n'
+          case 'r' => b += '\r'
+          case o => b += o
+        }
+        i += 2
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  private def colStatJson(c: ColStat): String = (c.lo, c.hi) match {
+    case (Some(l), Some(h)) =>
+      s"""{"c":"${esc(c.col)}","t":"${c.t}","lo":"${esc(l)}",""" +
+        s""""hi":"${esc(h)}"}"""
+    case _ => s"""{"c":"${esc(c.col)}","t":"${c.t}"}"""
+  }
+
+  private def colsJson(cols: Seq[ColStat]): String =
+    if (cols.isEmpty) ""
+    else cols.map(colStatJson).mkString(""","cols":[""", ",", "]")
+
+  // `cols` is optional in BOTH lines: manifests written before the
+  // per-column era (and the spec's hand-crafted crash fixtures) parse
+  // to cols=Nil, which planning treats as "no stats: cannot prune" —
+  // old tables stay readable and merely un-prunable on typed columns.
   private val FileLine =
-    """\{"file":"([^"]+)","z_min":([^,]+),"z_max":([^,]+),"rows":(\d+)\}""".r
+    ("""\{"file":"([^"]+)","z_min":([^,]+),"z_max":([^,]+),"rows":(\d+)""" +
+      """(?:,"cols":\[(.*)\])?\}""").r
   private val RefLine =
     ("""\{"manifest":"([^"]+)","z_min":([^,]+),"z_max":([^,]+),""" +
-      """"files":(\d+),"rows":(\d+)\}""").r
+      """"files":(\d+),"rows":(\d+)(?:,"cols":\[(.*)\])?\}""").r
+  private val ColRe =
+    ("""\{"c":"((?:[^"\\]|\\.)*)","t":"([a-z]+)"""" +
+      """(?:,"lo":"((?:[^"\\]|\\.)*)","hi":"((?:[^"\\]|\\.)*)")?\}""").r
+
+  private def parseCols(payload: String): Seq[ColStat] =
+    if (payload == null || payload.isEmpty) Nil
+    else ColRe.findAllMatchIn(payload).map { m =>
+      ColStat(unesc(m.group(1)), m.group(2),
+        Option(m.group(3)).map(unesc), Option(m.group(4)).map(unesc))
+    }.toIndexedSeq
 
   private def manifestLines(stats: Seq[FileStat]): String =
     stats.map(f =>
       s"""{"file":"${f.file}","z_min":${f.zMin},"z_max":${f.zMax},""" +
-        s""""rows":${f.rows}}""").mkString("\n")
+        s""""rows":${f.rows}${colsJson(f.cols)}}""").mkString("\n")
 
   private def parseManifest(path: String, name: String): Seq[FileStat] =
     Files.readAllLines(logDir(path).resolve(name), StandardCharsets.UTF_8)
       .asScala.toIndexedSeq.collect {
-        case FileLine(f, mn, mx, n) =>
-          FileStat(f, mn.toDouble, mx.toDouble, n.toLong)
+        case FileLine(f, mn, mx, n, cols) =>
+          FileStat(f, mn.toDouble, mx.toDouble, n.toLong, parseCols(cols))
       }
 
   private def snapshotLines(refs: Seq[ManifestRef]): String =
@@ -125,7 +368,7 @@ object SnapshotTable {
 
   private def refLine(r: ManifestRef): String =
     s"""{"manifest":"${r.name}","z_min":${r.zMin},"z_max":${r.zMax},""" +
-      s""""files":${r.files},"rows":${r.rows}}"""
+      s""""files":${r.files},"rows":${r.rows}${colsJson(r.cols)}}"""
 
   private val DelLine =
     """\{"delete":"([^"]+)","key":"([^"]+)","rows":(\d+),"v":(\d+)\}""".r
@@ -171,20 +414,42 @@ object SnapshotTable {
     require(Files.exists(p), s"snapshot v$v does not exist (vacuumed?)")
     Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toIndexedSeq
       .collect {
-        case RefLine(m, mn, mx, nf, nr) =>
-          ManifestRef(m, mn.toDouble, mx.toDouble, nf.toInt, nr.toLong)
+        case RefLine(m, mn, mx, nf, nr, cols) =>
+          ManifestRef(m, mn.toDouble, mx.toDouble, nf.toInt, nr.toLong,
+            parseCols(cols))
       }
   }
 
+  /** The manifest's envelope over its files: legacy double z bounds
+    * plus the per-column merge. A column's envelope exists only when
+    * EVERY live file carries a stat for it under one tag — claiming
+    * bounds over a file with unknown values would make envelope-level
+    * pruning unsound. Zero-row files carry sentinels and are excluded;
+    * an all-empty manifest gets the never-selected sentinel envelope.
+    */
   private def envelope(stats: Seq[FileStat], name: String): ManifestRef = {
-    // zero-row files carry the fileStats sentinels; the envelope over
-    // finite bounds only, falling back to the never-selected sentinel
-    // envelope when every file is empty
     val finite = stats.filter(_.rows > 0)
     if (finite.isEmpty)
       ManifestRef(name, Double.MaxValue, -Double.MaxValue, stats.size, 0L)
     else ManifestRef(name, finite.map(_.zMin).min, finite.map(_.zMax).max,
-      stats.size, stats.map(_.rows).sum)
+      stats.size, stats.map(_.rows).sum, colEnvelope(finite))
+  }
+
+  private def colEnvelope(live: Seq[FileStat]): Seq[ColStat] = {
+    live.head.cols.flatMap { lead =>
+      val per = live.map(f => statFor(f.cols, lead.col))
+      if (per.exists(s => s.isEmpty || s.get.t != lead.t)) None
+      else {
+        val bounded = per.flatMap(s =>
+          for (l <- s.get.lo; h <- s.get.hi) yield (l, h))
+        if (bounded.isEmpty) Some(ColStat(lead.col, lead.t, None, None))
+        else Some(ColStat(lead.col, lead.t,
+          Some(bounded.map(_._1).reduce((a, b) =>
+            if (cmpCanon(lead.t, a, b) <= 0) a else b)),
+          Some(bounded.map(_._2).reduce((a, b) =>
+            if (cmpCanon(lead.t, a, b) >= 0) a else b))))
+      }
+    }
   }
 
   // ---- schema evolution: the schema travels in the commit log --------
@@ -249,7 +514,8 @@ object SnapshotTable {
   /** Sweep data files and metadata of an uncommitted version `v` — the
     * leftovers of an attempt that died before its pointer swing. They
     * were never visible (readers resolve through LATEST), and the
-    * retrying commit must not interleave with them.
+    * retrying commit must not interleave with them. Claims (`c-$v`)
+    * are NOT swept — ownership is the claimant's to release.
     */
   private def sweepUncommitted(path: String, v: Int): Unit = {
     Option(new java.io.File(path).listFiles())
@@ -265,18 +531,33 @@ object SnapshotTable {
       .foreach(_.delete())
   }
 
-  /** Stage `df` range-sorted on `zcol`, move the staged parts to their
-    * immutable `v<N>-p<i>.parquet` names, and return their stats (the
-    * distributed bound scan; the collect is batch-sized by
-    * construction).
+  // ---- write path: layout, staging, per-file stat collection ---------
+
+  /** Range-clustered layout on one column of ANY orderable type —
+    * string/date clustering is what makes the typed envelopes
+    * selective, exactly like [[Writers.writeWithZoneMapString]].
     */
-  private def writeDataFiles(df: DataFrame, path: String, v: Int,
-      zcol: String, nFiles: Int): Seq[FileStat] = {
-    val s = df.sparkSession
+  private def rangeLayout(df: DataFrame, zcol: String,
+      nFiles: Int): DataFrame =
+    df.repartitionByRange(nFiles, col(zcol)).sortWithinPartitions(col(zcol))
+
+  /** Stage an already-laid-out `df`, move the staged parts to their
+    * immutable `v<N>-p<i>.parquet` names, and collect their stats in
+    * ONE distributed pass: row count, legacy double z bounds, and the
+    * typed per-column min/max of every supported column (the collect
+    * is batch-sized — one row per new file).
+    *
+    * Legacy z bounds derive from `zcol`'s typed stat when it is
+    * numeric (integral/float/decimal — the double cast is monotone, so
+    * range pruning on the cast stays sound); for string/date/timestamp
+    * cluster columns the legacy channel records the never-pruning
+    * full-range sentinel and [[readPrunedCol]] is the probe path.
+    */
+  private def stageLaidOut(laid: DataFrame, path: String, v: Int,
+      zcol: String): Seq[FileStat] = {
+    val s = laid.sparkSession
     val stage = s"$path/_log/_stage"
-    df.repartitionByRange(nFiles, col(zcol))
-      .sortWithinPartitions(col(zcol))
-      .write.mode("overwrite").parquet(stage)
+    laid.write.mode("overwrite").parquet(stage)
     val stageDir = Paths.get(stage)
     val parts = Files.list(stageDir).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("part-"))
@@ -287,32 +568,112 @@ object SnapshotTable {
         StandardCopyOption.ATOMIC_MOVE)
       dst
     }
-    Writers.fileStats(s, path, moved.map(n => s"$path/$n"), zcol)
-      .collect().map(r => FileStat(
-        r.getString(0).split('/').last, r.getDouble(1), r.getDouble(2),
-        r.getLong(3))).toIndexedSeq.sortBy(_.file)
+    fileColStats(s, path, moved, zcol)
+  }
+
+  private def fileColStats(s: SparkSession, path: String,
+      names: Seq[String], zcol: String): Seq[FileStat] = {
+    val src = s.read.parquet(names.map(n => s"$path/$n"): _*)
+    val fields = src.schema.fields.toIndexedSeq
+      .flatMap(f => colTag(f.dataType).map(t => (f.name, t)))
+    val aggs = count(lit(1)).as("_nr") +:
+      fields.zipWithIndex.flatMap { case ((c, _), i) =>
+        Seq(min(col(c)).as(s"_mn$i"), max(col(c)).as(s"_mx$i")) }
+    val byFile = src
+      .groupBy(substring_index(input_file_name(), "/", -1).as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getString(0) -> r).toMap
+    names.sorted.map { n =>
+      byFile.get(n) match {
+        case None => // empty file: never-selected sentinels, no stats
+          FileStat(n, Double.MaxValue, -Double.MaxValue, 0L, Nil)
+        case Some(r) =>
+          val rows = r.getLong(1)
+          val cols = fields.zipWithIndex.map { case ((c, t), i) =>
+            ColStat(c, t, Option(r.get(2 + 2 * i)).map(canonOf(t, _)),
+              Option(r.get(3 + 2 * i)).map(canonOf(t, _)))
+          }
+          val (zmn, zmx) = legacyZ(cols, zcol)
+          FileStat(n, zmn, zmx, rows, cols)
+      }
+    }
+  }
+
+  /** Legacy double z channel off the typed stat: numeric tags project
+    * to double (monotone cast, sound for range pruning); an all-null
+    * numeric zcol yields the never-selected sentinel (no row can
+    * satisfy a range); non-numeric cluster columns yield the
+    * never-PRUNING full range — [[readPruned]] then keeps every file
+    * and [[readPrunedCol]] is the selective path.
+    */
+  private def legacyZ(cols: Seq[ColStat], zcol: String): (Double, Double) =
+    statFor(cols, zcol) match {
+      case Some(ColStat(_, t, Some(lo), Some(hi)))
+          if t == "l" || t == "d" || t == "dec" =>
+        (lo.toDouble, hi.toDouble)
+      case Some(ColStat(_, t, None, None))
+          if t == "l" || t == "d" || t == "dec" =>
+        (Double.MaxValue, -Double.MaxValue)
+      case _ => (-Double.MaxValue, Double.MaxValue)
+    }
+
+  private def writeDataFiles(df: DataFrame, path: String, v: Int,
+      zcol: String, nFiles: Int): Seq[FileStat] =
+    stageLaidOut(rangeLayout(df, zcol, nFiles), path, v, zcol)
+
+  // ---- commits ---------------------------------------------------------
+
+  /** Shared append tail: sweep, merged schema, staged data + manifest,
+    * snapshot inheriting every previous line by reference, pointer
+    * swing. Cost tracks the batch — inherited metadata is copied as
+    * lines, never re-derived. The caller holds the claim on `v`.
+    */
+  private def appendCore(path: String, v: Int, prev: Option[Int],
+      batchId: Long, laid: DataFrame, zcol: String): Unit = {
+    sweepUncommitted(path, v)
+    writeMergedSchema(path, v, prev, laid.schema)
+    val stats = stageLaidOut(laid, path, v, zcol)
+    val mName = s"m-$v.json"
+    writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
+    val prevLines = prev.map(p => rawSnapshotLines(path, p)).getOrElse(Nil)
+    writeAtomic(logDir(path).resolve(s"v$v"),
+      (prevLines :+ refLine(envelope(stats, mName))).mkString("\n"))
+    swingPointer(path, v, batchId)
   }
 
   /** APPEND commit: new data files + their manifest + a new snapshot
     * inheriting every previous manifest by reference + the pointer
-    * swing. Returns the committed version. Cost tracks the batch —
-    * the inherited metadata is copied as lines, never re-derived.
+    * swing. Returns the committed version. `zcol` may be ANY orderable
+    * type (string/date clustering records typed envelopes; numeric
+    * additionally feeds the legacy double channel). Concurrent appends
+    * serialize through the claim CAS — a loser re-plans and lands at
+    * the next slot, so two racing appends BOTH commit.
     */
   def commitAppend(df: DataFrame, path: String, zcol: String,
       nFiles: Int): Int = {
-    val prev = latestVersion(path)
-    val v = prev.getOrElse(0) + 1
-    sweepUncommitted(path, v)
-    writeMergedSchema(path, v, prev, df.schema)
-    val stats = writeDataFiles(df, path, v, zcol, nFiles)
-    val mName = s"m-$v.json"
-    writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
-    // raw-line carry: manifest refs AND tombstone refs survive appends
-    val prevLines = prev.map(p => rawSnapshotLines(path, p)).getOrElse(Nil)
-    writeAtomic(logDir(path).resolve(s"v$v"),
-      (prevLines :+ refLine(envelope(stats, mName))).mkString("\n"))
-    swingPointer(path, v, -1L)
-    v
+    val (prevPtr, v) = claimNext(path)
+    try {
+      appendCore(path, v, prevPtr.map(_._1), -1L,
+        rangeLayout(df, zcol, nFiles), zcol)
+      v
+    } finally releaseClaim(path, v)
+  }
+
+  /** Z-ORDERED append: rows lay out on the Morton interleave of
+    * (`c1`, `c2`) — each file covers a compact 2-D block, so the typed
+    * per-column envelopes are selective on EITHER column and
+    * [[readPrunedCol]] prunes both probe dimensions (the unified-format
+    * twin of [[Writers.writeZOrderedWithZoneMap]]). The legacy double
+    * channel tracks `c1`.
+    */
+  def commitAppendZOrdered(df: DataFrame, path: String, c1: String,
+      c2: String, nFiles: Int): Int = {
+    val (prevPtr, v) = claimNext(path)
+    try {
+      appendCore(path, v, prevPtr.map(_._1), -1L,
+        Writers.zOrderLayout(df, c1, c2, nFiles), c1)
+      v
+    } finally releaseClaim(path, v)
   }
 
   /** EXACTLY-ONCE streaming append — the foreachBatch body that makes
@@ -329,25 +690,20 @@ object SnapshotTable {
     * Checking only the LAST batch id suffices because foreachBatch is
     * sequential — batch N+1 never starts until N's commit returned
     * (the same argument as [[Writers.zoneMapIngestCommit]]'s ledger,
-    * collapsed into the pointer). Returns false on the short-circuit.
+    * collapsed into the pointer); the stream must be the table's only
+    * streaming writer for the same reason. Returns false on the
+    * short-circuit.
     */
   def commitAppendOnce(df: DataFrame, path: String, zcol: String,
       nFiles: Int, batchId: Long): Boolean = {
     require(batchId >= 0, "batchId must be >= 0 (-1 marks non-batch commits)")
-    val prev = readPointer(path)
-    if (prev.exists(_._2 == batchId)) return false
-    val v = prev.map(_._1).getOrElse(0) + 1
-    sweepUncommitted(path, v)
-    writeMergedSchema(path, v, prev.map(_._1), df.schema)
-    val stats = writeDataFiles(df, path, v, zcol, nFiles)
-    val mName = s"m-$v.json"
-    writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
-    val prevLines =
-      prev.map(p => rawSnapshotLines(path, p._1)).getOrElse(Nil)
-    writeAtomic(logDir(path).resolve(s"v$v"),
-      (prevLines :+ refLine(envelope(stats, mName))).mkString("\n"))
-    swingPointer(path, v, batchId)
-    true
+    val (prevPtr, v) = claimNext(path)
+    try {
+      if (prevPtr.exists(_._2 == batchId)) return false
+      appendCore(path, v, prevPtr.map(_._1), batchId,
+        rangeLayout(df, zcol, nFiles), zcol)
+      true
+    } finally releaseClaim(path, v)
   }
 
   /** COMPACTION commit — the OPTIMIZE job every streaming sink needs
@@ -365,23 +721,25 @@ object SnapshotTable {
       targetRowsPerFile: Long): (Int, Int, Int) = {
     val prev = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot in $path"))
-    val refs = snapshot(path, Some(prev))
-    val stats = refs.flatMap(r => parseManifest(path, r.name))
-    val filesBefore = stats.size
-    val rows = stats.map(_.rows).sum
-    val nFiles = math.max(1L,
-      (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val v = prev + 1
-    sweepUncommitted(path, v)
-    val df = read(spark, path, Some(prev))
-    writeMergedSchema(path, v, Some(prev), df.schema)
-    val newStats = writeDataFiles(df, path, v, zcol, nFiles)
-    val mName = s"m-$v.json"
-    writeAtomic(logDir(path).resolve(mName), manifestLines(newStats))
-    writeAtomic(logDir(path).resolve(s"v$v"),
-      snapshotLines(Seq(envelope(newStats, mName))))
-    swingPointer(path, v, -1L)
-    (filesBefore, newStats.size, v)
+    val v = claimCow(path, prev, "compactCommit")
+    try {
+      val refs = snapshot(path, Some(prev))
+      val stats = refs.flatMap(r => parseManifest(path, r.name))
+      val filesBefore = stats.size
+      val rows = stats.map(_.rows).sum
+      val nFiles = math.max(1L,
+        (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      sweepUncommitted(path, v)
+      val df = read(spark, path, Some(prev))
+      writeMergedSchema(path, v, Some(prev), df.schema)
+      val newStats = writeDataFiles(df, path, v, zcol, nFiles)
+      val mName = s"m-$v.json"
+      writeAtomic(logDir(path).resolve(mName), manifestLines(newStats))
+      writeAtomic(logDir(path).resolve(s"v$v"),
+        snapshotLines(Seq(envelope(newStats, mName))))
+      swingPointer(path, v, -1L)
+      (filesBefore, newStats.size, v)
+    } finally releaseClaim(path, v)
   }
 
   /** INCREMENTAL COMPACTION — the standing background job of a
@@ -414,43 +772,119 @@ object SnapshotTable {
       fs.filter(isSmall).map(f => (manifestVersion(r.name), f)) }
     val carriedCount = byManifest.map(_._2.count(f => !isSmall(f))).sum
     if (small.size <= 1) return (0, carriedCount + small.size, prev)
-    val v = prev + 1
-    sweepUncommitted(path, v)
-    val df = readApplying(spark, path, prev,
-      small.map { case (mv, f) => (mv, s"$path/${f.file}") })
-    val smallRows = small.map(_._2.rows).sum
-    val nFiles = math.max(1L,
-      (smallRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    readSchema(path, prev).foreach(sc =>
-      writeAtomic(schemaPath(path, v), sc.json))
-    val newStats = writeDataFiles(df, path, v, zcol, nFiles)
-    val mName = s"m-$v.json"
-    writeAtomic(logDir(path).resolve(mName), manifestLines(newStats))
-    val smallNames = small.map(_._2.file).toSet
-    var ri = 0
-    val carried = byManifest.flatMap { case (ref, fs) =>
-      val kept = fs.filterNot(f => smallNames(f.file))
-      if (kept.size == fs.size) Some(ref)
-      else if (kept.isEmpty) None
-      else {
-        // the rewrite KEEPS the original version in its name: the
-        // carried rows were NOT materialized, so they must stay at
-        // their old sequence number or pending tombstones (dv < v)
-        // would stop applying to them — unlike the COW delete/merge
-        // rewrites, which run tombstone-free by contract
-        ri += 1
-        val rn = s"m-${manifestVersion(ref.name)}-r$v-$ri.json"
-        writeAtomic(logDir(path).resolve(rn), manifestLines(kept))
-        Some(envelope(kept, rn))
+    val v = claimCow(path, prev, "compactSmallFiles")
+    try {
+      sweepUncommitted(path, v)
+      val df = readApplying(spark, path, prev,
+        small.map { case (mv, f) => (mv, s"$path/${f.file}") })
+      val smallRows = small.map(_._2.rows).sum
+      val nFiles = math.max(1L,
+        (smallRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      readSchema(path, prev).foreach(sc =>
+        writeAtomic(schemaPath(path, v), sc.json))
+      val newStats = writeDataFiles(df, path, v, zcol, nFiles)
+      val mName = s"m-$v.json"
+      writeAtomic(logDir(path).resolve(mName), manifestLines(newStats))
+      val smallNames = small.map(_._2.file).toSet
+      var ri = 0
+      val carried = byManifest.flatMap { case (ref, fs) =>
+        val kept = fs.filterNot(f => smallNames(f.file))
+        if (kept.size == fs.size) Some(ref)
+        else if (kept.isEmpty) None
+        else {
+          // the rewrite KEEPS the original version in its name: the
+          // carried rows were NOT materialized, so they must stay at
+          // their old sequence number or pending tombstones (dv < v)
+          // would stop applying to them — unlike the COW delete/merge
+          // rewrites, which run tombstone-free by contract
+          ri += 1
+          val rn = s"m-${manifestVersion(ref.name)}-r$v-$ri.json"
+          writeAtomic(logDir(path).resolve(rn), manifestLines(kept))
+          Some(envelope(kept, rn))
+        }
       }
+      // carried files still need their tombstones; the compacted rows
+      // had theirs applied in the rewrite
+      writeAtomic(logDir(path).resolve(s"v$v"),
+        (carried.map(refLine) ++ dels.map(delLine) :+
+          refLine(envelope(newStats, mName))).mkString("\n"))
+      swingPointer(path, v, -1L)
+      (small.size, carriedCount, v)
+    } finally releaseClaim(path, v)
+  }
+
+  // ---- keyed copy-on-write: pyramid-planned delete / merge -----------
+
+  /** Keys a rewrite collects to the driver for exact per-file pruning
+    * (values beyond the cap fall back to min/max-envelope pruning),
+    * and the broadcast ceiling past which the touch-detection joins
+    * run as shuffle joins (the [[graft.ops.Clusters]] guard pattern —
+    * a table-sized tombstone batch must not be forced through a
+    * driver broadcast).
+    */
+  private val CollectKeyCapDefault = 100000
+  private val BroadcastKeyCapDefault = 2000000L
+
+  private case class KeyPlan(k: DataFrame, nKeys: Long, big: Boolean,
+      tag: Option[String], vals: Option[Array[String]],
+      bounds: Option[(String, String)])
+
+  private def planKeys(keys: DataFrame, keyCol: String,
+      collectCap: Int, bcastCap: Long): KeyPlan = {
+    val k = keys.select(col(keyCol)).distinct()
+    val tag = colTag(k.schema(keyCol).dataType)
+    val head = k.limit(collectCap + 1).collect()
+    if (head.length <= collectCap) {
+      val vals = tag.map { t =>
+        val a = head.iterator.map(_.get(0)).filter(_ != null)
+          .map(v => canonOf(t, v)).toArray
+        scala.util.Sorting.stableSort(a,
+          (x: String, y: String) => cmpCanon(t, x, y) < 0)
+        a
+      }
+      KeyPlan(k, head.length.toLong, big = false, tag, vals,
+        vals.filter(_.nonEmpty).map(v => (v.head, v.last)))
+    } else {
+      val r = k.agg(count(lit(1)), min(col(keyCol)), max(col(keyCol))).head()
+      val bounds = tag.flatMap(t =>
+        (Option(r.get(1)), Option(r.get(2))) match {
+          case (Some(lo), Some(hi)) => Some((canonOf(t, lo), canonOf(t, hi)))
+          case _ => None
+        })
+      KeyPlan(k, r.getLong(0), big = r.getLong(0) > bcastCap, tag,
+        None, bounds)
     }
-    // carried files still need their tombstones; the compacted rows
-    // had theirs applied in the rewrite
-    writeAtomic(logDir(path).resolve(s"v$v"),
-      (carried.map(refLine) ++ dels.map(delLine) :+
-        refLine(envelope(newStats, mName))).mkString("\n"))
-    swingPointer(path, v, -1L)
-    (small.size, carriedCount, v)
+  }
+
+  /** May a file/manifest with these recorded bounds hold one of the
+    * planned keys? Missing stats or a tag mismatch mean "unknown:
+    * keep"; an all-null column can never equality-match a key; with
+    * collected values the test is exact per file (binary search for a
+    * key inside [lo, hi]), else the key set's own envelope intersects.
+    */
+  private def boundsHitKeys(cs: Option[ColStat], plan: KeyPlan): Boolean =
+    cs match {
+      case None => true
+      case Some(s) if !plan.tag.contains(s.t) => true
+      case Some(ColStat(_, t, Some(lo), Some(hi))) =>
+        plan.vals match {
+          case Some(vs) => anyKeyIn(vs, t, lo, hi)
+          case None => plan.bounds.exists { case (kl, kh) =>
+            cmpCanon(t, kl, hi) <= 0 && cmpCanon(t, kh, lo) >= 0 }
+        }
+      case Some(ColStat(_, _, None, None)) => false // no non-null values
+      case Some(_) => true // half-written bounds: unknown, keep
+    }
+
+  private def anyKeyIn(sorted: Array[String], t: String, lo: String,
+      hi: String): Boolean = {
+    var a = 0
+    var b = sorted.length
+    while (a < b) {
+      val m = (a + b) >>> 1
+      if (cmpCanon(t, sorted(m), lo) < 0) a = m + 1 else b = m
+    }
+    a < sorted.length && cmpCanon(t, sorted(a), hi) <= 0
   }
 
   /** COPY-ON-WRITE DELETE commit: rows whose `keyCol` appears in `keys`
@@ -463,49 +897,137 @@ object SnapshotTable {
     */
   def commitDelete(spark: SparkSession, path: String, keyCol: String,
       keys: DataFrame, zcol: String, nFiles: Int = 0): (Long, Int) = {
+    val (deleted, _, _, v) =
+      commitDeletePlanned(spark, path, keyCol, keys, zcol, nFiles)
+    (deleted, v)
+  }
+
+  /** [[commitDelete]] with its PLANNING made visible — and made
+    * O(candidate files): touched-file detection descends the metadata
+    * pyramid on `keyCol`'s typed bounds (manifest envelopes first,
+    * then per-file stats — only surviving manifests even parse) and
+    * reads ONLY the candidate files for the semi-join probe, instead
+    * of scanning the table to learn what a 10-key delete touches.
+    * `collectKeyCap` bounds the exact-value plan (beyond it, the key
+    * set's min/max envelope prunes); `broadcastKeyCap` bounds the
+    * probe-side broadcast (beyond it the joins fall back to shuffle —
+    * same answer, no driver OOM). Returns (rowsDeleted, filesPlanned,
+    * filesTotal, newVersion).
+    */
+  def commitDeletePlanned(spark: SparkSession, path: String,
+      keyCol: String, keys: DataFrame, zcol: String, nFiles: Int = 0,
+      collectKeyCap: Int = CollectKeyCapDefault,
+      broadcastKeyCap: Long = BroadcastKeyCapDefault)
+      : (Long, Long, Long, Int) = {
     val prev = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot in $path"))
     require(deleteRefs(path, Some(prev)).isEmpty,
       "snapshot carries merge-on-read tombstones - run compactCommit " +
         "to materialize them before a copy-on-write rewrite")
-    val refs = snapshot(path, Some(prev))
-    val byManifest = refs.map(r => r -> parseManifest(path, r.name))
-    val allPaths = byManifest.flatMap(_._2).map(f => s"$path/${f.file}")
-    val snapDf = readFiles(spark, path, prev, allPaths)
-    val k = broadcast(keys.select(col(keyCol)).distinct())
-    val touched = snapDf.withColumn("_f", input_file_name())
-      .join(k, Seq(keyCol), "left_semi")
-      .select(col("_f")).distinct().collect()
-      .map(_.getString(0).split('/').last).toSet
-    if (touched.isEmpty) return (0L, prev)
-    val touchedPaths = touched.toIndexedSeq.sorted.map(n => s"$path/$n")
-    val touchedDf = readFiles(spark, path, prev, touchedPaths)
-    val rowsTouched = touchedDf.count()
-    val survivors = touchedDf.join(k, Seq(keyCol), "left_anti")
-    val rowsDeleted = rowsTouched - survivors.count()
-    val v = prev + 1
-    sweepUncommitted(path, v)
-    writeMergedSchema(path, v, Some(prev), survivors.schema)
-    val survStats = writeDataFiles(survivors, path, v, zcol,
-      if (nFiles > 0) nFiles else touched.size)
-    val mName = s"m-$v.json"
-    writeAtomic(logDir(path).resolve(mName), manifestLines(survStats))
-    var ri = 0
-    val carried = byManifest.flatMap { case (ref, fs) =>
-      val kept = fs.filterNot(f => touched(f.file))
-      if (kept.size == fs.size) Some(ref) // untouched: by reference
-      else if (kept.isEmpty) None // fully consumed
-      else {
-        ri += 1
-        val rn = s"m-$v-r$ri.json"
-        writeAtomic(logDir(path).resolve(rn), manifestLines(kept))
-        Some(envelope(kept, rn))
+    val v = claimCow(path, prev, "commitDelete")
+    try {
+      val plan = planKeys(keys, keyCol, collectKeyCap, broadcastKeyCap)
+      val refs = snapshot(path, Some(prev))
+      val total = refs.map(_.files.toLong).sum
+      // pyramid descent: envelope-pruned manifests are never parsed
+      val parsedCand = refs
+        .filter(r => boundsHitKeys(statFor(r.cols, keyCol), plan))
+        .map(r => r -> parseManifest(path, r.name))
+      val candFiles = parsedCand.flatMap(_._2).filter(f =>
+        f.rows > 0 && boundsHitKeys(statFor(f.cols, keyCol), plan))
+      val planned = candFiles.size.toLong
+      if (planned == 0) return (0L, 0L, total, prev)
+      val candDf = readFiles(spark, path, prev,
+        candFiles.map(f => s"$path/${f.file}").sorted)
+      val kj = if (plan.big) plan.k else broadcast(plan.k)
+      val touched = candDf.withColumn("_f", input_file_name())
+        .join(kj, Seq(keyCol), "left_semi")
+        .select(col("_f")).distinct().collect()
+        .map(_.getString(0).split('/').last).toSet
+      if (touched.isEmpty) return (0L, planned, total, prev)
+      val touchedPaths = touched.toIndexedSeq.sorted.map(n => s"$path/$n")
+      val touchedDf = readFiles(spark, path, prev, touchedPaths)
+      val rowsTouched = touchedDf.count()
+      val survivors = touchedDf.join(kj, Seq(keyCol), "left_anti")
+      val rowsDeleted = rowsTouched - survivors.count()
+      sweepUncommitted(path, v)
+      writeMergedSchema(path, v, Some(prev), survivors.schema)
+      val survStats = writeDataFiles(survivors, path, v, zcol,
+        if (nFiles > 0) nFiles else touched.size)
+      val mName = s"m-$v.json"
+      writeAtomic(logDir(path).resolve(mName), manifestLines(survStats))
+      val parsedOf = parsedCand.toMap
+      var ri = 0
+      val carried = refs.flatMap { ref =>
+        parsedOf.get(ref) match {
+          case None => Some(ref) // envelope-pruned: carried, never parsed
+          case Some(fs) =>
+            val kept = fs.filterNot(f => touched(f.file))
+            if (kept.size == fs.size) Some(ref)
+            else if (kept.isEmpty) None // fully consumed
+            else {
+              ri += 1
+              val rn = s"m-$v-r$ri.json"
+              writeAtomic(logDir(path).resolve(rn), manifestLines(kept))
+              Some(envelope(kept, rn))
+            }
+        }
       }
+      writeAtomic(logDir(path).resolve(s"v$v"),
+        snapshotLines(carried :+ envelope(survStats, mName)))
+      swingPointer(path, v, -1L)
+      (rowsDeleted, planned, total, v)
+    } finally releaseClaim(path, v)
+  }
+
+  /** Fail-fast guard for merge-on-read commits: a tombstone on a
+    * mistyped or phantom key column would COMMIT fine and then poison
+    * every subsequent read of the table (the read-time anti-join dies
+    * at plan time) with no clean repair path — so validate against the
+    * committed schema BEFORE anything lands, the way the COW paths
+    * fail naturally at their own plan time.
+    */
+  private def requireKeyCompatible(path: String, prev: Int,
+      keyCol: String, keys: DataFrame, op: String): Unit = {
+    require(keys.schema.fieldNames.contains(keyCol),
+      s"$op: keys relation has no column '$keyCol' " +
+        s"(columns: ${keys.schema.fieldNames.mkString(",")})")
+    readSchema(path, prev).foreach { sc =>
+      require(sc.fieldNames.contains(keyCol),
+        s"$op: table $path has no committed column '$keyCol' " +
+          s"(columns: ${sc.fieldNames.mkString(",")}) — a committed " +
+          "tombstone on a phantom key column poisons every later read")
+      val t = sc(keyCol).dataType
+      val kt = keys.schema(keyCol).dataType
+      require(t == kt ||
+        (t.isInstanceOf[NumericType] && kt.isInstanceOf[NumericType]),
+        s"$op: key column '$keyCol' type mismatch — table has $t, " +
+          s"keys carry $kt (not join-compatible)")
     }
-    writeAtomic(logDir(path).resolve(s"v$v"),
-      snapshotLines(carried :+ envelope(survStats, mName)))
-    swingPointer(path, v, -1L)
-    (rowsDeleted, v)
+  }
+
+  /** Stage the distinct `keyCol` values of `keys` as the immutable
+    * tombstone file `v<N>-d00000.parquet`. Tombstone sets are
+    * takedown-sized by contract — the file stages as a single part.
+    * Returns (fileName, distinctKeys); a zero-key set cleans up after
+    * itself.
+    */
+  private def stageTombstone(spark: SparkSession, path: String, v: Int,
+      keys: DataFrame, keyCol: String): (String, Long) = {
+    val stage = s"$path/_log/_stage"
+    keys.select(col(keyCol)).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val stageDir = Paths.get(stage)
+    val part = Files.list(stageDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part-"))
+      .toIndexedSeq.sorted.headOption.getOrElse(
+        throw new IllegalStateException("tombstone stage produced no part"))
+    val dst = f"v$v-d00000.parquet"
+    Files.move(stageDir.resolve(part), Paths.get(path, dst),
+      StandardCopyOption.ATOMIC_MOVE)
+    val n = spark.read.parquet(s"$path/$dst").count()
+    if (n == 0) Files.deleteIfExists(Paths.get(path, dst))
+    (dst, n)
   }
 
   /** MERGE-ON-READ DELETE commit — the O(metadata) takedown: the keys
@@ -519,38 +1041,75 @@ object SnapshotTable {
     * manifests committed BEFORE it, so a later re-insert of a deleted
     * key survives (Iceberg v2 semantics). [[compactCommit]]
     * materializes tombstones and drops them from the new snapshot.
-    * Tombstone sets are takedown-sized by contract — the file stages
-    * as a single part. Returns (distinct tombstone keys, new version;
-    * the previous version when `keys` is empty).
+    * Returns (distinct tombstone keys, new version; the previous
+    * version when `keys` is empty).
     */
   def commitDeleteMor(spark: SparkSession, path: String, keyCol: String,
       keys: DataFrame): (Long, Int) = {
     val prev = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot in $path"))
-    val v = prev + 1
-    sweepUncommitted(path, v)
-    val stage = s"$path/_log/_stage"
-    keys.select(col(keyCol)).distinct().coalesce(1)
-      .write.mode("overwrite").parquet(stage)
-    val stageDir = Paths.get(stage)
-    val part = Files.list(stageDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("part-"))
-      .toIndexedSeq.sorted.headOption.getOrElse(
-        throw new IllegalStateException("tombstone stage produced no part"))
-    val dst = f"v$v-d00000.parquet"
-    Files.move(stageDir.resolve(part), Paths.get(path, dst),
-      StandardCopyOption.ATOMIC_MOVE)
-    val n = spark.read.parquet(s"$path/$dst").count()
-    if (n == 0) { Files.deleteIfExists(Paths.get(path, dst)); return (0L, prev) }
-    // the schema is unchanged by a tombstone; carry it so readFiles
-    // keeps resolving this version without inference
-    readSchema(path, prev).foreach(sc =>
-      writeAtomic(schemaPath(path, v), sc.json))
-    writeAtomic(logDir(path).resolve(s"v$v"),
-      (rawSnapshotLines(path, prev) :+
-        delLine(DeleteRef(dst, keyCol, n, v))).mkString("\n"))
-    swingPointer(path, v, -1L)
-    (n, v)
+    requireKeyCompatible(path, prev, keyCol, keys, "commitDeleteMor")
+    val v = claimCow(path, prev, "commitDeleteMor")
+    try {
+      sweepUncommitted(path, v)
+      val (dst, n) = stageTombstone(spark, path, v, keys, keyCol)
+      if (n == 0) return (0L, prev)
+      // the schema is unchanged by a tombstone; carry it so readFiles
+      // keeps resolving this version without inference
+      readSchema(path, prev).foreach(sc =>
+        writeAtomic(schemaPath(path, v), sc.json))
+      writeAtomic(logDir(path).resolve(s"v$v"),
+        (rawSnapshotLines(path, prev) :+
+          delLine(DeleteRef(dst, keyCol, n, v))).mkString("\n"))
+      swingPointer(path, v, -1L)
+      (n, v)
+    } finally releaseClaim(path, v)
+  }
+
+  /** MERGE-ON-READ MERGE (upsert) commit — the O(batch) upsert a
+    * CDC-heavy feed needs where [[commitMerge]]'s COW rewrite per
+    * batch is unpayable: the change keys land as an equality-delete
+    * tombstone AND the change rows append as ordinary data files, BOTH
+    * at version v. Sequence scoping does the rest — the tombstone
+    * applies only to manifests committed BEFORE v, so old rows with a
+    * matched key vanish at read time while the batch's own rows (at v)
+    * are exempt: upsert semantics from one tombstone line and one
+    * manifest line, no existing file touched (prior manifests carry
+    * verbatim). [[compactCommit]] (or [[compactSmallFiles]])
+    * materializes later. `changes` must carry ONE row per key — with a
+    * same-commit tombstone there is no "insert-only duplicate" carve-
+    * out to reason about, so the contract is stricter than COW merge
+    * and checked in O(changes). Returns (changeKeys, newVersion; the
+    * previous version when `changes` is empty).
+    */
+  def commitMergeMor(spark: SparkSession, path: String,
+      changes: DataFrame, key: String, zcol: String,
+      nFiles: Int): (Long, Int) = {
+    val prev = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    requireKeyCompatible(path, prev, key, changes, "commitMergeMor")
+    val dup = changes.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col(key)).limit(5)
+      .collect().map(_.get(0))
+    require(dup.isEmpty,
+      s"commitMergeMor: changes carry multiple rows per key ($key): " +
+        dup.mkString(",") + " — pre-aggregate to one row per key")
+    val v = claimCow(path, prev, "commitMergeMor")
+    try {
+      sweepUncommitted(path, v)
+      val (dst, n) = stageTombstone(spark, path, v, changes, key)
+      if (n == 0) return (0L, prev)
+      writeMergedSchema(path, v, Some(prev), changes.schema)
+      val stats = writeDataFiles(changes, path, v, zcol, nFiles)
+      val mName = s"m-$v.json"
+      writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
+      writeAtomic(logDir(path).resolve(s"v$v"),
+        (rawSnapshotLines(path, prev) ++ Seq(
+          delLine(DeleteRef(dst, key, n, v)),
+          refLine(envelope(stats, mName)))).mkString("\n"))
+      swingPointer(path, v, -1L)
+      (n, v)
+    } finally releaseClaim(path, v)
   }
 
   /** COPY-ON-WRITE MERGE (upsert) commit — the CDC write path: rows of
@@ -558,83 +1117,117 @@ object SnapshotTable {
     * INSERT, and only the files holding a matched key rewrite; their
     * manifests rewrite minus the dead rows, untouched manifests carry
     * by reference, and the pre-merge version stays readable bit for
-    * bit until vacuum — [[TxJsonSink.merge]]'s shape on the
-    * stats-carrying format. A change set with MULTIPLE rows per
-    * matched key is rejected (nondeterministic which would win — the
-    * standard MERGE contract; multiple inserts of one NEW key are the
-    * caller's own data). Returns (filesReplaced, filesCarried,
-    * newVersion).
+    * bit until vacuum. A change set with MULTIPLE rows per matched key
+    * is rejected (nondeterministic which would win — the standard
+    * MERGE contract; multiple inserts of one NEW key are the caller's
+    * own data). Returns (filesReplaced, filesCarried, newVersion).
     */
   def commitMerge(spark: SparkSession, path: String,
       changes: DataFrame, key: String, zcol: String): (Int, Int, Int) = {
+    val (replaced, carried, _, _, v) =
+      commitMergePlanned(spark, path, changes, key, zcol)
+    (replaced, carried, v)
+  }
+
+  /** [[commitMerge]] with planning made visible and O(candidate
+    * files): matched-file detection (and the duplicate-matched-key
+    * check) descend the metadata pyramid on `key`'s typed bounds and
+    * read only the files whose recorded key range can hold a change
+    * key — a narrow upsert against a 100 TB table opens a handful of
+    * files to learn what it replaces. Caps as in
+    * [[commitDeletePlanned]]. Returns (filesReplaced, filesCarried,
+    * filesPlanned, filesTotal, newVersion).
+    */
+  def commitMergePlanned(spark: SparkSession, path: String,
+      changes: DataFrame, key: String, zcol: String,
+      collectKeyCap: Int = CollectKeyCapDefault,
+      broadcastKeyCap: Long = BroadcastKeyCapDefault)
+      : (Int, Int, Long, Long, Int) = {
     val prev = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot in $path"))
     require(deleteRefs(path, Some(prev)).isEmpty,
       "snapshot carries merge-on-read tombstones - run compactCommit " +
         "to materialize them before a copy-on-write rewrite")
-    val refs = snapshot(path, Some(prev))
-    val byManifest = refs.map(r => r -> parseManifest(path, r.name))
-    val filesBefore = byManifest.map(_._2.size).sum
-    val allPaths = byManifest.flatMap(_._2).map(f => s"$path/${f.file}")
-    val snapDf = readFiles(spark, path, prev, allPaths)
-    val dupCand = changes.groupBy(col(key))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col(key))
-    if (dupCand.limit(1).collect().nonEmpty) {
-      val dupMatched = snapDf
-        .join(broadcast(dupCand), Seq(key), "left_semi")
-        .select(col(key)).distinct().limit(5).collect().map(_.get(0))
-      require(dupMatched.isEmpty,
-        s"merge: changes carry multiple rows per matched key ($key): " +
-          dupMatched.mkString(",") + " — pre-aggregate to one row per key")
-    }
-    val k = broadcast(changes.select(col(key)).distinct())
-    val touched = snapDf.withColumn("_f", input_file_name())
-      .join(k, Seq(key), "left_semi")
-      .select(col("_f")).distinct().collect()
-      .map(_.getString(0).split('/').last).toSet
-    val survivors =
-      if (touched.isEmpty) changes.limit(0)
-      else readFiles(spark, path, prev,
-          touched.toIndexedSeq.sorted.map(n => s"$path/$n"))
-        .join(k, Seq(key), "left_anti")
-    val rewrite = survivors.unionByName(changes,
-      allowMissingColumns = true)
-    val v = prev + 1
-    sweepUncommitted(path, v)
-    writeMergedSchema(path, v, Some(prev), rewrite.schema)
-    val newStats = writeDataFiles(rewrite, path, v, zcol,
-      math.max(1, touched.size))
-    val mName = s"m-$v.json"
-    writeAtomic(logDir(path).resolve(mName), manifestLines(newStats))
-    var ri = 0
-    val carried = byManifest.flatMap { case (ref, fs) =>
-      val kept = fs.filterNot(f => touched(f.file))
-      if (kept.size == fs.size) Some(ref)
-      else if (kept.isEmpty) None
-      else {
-        ri += 1
-        val rn = s"m-$v-r$ri.json"
-        writeAtomic(logDir(path).resolve(rn), manifestLines(kept))
-        Some(envelope(kept, rn))
+    val v = claimCow(path, prev, "commitMerge")
+    try {
+      val plan = planKeys(changes, key, collectKeyCap, broadcastKeyCap)
+      val refs = snapshot(path, Some(prev))
+      val total = refs.map(_.files.toLong).sum
+      val parsedCand = refs
+        .filter(r => boundsHitKeys(statFor(r.cols, key), plan))
+        .map(r => r -> parseManifest(path, r.name))
+      val candFiles = parsedCand.flatMap(_._2).filter(f =>
+        f.rows > 0 && boundsHitKeys(statFor(f.cols, key), plan))
+      val planned = candFiles.size.toLong
+      val candDf =
+        if (planned == 0) null
+        else readFiles(spark, path, prev,
+          candFiles.map(f => s"$path/${f.file}").sorted)
+      // duplicate keys are fatal only when MATCHED; a matched key can
+      // only live in a candidate file, so the check scans candidates
+      val dupCand = changes.groupBy(col(key))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).select(col(key))
+      if (planned > 0 && dupCand.limit(1).collect().nonEmpty) {
+        val dupMatched = candDf
+          .join(broadcast(dupCand), Seq(key), "left_semi")
+          .select(col(key)).distinct().limit(5).collect().map(_.get(0))
+        require(dupMatched.isEmpty,
+          s"merge: changes carry multiple rows per matched key ($key): " +
+            dupMatched.mkString(",") + " — pre-aggregate to one row per key")
       }
-    }
-    writeAtomic(logDir(path).resolve(s"v$v"),
-      snapshotLines(carried :+ envelope(newStats, mName)))
-    swingPointer(path, v, -1L)
-    (touched.size, filesBefore - touched.size, v)
+      val kj = if (plan.big) plan.k else broadcast(plan.k)
+      val touched =
+        if (planned == 0) Set.empty[String]
+        else candDf.withColumn("_f", input_file_name())
+          .join(kj, Seq(key), "left_semi")
+          .select(col("_f")).distinct().collect()
+          .map(_.getString(0).split('/').last).toSet
+      val survivors =
+        if (touched.isEmpty) changes.limit(0)
+        else readFiles(spark, path, prev,
+            touched.toIndexedSeq.sorted.map(n => s"$path/$n"))
+          .join(kj, Seq(key), "left_anti")
+      val rewrite = survivors.unionByName(changes,
+        allowMissingColumns = true)
+      sweepUncommitted(path, v)
+      writeMergedSchema(path, v, Some(prev), rewrite.schema)
+      val newStats = writeDataFiles(rewrite, path, v, zcol,
+        math.max(1, touched.size))
+      val mName = s"m-$v.json"
+      writeAtomic(logDir(path).resolve(mName), manifestLines(newStats))
+      val parsedOf = parsedCand.toMap
+      var ri = 0
+      val carried = refs.flatMap { ref =>
+        parsedOf.get(ref) match {
+          case None => Some(ref)
+          case Some(fs) =>
+            val kept = fs.filterNot(f => touched(f.file))
+            if (kept.size == fs.size) Some(ref)
+            else if (kept.isEmpty) None
+            else {
+              ri += 1
+              val rn = s"m-$v-r$ri.json"
+              writeAtomic(logDir(path).resolve(rn), manifestLines(kept))
+              Some(envelope(kept, rn))
+            }
+        }
+      }
+      writeAtomic(logDir(path).resolve(s"v$v"),
+        snapshotLines(carried :+ envelope(newStats, mName)))
+      swingPointer(path, v, -1L)
+      (touched.size, (total - touched.size).toInt, planned, total, v)
+    } finally releaseClaim(path, v)
   }
 
-  /** Read a snapshot: exactly the files its manifests list — later
-    * commits are invisible (snapshot isolation), earlier versions stay
-    * readable (time travel).
-    */
+  // ---- reads ----------------------------------------------------------
+
   /** Read `(manifestVersion, filePath)` pairs under `v`'s schema and
     * apply `v`'s tombstones with sequence scoping: a tombstone at
     * version d deletes only from files whose manifest committed before
     * d. Files sharing an applicable-tombstone set read as ONE scan (at
     * most #tombstones+1 groups — no tombstones means the single-scan
     * fast path), each group anti-joined against its broadcast key
-    * files.
+    * files (tombstones are takedown-sized by contract).
     */
   private def readApplying(spark: SparkSession, path: String, v: Int,
       pairs: Seq[(Int, String)]): DataFrame = {
@@ -659,6 +1252,10 @@ object SnapshotTable {
       parseManifest(path, r.name).map(f =>
         (manifestVersion(r.name), s"$path/${f.file}")))
 
+  /** Read a snapshot: exactly the files its manifests list — later
+    * commits are invisible (snapshot isolation), earlier versions stay
+    * readable (time travel).
+    */
   def read(spark: SparkSession, path: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(path)).getOrElse(
@@ -666,14 +1263,15 @@ object SnapshotTable {
     readApplying(spark, path, v, manifestFilePairs(path, v))
   }
 
-  /** ZONE-PRUNED snapshot read: (candidates, filesRead, filesTotal).
-    * Planning descends the metadata pyramid — manifest-list envelopes
-    * first, surviving manifests' file bounds second — and skipping is
-    * SOUND by the same argument as [[Writers.readZonePruned]]: a file
-    * is dropped only when its recorded bounds exclude the whole range,
-    * so the candidates plus the exact residual equal a full-snapshot
-    * filter. Works at any `version`: bounds are immutable with the
-    * files they describe, so time travel and pruning compose for free.
+  /** ZONE-PRUNED snapshot read on the legacy double channel:
+    * (candidates, filesRead, filesTotal). Planning descends the
+    * metadata pyramid — manifest-list envelopes first, surviving
+    * manifests' file bounds second — and skipping is SOUND by the same
+    * argument as [[Writers.readZonePruned]]: a file is dropped only
+    * when its recorded bounds exclude the whole range, so the
+    * candidates plus the exact residual equal a full-snapshot filter.
+    * Works at any `version`: bounds are immutable with the files they
+    * describe, so time travel and pruning compose for free.
     */
   def readPruned(spark: SparkSession, path: String, lo: Double,
       hi: Double, version: Option[Int] = None)
@@ -694,6 +1292,54 @@ object SnapshotTable {
     (df, hit.length.toLong, total)
   }
 
+  /** TYPED pruned read: serve a range probe on ANY column whose stats
+    * the manifests carry — string (UTF-8 order), date, timestamp,
+    * integral, float, decimal — not only the legacy double channel.
+    * `lo`/`hi` accept the column's natural external forms (a string
+    * bound, a "yyyy-MM-dd" date, a number …); the column's tag comes
+    * from the committed schema. Same pyramid descent and the same
+    * soundness argument as [[readPruned]]: a file drops only when its
+    * recorded bounds exclude the whole range (a no-stats file is
+    * always kept; an all-null file cannot satisfy a range predicate
+    * and drops). Returns (candidates, filesRead, filesTotal) — a table
+    * with no recorded tag degrades to the full snapshot with
+    * filesRead = filesTotal, never to a wrong answer.
+    */
+  def readPrunedCol(spark: SparkSession, path: String, colName: String,
+      lo: Any, hi: Any, version: Option[Int] = None)
+      : (DataFrame, Long, Long) = {
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    val refs = snapshot(path, Some(v))
+    val total = refs.map(_.files.toLong).sum
+    val tag = readSchema(path, v).flatMap(sc =>
+        sc.fields.find(_.name == colName).flatMap(f => colTag(f.dataType)))
+      .orElse(refs.flatMap(r => statFor(r.cols, colName))
+        .headOption.map(_.t))
+    tag match {
+      case None => (read(spark, path, Some(v)), total, total)
+      case Some(t) =>
+        val (l, h) = (canonOf(t, lo), canonOf(t, hi))
+        def hits(cs: Option[ColStat]): Boolean = cs match {
+          case None => true
+          case Some(s) if s.t != t => true
+          case Some(ColStat(_, _, Some(mn), Some(mx))) =>
+            cmpCanon(t, mn, h) <= 0 && cmpCanon(t, mx, l) >= 0
+          case Some(ColStat(_, _, None, None)) => false // all-null file
+          case Some(_) => true // half-written bounds: unknown, keep
+        }
+        val hit = refs.filter(r => hits(statFor(r.cols, colName)))
+          .flatMap(r => parseManifest(path, r.name)
+            .filter(f => f.rows > 0 && hits(statFor(f.cols, colName)))
+            .map(f => (manifestVersion(r.name), s"$path/${f.file}")))
+          .sortBy(_._2)
+        val df =
+          if (hit.nonEmpty) readApplying(spark, path, v, hit)
+          else read(spark, path, Some(v)).filter(lit(false))
+        (df, hit.length.toLong, total)
+    }
+  }
+
   /** CHANGES FEED — the row-level diff between two committed versions,
     * the read that makes the table a source for INCREMENTAL consumers
     * (a downstream index, a materialized aggregate, a replication
@@ -704,18 +1350,22 @@ object SnapshotTable {
     * compact) moves surviving rows into new files, putting them on
     * BOTH sides of the file diff; the full-row `exceptAll` cancels
     * them (bag semantics, so duplicate rows cancel pairwise), leaving
-    * the true inserts and deletes. Returns (changes with a `_change`
-    * column of "insert"/"delete", filesRead, filesTotal-at-`to`).
+    * the true inserts and deletes. `fromV = 0` is the EMPTY table —
+    * the baseline a brand-new consumer diffs against (everything in
+    * `toV` is an insert). Returns (changes with a `_change` column of
+    * "insert"/"delete", filesRead, filesTotal-at-`to`).
     */
   def readChanges(spark: SparkSession, path: String, fromV: Int,
       toV: Int): (DataFrame, Long, Long) = {
-    require(fromV <= toV, s"readChanges: from v$fromV > to v$toV")
-    Seq(fromV, toV).foreach(v => require(
+    require(fromV >= 0 && fromV <= toV,
+      s"readChanges: bad version range v$fromV..v$toV")
+    Seq(fromV, toV).filter(_ > 0).foreach(v => require(
       deleteRefs(path, Some(v)).isEmpty,
       s"readChanges: v$v carries merge-on-read tombstones - run " +
         "compactCommit to materialize them first"))
     def fileSet(v: Int): Set[String] =
-      snapshot(path, Some(v)).flatMap(r => parseManifest(path, r.name))
+      if (v == 0) Set.empty
+      else snapshot(path, Some(v)).flatMap(r => parseManifest(path, r.name))
         .filter(_.rows > 0).map(_.file).toSet
     val from = fileSet(fromV)
     val to = fileSet(toV)
@@ -753,22 +1403,114 @@ object SnapshotTable {
     * drop out. Decimal sums stay in exact decimal arithmetic
     * throughout. The CDC delete+insert pairs a MERGE emits net to the
     * update's true effect.
+    *
+    * Group keys join NULL-SAFELY (`<=>` per column), so a null group —
+    * the shape schema evolution mints when it null-fills an evolved
+    * column — merges into ONE view row instead of accumulating
+    * duplicates. Measure columns are CONTRACTUALLY NON-NULL: an
+    * all-null group sums to NULL in a recompute but to 0 in any
+    * delta-maintained view (the information "no non-null value
+    * remains" is not maintainable without a per-column non-null
+    * count), so rather than drift silently the delta fold raises on
+    * the first null measure value it meets.
     */
   def incrementalAgg(mv: DataFrame, changes: DataFrame,
       groupCols: Seq[String], sumCols: Seq[String]): DataFrame = {
     val sign = when(col("_change") === lit("insert"), lit(1))
       .otherwise(lit(-1))
-    val aggs = sum(sign.cast("long")).as("_dn") +:
-      sumCols.map(c => sum(col(c) * sign).as(s"_d_$c"))
+    val aggs = (sum(sign.cast("long")).as("_dn") +:
+      sumCols.map(c => sum(col(c) * sign).as(s"_d_$c"))) ++
+      sumCols.map(c =>
+        max(when(col(c).isNull, lit(1)).otherwise(lit(0))).as(s"_nul_$c"))
     val delta = changes.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    mv.join(delta, groupCols, "full_outer")
-      .select((groupCols.map(col) :+
-        (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
-          .as("n")) ++
-        sumCols.map(c => (coalesce(col(c), lit(0)) +
-          coalesce(col(s"_d_$c"), lit(0))).as(c)): _*)
+    val m = mv.alias("_l")
+    val d = delta.alias("_r")
+    val cond = groupCols.map(c => col(s"_l.$c") <=> col(s"_r.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    m.join(d, cond, "full_outer")
+      .select((groupCols.map(c =>
+          coalesce(col(s"_l.$c"), col(s"_r.$c")).as(c)) :+
+        (coalesce(col("_l.n"), lit(0L)) +
+          coalesce(col("_r._dn"), lit(0L))).as("n")) ++
+        sumCols.map(c =>
+          when(col(s"_r._nul_$c") === lit(1), raise_error(lit(
+            s"incrementalAgg: null value in measure column '$c' — the " +
+              "view contract requires non-null measures (a null sum is " +
+              "not maintainable without a per-column non-null count)")))
+          .otherwise(coalesce(col(s"_l.$c"), lit(0)) +
+            coalesce(col(s"_r._d_$c"), lit(0))).as(c)): _*)
       .filter(col("n") > 0)
+  }
+
+  // ---- stream-maintained aggregate: the changes feed's consumer ------
+  // [[SnapshotChangesSource]] announces committed versions as a
+  // checkpointed micro-batch stream; [[maintainAgg]] is the idempotent
+  // foreachBatch body that folds each announced range into a DURABLE
+  // materialized aggregate. Its own version cursor publishes atomically
+  // AFTER the view, so Spark's at-least-once batch replay (same
+  // versions re-announced after a crash) short-circuits instead of
+  // double-applying — the [[commitAppendOnce]] argument, applied to the
+  // consumer side. A deleted view directory self-heals: cursor 0 makes
+  // the next refresh rebuild from the v0 empty-table baseline.
+
+  private def cursorPath(viewDir: String) = Paths.get(viewDir, "CURSOR")
+
+  /** The table version the maintained view at `viewDir` reflects —
+    * 0 before the first refresh (the empty-table baseline).
+    */
+  def maintainedCursor(viewDir: String): Int = {
+    val p = cursorPath(viewDir)
+    if (!Files.exists(p)) 0
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .trim.toInt
+  }
+
+  /** The maintained view's current rows (empty-schema failure before
+    * the first refresh is the caller's signal to drain the stream).
+    */
+  def readMaintainedAgg(spark: SparkSession, viewDir: String): DataFrame =
+    spark.read.parquet(s"$viewDir/v${maintainedCursor(viewDir)}")
+
+  /** Fold table versions (cursor, toV] into the standing aggregate at
+    * `viewDir` — O(delta) via [[readChanges]] + [[incrementalAgg]],
+    * the base table never re-read. Idempotent: a replayed batch
+    * (toV <= cursor) is a no-op, and a crash anywhere leaves the
+    * previous (view, cursor) pair intact — the view lands as a new
+    * `v<toV>` directory and the cursor swings atomically afterwards;
+    * stale view directories are swept lazily after the swing. Returns
+    * the cursor after the call.
+    */
+  def maintainAgg(spark: SparkSession, tablePath: String, viewDir: String,
+      groupCols: Seq[String], sumCols: Seq[String], toV: Int): Int = {
+    val cur = maintainedCursor(viewDir)
+    if (toV <= cur) return cur // replayed batch: already applied
+    val (ch, _, _) = readChanges(spark, tablePath, cur, toV)
+    val mv =
+      if (cur == 0) {
+        val aggs = count(lit(1)).as("n") +:
+          sumCols.map(c => sum(col(c)).as(c))
+        ch.limit(0).groupBy(groupCols.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+      }
+      else spark.read.parquet(s"$viewDir/v$cur")
+    incrementalAgg(mv, ch, groupCols, sumCols)
+      .write.mode("overwrite").parquet(s"$viewDir/v$toV")
+    writeAtomic(cursorPath(viewDir), toV.toString)
+    // lazy GC of superseded view generations (best-effort: a crash
+    // here just leaves a stale dir for the next refresh to sweep)
+    Option(new java.io.File(viewDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        f.getName != s"v$toV")
+      .foreach(deleteDirRecursive)
+    toV
+  }
+
+  private def deleteDirRecursive(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteDirRecursive)
+    f.delete()
   }
 
   /** METADATA-ONLY aggregates: COUNT(*), MIN(zcol), MAX(zcol) answered
@@ -776,10 +1518,10 @@ object SnapshotTable {
     * O(manifest lines) regardless of table size. This is the planning
     * payoff of carrying exact per-file bounds in the commit log: on a
     * 100 TB table the answer comes off kilobytes of metadata. Sound
-    * because [[Writers.fileStats]] records the TRUE per-file min/max
-    * and row count at write time and files are immutable afterwards;
-    * works at any `version` for the same reason time travel does.
-    * Empty-file sentinels are excluded the same way [[envelope]] does.
+    * because the stat pass records the TRUE per-file min/max and row
+    * count at write time and files are immutable afterwards; works at
+    * any `version` for the same reason time travel does. Empty-file
+    * sentinels are excluded the same way [[envelope]] does.
     */
   def statsAgg(path: String, version: Option[Int] = None)
       : (Long, Double, Double) = {
@@ -832,9 +1574,12 @@ object SnapshotTable {
 
   /** Retention GC — drop snapshots older than the last `keepLast`
     * versions, then every manifest and data file no retained snapshot
-    * references. Vacuumed versions stop being time-travelable (the
-    * explicit retention trade every table format makes); retained
-    * reads are unaffected. Returns (snapshotsDeleted, filesDeleted).
+    * references (plus any dead claim at or below the latest committed
+    * version — a claim for a version that EXISTS can never be
+    * re-claimed and is pure leftover). Vacuumed versions stop being
+    * time-travelable (the explicit retention trade every table format
+    * makes); retained reads are unaffected. Returns (snapshotsDeleted,
+    * filesDeleted).
     */
   def vacuum(path: String, keepLast: Int = 1): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
@@ -852,6 +1597,7 @@ object SnapshotTable {
       if (Files.deleteIfExists(logDir(path).resolve(s"v$v"))) sDel += 1
       Files.deleteIfExists(schemaPath(path, v))
     }
+    (1 to latest).foreach(v => releaseClaim(path, v))
     val log = logDir(path).toFile
     Option(log.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.startsWith("m-") &&

@@ -82,7 +82,7 @@ object Writers {
     * survivor rewrite and the streaming ingest's stage write lay rows
     * out exactly like the original [[writeZOrdered]] did.
     */
-  private def zOrderLayout(df: DataFrame, c1: String, c2: String,
+  private[sources] def zOrderLayout(df: DataFrame, c1: String, c2: String,
       nFiles: Int): DataFrame = {
     val mm = df.agg(
       min(col(c1)).cast("double").as("mn1"),

@@ -575,4 +575,295 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t)
       .filter(col("id").between(200, 259)).count() == 60)
   }
+
+  test("planned COW delete finds touched files through the key " +
+      "column's bounds instead of scanning the table") {
+    val t = Files.createTempDirectory("graft-snappd").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 800), t, "z", 8)
+    SnapshotTable.commitAppend(rows(800 until 1200), t, "z", 4)
+    // narrow key band: the id column is range-clustered with z, so the
+    // per-file id bounds confine the candidates to a couple of files
+    val (deleted, planned, total, v) = SnapshotTable.commitDeletePlanned(
+      spark, t, "id", (700L until 750L).toDF("id"), "z")
+    assert(deleted == 50 && v == 3)
+    assert(planned > 0 && planned < total,
+      s"planning must prune through the pyramid: read $planned/$total")
+    assert(SnapshotTable.read(spark, t).count() == 1150)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("id").between(700, 749)).count() == 0)
+    // keys wholly OUTSIDE the table's key range plan ZERO files
+    val (d0, p0, _, v0) = SnapshotTable.commitDeletePlanned(
+      spark, t, "id", Seq(50000L, 60000L).toDF("id"), "z")
+    assert(d0 == 0 && p0 == 0 && v0 == 3,
+      s"out-of-range keys must not open any file, planned $p0")
+  }
+
+  test("planned COW merge confines the matched-file probe the same " +
+      "way, and the fallback caps give the same answer") {
+    val t = Files.createTempDirectory("graft-snappm").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 1000), t, "z", 10)
+    val changes = rows(100 until 120)
+      .withColumn("z", col("z") + 10000.0)
+    val (replaced, _, planned, total, _) = SnapshotTable
+      .commitMergePlanned(spark, t, changes, "id", "z")
+    assert(replaced > 0 && planned > 0 && planned < total,
+      s"merge planning must prune: $planned/$total")
+    val latest = SnapshotTable.read(spark, t)
+    assert(latest.count() == 1000)
+    assert(latest.filter(col("z") >= 10000.0).count() == 20)
+    // degraded caps: values beyond collectCap fall back to min/max
+    // planning, keys beyond broadcastCap to a shuffle probe — SAME rows
+    val (d2, p2, _, _) = SnapshotTable.commitDeletePlanned(spark, t,
+      "id", (200L until 230L).toDF("id"), "z",
+      collectKeyCap = 4, broadcastKeyCap = 2L)
+    assert(d2 == 30, s"fallback path deleted $d2")
+    assert(p2 > 0 && p2 < total)
+    assert(SnapshotTable.read(spark, t).count() == 970)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("id").between(200, 229)).count() == 0)
+  }
+
+  test("typed pruned reads: string and date bounds prune strictly " +
+      "and soundly") {
+    val t = Files.createTempDirectory("graft-snapty").toString + "/t"
+    val df = (0 until 400).map(i => (i.toLong, f"d$i%03d")).toDF("id", "day")
+      .withColumn("dt",
+        date_add(to_date(lit("2020-01-01")), col("id").cast("int")))
+    // STRING cluster column: the legacy double channel records the
+    // never-pruning sentinel; the typed envelopes do the skipping
+    SnapshotTable.commitAppend(df, t, "day", 8)
+    SnapshotTable.commitAppend(
+      df.withColumn("id", col("id") + 400)
+        .withColumn("day", concat(lit("e"), col("day"))), t, "day", 4)
+    val full = SnapshotTable.read(spark, t)
+    val (sCand, sRead, sTotal) =
+      SnapshotTable.readPrunedCol(spark, t, "day", "d100", "d149")
+    assert(sRead > 0 && sRead < sTotal, s"string prune $sRead/$sTotal")
+    assert(sCand.filter(col("day") >= "d100" && col("day") <= "d149")
+      .count() ==
+      full.filter(col("day") >= "d100" && col("day") <= "d149").count())
+    val (dCand, dRead, dTotal) = SnapshotTable.readPrunedCol(
+      spark, t, "dt", "2020-02-01", "2020-02-15")
+    assert(dRead > 0 && dRead < dTotal, s"date prune $dRead/$dTotal")
+    assert(dCand
+      .filter(col("dt").between(lit("2020-02-01"), lit("2020-02-15")))
+      .count() ==
+      full.filter(col("dt").between(lit("2020-02-01"), lit("2020-02-15")))
+        .count())
+    // a range beyond every recorded bound opens zero files
+    val (_, zRead, _) =
+      SnapshotTable.readPrunedCol(spark, t, "day", "zzz", "zzzz")
+    assert(zRead == 0)
+    // pruning composes with time travel: v1 has no 'e…' days at all
+    val (_, eRead, _) = SnapshotTable.readPrunedCol(
+      spark, t, "day", "ed000", "ed050", Some(1))
+    assert(eRead == 0)
+  }
+
+  test("z-ordered append prunes typed probes on either dimension") {
+    val t = Files.createTempDirectory("graft-snapzo").toString + "/t"
+    val df = (0 until 4096)
+      .map(i => (i.toLong, (i % 64).toDouble, (i / 64).toDouble))
+      .toDF("id", "x", "y")
+    SnapshotTable.commitAppendZOrdered(df, t, "x", "y", 16)
+    for ((c, lo, hi, expect) <- Seq(("x", 10.0, 19.0, 64L * 10),
+        ("y", 20.0, 27.0, 64L * 8))) {
+      val (cand, read, total) =
+        SnapshotTable.readPrunedCol(spark, t, c, lo, hi)
+      assert(read > 0 && read < total, s"$c prune read $read/$total")
+      assert(cand.filter(col(c).between(lo, hi)).count() == expect)
+    }
+    // the COW delete survives on a z-ordered table and keeps pruning
+    val (deleted, _) = SnapshotTable.commitDelete(spark, t, "id",
+      (0L until 64L).toDF("id"), "x")
+    assert(deleted == 64)
+    val (cand2, r2, t2) = SnapshotTable.readPrunedCol(spark, t, "y", 0.0, 0.0)
+    assert(r2 < t2)
+    assert(cand2.filter(col("y") === 0.0).count() == 0)
+  }
+
+  test("merge-on-read merge: upsert from one tombstone and one append, " +
+      "no existing file touched, compaction materializes") {
+    val t = Files.createTempDirectory("graft-snapmm").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 600), t, "z", 4)
+    SnapshotTable.commitAppend(rows(600 until 1000), t, "z", 4)
+    val preNames = SnapshotTable.snapshot(t, Some(2)).map(_.name)
+    // updates for 100..149 (z shifted up) + brand-new negated keys
+    val changes = rows(100 until 150).withColumn("z", col("z") + 10000.0)
+      .unionByName(rows(0 until 20)
+        .select((-col("id") - 1L).as("id"), col("z"), col("tag")))
+    val (nKeys, v3) =
+      SnapshotTable.commitMergeMor(spark, t, changes, "id", "z", 2)
+    assert(nKeys == 70 && v3 == 3)
+    // the data side of v3 is v2's manifests VERBATIM plus the batch's
+    assert(SnapshotTable.snapshot(t, Some(3)).map(_.name) ==
+      preNames :+ "m-3.json",
+      "MOR merge must not rewrite or drop any existing manifest")
+    assert(SnapshotTable.deleteRefs(t).map(_.v) == Seq(3))
+    val latest = SnapshotTable.read(spark, t)
+    assert(latest.count() == 1020)
+    assert(latest.filter(col("id").between(100, 149) &&
+      col("z") < 10000.0).count() == 0, "old matched rows leaked")
+    assert(latest.filter(col("id") < 0).count() == 20)
+    // pre-merge version reads bit for bit
+    assert(SnapshotTable.read(spark, t, Some(2)).count() == 1000)
+    assert(SnapshotTable.read(spark, t, Some(2))
+      .filter(col("z") >= 10000.0).count() == 0)
+    // a LATER append re-inserting a merged-away key survives (the
+    // tombstone scopes to manifests before it)
+    SnapshotTable.commitAppend(rows(100 until 105), t, "z", 1)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("id").between(100, 104)).count() == 10)
+    // compaction materializes: same rows, tombstone refs gone
+    val n4 = SnapshotTable.read(spark, t).count()
+    SnapshotTable.compactCommit(spark, t, "z", 400L)
+    assert(SnapshotTable.deleteRefs(t).isEmpty)
+    assert(SnapshotTable.read(spark, t).count() == n4)
+    // duplicate keys in one batch are rejected in O(changes)
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.commitMergeMor(spark, t,
+        rows(0 until 2).unionByName(rows(0 until 2)), "id", "z", 1)
+    }
+    assert(ex.getMessage.contains("multiple rows per key"))
+  }
+
+  test("merge-on-read commits validate the key column against the " +
+      "committed schema before anything lands") {
+    val t = Files.createTempDirectory("graft-snapkv").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 100), t, "z", 2)
+    val phantom = intercept[IllegalArgumentException] {
+      SnapshotTable.commitDeleteMor(spark, t, "nope",
+        (0L until 5L).toDF("nope"))
+    }
+    assert(phantom.getMessage.contains("no committed column 'nope'"))
+    val mistyped = intercept[IllegalArgumentException] {
+      SnapshotTable.commitDeleteMor(spark, t, "id",
+        Seq("0", "1").toDF("id"))
+    }
+    assert(mistyped.getMessage.contains("type mismatch"))
+    val missing = intercept[IllegalArgumentException] {
+      SnapshotTable.commitMergeMor(spark, t,
+        rows(0 until 2).withColumnRenamed("id", "key"), "id", "z", 1)
+    }
+    assert(missing.getMessage.contains("keys relation has no column"))
+    // nothing landed: still v1, no tombstones, table intact
+    assert(SnapshotTable.latestVersion(t).contains(1))
+    assert(SnapshotTable.deleteRefs(t).isEmpty)
+    assert(SnapshotTable.read(spark, t).count() == 100)
+  }
+
+  test("concurrent appends both land: the claim CAS serializes the " +
+      "pointer swing, a stale claim is broken after its lease") {
+    val t = Files.createTempDirectory("graft-snapocc").toString + "/t"
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try {
+          for (b <- 0 until 3)
+            SnapshotTable.commitAppend(
+              rows((w * 300 + b * 100) until (w * 300 + b * 100 + 100)),
+              t, "z", 2)
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent appends failed: ${errs.peek()}")
+    assert(SnapshotTable.latestVersion(t).contains(6),
+      "six racing appends must produce six versions — none lost")
+    val latest = SnapshotTable.read(spark, t)
+    assert(latest.count() == 600)
+    assert(latest.select(col("id")).distinct().count() == 600)
+    // a claim whose holder died (file exists, no progress) blocks only
+    // for the lease, then is broken and the commit proceeds
+    java.nio.file.Files.createFile(Paths.get(s"$t/_log/c-7"))
+    val prevLease = SnapshotTable.claimStaleMs
+    SnapshotTable.claimStaleMs = 300L
+    try assert(SnapshotTable.commitAppend(rows(600 until 650), t, "z", 1) == 7)
+    finally SnapshotTable.claimStaleMs = prevLease
+    // a COW rewrite under a live competing claim fails cleanly
+    java.nio.file.Files.createFile(Paths.get(s"$t/_log/c-8"))
+    try intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.commitDelete(spark, t, "id", Seq(1L).toDF("id"), "z")
+    } finally java.nio.file.Files.delete(Paths.get(s"$t/_log/c-8"))
+  }
+
+  test("incrementalAgg merges null group keys null-safely and raises " +
+      "on a null measure value instead of drifting") {
+    val grp = (g: Any, n: Long, s: Double) => (g, n, s)
+    val mv = Seq[(String, Long, Double)](("a", 2L, 10.0), (null, 3L, 7.0))
+      .toDF("g", "n", "s")
+    val ch = Seq[(String, Double, String)](
+      (null, 5.0, "insert"), (null, 1.0, "delete"), ("a", 2.0, "insert"))
+      .toDF("g", "s", "_change")
+    val out = SnapshotTable.incrementalAgg(mv, ch, Seq("g"), Seq("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // the null group merged into ONE row (3+1-1=3, 7+5-1=11)
+    assert(out == Set(("a", 3L, 12.0), (null, 3L, 11.0)), out.toString)
+    val bad = Seq[(String, java.lang.Double, String)](
+      ("a", null, "insert")).toDF("g", "s", "_change")
+    val ex = intercept[Exception] {
+      SnapshotTable.incrementalAgg(mv, bad, Seq("g"), Seq("s")).collect()
+    }
+    assert(ex.getMessage.contains("null value in measure column"),
+      s"got: ${ex.getMessage}")
+  }
+
+  test("the changes-feed stream announces each version exactly once " +
+      "and maintainAgg folds replays idempotently") {
+    val base = Files.createTempDirectory("graft-snapcdc").toString
+    val t = s"$base/t"
+    val view = s"$base/view"
+    SnapshotTable.commitAppend(rows(0 until 300), t, "z", 3)
+    SnapshotTable.commitAppend(rows(300 until 500), t, "z", 2)
+    SnapshotTable.commitDelete(spark, t, "id",
+      (0L until 50L).toDF("id"), "z")
+    def drain(): Unit = {
+      val raw = spark.readStream
+        .format("graft.sources.SnapshotChangesSource")
+        .option("path", t).option("maxVersionsPerTrigger", 1).load()
+      graft.streaming.Streams.runWithBatchCommit(raw, s"$base/ckpt") {
+        (b, _) =>
+          Option(b.agg(max(col("version"))).head().get(0))
+            .map(_.asInstanceOf[Int]).foreach { v =>
+              SnapshotTable.maintainAgg(b.sparkSession, t, view,
+                Seq("tag"), Seq("z"), v)
+            }
+      }.awaitTermination()
+    }
+    drain()
+    assert(SnapshotTable.maintainedCursor(view) == 3)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("tag"), col("n"), col("z").cast("double").as("z"))
+    def recompute() = norm(SnapshotTable.read(spark, t)
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"), sum(col("z")).as("z")))
+    def mv() = norm(SnapshotTable.readMaintainedAgg(spark, view))
+    assert(mv().exceptAll(recompute()).isEmpty &&
+      recompute().exceptAll(mv()).isEmpty,
+      "maintained view diverged from the recompute after the drain")
+    // restart over the same checkpoint: nothing re-announced
+    drain()
+    assert(SnapshotTable.maintainedCursor(view) == 3,
+      "a restart with no new commits must not move the cursor")
+    // a version committed while the consumer was down catches up alone
+    SnapshotTable.commitMerge(spark, t,
+      rows(100 until 120).withColumn("z", col("z") + 1000.0), "id", "z")
+    drain()
+    assert(SnapshotTable.maintainedCursor(view) == 4)
+    assert(mv().exceptAll(recompute()).isEmpty &&
+      recompute().exceptAll(mv()).isEmpty,
+      "maintained view diverged after the catch-up refresh")
+  }
+
+  test("readChanges from v0 is the empty-table baseline: everything " +
+      "is an insert") {
+    val t = Files.createTempDirectory("graft-snapc0").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 100), t, "z", 2)
+    SnapshotTable.commitAppend(rows(100 until 150), t, "z", 1)
+    val (ch, read, total) = SnapshotTable.readChanges(spark, t, 0, 2)
+    assert(read == total)
+    assert(ch.filter(col("_change") === "delete").count() == 0)
+    assert(ch.count() == 150)
+  }
 }
