@@ -194,7 +194,15 @@ object ScaleStress {
     "q_snapshot_mor_delete", "q_snapshot_changes",
     "q_snapshot_stats_agg", "q_snapshot_schema_evolve",
     "q_snapshot_incremental_agg", "q_snapshot_compact_small",
-    "q_snapshot_index_sync")
+    "q_snapshot_index_sync",
+    // round-14 additions: pyramid-PLANNED keyed rewrites (the row that
+    // proves touched-file detection no longer tracks table size),
+    // typed string/date and Morton envelopes in the unified format,
+    // the O(batch) merge-on-read upsert, and the checkpointed
+    // changes-feed stream driving the maintained aggregate
+    "q_snapshot_planned_rewrite", "q_snapshot_prune_date",
+    "q_snapshot_zorder", "q_snapshot_mor_merge",
+    "q_stream_snapshot_changes", "q_snapshot_bloom_delete")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

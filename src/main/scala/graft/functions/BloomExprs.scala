@@ -49,8 +49,15 @@ object BloomExprs {
   /** Registers both functions on the active session if missing (for
     * sessions not built with [[GraftExtensions]]).
     */
-  def ensureRegistered(): Unit = {
-    val reg = org.apache.spark.sql.classic.SparkSession.active
+  def ensureRegistered(): Unit =
+    ensureRegistered(org.apache.spark.sql.classic.SparkSession.active)
+
+  /** Same, on an EXPLICIT session — for driver-side callers (the
+    * snapshot table's manifest-bloom stat pass) that cannot assume
+    * their DataFrame's session is the thread's active one.
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     val agg = new FunctionIdentifier("bloom_agg")
     if (!reg.functionExists(agg)) reg.registerFunction(agg, aggInfo, aggBuilder)

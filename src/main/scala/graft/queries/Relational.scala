@@ -2959,6 +2959,54 @@ object Relational {
         .withColumn("planned_merge_subset", lit(p2 > 0 && p2 < t2))
     }),
 
+    // MANIFEST KEY BLOOMS — the pruner for the delete shape min/max
+    // bounds can never serve: a SCATTERED-key takedown (three specific
+    // ids against a price-clustered table, where every file spans
+    // ~the full key RANGE but almost no file holds those keys' SET).
+    // commitAppend(bloomCols=...) folds an xxhash64 bloom per file into
+    // the manifest (distributed bloom_agg — only the KB-scale sketch
+    // leaves the executors, union-merged up the manifest list), and
+    // commitDeletePlanned consults it after the bounds test: the gate
+    // requires the 3-key takedown to plan at most HALF the files (at
+    // ~15k rows/file the FPP holds at every scale), while the oracle
+    // recomputes the survivor aggregate — a false NEGATIVE (wrongly
+    // pruned file) would leave a deleted row alive and fail the hash.
+    "q_snapshot_bloom_delete" -> ((s, d) => {
+      val dir = rtDir("snapbf", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val half = o.count() / 2
+      val nFiles = math.max(4L, (half + 14999) / 15000).toInt
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), dir, "price", nFiles,
+        bloomCols = Seq("o_orderkey"))
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), dir, "price", nFiles,
+        bloomCols = Seq("o_orderkey"))
+      val r = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val mid = o.filter(col("o_orderkey") <= (mn + mx) / 2)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      val keys = s.createDataFrame(
+        Seq(Tuple1(mn), Tuple1(mid), Tuple1(mx))).toDF("o_orderkey")
+      val (deleted, planned, total, _) = graft.sources.SnapshotTable
+        .commitDeletePlanned(s, dir, "o_orderkey", keys, "price")
+      require(deleted == 3,
+        s"q_snapshot_bloom_delete: expected the 3 picked keys deleted, " +
+          s"got $deleted")
+      require(planned > 0 && planned * 2 <= total,
+        s"q_snapshot_bloom_delete: bloom planning must confine the " +
+          s"probe to at most half the files, read $planned/$total")
+      val s2 = s.newSession()
+      graft.sources.SnapshotTable.read(s2, dir).agg(
+          count(lit(1)).as("n_total"),
+          sum(col("o_orderkey")).as("keysum"),
+          sum(col("price")).cast("double").as("revenue"))
+        .withColumn("bloom_planned_subset",
+          lit(planned > 0 && planned * 2 <= total))
+    }),
+
     // MERGE-ON-READ MERGE on the unified snapshot table — the O(batch)
     // upsert ([[sources.SnapshotTable.commitMergeMor]]): the change
     // keys land as an equality-delete tombstone and the change rows
@@ -5460,6 +5508,19 @@ object Relational {
         |    AS n_inserted,
         |  TRUE AS planned_delete_subset,
         |  TRUE AS planned_merge_subset
+        |FROM cur""".stripMargin,
+
+    "q_snapshot_bloom_delete" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |b AS (SELECT min(k) AS mn, max(k) AS mx FROM o),
+        |m AS (SELECT max(k) AS mid FROM o, b WHERE k <= (mn + mx) // 2),
+        |cur AS (SELECT k, price FROM o, b, m
+        |  WHERE k <> b.mn AND k <> b.mx AND k <> m.mid)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(k) AS BIGINT) AS keysum,
+        |  CAST(sum(price) AS DOUBLE) AS revenue,
+        |  TRUE AS bloom_planned_subset
         |FROM cur""".stripMargin,
 
     "q_snapshot_mor_merge" ->

@@ -96,9 +96,11 @@ object SnapshotTable {
       lo: Option[String], hi: Option[String])
 
   case class FileStat(file: String, zMin: Double, zMax: Double,
-      rows: Long, cols: Seq[ColStat] = Nil)
+      rows: Long, cols: Seq[ColStat] = Nil,
+      blooms: Seq[(String, String)] = Nil)
   case class ManifestRef(name: String, zMin: Double, zMax: Double,
-      files: Int, rows: Long, cols: Seq[ColStat] = Nil)
+      files: Int, rows: Long, cols: Seq[ColStat] = Nil,
+      blooms: Seq[(String, String)] = Nil)
   /** An equality-delete tombstone: `file` holds the distinct keys of
     * column `key`; it applies to rows in manifests COMMITTED BEFORE
     * version `v` (Iceberg v2's sequence-number scoping) — a later
@@ -330,16 +332,30 @@ object SnapshotTable {
     if (cols.isEmpty) ""
     else cols.map(colStatJson).mkString(""","cols":[""", ",", "]")
 
-  // `cols` is optional in BOTH lines: manifests written before the
-  // per-column era (and the spec's hand-crafted crash fixtures) parse
-  // to cols=Nil, which planning treats as "no stats: cannot prune" —
-  // old tables stay readable and merely un-prunable on typed columns.
+  // `cols` and `bf` are optional in BOTH lines: manifests written
+  // before the per-column era (and the spec's hand-crafted crash
+  // fixtures) parse to cols=Nil, which planning treats as "no stats:
+  // cannot prune" — old tables stay readable and merely un-prunable
+  // on typed columns.
   private val FileLine =
     ("""\{"file":"([^"]+)","z_min":([^,]+),"z_max":([^,]+),"rows":(\d+)""" +
-      """(?:,"cols":\[(.*)\])?\}""").r
+      """(?:,"cols":\[(.*?)\])?(?:,"bf":\[(.*?)\])?\}""").r
   private val RefLine =
     ("""\{"manifest":"([^"]+)","z_min":([^,]+),"z_max":([^,]+),""" +
-      """"files":(\d+),"rows":(\d+)(?:,"cols":\[(.*)\])?\}""").r
+      """"files":(\d+),"rows":(\d+)""" +
+      """(?:,"cols":\[(.*?)\])?(?:,"bf":\[(.*?)\])?\}""").r
+  private val BloomRe =
+    """\{"c":"((?:[^"\\]|\\.)*)","b":"([A-Za-z0-9+/=]*)"\}""".r
+
+  private def bloomsJson(bfs: Seq[(String, String)]): String =
+    if (bfs.isEmpty) ""
+    else bfs.map { case (c, b) => s"""{"c":"${esc(c)}","b":"$b"}""" }
+      .mkString(""","bf":[""", ",", "]")
+
+  private def parseBlooms(payload: String): Seq[(String, String)] =
+    if (payload == null || payload.isEmpty) Nil
+    else BloomRe.findAllMatchIn(payload)
+      .map(m => (unesc(m.group(1)), m.group(2))).toIndexedSeq
   private val ColRe =
     ("""\{"c":"((?:[^"\\]|\\.)*)","t":"([a-z]+)"""" +
       """(?:,"lo":"((?:[^"\\]|\\.)*)","hi":"((?:[^"\\]|\\.)*)")?\}""").r
@@ -354,13 +370,15 @@ object SnapshotTable {
   private def manifestLines(stats: Seq[FileStat]): String =
     stats.map(f =>
       s"""{"file":"${f.file}","z_min":${f.zMin},"z_max":${f.zMax},""" +
-        s""""rows":${f.rows}${colsJson(f.cols)}}""").mkString("\n")
+        s""""rows":${f.rows}${colsJson(f.cols)}${bloomsJson(f.blooms)}}""")
+      .mkString("\n")
 
   private def parseManifest(path: String, name: String): Seq[FileStat] =
     Files.readAllLines(logDir(path).resolve(name), StandardCharsets.UTF_8)
       .asScala.toIndexedSeq.collect {
-        case FileLine(f, mn, mx, n, cols) =>
-          FileStat(f, mn.toDouble, mx.toDouble, n.toLong, parseCols(cols))
+        case FileLine(f, mn, mx, n, cols, bfs) =>
+          FileStat(f, mn.toDouble, mx.toDouble, n.toLong, parseCols(cols),
+            parseBlooms(bfs))
       }
 
   private def snapshotLines(refs: Seq[ManifestRef]): String =
@@ -368,7 +386,8 @@ object SnapshotTable {
 
   private def refLine(r: ManifestRef): String =
     s"""{"manifest":"${r.name}","z_min":${r.zMin},"z_max":${r.zMax},""" +
-      s""""files":${r.files},"rows":${r.rows}${colsJson(r.cols)}}"""
+      s""""files":${r.files},"rows":${r.rows}${colsJson(r.cols)}""" +
+      bloomsJson(r.blooms) + "}"
 
   private val DelLine =
     """\{"delete":"([^"]+)","key":"([^"]+)","rows":(\d+),"v":(\d+)\}""".r
@@ -414,9 +433,9 @@ object SnapshotTable {
     require(Files.exists(p), s"snapshot v$v does not exist (vacuumed?)")
     Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toIndexedSeq
       .collect {
-        case RefLine(m, mn, mx, nf, nr, cols) =>
+        case RefLine(m, mn, mx, nf, nr, cols, bfs) =>
           ManifestRef(m, mn.toDouble, mx.toDouble, nf.toInt, nr.toLong,
-            parseCols(cols))
+            parseCols(cols), parseBlooms(bfs))
       }
   }
 
@@ -432,8 +451,36 @@ object SnapshotTable {
     if (finite.isEmpty)
       ManifestRef(name, Double.MaxValue, -Double.MaxValue, stats.size, 0L)
     else ManifestRef(name, finite.map(_.zMin).min, finite.map(_.zMax).max,
-      stats.size, stats.map(_.rows).sum, colEnvelope(finite))
+      stats.size, stats.map(_.rows).sum, colEnvelope(finite),
+      bloomEnvelope(finite))
   }
+
+  /** Union of the files' key blooms (same commit ⇒ same sizing, so
+    * mergeInPlace is well-defined); a column's envelope bloom exists
+    * only when EVERY live file carries one — a file with unknown keys
+    * would make envelope-level bloom pruning unsound.
+    */
+  private def bloomEnvelope(live: Seq[FileStat])
+      : Seq[(String, String)] = {
+    val enc = java.util.Base64.getEncoder
+    live.head.blooms.map(_._1).flatMap { c =>
+      val per = live.map(f => f.blooms.find(_._1 == c))
+      if (per.exists(_.isEmpty)) None
+      else try {
+        val bfs = per.map(b => readBloom(b.get._2))
+        val merged = bfs.reduce { (a, b) => a.mergeInPlace(b); a }
+        val bos = new java.io.ByteArrayOutputStream()
+        merged.writeTo(bos)
+        Some(c -> enc.encodeToString(bos.toByteArray))
+      } catch { case _: Exception => None } // incompatible: no envelope
+    }
+  }
+
+  private def readBloom(b64: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        java.util.Base64.getDecoder.decode(b64)))
 
   private def colEnvelope(live: Seq[FileStat]): Seq[ColStat] = {
     live.head.cols.flatMap { lead =>
@@ -554,7 +601,7 @@ object SnapshotTable {
     * full-range sentinel and [[readPrunedCol]] is the probe path.
     */
   private def stageLaidOut(laid: DataFrame, path: String, v: Int,
-      zcol: String): Seq[FileStat] = {
+      zcol: String, bloomCols: Seq[String] = Nil): Seq[FileStat] = {
     val s = laid.sparkSession
     val stage = s"$path/_log/_stage"
     laid.write.mode("overwrite").parquet(stage)
@@ -568,21 +615,41 @@ object SnapshotTable {
         StandardCopyOption.ATOMIC_MOVE)
       dst
     }
-    fileColStats(s, path, moved, zcol)
+    fileColStats(s, path, moved, zcol, bloomCols)
   }
 
+  /** Expected distinct keys per file for the manifest blooms — sizes
+    * the sketch (Spark's 2-arg bloom_agg allocates items×8 bits, ~2%
+    * FPP at the expectation). Overshooting only raises the false-
+    * positive rate, never unsoundness: a bloom can only ADD candidate
+    * files, and the probe's semi-join removes false positives.
+    */
+  private val BloomExpectedKeys = 20000L
+
   private def fileColStats(s: SparkSession, path: String,
-      names: Seq[String], zcol: String): Seq[FileStat] = {
+      names: Seq[String], zcol: String,
+      bloomCols: Seq[String] = Nil): Seq[FileStat] = {
     val src = s.read.parquet(names.map(n => s"$path/$n"): _*)
     val fields = src.schema.fields.toIndexedSeq
       .flatMap(f => colTag(f.dataType).map(t => (f.name, t)))
-    val aggs = count(lit(1)).as("_nr") +:
+    bloomCols.foreach { c =>
+      require(colTag(src.schema(c).dataType).contains("l"),
+        s"manifest blooms support integral key columns only; '$c' is " +
+          src.schema(c).dataType.toString)
+    }
+    if (bloomCols.nonEmpty) graft.functions.BloomExprs.ensureRegistered(s)
+    val nF = fields.size
+    val aggs = (count(lit(1)).as("_nr") +:
       fields.zipWithIndex.flatMap { case ((c, _), i) =>
-        Seq(min(col(c)).as(s"_mn$i"), max(col(c)).as(s"_mx$i")) }
+        Seq(min(col(c)).as(s"_mn$i"), max(col(c)).as(s"_mx$i")) }) ++
+      bloomCols.map(c => call_function("bloom_agg",
+        xxhash64(col(c).cast("long")), lit(BloomExpectedKeys))
+        .as(s"_bf_$c"))
     val byFile = src
       .groupBy(substring_index(input_file_name(), "/", -1).as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map(r => r.getString(0) -> r).toMap
+    val enc = java.util.Base64.getEncoder
     names.sorted.map { n =>
       byFile.get(n) match {
         case None => // empty file: never-selected sentinels, no stats
@@ -593,8 +660,12 @@ object SnapshotTable {
             ColStat(c, t, Option(r.get(2 + 2 * i)).map(canonOf(t, _)),
               Option(r.get(3 + 2 * i)).map(canonOf(t, _)))
           }
+          val blooms = bloomCols.zipWithIndex.flatMap { case (c, i) =>
+            Option(r.get(2 + 2 * nF + i)).map(b =>
+              c -> enc.encodeToString(b.asInstanceOf[Array[Byte]]))
+          }
           val (zmn, zmx) = legacyZ(cols, zcol)
-          FileStat(n, zmn, zmx, rows, cols)
+          FileStat(n, zmn, zmx, rows, cols, blooms)
       }
     }
   }
@@ -621,6 +692,13 @@ object SnapshotTable {
       zcol: String, nFiles: Int): Seq[FileStat] =
     stageLaidOut(rangeLayout(df, zcol, nFiles), path, v, zcol)
 
+  // seed 42 = the SQL xxhash64's default, which the stat pass feeds
+  // bloom_agg — both sides of the bloom probe hash identically
+  private def xx64(v: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)), 42L)
+      .eval().asInstanceOf[Long]
+
   // ---- commits ---------------------------------------------------------
 
   /** Shared append tail: sweep, merged schema, staged data + manifest,
@@ -629,10 +707,11 @@ object SnapshotTable {
     * lines, never re-derived. The caller holds the claim on `v`.
     */
   private def appendCore(path: String, v: Int, prev: Option[Int],
-      batchId: Long, laid: DataFrame, zcol: String): Unit = {
+      batchId: Long, laid: DataFrame, zcol: String,
+      bloomCols: Seq[String] = Nil): Unit = {
     sweepUncommitted(path, v)
     writeMergedSchema(path, v, prev, laid.schema)
-    val stats = stageLaidOut(laid, path, v, zcol)
+    val stats = stageLaidOut(laid, path, v, zcol, bloomCols)
     val mName = s"m-$v.json"
     writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
     val prevLines = prev.map(p => rawSnapshotLines(path, p)).getOrElse(Nil)
@@ -650,11 +729,11 @@ object SnapshotTable {
     * the next slot, so two racing appends BOTH commit.
     */
   def commitAppend(df: DataFrame, path: String, zcol: String,
-      nFiles: Int): Int = {
+      nFiles: Int, bloomCols: Seq[String] = Nil): Int = {
     val (prevPtr, v) = claimNext(path)
     try {
       appendCore(path, v, prevPtr.map(_._1), -1L,
-        rangeLayout(df, zcol, nFiles), zcol)
+        rangeLayout(df, zcol, nFiles), zcol, bloomCols)
       v
     } finally releaseClaim(path, v)
   }
@@ -695,13 +774,14 @@ object SnapshotTable {
     * short-circuit.
     */
   def commitAppendOnce(df: DataFrame, path: String, zcol: String,
-      nFiles: Int, batchId: Long): Boolean = {
+      nFiles: Int, batchId: Long,
+      bloomCols: Seq[String] = Nil): Boolean = {
     require(batchId >= 0, "batchId must be >= 0 (-1 marks non-batch commits)")
     val (prevPtr, v) = claimNext(path)
     try {
       if (prevPtr.exists(_._2 == batchId)) return false
       appendCore(path, v, prevPtr.map(_._1), batchId,
-        rangeLayout(df, zcol, nFiles), zcol)
+        rangeLayout(df, zcol, nFiles), zcol, bloomCols)
       true
     } finally releaseClaim(path, v)
   }
@@ -827,7 +907,8 @@ object SnapshotTable {
 
   private case class KeyPlan(k: DataFrame, nKeys: Long, big: Boolean,
       tag: Option[String], vals: Option[Array[String]],
-      bounds: Option[(String, String)])
+      bounds: Option[(String, String)],
+      hashes: Option[Array[Long]] = None)
 
   private def planKeys(keys: DataFrame, keyCol: String,
       collectCap: Int, bcastCap: Long): KeyPlan = {
@@ -842,8 +923,12 @@ object SnapshotTable {
           (x: String, y: String) => cmpCanon(t, x, y) < 0)
         a
       }
+      // integral keys pre-hash for the manifest-bloom probe — the same
+      // xxhash64-of-long the stat pass fed bloom_agg
+      val hashes = vals.filter(_ => tag.contains("l"))
+        .map(_.map(v => xx64(v.toLong)))
       KeyPlan(k, head.length.toLong, big = false, tag, vals,
-        vals.filter(_.nonEmpty).map(v => (v.head, v.last)))
+        vals.filter(_.nonEmpty).map(v => (v.head, v.last)), hashes)
     } else {
       val r = k.agg(count(lit(1)), min(col(keyCol)), max(col(keyCol))).head()
       val bounds = tag.flatMap(t =>
@@ -874,6 +959,23 @@ object SnapshotTable {
         }
       case Some(ColStat(_, _, None, None)) => false // no non-null values
       case Some(_) => true // half-written bounds: unknown, keep
+    }
+
+  /** May a file/manifest with this key BLOOM hold one of the planned
+    * keys? True (keep) when no bloom exists, the keys were not
+    * collected, or any key might be present — false only when the
+    * bloom rules out EVERY planned key, which is what prunes the
+    * scattered-key takedown min/max bounds cannot (a handful of ids
+    * spread across a table intersect every file's key RANGE but almost
+    * no file's key SET).
+    */
+  private def bloomHitsKeys(blooms: Seq[(String, String)],
+      keyCol: String, plan: KeyPlan): Boolean =
+    (blooms.find(_._1 == keyCol), plan.hashes) match {
+      case (Some((_, b64)), Some(hs)) if hs.nonEmpty =>
+        try { val bf = readBloom(b64); hs.exists(bf.mightContainLong) }
+        catch { case _: Exception => true } // unreadable: keep
+      case _ => true
     }
 
   private def anyKeyIn(sorted: Array[String], t: String, lo: String,
@@ -931,10 +1033,12 @@ object SnapshotTable {
       val total = refs.map(_.files.toLong).sum
       // pyramid descent: envelope-pruned manifests are never parsed
       val parsedCand = refs
-        .filter(r => boundsHitKeys(statFor(r.cols, keyCol), plan))
+        .filter(r => boundsHitKeys(statFor(r.cols, keyCol), plan) &&
+          bloomHitsKeys(r.blooms, keyCol, plan))
         .map(r => r -> parseManifest(path, r.name))
       val candFiles = parsedCand.flatMap(_._2).filter(f =>
-        f.rows > 0 && boundsHitKeys(statFor(f.cols, keyCol), plan))
+        f.rows > 0 && boundsHitKeys(statFor(f.cols, keyCol), plan) &&
+          bloomHitsKeys(f.blooms, keyCol, plan))
       val planned = candFiles.size.toLong
       if (planned == 0) return (0L, 0L, total, prev)
       val candDf = readFiles(spark, path, prev,
@@ -1154,10 +1258,12 @@ object SnapshotTable {
       val refs = snapshot(path, Some(prev))
       val total = refs.map(_.files.toLong).sum
       val parsedCand = refs
-        .filter(r => boundsHitKeys(statFor(r.cols, key), plan))
+        .filter(r => boundsHitKeys(statFor(r.cols, key), plan) &&
+          bloomHitsKeys(r.blooms, key, plan))
         .map(r => r -> parseManifest(path, r.name))
       val candFiles = parsedCand.flatMap(_._2).filter(f =>
-        f.rows > 0 && boundsHitKeys(statFor(f.cols, key), plan))
+        f.rows > 0 && boundsHitKeys(statFor(f.cols, key), plan) &&
+          bloomHitsKeys(f.blooms, key, plan))
       val planned = candFiles.size.toLong
       val candDf =
         if (planned == 0) null

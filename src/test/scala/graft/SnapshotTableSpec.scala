@@ -856,6 +856,34 @@ class SnapshotTableSpec extends SparkSpec {
       "maintained view diverged after the catch-up refresh")
   }
 
+  test("manifest key blooms prune scattered-key takedowns that " +
+      "min/max bounds cannot") {
+    // id is a PERMUTATION of 0..9999 uncorrelated with the cluster
+    // column z: every z-range file spans ~the full id range, so key
+    // bounds keep every file — only the bloom can prune
+    val df = (0 until 10000)
+      .map(i => ((i * 7919L) % 10000L, i.toDouble, s"p${i % 7}"))
+      .toDF("id", "z", "tag")
+    val keys = Seq(12L, 4567L, 9876L).toDF("id")
+    val t1 = Files.createTempDirectory("graft-snapbf").toString + "/t"
+    SnapshotTable.commitAppend(df, t1, "z", 20, bloomCols = Seq("id"))
+    val (d1, p1, tot1, _) = SnapshotTable.commitDeletePlanned(
+      spark, t1, "id", keys, "z")
+    assert(d1 == 3)
+    assert(p1 > 0 && p1 <= 6 && p1 < tot1,
+      s"bloom planning must confine the probe: read $p1/$tot1 files")
+    assert(SnapshotTable.read(spark, t1).count() == 9997)
+    // the bloom-free twin CANNOT prune (bounds keep everything) but
+    // still deletes the same rows — blooms only cut planning I/O
+    val t2 = Files.createTempDirectory("graft-snapbf2").toString + "/t"
+    SnapshotTable.commitAppend(df, t2, "z", 20)
+    val (d2, p2, tot2, _) = SnapshotTable.commitDeletePlanned(
+      spark, t2, "id", keys, "z")
+    assert(d2 == 3 && p2 == tot2,
+      s"without blooms every full-range file stays a candidate ($p2/$tot2)")
+    assert(SnapshotTable.read(spark, t2).count() == 9997)
+  }
+
   test("readChanges from v0 is the empty-table baseline: everything " +
       "is an insert") {
     val t = Files.createTempDirectory("graft-snapc0").toString + "/t"
