@@ -202,7 +202,8 @@ object ScaleStress {
     // changes-feed stream driving the maintained aggregate
     "q_snapshot_planned_rewrite", "q_snapshot_prune_date",
     "q_snapshot_zorder", "q_snapshot_mor_merge",
-    "q_stream_snapshot_changes", "q_snapshot_bloom_delete")
+    "q_stream_snapshot_changes", "q_snapshot_bloom_delete",
+    "q_stream_snapshot_upsert")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -2926,15 +2926,25 @@ object Relational {
         o.filter(col("o_orderkey") % 2 === 0), dir, "o_orderkey", 12)
       graft.sources.SnapshotTable.commitAppend(
         o.filter(col("o_orderkey") % 2 === 1), dir, "o_orderkey", 12)
-      val r = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val w = (mx - mn) / 50
-      val del = o.filter(col("o_orderkey") <= mn + w)
+      // RANK-based band edges (the n/50-th and 2n/50-th smallest keys):
+      // a fraction-of-RANGE band can land entirely in a gap of a sparse
+      // key space (the scale harness's replicas stride keys by 1e9, so
+      // 1/50th of the span holds zero keys at some replica counts) —
+      // rank bands are dense by construction at every scale, and the
+      // oracle computes the same edges with a row_number window
+      val nRows = o.count()
+      def kthMax(m: Long): Long = o.select(col("o_orderkey").as("k"))
+        .orderBy(col("k")).limit(m.toInt).agg(max(col("k")))
+        .head().getLong(0)
+      val w = nRows / 50
+      val e1 = kthMax(w)
+      val e2 = kthMax(2 * w)
+      val del = o.filter(col("o_orderkey") <= e1)
         .select(col("o_orderkey"))
       val (deleted, p1, t1, _) = graft.sources.SnapshotTable
         .commitDeletePlanned(s, dir, "o_orderkey", del, "o_orderkey")
-      val upd = o.filter(col("o_orderkey") > mn + w &&
-        col("o_orderkey") <= mn + 2 * w)
+      val upd = o.filter(col("o_orderkey") > e1 &&
+        col("o_orderkey") <= e2)
       val changes = upd
         .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
         .unionByName(upd.select(
@@ -3072,6 +3082,94 @@ object Relational {
         .withColumn("skipped_travel", lit(readT > 0 && readT < totalT))
         .withColumn("mor_data_side_verbatim", lit(merged))
         .withColumn("compacted_equal", lit(compactedEq))
+    }),
+
+    // EXACTLY-ONCE STREAMING UPSERT into the unified snapshot table —
+    // the CDC INGEST path ([[sources.SnapshotTable.commitMergeMorOnce]]):
+    // each micro-batch lands as one sequence-scoped tombstone + one
+    // appended manifest (O(batch), NO existing file rewritten — the
+    // gate requires v3's data side to be v1's manifests VERBATIM plus
+    // the two batch manifests), with the batch id riding the LATEST
+    // pointer so a restart over the same checkpoint re-commits
+    // nothing. Two change batches stream through the real micro-batch
+    // engine (updates ×2 on one key family, then updates ×3 plus
+    // negated-key inserts), the fresh-session pruned reads at latest
+    // AND at the pre-stream version stay strict subsets, and
+    // compactCommit materializes both tombstones to the same rows.
+    // The oracle recomputes every aggregate from the raw table.
+    "q_stream_snapshot_upsert" -> ((s, d) => {
+      val dir = rtDir("snapuo", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val table = s"$dir/t"
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppend(o, table, "price", 8)
+      val b0 = o.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+      val b1 = o.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("price", (col("price") * 3).cast("decimal(18,2)"))
+        .unionByName(o.filter(col("o_orderkey") % 5 === 0).select(
+          (-col("o_orderkey") - lit(1L)).as("o_orderkey"),
+          col("o_orderpriority"),
+          (col("price") + lit(11)).cast("decimal(18,2)").as("price")))
+      val drop = java.nio.file.Files.createTempDirectory("graft_snapuo_")
+      try {
+        val t0 = System.currentTimeMillis()
+        stageStreamFile(b0, drop, "0_changes.parquet", t0 - 60000)
+        stageStreamFile(b1, drop, "1_changes.parquet", t0 - 30000)
+        val schema = s.read.parquet(s"$drop/0_changes.parquet").schema
+        def drainOnce(): Unit = {
+          val raw = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(drop.toString)
+          graft.streaming.Streams.runWithBatchCommit(raw, s"$dir/ckpt") {
+            (b, bid) =>
+              graft.sources.SnapshotTable.commitMergeMorOnce(
+                b.sparkSession, table, b, "o_orderkey", "price", 2, bid)
+              ()
+          }.awaitTermination()
+        }
+        drainOnce()
+        drainOnce() // restored offsets: no batch, no re-commit
+        val s2 = s.newSession()
+        val nInserts = o.filter(col("o_orderkey") % 5 === 0).count()
+        val upsertedOnce =
+          graft.sources.SnapshotTable.latestVersion(table).contains(3) &&
+          graft.sources.SnapshotTable.read(s2, table).count() ==
+            o.count() + nInserts
+        require(graft.sources.SnapshotTable.snapshot(table, Some(3))
+            .map(_.name) ==
+          graft.sources.SnapshotTable.snapshot(table, Some(1))
+            .map(_.name) ++ Seq("m-2.json", "m-3.json"),
+          "q_stream_snapshot_upsert: upsert batches must carry every " +
+            "prior manifest verbatim")
+        val (lo, hi) = (100000.0, 150000.0)
+        val (candL, readL, totalL) = graft.sources.SnapshotTable
+          .readPruned(s2, table, lo, hi)
+        val (candT, readT, totalT) = graft.sources.SnapshotTable
+          .readPruned(s2, table, lo, hi, Some(1))
+        require(readL > 0 && readL < totalL && readT > 0 && readT < totalT,
+          s"q_stream_snapshot_upsert: expected strict subsets, read " +
+            s"latest=$readL/$totalL travel=$readT/$totalT")
+        val aL = candL
+          .filter(col("price").between(lit(100000), lit(150000)))
+          .agg(count(lit(1)).as("n_latest"),
+            sum(col("price")).cast("double").as("revenue_latest"))
+        val aT = candT
+          .filter(col("price").between(lit(100000), lit(150000)))
+          .agg(count(lit(1)).as("n_travel"),
+            sum(col("price")).cast("double").as("revenue_travel"))
+        val nLatest = graft.sources.SnapshotTable.read(s2, table).count()
+        graft.sources.SnapshotTable.compactCommit(s2, table, "price",
+          o.count() / 4 + 1)
+        val compactedEq =
+          graft.sources.SnapshotTable.deleteRefs(table).isEmpty &&
+          graft.sources.SnapshotTable.read(s2, table).count() == nLatest
+        aL.crossJoin(aT)
+          .withColumn("skipped_latest", lit(readL > 0 && readL < totalL))
+          .withColumn("skipped_travel", lit(readT > 0 && readT < totalT))
+          .withColumn("upserted_once", lit(upsertedOnce))
+          .withColumn("compacted_equal", lit(compactedEq))
+      } finally deleteRecursive(drop)
     }),
 
     // STREAMING CHANGES-FEED CONSUMER — the snapshot table as a
@@ -5490,9 +5588,10 @@ object Relational {
     "q_snapshot_planned_rewrite" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
-        |b AS (SELECT min(k) AS mn, max(k) AS mx FROM o),
-        |e AS (SELECT mn + (mx - mn) // 50 AS e1,
-        |    mn + 2 * ((mx - mn) // 50) AS e2 FROM b),
+        |r AS (SELECT k, row_number() OVER (ORDER BY k) AS rn,
+        |    count(*) OVER () AS n FROM o),
+        |e AS (SELECT max(CASE WHEN rn <= n // 50 THEN k END) AS e1,
+        |    max(CASE WHEN rn <= 2 * (n // 50) THEN k END) AS e2 FROM r),
         |cur AS (
         |  SELECT k, CASE WHEN k > e.e1 AND k <= e.e2
         |      THEN CAST(price * 2 AS DECIMAL(18,2)) ELSE price END
@@ -5546,6 +5645,29 @@ object Relational {
         |SELECT l.n_latest, l.revenue_latest, t.n_travel, t.revenue_travel,
         |  TRUE AS skipped_latest, TRUE AS skipped_travel,
         |  TRUE AS mor_data_side_verbatim, TRUE AS compacted_equal
+        |FROM l CROSS JOIN t""".stripMargin,
+
+    "q_stream_snapshot_upsert" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |cur AS (
+        |  SELECT CASE WHEN k % 10 = 7
+        |      THEN CAST(price * 2 AS DECIMAL(18,2))
+        |    WHEN k % 10 = 3 THEN CAST(price * 3 AS DECIMAL(18,2))
+        |    ELSE price END AS price
+        |  FROM o
+        |  UNION ALL
+        |  SELECT CAST(price + 11 AS DECIMAL(18,2)) AS price
+        |  FROM o WHERE k % 5 = 0),
+        |l AS (SELECT count(*) AS n_latest,
+        |    CAST(sum(price) AS DOUBLE) AS revenue_latest
+        |  FROM cur WHERE price BETWEEN 100000 AND 150000),
+        |t AS (SELECT count(*) AS n_travel,
+        |    CAST(sum(price) AS DOUBLE) AS revenue_travel
+        |  FROM o WHERE price BETWEEN 100000 AND 150000)
+        |SELECT l.n_latest, l.revenue_latest, t.n_travel, t.revenue_travel,
+        |  TRUE AS skipped_latest, TRUE AS skipped_travel,
+        |  TRUE AS upserted_once, TRUE AS compacted_equal
         |FROM l CROSS JOIN t""".stripMargin,
 
     "q_stream_snapshot_changes" ->

@@ -1216,6 +1216,54 @@ object SnapshotTable {
     } finally releaseClaim(path, v)
   }
 
+  /** EXACTLY-ONCE STREAMING UPSERT — [[commitMergeMor]] as a
+    * foreachBatch body, the CDC INGEST path: each micro-batch's change
+    * rows land as one tombstone + one appended manifest (O(batch), no
+    * existing file touched), and the batch id rides the LATEST pointer
+    * exactly as in [[commitAppendOnce]], so both replay windows
+    * converge — a crash before the swing sweeps invisible orphans and
+    * re-commits, a crash after it short-circuits. An EMPTY batch
+    * commits nothing and returns false (its replay is deterministically
+    * empty again, so skipping it cannot double-apply a later batch).
+    * The upsert stream must target an EXISTING table (the key column
+    * is validated against the committed schema) and be the table's
+    * only streaming writer, as with every pointer-provenance sink.
+    * Returns true iff the batch committed.
+    */
+  def commitMergeMorOnce(spark: SparkSession, path: String,
+      changes: DataFrame, key: String, zcol: String, nFiles: Int,
+      batchId: Long): Boolean = {
+    require(batchId >= 0, "batchId must be >= 0 (-1 marks non-batch commits)")
+    val (prevPtr, v) = claimNext(path)
+    try {
+      if (prevPtr.exists(_._2 == batchId)) return false
+      val prev = prevPtr.map(_._1).getOrElse(
+        throw new IllegalArgumentException(
+          s"commitMergeMorOnce: no committed snapshot in $path — a CDC " +
+            "upsert stream needs an existing table"))
+      requireKeyCompatible(path, prev, key, changes, "commitMergeMorOnce")
+      val dup = changes.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(col(key)).limit(5)
+        .collect().map(_.get(0))
+      require(dup.isEmpty,
+        s"commitMergeMorOnce: batch carries multiple rows per key " +
+          s"($key): " + dup.mkString(","))
+      sweepUncommitted(path, v)
+      val (dst, n) = stageTombstone(spark, path, v, changes, key)
+      if (n == 0) return false
+      writeMergedSchema(path, v, Some(prev), changes.schema)
+      val stats = writeDataFiles(changes, path, v, zcol, nFiles)
+      val mName = s"m-$v.json"
+      writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
+      writeAtomic(logDir(path).resolve(s"v$v"),
+        (rawSnapshotLines(path, prev) ++ Seq(
+          delLine(DeleteRef(dst, key, n, v)),
+          refLine(envelope(stats, mName)))).mkString("\n"))
+      swingPointer(path, v, batchId)
+      true
+    } finally releaseClaim(path, v)
+  }
+
   /** COPY-ON-WRITE MERGE (upsert) commit — the CDC write path: rows of
     * `changes` REPLACE same-key rows of the latest snapshot, new keys
     * INSERT, and only the files holding a matched key rewrite; their
@@ -1444,6 +1492,92 @@ object SnapshotTable {
           else read(spark, path, Some(v)).filter(lit(false))
         (df, hit.length.toLong, total)
     }
+  }
+
+  /** CONJUNCTIVE typed pruned read — AND of range predicates over
+    * several stat-carrying columns: a file survives only when EVERY
+    * predicate's recorded bounds admit it, so the candidate set is the
+    * INTERSECTION of the single-column prunes (on a Morton-clustered
+    * table a 2-D box probe opens ~the files of one 2-D block). Each
+    * predicate is individually sound by the [[readPrunedCol]] argument,
+    * and dropping a file any predicate excludes is sound for a
+    * conjunction. Returns (candidates, filesRead, filesTotal).
+    */
+  def readPrunedCols(spark: SparkSession, path: String,
+      preds: Seq[(String, Any, Any)], version: Option[Int] = None)
+      : (DataFrame, Long, Long) = {
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    val refs = snapshot(path, Some(v))
+    val total = refs.map(_.files.toLong).sum
+    val sc = readSchema(path, v)
+    // (col, tag, canonical lo, canonical hi) — a column with no
+    // recorded tag cannot prune and drops out of the conjunction
+    val tests = preds.flatMap { case (c, lo, hi) =>
+      sc.flatMap(s => s.fields.find(_.name == c).flatMap(f =>
+          colTag(f.dataType)))
+        .orElse(refs.flatMap(r => statFor(r.cols, c)).headOption.map(_.t))
+        .map(t => (c, t, canonOf(t, lo), canonOf(t, hi)))
+    }
+    def hits(cols: Seq[ColStat]): Boolean = tests.forall {
+      case (c, t, l, h) => statFor(cols, c) match {
+        case None => true
+        case Some(s) if s.t != t => true
+        case Some(ColStat(_, _, Some(mn), Some(mx))) =>
+          cmpCanon(t, mn, h) <= 0 && cmpCanon(t, mx, l) >= 0
+        case Some(ColStat(_, _, None, None)) => false
+        case Some(_) => true
+      }
+    }
+    val hit = refs.filter(r => hits(r.cols))
+      .flatMap(r => parseManifest(path, r.name)
+        .filter(f => f.rows > 0 && hits(f.cols))
+        .map(f => (manifestVersion(r.name), s"$path/${f.file}")))
+      .sortBy(_._2)
+    val df =
+      if (hit.nonEmpty) readApplying(spark, path, v, hit)
+      else read(spark, path, Some(v)).filter(lit(false))
+    (df, hit.length.toLong, total)
+  }
+
+  /** METADATA-ONLY typed aggregates: COUNT(*) plus MIN/MAX of ANY
+    * stat-carrying column off the manifest lines — zero data files
+    * opened, the [[statsAgg]] payoff extended past the legacy double
+    * channel (a string/date/decimal column answers as exactly). Bounds
+    * return in canonical form under the returned tag (see [[ColStat]]);
+    * None when no file recorded the column (pre-stats manifests or an
+    * unsupported type) — the caller's signal to scan instead. Same
+    * tombstone guard as [[statsAgg]].
+    */
+  def statsAggCol(path: String, colName: String,
+      version: Option[Int] = None)
+      : (Long, Option[(String, String, String)]) = {
+    require(deleteRefs(path, version.orElse(latestVersion(path))).isEmpty,
+      "statsAggCol: snapshot carries merge-on-read tombstones whose " +
+        "rows the manifest stats still count - run compactCommit first")
+    val stats = snapshot(path, version)
+      .flatMap(r => parseManifest(path, r.name)).filter(_.rows > 0)
+    require(stats.nonEmpty, s"statsAggCol: snapshot of $path holds no rows")
+    val rows = stats.map(_.rows).sum
+    val per = stats.map(f => statFor(f.cols, colName))
+    val bounds =
+      if (per.exists(_.isEmpty)) None
+      else {
+        val cs = per.map(_.get)
+        val t = cs.head.t
+        if (cs.exists(_.t != t)) None
+        else {
+          val bounded = cs.flatMap(s =>
+            for (l <- s.lo; h <- s.hi) yield (l, h))
+          if (bounded.isEmpty) None
+          else Some((t,
+            bounded.map(_._1).reduce((a, b) =>
+              if (cmpCanon(t, a, b) <= 0) a else b),
+            bounded.map(_._2).reduce((a, b) =>
+              if (cmpCanon(t, a, b) >= 0) a else b)))
+        }
+      }
+    (rows, bounds)
   }
 
   /** CHANGES FEED — the row-level diff between two committed versions,

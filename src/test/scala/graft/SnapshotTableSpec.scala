@@ -894,4 +894,73 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ch.filter(col("_change") === "delete").count() == 0)
     assert(ch.count() == 150)
   }
+
+  test("commitMergeMorOnce upserts exactly-once: replays short-circuit, " +
+      "empty batches commit nothing, manifests carry verbatim") {
+    val t = Files.createTempDirectory("graft-snapuo").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 500), t, "z", 4)
+    val batch0 = rows(100 until 120).withColumn("z", col("z") + 1000.0)
+    assert(SnapshotTable.commitMergeMorOnce(spark, t, batch0,
+      "id", "z", 1, 0L))
+    // a replayed batch (same id) must not commit a second version
+    assert(!SnapshotTable.commitMergeMorOnce(spark, t, batch0,
+      "id", "z", 1, 0L))
+    assert(SnapshotTable.latestVersion(t).contains(2))
+    // an empty batch is a no-op, not an empty version
+    assert(!SnapshotTable.commitMergeMorOnce(spark, t, rows(0 until 0),
+      "id", "z", 1, 1L))
+    assert(SnapshotTable.latestVersion(t).contains(2))
+    val batch1 = rows(0 until 10)
+      .select((-col("id") - 1L).as("id"), col("z"), col("tag"))
+    assert(SnapshotTable.commitMergeMorOnce(spark, t, batch1,
+      "id", "z", 1, 2L))
+    // every prior manifest carried verbatim through both upserts
+    assert(SnapshotTable.snapshot(t, Some(3)).map(_.name) ==
+      SnapshotTable.snapshot(t, Some(1)).map(_.name) ++
+        Seq("m-2.json", "m-3.json"))
+    val latest = SnapshotTable.read(spark, t)
+    assert(latest.count() == 510)
+    assert(latest.filter(col("id").between(100, 119) &&
+      col("z") < 1000.0).count() == 0, "old matched rows leaked")
+    assert(latest.filter(col("id") < 0).count() == 10)
+    // compaction materializes both tombstones to the same rows
+    val n = latest.count()
+    SnapshotTable.compactCommit(spark, t, "z", 200L)
+    assert(SnapshotTable.deleteRefs(t).isEmpty)
+    assert(SnapshotTable.read(spark, t).count() == n)
+  }
+
+  test("readPrunedCols intersects single-column prunes: a 2-D box " +
+      "probe on a z-ordered table opens ~one block") {
+    val t = Files.createTempDirectory("graft-snapmc").toString + "/t"
+    val df = (0 until 4096)
+      .map(i => (i.toLong, (i % 64).toDouble, (i / 64).toDouble))
+      .toDF("id", "x", "y")
+    SnapshotTable.commitAppendZOrdered(df, t, "x", "y", 16)
+    val (_, rx, _) = SnapshotTable.readPrunedCol(spark, t, "x", 10.0, 19.0)
+    val (_, ry, _) = SnapshotTable.readPrunedCol(spark, t, "y", 20.0, 27.0)
+    val (both, rBoth, total) = SnapshotTable.readPrunedCols(spark, t,
+      Seq(("x", 10.0, 19.0), ("y", 20.0, 27.0)))
+    assert(rBoth <= math.min(rx, ry) && rBoth < total,
+      s"box probe must intersect: box=$rBoth x=$rx y=$ry total=$total")
+    assert(both.filter(col("x").between(10, 19) &&
+      col("y").between(20, 27)).count() == 80)
+    // an unknown column drops out of the conjunction instead of
+    // wrongly pruning
+    val (all, rAll, tot2) = SnapshotTable.readPrunedCols(spark, t,
+      Seq(("nope", 0, 1)))
+    assert(rAll == tot2 && all.count() == 4096)
+  }
+
+  test("statsAggCol answers typed min/max from metadata alone") {
+    val t = Files.createTempDirectory("graft-snapsc").toString + "/t"
+    val df = (0 until 400).map(i => (i.toLong, f"d$i%03d")).toDF("id", "day")
+    SnapshotTable.commitAppend(df, t, "day", 8)
+    val (rows1, bounds) = SnapshotTable.statsAggCol(t, "day")
+    assert(rows1 == 400)
+    assert(bounds.contains(("s", "d000", "d399")))
+    val (rows2, idBounds) = SnapshotTable.statsAggCol(t, "id")
+    assert(rows2 == 400 && idBounds.contains(("l", "0", "399")))
+    assert(SnapshotTable.statsAggCol(t, "nope")._2.isEmpty)
+  }
 }
