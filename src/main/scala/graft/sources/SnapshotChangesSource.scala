@@ -68,11 +68,17 @@ private[sources] class SnapshotChangesTable(options: Map[String, String])
     override def build(): Scan = this
     override def readSchema(): StructType = SnapshotChangesSource.schema
     override def toBatch: Batch = this
-    // batch mode: every committed version, for ad-hoc catch-up reads
+    // batch mode: every RETAINED committed version, for ad-hoc
+    // catch-up reads — vacuum(keepLast=k) deletes early snapshot
+    // files, and announcing a vacuumed version would fail any consumer
+    // that resolves it; a consumer starting from cursor 0 still
+    // rebuilds exactly, because readChanges(0, firstAnnounced) is the
+    // empty-table baseline and needs no earlier snapshot
     override def planInputPartitions(): Array[InputPartition] = {
       val latest = SnapshotTable.latestVersion(path).getOrElse(0)
+      val oldest = SnapshotTable.oldestRetainedVersion(path).getOrElse(1)
       if (latest == 0) Array.empty
-      else Array(SnapshotVersionsPartition(1, latest))
+      else Array(SnapshotVersionsPartition(oldest, latest))
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new SnapshotVersionsReaderFactory
@@ -140,8 +146,18 @@ private[sources] class SnapshotChangesMicroBatchStream(path: String,
       end: streaming.Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[SnapshotVersionOffset].v,
       end.asInstanceOf[SnapshotVersionOffset].v)
-    if (e <= s) Array.empty
-    else Array(SnapshotVersionsPartition(s + 1, e))
+    // clamp a below-horizon cursor up to the oldest retained version:
+    // a restart whose checkpoint predates a vacuum must not announce
+    // versions whose snapshots no longer exist. A consumer whose OWN
+    // durable cursor is below the horizon cannot fold the skipped gap
+    // (readChanges needs the cursor's snapshot) — it rebuilds by
+    // resetting its view to cursor 0, which folds the announced
+    // version as a fresh empty-table baseline.
+    val horizon =
+      SnapshotTable.oldestRetainedVersion(path).getOrElse(1) - 1
+    val from = math.max(s, horizon)
+    if (e <= from) Array.empty
+    else Array(SnapshotVersionsPartition(from + 1, e))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -104,9 +104,24 @@ object SnapshotTable {
   /** An equality-delete tombstone: `file` holds the distinct keys of
     * column `key`; it applies to rows in manifests COMMITTED BEFORE
     * version `v` (Iceberg v2's sequence-number scoping) — a later
-    * re-insert of a deleted key survives.
+    * re-insert of a deleted key survives. A key set larger than
+    * [[TombstoneRowsPerFile]] stages as SEVERAL files, one ref each
+    * (same `v`, same `key`): the refs' recorded row counts are what
+    * lets the read path pick broadcast vs shuffle per tombstone.
     */
   case class DeleteRef(file: String, key: String, rows: Long, v: Int)
+
+  /** A PREDICATE merge-on-read delete: rows of stat-carrying column
+    * `col` inside the closed range [lo, hi] (canonical forms under tag
+    * `t`; an open side is None) vanish from manifests COMMITTED BEFORE
+    * version `v` — the same sequence scoping as [[DeleteRef]], with the
+    * key SET replaced by a serialized comparison, so a retention drop
+    * ("everything before this date") lands as ONE snapshot line and no
+    * data file or key file is written at all. NULL values never match
+    * a range predicate and always survive.
+    */
+  case class PredDeleteRef(col: String, t: String, lo: Option[String],
+      hi: Option[String], v: Int)
 
   // ---- typed column stats: tags, canonical forms, comparison ---------
 
@@ -192,12 +207,19 @@ object SnapshotTable {
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** The LATEST pointer's payload: (version, batch id of the commit
-    * that produced it — −1 for non-streaming commits). One file, one
-    * ATOMIC_MOVE, so version AND provenance publish together: that is
-    * what makes the streaming commit exactly-once (see
-    * [[commitAppendOnce]]) without a separate ledger whose write would
-    * open a crash window after the pointer swing.
+  /** The LATEST pointer's payload: (version, batch id of the LAST
+    * STREAMING commit — −1 before any). One file, one ATOMIC_MOVE, so
+    * version AND provenance publish together: that is what makes the
+    * streaming commit exactly-once (see [[commitAppendOnce]]) without
+    * a separate ledger whose write would open a crash window after the
+    * pointer swing. Non-streaming commits CARRY the previous pointer's
+    * batch id forward instead of erasing it: the docs recommend
+    * compaction as a standing background job on streamed-into tables,
+    * and a compaction landing between a stream crash (after the sink
+    * swing, before Spark's checkpoint commit) and the restart must not
+    * make the replayed batch commit twice — the provenance survives
+    * every interleaved non-streaming commit, exactly like Delta's
+    * per-appId txn versions.
     */
   private def readPointer(path: String): Option[(Int, Long)] = {
     val p = logDir(path).resolve("LATEST")
@@ -212,6 +234,12 @@ object SnapshotTable {
 
   private def swingPointer(path: String, v: Int, batchId: Long): Unit =
     writeAtomic(logDir(path).resolve("LATEST"), s"$v $batchId")
+
+  /** The batch id a NON-streaming commit must carry forward (see
+    * [[readPointer]]) — the previous pointer's, or −1 on a fresh table.
+    */
+  private def carriedBatchId(prevPtr: Option[(Int, Long)]): Long =
+    prevPtr.map(_._2).getOrElse(-1L)
 
   /** Latest committed version, resolved through the atomic pointer —
     * None before the first commit.
@@ -233,11 +261,43 @@ object SnapshotTable {
   private def claimPath(path: String, v: Int) =
     logDir(path).resolve(s"c-$v")
 
-  /** Atomically claim version `v` — createFile IS the filesystem CAS. */
-  private def tryClaim(path: String, v: Int): Boolean = {
+  /** Atomically claim version `v` — CREATE_NEW IS the filesystem CAS.
+    * The claim file carries the claimant's NONCE, so a holder can
+    * re-verify ownership before its destructive writes (see
+    * [[requireClaimHeld]]): after a stale-claim takeover, the slow
+    * holder's nonce no longer matches and it aborts instead of
+    * overwriting the takeover winner's already-committed files.
+    */
+  private def tryClaim(path: String, v: Int, nonce: String): Boolean = {
     Files.createDirectories(logDir(path))
-    try { Files.createFile(claimPath(path, v)); true }
+    try {
+      Files.write(claimPath(path, v),
+        nonce.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
+  private def newNonce(): String = java.util.UUID.randomUUID().toString
+
+  /** Abort (without publishing) unless this writer STILL holds its
+    * claim. Checked immediately before the staged-part moves and again
+    * before the manifest/snapshot writes + pointer swing, so a
+    * slower-than-the-lease holder loses its in-flight commit CLEANLY
+    * instead of clobbering the takeover winner's committed version.
+    * The residual window (between a check and the write it guards) is
+    * milliseconds; keep [[claimStaleMs]] well above worst-case commit
+    * time regardless — the lease trade is narrowed here, not removed.
+    */
+  private def requireClaimHeld(path: String, v: Int,
+      nonce: String): Unit = {
+    val p = claimPath(path, v)
+    val held = Files.exists(p) &&
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8) == nonce
+    if (!held) throw new java.util.ConcurrentModificationException(
+      s"claim on v$v of $path was broken (stale-lease takeover) — " +
+        "aborting before any published state is touched")
   }
 
   private def releaseClaim(path: String, v: Int): Unit =
@@ -247,17 +307,18 @@ object SnapshotTable {
     * claim prev+1, verify the pointer did not move under the claim);
     * on contention, wait for the holder's swing (or its release, or
     * staleness) and re-plan against whatever is latest then. Returns
-    * (pointer as read, claimed version) with the claim HELD — the
-    * caller must release it in a finally.
+    * (pointer as read, claimed version, claim nonce) with the claim
+    * HELD — the caller must release it in a finally.
     */
-  private def claimNext(path: String): (Option[(Int, Long)], Int) = {
+  private def claimNext(path: String): (Option[(Int, Long)], Int, String) = {
     while (true) {
       val ptr = readPointer(path)
       val v = ptr.map(_._1).getOrElse(0) + 1
-      if (tryClaim(path, v)) {
+      val nonce = newNonce()
+      if (tryClaim(path, v, nonce)) {
         // a racing writer may have committed v and released between our
         // pointer read and the claim — verify, else re-plan
-        if (readPointer(path) == ptr) return (ptr, v)
+        if (readPointer(path) == ptr) return (ptr, v, nonce)
         releaseClaim(path, v)
       } else {
         val t0 = System.currentTimeMillis()
@@ -279,11 +340,13 @@ object SnapshotTable {
     * compact/tombstone): these plan against `prev` specifically, so a
     * lost race FAILS CLEANLY instead of re-planning — the caller
     * re-runs against the new snapshot if it still wants to. Claim is
-    * HELD on return; release in a finally.
+    * HELD on return; release in a finally. Returns (version, nonce).
     */
-  private def claimCow(path: String, prev: Int, op: String): Int = {
+  private def claimCow(path: String, prev: Int, op: String)
+      : (Int, String) = {
     val v = prev + 1
-    if (!tryClaim(path, v))
+    val nonce = newNonce()
+    if (!tryClaim(path, v, nonce))
       throw new java.util.ConcurrentModificationException(
         s"$op: another writer holds the claim on v$v of $path")
     if (!latestVersion(path).contains(prev)) {
@@ -291,7 +354,37 @@ object SnapshotTable {
       throw new java.util.ConcurrentModificationException(
         s"$op: table $path moved past v$prev while planning")
     }
-    v
+    (v, nonce)
+  }
+
+  /** Bounded re-plan-and-retry around a COPY-ON-WRITE commit for the
+    * standing-compactor shape: COW commits fail cleanly on a lost race
+    * ([[claimCow]]), and a background OPTIMIZE racing a stream of
+    * appends should re-plan against the new latest and try again
+    * rather than surface every benign collision. `body` must RE-READ
+    * the latest version itself (every commit in this object does);
+    * between attempts the helper waits for the competing writer's
+    * pointer swing (or its claim release) so the retry re-plans
+    * against settled state instead of spinning into the same claim.
+    */
+  def withCowRetry[T](path: String, attempts: Int = 3)(body: => T): T = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          left -= 1
+          if (left <= 0) throw e
+          val v0 = latestVersion(path)
+          val t0 = System.currentTimeMillis()
+          while (latestVersion(path) == v0 &&
+            latestVersion(path).exists(v =>
+              Files.exists(claimPath(path, v + 1))) &&
+            System.currentTimeMillis() - t0 < claimStaleMs)
+            Thread.sleep(2)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   // ---- manifest / snapshot / tombstone line encoding ------------------
@@ -396,6 +489,17 @@ object SnapshotTable {
     s"""{"delete":"${d.file}","key":"${d.key}","rows":${d.rows},""" +
       s""""v":${d.v}}"""
 
+  private val PredDelLine =
+    ("""\{"pdelete":"((?:[^"\\]|\\.)*)","t":"([a-z]+)"""" +
+      """(?:,"lo":"((?:[^"\\]|\\.)*)")?(?:,"hi":"((?:[^"\\]|\\.)*)")?""" +
+      ""","v":(\d+)\}""").r
+
+  private def predDelLine(d: PredDeleteRef): String =
+    s"""{"pdelete":"${esc(d.col)}","t":"${d.t}"""" +
+      d.lo.map(l => s""","lo":"${esc(l)}"""").getOrElse("") +
+      d.hi.map(h => s""","hi":"${esc(h)}"""").getOrElse("") +
+      s""","v":${d.v}}"""
+
   /** The raw snapshot lines of `v` — manifest refs AND tombstone refs,
     * carried verbatim by append commits so a tombstone stays visible
     * until a compaction materializes it.
@@ -413,6 +517,18 @@ object SnapshotTable {
       throw new IllegalArgumentException(s"no committed snapshot in $path"))
     rawSnapshotLines(path, v).collect {
       case DelLine(f, k, n, dv) => DeleteRef(f, k, n.toLong, dv.toInt)
+    }
+  }
+
+  /** The predicate-delete tombstones of `version`'s snapshot. */
+  def predDeleteRefs(path: String, version: Option[Int] = None)
+      : Seq[PredDeleteRef] = {
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    rawSnapshotLines(path, v).collect {
+      case PredDelLine(c, t, lo, hi, dv) =>
+        PredDeleteRef(unesc(c), t, Option(lo).map(unesc),
+          Option(hi).map(unesc), dv.toInt)
     }
   }
 
@@ -601,7 +717,8 @@ object SnapshotTable {
     * full-range sentinel and [[readPrunedCol]] is the probe path.
     */
   private def stageLaidOut(laid: DataFrame, path: String, v: Int,
-      zcol: String, bloomCols: Seq[String] = Nil): Seq[FileStat] = {
+      zcol: String, bloomCols: Seq[String] = Nil,
+      nonce: Option[String] = None): Seq[FileStat] = {
     val s = laid.sparkSession
     val stage = s"$path/_log/_stage"
     laid.write.mode("overwrite").parquet(stage)
@@ -609,6 +726,9 @@ object SnapshotTable {
     val parts = Files.list(stageDir).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("part-"))
       .toIndexedSeq.sorted
+    // ownership re-check AFTER the (slow) distributed write, BEFORE the
+    // moves that could replace a takeover winner's committed files
+    nonce.foreach(n => requireClaimHeld(path, v, n))
     val moved = parts.zipWithIndex.map { case (nm, i) =>
       val dst = f"v$v-p$i%05d.parquet"
       Files.move(stageDir.resolve(nm), Paths.get(path, dst),
@@ -633,17 +753,26 @@ object SnapshotTable {
     val fields = src.schema.fields.toIndexedSeq
       .flatMap(f => colTag(f.dataType).map(t => (f.name, t)))
     bloomCols.foreach { c =>
-      require(colTag(src.schema(c).dataType).contains("l"),
-        s"manifest blooms support integral key columns only; '$c' is " +
-          src.schema(c).dataType.toString)
+      require(colTag(src.schema(c).dataType).exists(t =>
+          t == "l" || t == "s"),
+        s"manifest blooms support integral and string key columns; " +
+          s"'$c' is " + src.schema(c).dataType.toString)
     }
     if (bloomCols.nonEmpty) graft.functions.BloomExprs.ensureRegistered(s)
     val nF = fields.size
+    // both tags feed the sketch the SQL xxhash64 (seed 42) of the key —
+    // integral keys normalized through a long cast, string keys hashed
+    // on their UTF-8 bytes directly; the probe side ([[planKeys]])
+    // hashes identically
+    def keyHash(c: String) =
+      if (colTag(src.schema(c).dataType).contains("l"))
+        xxhash64(col(c).cast("long"))
+      else xxhash64(col(c))
     val aggs = (count(lit(1)).as("_nr") +:
       fields.zipWithIndex.flatMap { case ((c, _), i) =>
         Seq(min(col(c)).as(s"_mn$i"), max(col(c)).as(s"_mx$i")) }) ++
       bloomCols.map(c => call_function("bloom_agg",
-        xxhash64(col(c).cast("long")), lit(BloomExpectedKeys))
+        keyHash(c), lit(BloomExpectedKeys))
         .as(s"_bf_$c"))
     val byFile = src
       .groupBy(substring_index(input_file_name(), "/", -1).as("_f"))
@@ -689,14 +818,23 @@ object SnapshotTable {
     }
 
   private def writeDataFiles(df: DataFrame, path: String, v: Int,
-      zcol: String, nFiles: Int): Seq[FileStat] =
-    stageLaidOut(rangeLayout(df, zcol, nFiles), path, v, zcol)
+      zcol: String, nFiles: Int,
+      nonce: Option[String] = None): Seq[FileStat] =
+    stageLaidOut(rangeLayout(df, zcol, nFiles), path, v, zcol, Nil, nonce)
 
   // seed 42 = the SQL xxhash64's default, which the stat pass feeds
   // bloom_agg — both sides of the bloom probe hash identically
   private def xx64(v: Long): Long =
     org.apache.spark.sql.catalyst.expressions.XxHash64(
       Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)), 42L)
+      .eval().asInstanceOf[Long]
+
+  // the string twin: UTF8String bytes under the same seed — identical
+  // to the SQL xxhash64 of a string column
+  private def xx64Str(v: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        v, StringType)), 42L)
       .eval().asInstanceOf[Long]
 
   // ---- commits ---------------------------------------------------------
@@ -708,10 +846,11 @@ object SnapshotTable {
     */
   private def appendCore(path: String, v: Int, prev: Option[Int],
       batchId: Long, laid: DataFrame, zcol: String,
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil, nonce: Option[String] = None): Unit = {
     sweepUncommitted(path, v)
     writeMergedSchema(path, v, prev, laid.schema)
-    val stats = stageLaidOut(laid, path, v, zcol, bloomCols)
+    val stats = stageLaidOut(laid, path, v, zcol, bloomCols, nonce)
+    nonce.foreach(n => requireClaimHeld(path, v, n))
     val mName = s"m-$v.json"
     writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
     val prevLines = prev.map(p => rawSnapshotLines(path, p)).getOrElse(Nil)
@@ -730,10 +869,10 @@ object SnapshotTable {
     */
   def commitAppend(df: DataFrame, path: String, zcol: String,
       nFiles: Int, bloomCols: Seq[String] = Nil): Int = {
-    val (prevPtr, v) = claimNext(path)
+    val (prevPtr, v, nonce) = claimNext(path)
     try {
-      appendCore(path, v, prevPtr.map(_._1), -1L,
-        rangeLayout(df, zcol, nFiles), zcol, bloomCols)
+      appendCore(path, v, prevPtr.map(_._1), carriedBatchId(prevPtr),
+        rangeLayout(df, zcol, nFiles), zcol, bloomCols, Some(nonce))
       v
     } finally releaseClaim(path, v)
   }
@@ -747,11 +886,208 @@ object SnapshotTable {
     */
   def commitAppendZOrdered(df: DataFrame, path: String, c1: String,
       c2: String, nFiles: Int): Int = {
-    val (prevPtr, v) = claimNext(path)
+    val (prevPtr, v, nonce) = claimNext(path)
     try {
-      appendCore(path, v, prevPtr.map(_._1), -1L,
-        Writers.zOrderLayout(df, c1, c2, nFiles), c1)
+      appendCore(path, v, prevPtr.map(_._1), carriedBatchId(prevPtr),
+        Writers.zOrderLayout(df, c1, c2, nFiles), c1, Nil, Some(nonce))
       v
+    } finally releaseClaim(path, v)
+  }
+
+  // ---- partition transforms: the Iceberg hidden-partitioning shape ----
+  // A PartitionSpec recorded in table metadata (`_log/part.json`) maps
+  // each row to a partition VALUE via a transform of one source column
+  // — days(ts), months(ts), bucket(k, n) — and the partitioned append
+  // guarantees every data file holds exactly ONE value, recorded as a
+  // synthetic lo==hi stat `_pt` in its manifest line. That single
+  // invariant buys the two partition payoffs at O(metadata): reads
+  // prune on `_pt` through the ordinary typed-envelope descent
+  // ([[readPrunedCol]] — no special partition path), and
+  // [[dropPartition]] retires a whole partition by manifest surgery
+  // alone — no data file opened, the retention drop a 100 TB
+  // time-series table runs daily.
+
+  /** transform ∈ days|months|bucket of `col`; `n` = bucket count. */
+  case class PartitionSpec(transform: String, col: String, n: Int = 0)
+
+  /** The synthetic per-file stat carrying the partition value. */
+  val PartCol = "_pt"
+
+  private def partSpecPath(path: String) = logDir(path).resolve("part.json")
+
+  def readPartitionSpec(path: String): Option[PartitionSpec] = {
+    val p = partSpecPath(path)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val Re =
+        """\{"transform":"(\w+)","col":"((?:[^"\\]|\\.)*)","n":(\d+)\}""".r
+      s.trim match {
+        case Re(t, c, n) => Some(PartitionSpec(t, unesc(c), n.toInt))
+        case _ => throw new IllegalStateException(
+          s"unparseable partition spec in $p: $s")
+      }
+    }
+  }
+
+  /** The transform's value expression — a LONG for every transform so
+    * `_pt` stats always carry tag "l": days/months count from epoch,
+    * bucket is the non-negative xxhash64 residue (seed 42, the same
+    * hash family as the manifest blooms).
+    */
+  private def partValueExpr(spec: PartitionSpec)
+      : org.apache.spark.sql.Column = spec.transform match {
+    case "days" =>
+      datediff(col(spec.col).cast("date"),
+        to_date(lit("1970-01-01"))).cast("long")
+    case "months" =>
+      (year(col(spec.col)).cast("long") * 12 +
+        month(col(spec.col)).cast("long") - 1)
+    case "bucket" =>
+      require(spec.n > 0, "bucket transform needs n > 0")
+      pmod(xxhash64(col(spec.col)), lit(spec.n.toLong))
+    case other => throw new IllegalArgumentException(
+      s"unknown partition transform '$other' (days|months|bucket)")
+  }
+
+  /** PARTITIONED append: rows land one-file-per-partition-value (the
+    * stage write is partitionBy on the transform value, so the
+    * single-value-per-file invariant holds by construction), each
+    * file's manifest line carrying `_pt` = that value as an exact
+    * lo==hi stat. The FIRST partitioned commit records the spec in
+    * table metadata; later commits must match it (a table cannot mix
+    * specs — Iceberg's spec-evolution is out of scope and rejected
+    * loudly). Null transform values are rejected: a null has no
+    * partition and would silently escape every drop/prune. Returns
+    * the committed version.
+    */
+  def commitAppendPartitioned(df: DataFrame, path: String,
+      spec: PartitionSpec): Int = {
+    readPartitionSpec(path).foreach(existing => require(existing == spec,
+      s"partition spec mismatch: table has $existing, commit carries " +
+        s"$spec - spec evolution is not supported"))
+    val (prevPtr, v, nonce) = claimNext(path)
+    try {
+      sweepUncommitted(path, v)
+      writeMergedSchema(path, v, prevPtr.map(_._1), df.schema)
+      val s = df.sparkSession
+      val stage = s"$path/_log/_stage"
+      df.withColumn(PartCol, partValueExpr(spec))
+        .repartition(col(PartCol))
+        .write.mode("overwrite").partitionBy(PartCol).parquet(stage)
+      val stageDir = Paths.get(stage)
+      val valueDirs = Files.list(stageDir).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$PartCol="))
+        .toIndexedSeq.sortBy(_.getFileName.toString)
+      require(!valueDirs.exists(_.getFileName.toString
+          .endsWith("__HIVE_DEFAULT_PARTITION__")),
+        s"commitAppendPartitioned: null ${spec.transform}(${spec.col}) " +
+          "values - a null has no partition; filter or backfill first")
+      requireClaimHeld(path, v, nonce)
+      var i = -1
+      val movedWithVal = valueDirs.flatMap { vd =>
+        val pval = vd.getFileName.toString.stripPrefix(s"$PartCol=").toLong
+        Files.list(vd).iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("part-"))
+          .toIndexedSeq.sorted.map { nm =>
+            i += 1
+            val dst = f"v$v-p$i%05d.parquet"
+            Files.move(vd.resolve(nm), Paths.get(path, dst),
+              StandardCopyOption.ATOMIC_MOVE)
+            (dst, pval)
+          }
+      }
+      val valOf = movedWithVal.toMap
+      val stats = fileColStats(s, path, movedWithVal.map(_._1), spec.col)
+        .map(f => f.copy(cols = f.cols :+ ColStat(PartCol, "l",
+          Some(valOf(f.file).toString), Some(valOf(f.file).toString))))
+      requireClaimHeld(path, v, nonce)
+      if (readPartitionSpec(path).isEmpty)
+        writeAtomic(partSpecPath(path),
+          s"""{"transform":"${spec.transform}","col":"${esc(spec.col)}"""" +
+            s""","n":${spec.n}}""")
+      val mName = s"m-$v.json"
+      writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
+      val prevLines = prevPtr.map(p => rawSnapshotLines(path, p._1))
+        .getOrElse(Nil)
+      writeAtomic(logDir(path).resolve(s"v$v"),
+        (prevLines :+ refLine(envelope(stats, mName))).mkString("\n"))
+      swingPointer(path, v, carriedBatchId(prevPtr))
+      v
+    } finally releaseClaim(path, v)
+  }
+
+  /** DROP PARTITION — the O(METADATA) retention commit: every data
+    * file whose recorded `_pt` equals `value` leaves the new snapshot
+    * by manifest surgery alone (envelope-excluded manifests carry by
+    * reference and never parse; touched manifests rewrite minus their
+    * dead rows, KEEPING the original version in the rewrite name so
+    * their surviving rows stay at their old sequence number), and NO
+    * data file is opened — zero Spark jobs. Prior versions still read
+    * the dropped partition bit for bit until [[vacuum]]. Requires a
+    * partitioned table (every live file carries a single-valued `_pt`
+    * stat — violated only by mixing unpartitioned commits in, which
+    * is rejected here) and a tombstone-free snapshot, like every COW
+    * surgery. Returns (rowsDropped, filesDropped, newVersion; prev
+    * when the partition is empty).
+    */
+  def dropPartition(path: String, value: Long): (Long, Int, Int) = {
+    val prev = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    require(readPartitionSpec(path).nonEmpty,
+      s"dropPartition: $path has no partition spec")
+    require(deleteRefs(path, Some(prev)).isEmpty &&
+        predDeleteRefs(path, Some(prev)).isEmpty,
+      "dropPartition: snapshot carries merge-on-read tombstones - run " +
+        "compactCommit to materialize them first")
+    val vs = value.toString
+    val (v, nonce) = claimCow(path, prev, "dropPartition")
+    try {
+      val refs = snapshot(path, Some(prev))
+      // envelope test: a manifest whose _pt envelope excludes the value
+      // carries by reference, unparsed — the pyramid payoff
+      def mayHold(cols: Seq[ColStat]): Boolean =
+        statFor(cols, PartCol) match {
+          case Some(ColStat(_, "l", Some(lo), Some(hi))) =>
+            lo.toLong <= value && value <= hi.toLong
+          case Some(ColStat(_, "l", None, None)) => false
+          case _ => true // no/unknown stat: must parse and check files
+        }
+      sweepUncommitted(path, v)
+      var rows = 0L
+      var filesDropped = 0
+      var ri = 0
+      val carried = refs.flatMap { ref =>
+        if (!mayHold(ref.cols)) Some(ref)
+        else {
+          val fs = parseManifest(path, ref.name)
+          fs.filter(_.rows > 0).foreach(f => require(
+            statFor(f.cols, PartCol).exists(c => c.t == "l" &&
+              c.lo.nonEmpty && c.lo == c.hi),
+            s"dropPartition: ${f.file} carries no single-valued " +
+              s"$PartCol stat - the table mixes unpartitioned commits"))
+          val (dead, kept) = fs.partition(f =>
+            statFor(f.cols, PartCol).exists(c => c.lo.contains(vs)))
+          rows += dead.map(_.rows).sum
+          filesDropped += dead.size
+          if (dead.isEmpty) Some(ref)
+          else if (kept.isEmpty) None
+          else {
+            ri += 1
+            val rn = s"m-${manifestVersion(ref.name)}-r$v-$ri.json"
+            writeAtomic(logDir(path).resolve(rn), manifestLines(kept))
+            Some(envelope(kept, rn))
+          }
+        }
+      }
+      if (filesDropped == 0) return (0L, 0, prev)
+      requireClaimHeld(path, v, nonce)
+      readSchema(path, prev).foreach(sc =>
+        writeAtomic(schemaPath(path, v), sc.json))
+      writeAtomic(logDir(path).resolve(s"v$v"), snapshotLines(carried))
+      swingPointer(path, v, carriedBatchId(readPointer(path)))
+      (rows, filesDropped, v)
     } finally releaseClaim(path, v)
   }
 
@@ -770,18 +1106,21 @@ object SnapshotTable {
     * sequential — batch N+1 never starts until N's commit returned
     * (the same argument as [[Writers.zoneMapIngestCommit]]'s ledger,
     * collapsed into the pointer); the stream must be the table's only
-    * streaming writer for the same reason. Returns false on the
-    * short-circuit.
+    * streaming writer for the same reason. Non-streaming commits
+    * (compaction, COW/MOR rewrites) CARRY the id forward (see
+    * [[readPointer]]), so a background OPTIMIZE landing between a
+    * stream crash and its restart cannot erase the provenance the
+    * replay check needs. Returns false on the short-circuit.
     */
   def commitAppendOnce(df: DataFrame, path: String, zcol: String,
       nFiles: Int, batchId: Long,
       bloomCols: Seq[String] = Nil): Boolean = {
     require(batchId >= 0, "batchId must be >= 0 (-1 marks non-batch commits)")
-    val (prevPtr, v) = claimNext(path)
+    val (prevPtr, v, nonce) = claimNext(path)
     try {
       if (prevPtr.exists(_._2 == batchId)) return false
       appendCore(path, v, prevPtr.map(_._1), batchId,
-        rangeLayout(df, zcol, nFiles), zcol, bloomCols)
+        rangeLayout(df, zcol, nFiles), zcol, bloomCols, Some(nonce))
       true
     } finally releaseClaim(path, v)
   }
@@ -801,7 +1140,7 @@ object SnapshotTable {
       targetRowsPerFile: Long): (Int, Int, Int) = {
     val prev = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot in $path"))
-    val v = claimCow(path, prev, "compactCommit")
+    val (v, nonce) = claimCow(path, prev, "compactCommit")
     try {
       val refs = snapshot(path, Some(prev))
       val stats = refs.flatMap(r => parseManifest(path, r.name))
@@ -812,12 +1151,14 @@ object SnapshotTable {
       sweepUncommitted(path, v)
       val df = read(spark, path, Some(prev))
       writeMergedSchema(path, v, Some(prev), df.schema)
-      val newStats = writeDataFiles(df, path, v, zcol, nFiles)
+      val newStats = stageLaidOut(rangeLayout(df, zcol, nFiles), path, v,
+        zcol, Nil, Some(nonce))
+      requireClaimHeld(path, v, nonce)
       val mName = s"m-$v.json"
       writeAtomic(logDir(path).resolve(mName), manifestLines(newStats))
       writeAtomic(logDir(path).resolve(s"v$v"),
         snapshotLines(Seq(envelope(newStats, mName))))
-      swingPointer(path, v, -1L)
+      swingPointer(path, v, carriedBatchId(readPointer(path)))
       (filesBefore, newStats.size, v)
     } finally releaseClaim(path, v)
   }
@@ -845,6 +1186,7 @@ object SnapshotTable {
     val prev = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot in $path"))
     val dels = deleteRefs(path, Some(prev))
+    val pdels = predDeleteRefs(path, Some(prev))
     val byManifest = snapshot(path, Some(prev))
       .map(r => r -> parseManifest(path, r.name))
     val isSmall = (f: FileStat) => f.rows < smallThresholdRows
@@ -852,7 +1194,7 @@ object SnapshotTable {
       fs.filter(isSmall).map(f => (manifestVersion(r.name), f)) }
     val carriedCount = byManifest.map(_._2.count(f => !isSmall(f))).sum
     if (small.size <= 1) return (0, carriedCount + small.size, prev)
-    val v = claimCow(path, prev, "compactSmallFiles")
+    val (v, nonce) = claimCow(path, prev, "compactSmallFiles")
     try {
       sweepUncommitted(path, v)
       val df = readApplying(spark, path, prev,
@@ -862,7 +1204,9 @@ object SnapshotTable {
         (smallRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
       readSchema(path, prev).foreach(sc =>
         writeAtomic(schemaPath(path, v), sc.json))
-      val newStats = writeDataFiles(df, path, v, zcol, nFiles)
+      val newStats = stageLaidOut(rangeLayout(df, zcol, nFiles), path, v,
+        zcol, Nil, Some(nonce))
+      requireClaimHeld(path, v, nonce)
       val mName = s"m-$v.json"
       writeAtomic(logDir(path).resolve(mName), manifestLines(newStats))
       val smallNames = small.map(_._2.file).toSet
@@ -886,9 +1230,10 @@ object SnapshotTable {
       // carried files still need their tombstones; the compacted rows
       // had theirs applied in the rewrite
       writeAtomic(logDir(path).resolve(s"v$v"),
-        (carried.map(refLine) ++ dels.map(delLine) :+
+        (carried.map(refLine) ++ dels.map(delLine) ++
+          pdels.map(predDelLine) :+
           refLine(envelope(newStats, mName))).mkString("\n"))
-      swingPointer(path, v, -1L)
+      swingPointer(path, v, carriedBatchId(readPointer(path)))
       (small.size, carriedCount, v)
     } finally releaseClaim(path, v)
   }
@@ -923,10 +1268,13 @@ object SnapshotTable {
           (x: String, y: String) => cmpCanon(t, x, y) < 0)
         a
       }
-      // integral keys pre-hash for the manifest-bloom probe — the same
-      // xxhash64-of-long the stat pass fed bloom_agg
-      val hashes = vals.filter(_ => tag.contains("l"))
-        .map(_.map(v => xx64(v.toLong)))
+      // integral and string keys pre-hash for the manifest-bloom probe
+      // — the same xxhash64 the stat pass fed bloom_agg
+      val hashes = tag match {
+        case Some("l") => vals.map(_.map(v => xx64(v.toLong)))
+        case Some("s") => vals.map(_.map(xx64Str))
+        case _ => None
+      }
       KeyPlan(k, head.length.toLong, big = false, tag, vals,
         vals.filter(_.nonEmpty).map(v => (v.head, v.last)), hashes)
     } else {
@@ -1023,10 +1371,11 @@ object SnapshotTable {
       : (Long, Long, Long, Int) = {
     val prev = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot in $path"))
-    require(deleteRefs(path, Some(prev)).isEmpty,
+    require(deleteRefs(path, Some(prev)).isEmpty &&
+        predDeleteRefs(path, Some(prev)).isEmpty,
       "snapshot carries merge-on-read tombstones - run compactCommit " +
         "to materialize them before a copy-on-write rewrite")
-    val v = claimCow(path, prev, "commitDelete")
+    val (v, nonce) = claimCow(path, prev, "commitDelete")
     try {
       val plan = planKeys(keys, keyCol, collectKeyCap, broadcastKeyCap)
       val refs = snapshot(path, Some(prev))
@@ -1057,7 +1406,8 @@ object SnapshotTable {
       sweepUncommitted(path, v)
       writeMergedSchema(path, v, Some(prev), survivors.schema)
       val survStats = writeDataFiles(survivors, path, v, zcol,
-        if (nFiles > 0) nFiles else touched.size)
+        if (nFiles > 0) nFiles else touched.size, Some(nonce))
+      requireClaimHeld(path, v, nonce)
       val mName = s"m-$v.json"
       writeAtomic(logDir(path).resolve(mName), manifestLines(survStats))
       val parsedOf = parsedCand.toMap
@@ -1079,7 +1429,7 @@ object SnapshotTable {
       }
       writeAtomic(logDir(path).resolve(s"v$v"),
         snapshotLines(carried :+ envelope(survStats, mName)))
-      swingPointer(path, v, -1L)
+      swingPointer(path, v, carriedBatchId(readPointer(path)))
       (rowsDeleted, planned, total, v)
     } finally releaseClaim(path, v)
   }
@@ -1110,28 +1460,61 @@ object SnapshotTable {
     }
   }
 
-  /** Stage the distinct `keyCol` values of `keys` as the immutable
-    * tombstone file `v<N>-d00000.parquet`. Tombstone sets are
-    * takedown-sized by contract — the file stages as a single part.
-    * Returns (fileName, distinctKeys); a zero-key set cleans up after
-    * itself.
+  /** Row cap per staged tombstone FILE: a takedown-sized key set stays
+    * one file, a CDC-batch-sized set splits so no single tombstone file
+    * outgrows what one task (and one read-side join build) should hold.
+    * Volatile test hook; production default 2M keys/file.
+    */
+  @volatile private[graft] var TombstoneRowsPerFile: Long = 2000000L
+
+  /** Tombstone key count past which [[readApplying]] stops hinting
+    * `broadcast()` for the anti-join and lets the planner run it as a
+    * shuffle join — the [[planKeys]] cap-and-fallback pattern applied
+    * to the READ side: an unguarded broadcast of a table-sized CDC
+    * tombstone batch is a driver OOM, not a plan. Volatile test hook.
+    */
+  @volatile private[graft] var ReadBroadcastKeyCap: Long =
+    BroadcastKeyCapDefault
+
+  /** Stage the distinct `keyCol` values of `keys` as immutable
+    * tombstone files `v<N>-d<i>.parquet`, at most
+    * [[TombstoneRowsPerFile]] keys per file (one file for takedowns;
+    * a CDC-sized batch splits — single-task staging of an unbounded
+    * key set is the same scale bug as an unguarded broadcast).
+    * Returns one (fileName, keys) pair PER staged file; empty for a
+    * zero-key set.
     */
   private def stageTombstone(spark: SparkSession, path: String, v: Int,
-      keys: DataFrame, keyCol: String): (String, Long) = {
+      keys: DataFrame, keyCol: String): Seq[(String, Long)] = {
     val stage = s"$path/_log/_stage"
-    keys.select(col(keyCol)).distinct().coalesce(1)
+    val k = keys.select(col(keyCol)).distinct()
+    val n = k.count()
+    if (n == 0) return Nil
+    val parts =
+      ((n + TombstoneRowsPerFile - 1) / TombstoneRowsPerFile).toInt
+    (if (parts == 1) k.coalesce(1) else k.repartition(parts))
       .write.mode("overwrite").parquet(stage)
     val stageDir = Paths.get(stage)
-    val part = Files.list(stageDir).iterator().asScala
+    val staged = Files.list(stageDir).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("part-"))
-      .toIndexedSeq.sorted.headOption.getOrElse(
-        throw new IllegalStateException("tombstone stage produced no part"))
-    val dst = f"v$v-d00000.parquet"
-    Files.move(stageDir.resolve(part), Paths.get(path, dst),
-      StandardCopyOption.ATOMIC_MOVE)
-    val n = spark.read.parquet(s"$path/$dst").count()
-    if (n == 0) Files.deleteIfExists(Paths.get(path, dst))
-    (dst, n)
+      .toIndexedSeq.sorted
+    val moved = staged.zipWithIndex.map { case (nm, i) =>
+      val dst = f"v$v-d$i%05d.parquet"
+      Files.move(stageDir.resolve(nm), Paths.get(path, dst),
+        StandardCopyOption.ATOMIC_MOVE)
+      dst
+    }
+    // per-file key counts in one pass; drop empty round-robin leftovers
+    val byFile = spark.read.parquet(moved.map(m => s"$path/$m"): _*)
+      .groupBy(substring_index(input_file_name(), "/", -1).as("_f"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    moved.flatMap { m =>
+      byFile.get(m) match {
+        case Some(rows) if rows > 0 => Some((m, rows))
+        case _ => Files.deleteIfExists(Paths.get(path, m)); None
+      }
+    }
   }
 
   /** MERGE-ON-READ DELETE commit — the O(metadata) takedown: the keys
@@ -1153,20 +1536,72 @@ object SnapshotTable {
     val prev = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot in $path"))
     requireKeyCompatible(path, prev, keyCol, keys, "commitDeleteMor")
-    val v = claimCow(path, prev, "commitDeleteMor")
+    val (v, nonce) = claimCow(path, prev, "commitDeleteMor")
     try {
       sweepUncommitted(path, v)
-      val (dst, n) = stageTombstone(spark, path, v, keys, keyCol)
-      if (n == 0) return (0L, prev)
+      val staged = stageTombstone(spark, path, v, keys, keyCol)
+      if (staged.isEmpty) return (0L, prev)
+      val n = staged.map(_._2).sum
+      requireClaimHeld(path, v, nonce)
       // the schema is unchanged by a tombstone; carry it so readFiles
       // keeps resolving this version without inference
       readSchema(path, prev).foreach(sc =>
         writeAtomic(schemaPath(path, v), sc.json))
       writeAtomic(logDir(path).resolve(s"v$v"),
-        (rawSnapshotLines(path, prev) :+
-          delLine(DeleteRef(dst, keyCol, n, v))).mkString("\n"))
-      swingPointer(path, v, -1L)
+        (rawSnapshotLines(path, prev) ++ staged.map { case (dst, nk) =>
+          delLine(DeleteRef(dst, keyCol, nk, v)) }).mkString("\n"))
+      swingPointer(path, v, carriedBatchId(readPointer(path)))
       (n, v)
+    } finally releaseClaim(path, v)
+  }
+
+  /** PREDICATE MERGE-ON-READ DELETE — the O(METADATA) retention drop:
+    * rows whose stat-carrying column `colName` falls inside the closed
+    * range [lo, hi] (either side open with None) vanish from the new
+    * snapshot as ONE serialized-comparison tombstone line — NO data
+    * file is touched, NO key file is even written, so the commit costs
+    * a snapshot write regardless of table size or match count (where
+    * an equality tombstone is a takedown and a COW delete a rewrite,
+    * this is "drop everything before the cutoff" landing instantly on
+    * a 100 TB table). Reads apply it as a residual filter with the
+    * same sequence scoping as equality tombstones — it deletes only
+    * from manifests committed BEFORE it, so later re-inserts into the
+    * range survive; NULL values never match and always survive.
+    * [[compactCommit]] materializes and drops it; COW rewrites refuse
+    * while one is live, exactly like equality tombstones. Bounds
+    * accept the column's natural external forms ([[canonOf]]).
+    * Returns the new version.
+    */
+  def commitDeleteMorPred(spark: SparkSession, path: String,
+      colName: String, lo: Option[Any], hi: Option[Any]): Int = {
+    require(lo.nonEmpty || hi.nonEmpty,
+      "commitDeleteMorPred: at least one bound is required (an " +
+        "unbounded predicate deletes the whole table - use a rewrite)")
+    val prev = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    val sc = readSchema(path, prev).getOrElse(
+      throw new IllegalArgumentException(
+        "commitDeleteMorPred: table has no committed schema - a " +
+          "predicate tombstone needs the column's committed type"))
+    require(sc.fieldNames.contains(colName),
+      s"commitDeleteMorPred: table $path has no committed column " +
+        s"'$colName' (columns: ${sc.fieldNames.mkString(",")})")
+    val t = colTag(sc(colName).dataType).getOrElse(
+      throw new IllegalArgumentException(
+        s"commitDeleteMorPred: column '$colName' has unsupported type " +
+          s"${sc(colName).dataType} - predicate tombstones need a " +
+          "stat-carrying (orderable) column"))
+    val ref = PredDeleteRef(colName, t, lo.map(canonOf(t, _)),
+      hi.map(canonOf(t, _)), prev + 1)
+    val (v, nonce) = claimCow(path, prev, "commitDeleteMorPred")
+    try {
+      sweepUncommitted(path, v)
+      requireClaimHeld(path, v, nonce)
+      writeAtomic(schemaPath(path, v), sc.json)
+      writeAtomic(logDir(path).resolve(s"v$v"),
+        (rawSnapshotLines(path, prev) :+ predDelLine(ref)).mkString("\n"))
+      swingPointer(path, v, carriedBatchId(readPointer(path)))
+      v
     } finally releaseClaim(path, v)
   }
 
@@ -1198,20 +1633,24 @@ object SnapshotTable {
     require(dup.isEmpty,
       s"commitMergeMor: changes carry multiple rows per key ($key): " +
         dup.mkString(",") + " — pre-aggregate to one row per key")
-    val v = claimCow(path, prev, "commitMergeMor")
+    val (v, nonce) = claimCow(path, prev, "commitMergeMor")
     try {
       sweepUncommitted(path, v)
-      val (dst, n) = stageTombstone(spark, path, v, changes, key)
-      if (n == 0) return (0L, prev)
+      val staged = stageTombstone(spark, path, v, changes, key)
+      if (staged.isEmpty) return (0L, prev)
+      val n = staged.map(_._2).sum
       writeMergedSchema(path, v, Some(prev), changes.schema)
-      val stats = writeDataFiles(changes, path, v, zcol, nFiles)
+      val stats = writeDataFiles(changes, path, v, zcol, nFiles,
+        Some(nonce))
+      requireClaimHeld(path, v, nonce)
       val mName = s"m-$v.json"
       writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
       writeAtomic(logDir(path).resolve(s"v$v"),
-        (rawSnapshotLines(path, prev) ++ Seq(
-          delLine(DeleteRef(dst, key, n, v)),
-          refLine(envelope(stats, mName)))).mkString("\n"))
-      swingPointer(path, v, -1L)
+        (rawSnapshotLines(path, prev) ++
+          staged.map { case (dst, nk) =>
+            delLine(DeleteRef(dst, key, nk, v)) } :+
+          refLine(envelope(stats, mName))).mkString("\n"))
+      swingPointer(path, v, carriedBatchId(readPointer(path)))
       (n, v)
     } finally releaseClaim(path, v)
   }
@@ -1234,7 +1673,7 @@ object SnapshotTable {
       changes: DataFrame, key: String, zcol: String, nFiles: Int,
       batchId: Long): Boolean = {
     require(batchId >= 0, "batchId must be >= 0 (-1 marks non-batch commits)")
-    val (prevPtr, v) = claimNext(path)
+    val (prevPtr, v, nonce) = claimNext(path)
     try {
       if (prevPtr.exists(_._2 == batchId)) return false
       val prev = prevPtr.map(_._1).getOrElse(
@@ -1249,16 +1688,19 @@ object SnapshotTable {
         s"commitMergeMorOnce: batch carries multiple rows per key " +
           s"($key): " + dup.mkString(","))
       sweepUncommitted(path, v)
-      val (dst, n) = stageTombstone(spark, path, v, changes, key)
-      if (n == 0) return false
+      val staged = stageTombstone(spark, path, v, changes, key)
+      if (staged.isEmpty) return false
       writeMergedSchema(path, v, Some(prev), changes.schema)
-      val stats = writeDataFiles(changes, path, v, zcol, nFiles)
+      val stats = writeDataFiles(changes, path, v, zcol, nFiles,
+        Some(nonce))
+      requireClaimHeld(path, v, nonce)
       val mName = s"m-$v.json"
       writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
       writeAtomic(logDir(path).resolve(s"v$v"),
-        (rawSnapshotLines(path, prev) ++ Seq(
-          delLine(DeleteRef(dst, key, n, v)),
-          refLine(envelope(stats, mName)))).mkString("\n"))
+        (rawSnapshotLines(path, prev) ++
+          staged.map { case (dst, nk) =>
+            delLine(DeleteRef(dst, key, nk, v)) } :+
+          refLine(envelope(stats, mName))).mkString("\n"))
       swingPointer(path, v, batchId)
       true
     } finally releaseClaim(path, v)
@@ -1297,10 +1739,11 @@ object SnapshotTable {
       : (Int, Int, Long, Long, Int) = {
     val prev = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot in $path"))
-    require(deleteRefs(path, Some(prev)).isEmpty,
+    require(deleteRefs(path, Some(prev)).isEmpty &&
+        predDeleteRefs(path, Some(prev)).isEmpty,
       "snapshot carries merge-on-read tombstones - run compactCommit " +
         "to materialize them before a copy-on-write rewrite")
-    val v = claimCow(path, prev, "commitMerge")
+    val (v, nonce) = claimCow(path, prev, "commitMerge")
     try {
       val plan = planKeys(changes, key, collectKeyCap, broadcastKeyCap)
       val refs = snapshot(path, Some(prev))
@@ -1346,7 +1789,8 @@ object SnapshotTable {
       sweepUncommitted(path, v)
       writeMergedSchema(path, v, Some(prev), rewrite.schema)
       val newStats = writeDataFiles(rewrite, path, v, zcol,
-        math.max(1, touched.size))
+        math.max(1, touched.size), Some(nonce))
+      requireClaimHeld(path, v, nonce)
       val mName = s"m-$v.json"
       writeAtomic(logDir(path).resolve(mName), manifestLines(newStats))
       val parsedOf = parsedCand.toMap
@@ -1368,35 +1812,78 @@ object SnapshotTable {
       }
       writeAtomic(logDir(path).resolve(s"v$v"),
         snapshotLines(carried :+ envelope(newStats, mName)))
-      swingPointer(path, v, -1L)
+      swingPointer(path, v, carriedBatchId(readPointer(path)))
       (touched.size, (total - touched.size).toInt, planned, total, v)
     } finally releaseClaim(path, v)
   }
 
   // ---- reads ----------------------------------------------------------
 
+  /** Typed Column literal from a canonical stat value (see [[ColStat]])
+    * — the read-side inverse of [[canonOf]]; Catalyst coerces the
+    * literal to the column's exact type at comparison time.
+    */
+  private def canonToLit(t: String, v: String)
+      : org.apache.spark.sql.Column = t match {
+    case "l" => lit(v.toLong)
+    case "d" => lit(v.toDouble)
+    case "dec" => lit(new java.math.BigDecimal(v))
+    case "s" => lit(v)
+    case "dt" => lit(java.time.LocalDate.ofEpochDay(v.toLong))
+    case "ts" =>
+      val us = v.toLong
+      lit(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+    case other =>
+      throw new IllegalArgumentException(s"unknown stat tag '$other'")
+  }
+
   /** Read `(manifestVersion, filePath)` pairs under `v`'s schema and
     * apply `v`'s tombstones with sequence scoping: a tombstone at
     * version d deletes only from files whose manifest committed before
     * d. Files sharing an applicable-tombstone set read as ONE scan (at
     * most #tombstones+1 groups — no tombstones means the single-scan
-    * fast path), each group anti-joined against its broadcast key
-    * files (tombstones are takedown-sized by contract).
+    * fast path). PREDICATE tombstones apply as residual filters (null
+    * values never match a range and survive); equality tombstones as
+    * anti-joins against their key files — broadcast while the ref's
+    * recorded key count fits [[ReadBroadcastKeyCap]], shuffle beyond
+    * it (a CDC-upsert stream can accumulate table-sized tombstone
+    * batches between compactions; forcing those through a driver
+    * broadcast is an OOM, not a plan).
     */
   private def readApplying(spark: SparkSession, path: String, v: Int,
       pairs: Seq[(Int, String)]): DataFrame = {
     val dels = deleteRefs(path, Some(v))
-    if (dels.isEmpty) readFiles(spark, path, v, pairs.map(_._2))
+    val pdels = predDeleteRefs(path, Some(v))
+    if (dels.isEmpty && pdels.isEmpty)
+      readFiles(spark, path, v, pairs.map(_._2))
     else pairs.groupBy { case (mv, _) =>
-        dels.filter(_.v > mv).map(_.file).sorted }
-      .toSeq.sortBy(_._1.mkString(","))
-      .map { case (delFiles, grp) =>
+        (dels.filter(_.v > mv).map(_.file).sorted,
+          pdels.filter(_.v > mv)) }
+      .toSeq
+      .sortBy { case ((fs, ps), _) =>
+        fs.mkString(",") + "|" + ps.map(predDelLine).mkString(",") }
+      .map { case ((delFiles, pds), grp) =>
         val base = readFiles(spark, path, v, grp.map(_._2))
-        delFiles.foldLeft(base) { (df, dfile) =>
-          val d = dels.find(_.file == dfile).get
-          df.join(broadcast(spark.read.parquet(s"$path/${d.file}")),
-            Seq(d.key), "left_anti")
+        val predApplied = pds.foldLeft(base) { (df, pd) =>
+          val c = col(pd.col)
+          val inRange = (pd.lo.map(l => c >= canonToLit(pd.t, l)) ++
+            pd.hi.map(h => c <= canonToLit(pd.t, h))).reduce(_ && _)
+          df.filter(c.isNull || !inRange)
         }
+        // one anti-join per TOMBSTONE (all its part files union as one
+        // key relation), guarded by the tombstone's TOTAL recorded key
+        // count — per-part guarding would broadcast a 10M-key CDC
+        // tombstone 2M keys at a time through a join chain
+        delFiles.map(f => dels.find(_.file == f).get)
+          .groupBy(d => (d.v, d.key)).toSeq.sortBy(_._1)
+          .foldLeft(predApplied) { case (df, ((_, key), refs)) =>
+            val keys = spark.read.parquet(
+              refs.map(r => s"$path/${r.file}").sorted: _*)
+            val side = if (refs.map(_.rows).sum > ReadBroadcastKeyCap)
+              keys else broadcast(keys)
+            df.join(side, Seq(key), "left_anti")
+          }
       }.reduce(_ unionByName _)
   }
 
@@ -1540,6 +2027,72 @@ object SnapshotTable {
     (df, hit.length.toLong, total)
   }
 
+  /** Plan the (manifestVersion, filePath) pairs surviving a
+    * conjunction of OPTIONAL-sided range predicates — the planning
+    * half of [[readPrunedCols]] exposed for the Catalyst-pushdown
+    * source ([[SnapshotTableSource]]): the same pyramid descent
+    * (envelope-pruned manifests never parse), the same soundness
+    * argument, with an open side treated as unbounded. A predicate on
+    * a column with no recorded tag drops out of the conjunction
+    * (cannot prune, never wrong). Returns (pairs, filesTotal).
+    */
+  def planPrunedFiles(path: String, version: Option[Int],
+      preds: Seq[(String, Option[Any], Option[Any])])
+      : (Seq[(Int, String)], Long) = {
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    val refs = snapshot(path, Some(v))
+    val total = refs.map(_.files.toLong).sum
+    val sc = readSchema(path, v)
+    val tests = preds.flatMap { case (c, lo, hi) =>
+      sc.flatMap(s => s.fields.find(_.name == c).flatMap(f =>
+          colTag(f.dataType)))
+        .orElse(refs.flatMap(r => statFor(r.cols, c)).headOption.map(_.t))
+        .map(t => (c, t, lo.map(canonOf(t, _)), hi.map(canonOf(t, _))))
+    }
+    def hits(cols: Seq[ColStat]): Boolean = tests.forall {
+      case (c, t, l, h) => statFor(cols, c) match {
+        case None => true
+        case Some(s) if s.t != t => true
+        case Some(ColStat(_, _, Some(mn), Some(mx))) =>
+          l.forall(lv => cmpCanon(t, mx, lv) >= 0) &&
+            h.forall(hv => cmpCanon(t, mn, hv) <= 0)
+        case Some(ColStat(_, _, None, None)) => false
+        case Some(_) => true
+      }
+    }
+    val hit = refs.filter(r => hits(r.cols))
+      .flatMap(r => parseManifest(path, r.name)
+        .filter(f => f.rows > 0 && hits(f.cols))
+        .map(f => (manifestVersion(r.name), s"$path/${f.file}")))
+      .sortBy(_._2)
+    (hit, total)
+  }
+
+  /** Read planned pairs (from [[planPrunedFiles]]) under `version`'s
+    * schema with its tombstones applied — the scan body of the
+    * pushdown source; an empty plan reads as the empty snapshot.
+    */
+  def readPlanned(spark: SparkSession, path: String, version: Option[Int],
+      pairs: Seq[(Int, String)]): DataFrame = {
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    if (pairs.nonEmpty) readApplying(spark, path, v, pairs)
+    else read(spark, path, Some(v)).filter(lit(false))
+  }
+
+  /** The OLDEST still-time-travelable version — the smallest `v<N>`
+    * snapshot file surviving [[vacuum]]; None before the first commit.
+    * The changes feed starts announcing here: announcing a vacuumed
+    * version would fail every consumer that resolves it.
+    */
+  def oldestRetainedVersion(path: String): Option[Int] = {
+    val log = logDir(path).toFile
+    val vs = Option(log.listFiles()).getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toInt)
+    if (vs.isEmpty) None else Some(vs.min)
+  }
+
   /** METADATA-ONLY typed aggregates: COUNT(*) plus MIN/MAX of ANY
     * stat-carrying column off the manifest lines — zero data files
     * opened, the [[statsAgg]] payoff extended past the legacy double
@@ -1552,7 +2105,9 @@ object SnapshotTable {
   def statsAggCol(path: String, colName: String,
       version: Option[Int] = None)
       : (Long, Option[(String, String, String)]) = {
-    require(deleteRefs(path, version.orElse(latestVersion(path))).isEmpty,
+    require(deleteRefs(path, version.orElse(latestVersion(path))).isEmpty
+        && predDeleteRefs(path,
+          version.orElse(latestVersion(path))).isEmpty,
       "statsAggCol: snapshot carries merge-on-read tombstones whose " +
         "rows the manifest stats still count - run compactCommit first")
     val stats = snapshot(path, version)
@@ -1600,7 +2155,8 @@ object SnapshotTable {
     require(fromV >= 0 && fromV <= toV,
       s"readChanges: bad version range v$fromV..v$toV")
     Seq(fromV, toV).filter(_ > 0).foreach(v => require(
-      deleteRefs(path, Some(v)).isEmpty,
+      deleteRefs(path, Some(v)).isEmpty &&
+        predDeleteRefs(path, Some(v)).isEmpty,
       s"readChanges: v$v carries merge-on-read tombstones - run " +
         "compactCommit to materialize them first"))
     def fileSet(v: Int): Set[String] =
@@ -1766,7 +2322,7 @@ object SnapshotTable {
   def statsAgg(path: String, version: Option[Int] = None)
       : (Long, Double, Double) = {
     val vv = version.orElse(latestVersion(path))
-    require(deleteRefs(path, vv).isEmpty,
+    require(deleteRefs(path, vv).isEmpty && predDeleteRefs(path, vv).isEmpty,
       "statsAgg: snapshot carries merge-on-read tombstones whose rows " +
         "the manifest stats still count - run compactCommit first")
     val stats = snapshot(path, version)
@@ -1792,7 +2348,8 @@ object SnapshotTable {
       lo: Double, hi: Double, version: Option[Int] = None)
       : (Long, Long, Long, Long) = {
     require(deleteRefs(path,
-        version.orElse(latestVersion(path))).isEmpty,
+        version.orElse(latestVersion(path))).isEmpty &&
+        predDeleteRefs(path, version.orElse(latestVersion(path))).isEmpty,
       "countRange: snapshot carries merge-on-read tombstones whose " +
         "rows the manifest stats still count - run compactCommit first")
     val refs = snapshot(path, version)

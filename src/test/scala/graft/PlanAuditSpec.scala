@@ -692,4 +692,38 @@ class PlanAuditSpec extends SparkSpec {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
     }.isEmpty, p.take(3000))
   }
+
+  test("snapshot-table DSv2 read: band predicate reaches the scan as a " +
+      "pushed filter and opens a strict subset of files") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-plansql").toString + "/t"
+    val base = (0 until 2000)
+      .map(i => (i.toLong, (i % 500).toDouble * 10))
+    import spark.implicits._
+    graft.sources.SnapshotTable.commitAppend(
+      base.toDF("id", "price"), dir, "price", 10)
+    val df = spark.read.format("graft.sources.SnapshotTableSource")
+      .option("path", dir).load()
+      .filter($"price" >= 1000 && $"price" < 2000)
+    val plan = df.queryExecution.executedPlan.toString
+    // the translated predicates surface on the scan node itself
+    assert(plan.contains("PushedFilters"), plan.take(3000))
+    assert(plan.contains("GreaterThanOrEqual(price,1000"), plan.take(3000))
+    // execution drives the pyramid descent: strictly fewer files than
+    // the snapshot holds, and the residual filter still applies exactly
+    val n = df.count()
+    val (planned, total) = (graft.sources.SnapshotTableSource.lastPlanned,
+      graft.sources.SnapshotTableSource.lastTotal)
+    assert(planned > 0 && planned < total,
+      s"pushdown must prune files, opened $planned/$total")
+    assert(n == base.count { case (_, p) => p >= 1000 && p < 2000 })
+    // column pruning: a projection narrower than the table reaches the
+    // v1 relation (the scan's schema is the pruned one)
+    val narrow = spark.read.format("graft.sources.SnapshotTableSource")
+      .option("path", dir).load().select($"id")
+    assert(narrow.queryExecution.executedPlan.toString
+      .contains("ReadSchema"), narrow.queryExecution.executedPlan
+      .toString.take(2000))
+    assert(narrow.columns.sameElements(Array("id")))
+  }
 }

@@ -183,11 +183,18 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got.count() == 500)
     assert(got.filter(col("id") >= 900).count() == 0,
       "dead attempt's orphan rows leaked into the committed snapshot")
-    // a NON-batch commit after the stream keeps its own provenance and
-    // never collides with a batch id
+    // a NON-batch commit after the stream CARRIES the stream's batch
+    // id forward (the background-compaction-between-crash-and-restart
+    // window): the replay of batch 1 must STILL short-circuit, and a
+    // genuinely new batch must still commit
     SnapshotTable.commitAppend(rows(500 until 550), t, "z", 1)
-    assert(SnapshotTable.commitAppendOnce(rows(550 until 560), t, "z", 1, 1L),
-      "a -1-provenance commit must not shadow batch id 1")
+    assert(!SnapshotTable.commitAppendOnce(rows(300 until 500), t, "z", 2, 1L),
+      "an interleaved non-streaming commit erased the stream's " +
+        "provenance - the replayed batch committed twice")
+    assert(SnapshotTable.read(spark, t).count() == 550)
+    assert(SnapshotTable.commitAppendOnce(rows(550 until 560), t, "z", 1, 2L),
+      "a new batch id must commit after the carried provenance")
+    assert(SnapshotTable.read(spark, t).count() == 560)
   }
 
   test("compactCommit merges the fragmented layout as a new version; " +
@@ -962,5 +969,272 @@ class SnapshotTableSpec extends SparkSpec {
     val (rows2, idBounds) = SnapshotTable.statsAggCol(t, "id")
     assert(rows2 == 400 && idBounds.contains(("l", "0", "399")))
     assert(SnapshotTable.statsAggCol(t, "nope")._2.isEmpty)
+  }
+
+  test("over-cap MOR tombstones stage as multiple part files and read " +
+      "through a shuffle anti-join; under-cap stays broadcast") {
+    val t = Files.createTempDirectory("graft-snapbig").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 900), t, "z", 4)
+    val prevRows = SnapshotTable.TombstoneRowsPerFile
+    val prevCap = SnapshotTable.ReadBroadcastKeyCap
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      SnapshotTable.TombstoneRowsPerFile = 100
+      SnapshotTable.ReadBroadcastKeyCap = 100
+      // disable size-estimate auto-broadcast so the plan shape below
+      // reflects ONLY the guard's hint decision
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (n, v) = SnapshotTable.commitDeleteMor(spark, t, "id",
+        (0L until 250L).toDF("id"))
+      assert(n == 250 && v == 2)
+      val refs = SnapshotTable.deleteRefs(t)
+      assert(refs.size == 3 && refs.map(_.rows).sum == 250,
+        s"250 keys at 100/file must stage as 3 parts, got $refs")
+      val guarded = SnapshotTable.read(spark, t)
+      assert(!guarded.queryExecution.sparkPlan.toString
+          .contains("BroadcastHashJoin"),
+        "an over-cap tombstone must not be forced through broadcast")
+      assert(guarded.count() == 650)
+      assert(guarded.filter(col("id") < 250).count() == 0)
+      // the under-cap twin on the same table: a later takedown-sized
+      // tombstone still broadcasts (one part, total under the cap)
+      val (n2, _) = SnapshotTable.commitDeleteMor(spark, t, "id",
+        (300L until 320L).toDF("id"))
+      assert(n2 == 20)
+      assert(SnapshotTable.deleteRefs(t).size == 4)
+      val mixed = SnapshotTable.read(spark, t)
+      assert(mixed.queryExecution.sparkPlan.toString
+          .contains("BroadcastHashJoin"),
+        "an under-cap tombstone should keep the broadcast fast path")
+      assert(mixed.count() == 630)
+      // compaction materializes BOTH regardless of path
+      SnapshotTable.compactCommit(spark, t, "z", 500L)
+      assert(SnapshotTable.deleteRefs(t).isEmpty)
+      assert(SnapshotTable.read(spark, t).count() == 630)
+    } finally {
+      SnapshotTable.TombstoneRowsPerFile = prevRows
+      SnapshotTable.ReadBroadcastKeyCap = prevCap
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
+  test("predicate MOR delete is O(metadata), sequence-scoped, " +
+      "null-safe, and materializes under compaction") {
+    val t = Files.createTempDirectory("graft-snappd").toString + "/t"
+    val df = (0 until 600).map(i =>
+      (i.toLong, i.toDouble, if (i % 50 == 0) null else s"g${i % 5}"))
+      .toDF("id", "z", "tag")
+    SnapshotTable.commitAppend(df, t, "z", 4)
+    val filesBefore = Files.list(Paths.get(t)).iterator()
+    val nData = Iterator.continually(filesBefore)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .count(_.endsWith(".parquet"))
+    // drop z in [100, 299] — one snapshot line, no file written
+    val v2 = SnapshotTable.commitDeleteMorPred(spark, t, "z",
+      Some(100.0), Some(299.0))
+    assert(v2 == 2)
+    val filesAfter = Files.list(Paths.get(t)).iterator()
+    val nData2 = Iterator.continually(filesAfter)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .count(_.endsWith(".parquet"))
+    assert(nData2 == nData,
+      "a predicate tombstone must write NO data or key file")
+    assert(SnapshotTable.read(spark, t).count() == 400)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("z").between(100, 299)).count() == 0)
+    // time travel: v1 still sees the range
+    assert(SnapshotTable.read(spark, t, Some(1)).count() == 600)
+    // sequence scoping: a LATER append back into the range survives
+    SnapshotTable.commitAppend(rows(150 until 160), t, "z", 1)
+    assert(SnapshotTable.read(spark, t).count() == 410)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("z").between(100, 299)).count() == 10)
+    // a null value in a DIFFERENT predicate column never matches
+    val v4 = SnapshotTable.commitDeleteMorPred(spark, t, "tag",
+      Some("g1"), Some("g1"))
+    val afterTag = SnapshotTable.read(spark, t)
+    assert(afterTag.filter(col("tag").isNull).count() > 0,
+      "null predicate-column values must survive a range tombstone")
+    assert(afterTag.filter(col("tag") === "g1" && col("id") < 600)
+      .count() == 0)
+    // COW rewrites refuse while a predicate tombstone is live
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitDelete(spark, t, "id", Seq(5L).toDF("id"), "z")
+    }
+    intercept[IllegalArgumentException] { SnapshotTable.statsAgg(t) }
+    // compaction materializes and drops the refs
+    val n = SnapshotTable.read(spark, t).count()
+    SnapshotTable.compactCommit(spark, t, "z", 500L)
+    assert(SnapshotTable.predDeleteRefs(t).isEmpty)
+    assert(SnapshotTable.read(spark, t).count() == n)
+    assert(v4 == 4)
+  }
+
+  test("partitioned append records one value per file; dropPartition " +
+      "is manifest surgery with zero data files opened") {
+    val t = Files.createTempDirectory("graft-snappt").toString + "/t"
+    val df = (0 until 800).map { i =>
+      (i.toLong, java.sql.Date.valueOf(f"2024-${1 + i % 4}%02d-15"),
+        i.toDouble)
+    }.toDF("id", "d", "z")
+    val spec = SnapshotTable.PartitionSpec("months", "d")
+    SnapshotTable.commitAppendPartitioned(df, t, spec)
+    assert(SnapshotTable.readPartitionSpec(t).contains(spec))
+    // months(2024-02) = 2024*12 + 2 - 1
+    val feb = 2024L * 12 + 1
+    // every file single-valued: the _pt prune is exact, not a subset
+    val (candP, readP, totalP) =
+      SnapshotTable.readPrunedCol(spark, t, SnapshotTable.PartCol, feb, feb)
+    assert(readP > 0 && readP < totalP)
+    assert(candP.count() == 200)
+    val dataFiles0 = SnapshotTable.snapshot(t).map(_.files).sum
+    val (dropped, files, v2) = SnapshotTable.dropPartition(t, feb)
+    assert(dropped == 200 && files == readP && v2 == 2,
+      s"drop: $dropped rows / $files files at v$v2")
+    // no new data file: the new snapshot's files are a strict subset
+    val before = SnapshotTable.snapshot(t, Some(1))
+      .flatMap(r => Seq(r.name)).toSet
+    assert(SnapshotTable.snapshot(t).map(_.files).sum ==
+      dataFiles0 - files)
+    val latest = SnapshotTable.read(spark, t)
+    assert(latest.count() == 600)
+    assert(latest.filter(month(col("d")) === 2).count() == 0)
+    // time travel still reads the dropped partition
+    assert(SnapshotTable.read(spark, t, Some(1)).count() == 800)
+    // a second commit must match the spec
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitAppendPartitioned(df, t,
+        SnapshotTable.PartitionSpec("days", "d"))
+    }
+    // an empty partition returns prev without committing
+    assert(SnapshotTable.dropPartition(t, feb)._3 == 2)
+    // vacuum reclaims the dropped partition's files
+    val (_, reclaimed) = SnapshotTable.vacuum(t, keepLast = 1)
+    assert(reclaimed >= files.toInt,
+      s"vacuum must reclaim the dropped partition, got $reclaimed")
+    assert(SnapshotTable.read(spark, t).count() == 600)
+    assert(before.nonEmpty)
+  }
+
+  test("bucket transform partitions by hash residue and drops by bucket") {
+    val t = Files.createTempDirectory("graft-snapbk").toString + "/t"
+    val df = (0 until 500).map(i => (i.toLong, i.toDouble)).toDF("id", "z")
+    val spec = SnapshotTable.PartitionSpec("bucket", "id", 8)
+    SnapshotTable.commitAppendPartitioned(df, t, spec)
+    val total = SnapshotTable.read(spark, t).count()
+    assert(total == 500)
+    val (dropped, files, _) = SnapshotTable.dropPartition(t, 3L)
+    assert(dropped > 0 && files > 0)
+    val left = SnapshotTable.read(spark, t)
+    assert(left.count() == 500 - dropped)
+    assert(left.filter(pmod(xxhash64(col("id")), lit(8)) === 3)
+      .count() == 0, "bucket-3 rows leaked past the drop")
+  }
+
+  test("withCowRetry re-plans after a lost race, bounded; a racing " +
+      "append and compaction both land exactly once") {
+    val t = Files.createTempDirectory("graft-snaprt").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 400), t, "z", 6)
+    // deterministic unit: first attempt loses, second lands
+    var calls = 0
+    val out = SnapshotTable.withCowRetry(t, attempts = 3) {
+      calls += 1
+      if (calls == 1) throw new java.util.ConcurrentModificationException(
+        "simulated lost race")
+      41 + calls
+    }
+    assert(calls == 2 && out == 43)
+    // bounded: attempts exhaust and the last failure surfaces
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.withCowRetry(t, attempts = 2) {
+        throw new java.util.ConcurrentModificationException("always")
+      }
+    }
+    // integration: compaction under retry races a real append; both
+    // land exactly once, whatever the interleaving
+    val appender = new Thread(() =>
+      SnapshotTable.commitAppend(rows(400 until 500), t, "z", 2))
+    appender.start()
+    val (_, _, _) = SnapshotTable.withCowRetry(t, attempts = 5) {
+      SnapshotTable.compactCommit(spark, t, "z", 300L)
+    }
+    appender.join()
+    // whichever order they landed, no row lost or doubled
+    val end = SnapshotTable.read(spark, t)
+    assert(end.count() == 500)
+    assert(end.agg(sum(col("id"))).head.getLong(0) == (0L until 500L).sum)
+  }
+
+  test("a slower-than-the-lease writer loses its commit CLEANLY: the " +
+      "takeover winner's version is never clobbered") {
+    val t = Files.createTempDirectory("graft-snapnc").toString + "/t"
+    val prevStale = SnapshotTable.claimStaleMs
+    try {
+      SnapshotTable.claimStaleMs = 400
+      val slowEval = udf { (i: Long) => Thread.sleep(8); i }
+      val slowDf = rows(0 until 600)
+        .withColumn("id", slowEval(col("id")))
+      @volatile var slowFailed: Throwable = null
+      val slow = new Thread(() =>
+        try SnapshotTable.commitAppend(slowDf, t, "z", 1)
+        catch { case e: Throwable => slowFailed = e })
+      slow.start()
+      Thread.sleep(600) // past the lease; slow writer still staging
+      SnapshotTable.commitAppend(rows(1000 until 1100), t, "z", 2)
+      slow.join()
+      // the winner's v1 must be intact whatever the slow writer did
+      val v1 = SnapshotTable.read(spark, t, Some(1))
+      assert(v1.count() == 100 &&
+        v1.agg(min(col("id"))).head.getLong(0) == 1000L,
+        "takeover winner's committed version was clobbered")
+      assert(slowFailed != null &&
+        slowFailed.isInstanceOf[java.util.ConcurrentModificationException],
+        s"slow holder must abort with CME, got $slowFailed")
+    } finally SnapshotTable.claimStaleMs = prevStale
+  }
+
+  test("the changes feed starts at the oldest RETAINED version after " +
+      "vacuum; a fresh consumer rebuilds from the baseline") {
+    val t = Files.createTempDirectory("graft-snaphz").toString + "/t"
+    for (b <- 0 until 5)
+      SnapshotTable.commitAppend(rows(b * 100 until (b + 1) * 100), t, "z", 1)
+    SnapshotTable.vacuum(t, keepLast = 2)
+    assert(SnapshotTable.oldestRetainedVersion(t).contains(4))
+    val announced = spark.read
+      .format("graft.sources.SnapshotChangesSource")
+      .option("path", t).load()
+      .orderBy(col("version")).collect().map(_.getInt(0)).toSeq
+    assert(announced == Seq(4, 5),
+      s"batch feed must skip vacuumed versions, announced $announced")
+    // a fresh consumer (cursor 0) folds the first announced version as
+    // the empty-table baseline and lands exactly
+    val view = Files.createTempDirectory("graft-snaphzv").toString
+    announced.foreach(v => SnapshotTable.maintainAgg(spark, t, view,
+      Seq("tag"), Seq("z"), v))
+    val mv = SnapshotTable.readMaintainedAgg(spark, view)
+    val fresh = SnapshotTable.read(spark, t).groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("z"))
+    assert(mv.select(col("tag"), col("n"), col("z"))
+      .exceptAll(fresh).isEmpty && fresh.exceptAll(
+        mv.select(col("tag"), col("n"), col("z"))).isEmpty)
+  }
+
+  test("string-key manifest blooms prune scattered string takedowns") {
+    val t = Files.createTempDirectory("graft-snapsb").toString + "/t"
+    val df = (0 until 3000).map(i =>
+      (f"key$i%06d", (i % 600).toDouble)).toDF("k", "z")
+    // z-clustered: every file spans ~the whole k RANGE, only the bloom
+    // can confine a 3-key takedown
+    SnapshotTable.commitAppend(df, t, "z", 10, bloomCols = Seq("k"))
+    val keys = Seq("key000000", "key001499", "key002999").toDF("k")
+    val (deleted, planned, total, _) =
+      SnapshotTable.commitDeletePlanned(spark, t, "k", keys, "z")
+    assert(deleted == 3)
+    assert(planned > 0 && planned * 2 <= total,
+      s"string bloom must confine the probe, read $planned/$total")
+    val left = SnapshotTable.read(spark, t)
+    assert(left.count() == 2997)
+    assert(left.filter(col("k").isin("key000000", "key001499",
+      "key002999")).count() == 0)
   }
 }
