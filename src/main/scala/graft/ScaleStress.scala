@@ -203,7 +203,13 @@ object ScaleStress {
     "q_snapshot_planned_rewrite", "q_snapshot_prune_date",
     "q_snapshot_zorder", "q_snapshot_mor_merge",
     "q_stream_snapshot_changes", "q_snapshot_bloom_delete",
-    "q_stream_snapshot_upsert")
+    "q_stream_snapshot_upsert",
+    // round-15 additions: Catalyst-pushdown reads of the snapshot
+    // table, the O(metadata) predicate MOR delete and partition drop,
+    // and string-key blooms — each a planning path whose cost must
+    // track the DELTA or the metadata, not the table
+    "q_snapshot_sql_prune", "q_snapshot_mor_delete_pred",
+    "q_snapshot_part_drop", "q_snapshot_bloom_delete_str")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

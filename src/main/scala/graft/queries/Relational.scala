@@ -275,6 +275,71 @@ object Relational {
     Files.deleteIfExists(p)
   }
 
+  private def copyRecursive(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      val st = Files.list(src)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          copyRecursive(c, dst.resolve(c.getFileName.toString))
+        }
+      } finally st.close()
+    } else Files.copy(src, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- shared snapshot-table base fixture --------------------------------
+  // Seven snapshot gates open on the SAME two commits (orders projected
+  // to (o_orderkey, o_orderpriority, price), even keys then odd keys,
+  // price-clustered at 8 files each). Building that start state is pure
+  // per-gate fixed cost — ~2 Spark write+stat jobs per gate that prove
+  // nothing the first build didn't. The base builds ONCE per
+  // (process, dataset) as an IMMUTABLE fixture and each gate copies the
+  // directory (a metadata-sized file copy, not Spark jobs) before its
+  // own mutations — every gate still exercises its own commits and
+  // teeth on its own table; only the identical prologue is amortized.
+
+  private val snapBaseLock = new Object
+  private val snapBaseBuilt = scala.collection.mutable.Set[String]()
+
+  private[queries] def ordersPrioPrice(s: SparkSession, d: String)
+      : DataFrame =
+    orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"))
+
+  /** The immutable base table: v1 = even keys, v2 = odd keys, both
+    * price-clustered at 8 files. Never mutate it — [[snapshotFixture]]
+    * hands out copies.
+    */
+  private def snapshotBase(s: SparkSession, d: String): String = {
+    val dir = rtDir("snapbase", d)
+    snapBaseLock.synchronized {
+      if (!snapBaseBuilt(dir)) {
+        deleteRecursive(java.nio.file.Paths.get(dir))
+        val o = ordersPrioPrice(s, d)
+        graft.sources.SnapshotTable.commitAppend(
+          o.filter(col("o_orderkey") % 2 === 0), dir, "price", 8)
+        graft.sources.SnapshotTable.commitAppend(
+          o.filter(col("o_orderkey") % 2 === 1), dir, "price", 8)
+        snapBaseBuilt += dir
+      }
+    }
+    dir
+  }
+
+  /** A fresh mutable COPY of the base fixture at `dir`. */
+  private[queries] def snapshotFixture(s: SparkSession, d: String,
+      dir: String): Unit = {
+    val base = snapshotBase(s, d)
+    deleteRecursive(java.nio.file.Paths.get(dir))
+    copyRecursive(java.nio.file.Paths.get(base),
+      java.nio.file.Paths.get(dir))
+  }
+
   /** Shared ANSI windowed-SQL text (see [[SqlQ3]]'s contract): named
     * WINDOW clause, rank and a running decimal frame, one string
     * through both spark.sql and the DuckDB oracle.
@@ -2304,13 +2369,9 @@ object Relational {
     // still-referenced file all fail the hash.
     "q_snapshot_time_travel" -> ((s, d) => {
       val dir = rtDir("snap", d)
-      deleteRecursive(java.nio.file.Paths.get(dir))
-      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-        col("o_totalprice").cast("decimal(18,2)").as("price"))
-      graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 0), dir, "price", 8)
-      val vPre = graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 1), dir, "price", 8)
+      snapshotFixture(s, d, dir) // v1 = even keys, v2 = odd keys
+      val o = ordersPrioPrice(s, d)
+      val vPre = 2
       val tomb = o.filter(col("o_orderkey") % 97 === 3)
         .select(col("o_orderkey"))
       val nTomb = tomb.count()
@@ -2354,13 +2415,9 @@ object Relational {
     // stay strict subsets.
     "q_snapshot_merge" -> ((s, d) => {
       val dir = rtDir("snapmg", d)
-      deleteRecursive(java.nio.file.Paths.get(dir))
-      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-        col("o_totalprice").cast("decimal(18,2)").as("price"))
-      graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 0), dir, "price", 8)
-      val vPre = graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 1), dir, "price", 8)
+      snapshotFixture(s, d, dir) // v1 = even keys, v2 = odd keys
+      val o = ordersPrioPrice(s, d)
+      val vPre = 2
       val upd = o.filter(col("o_orderkey") % 10 === 7)
       // inserted twins take NEGATED keys: disjoint from every positive
       // orderkey at any scale replica (an additive offset collides with
@@ -2553,20 +2610,16 @@ object Relational {
     // delta all fail the hash.
     "q_snapshot_incremental_agg" -> ((s, d) => {
       val dir = rtDir("snapmv", d)
-      deleteRecursive(java.nio.file.Paths.get(dir))
-      val o = orders(s, d).select(col("o_orderkey"),
-        col("o_orderpriority"),
-        col("o_totalprice").cast("decimal(18,2)").as("price"))
-      graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 0), dir, "price", 8)
+      snapshotFixture(s, d, dir) // v1 = even keys, v2 = odd keys
+      val o = ordersPrioPrice(s, d)
       val s2 = s.newSession()
       def aggOf(df: org.apache.spark.sql.DataFrame) =
         df.groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"), sum(col("price")).as("price"))
-      var mv = aggOf(graft.sources.SnapshotTable.read(s2, dir))
+      // the view materializes AT v1 (the time-travel read), then folds
+      // each later version's delta — same three delta shapes as before
+      var mv = aggOf(graft.sources.SnapshotTable.read(s2, dir, Some(1)))
         .localCheckpoint()
-      graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 1), dir, "price", 8)
       graft.sources.SnapshotTable.commitDelete(s, dir, "o_orderkey",
         o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")),
         "price")
@@ -2726,13 +2779,8 @@ object Relational {
     // fail the hash.
     "q_snapshot_changes" -> ((s, d) => {
       val dir = rtDir("snapch", d)
-      deleteRecursive(java.nio.file.Paths.get(dir))
-      val o = orders(s, d).select(col("o_orderkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("price"))
-      graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 0), dir, "price", 8)
-      graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 1), dir, "price", 8)
+      snapshotFixture(s, d, dir) // v1 = even keys, v2 = odd keys
+      val o = ordersPrioPrice(s, d)
       graft.sources.SnapshotTable.commitDelete(s, dir, "o_orderkey",
         o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")),
         "price")
@@ -2994,10 +3042,15 @@ object Relational {
       graft.sources.SnapshotTable.commitAppend(
         o.filter(col("o_orderkey") % 2 === 1), dir, "price", nFiles,
         bloomCols = Seq("o_orderkey"))
-      val r = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val mid = o.filter(col("o_orderkey") <= (mn + mx) / 2)
-        .agg(max(col("o_orderkey"))).head().getLong(0)
+      val r = o.agg(min(col("o_orderkey")), max(col("o_orderkey")),
+        count(lit(1))).head()
+      val (mn, mx, nRows) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // RANK-based middle key (the n/2-th smallest), matching min/max
+      // (ranks 1 and n): a fraction-of-RANGE midpoint can land in a
+      // gap of a sparse keyspace and collide with mn — the repo's
+      // convention is rank selection, never range fractions
+      val mid = o.select(col("o_orderkey").as("k")).orderBy(col("k"))
+        .limit((nRows / 2).toInt).agg(max(col("k"))).head().getLong(0)
       val keys = s.createDataFrame(
         Seq(Tuple1(mn), Tuple1(mid), Tuple1(mx))).toDF("o_orderkey")
       val (deleted, planned, total, _) = graft.sources.SnapshotTable
@@ -3017,6 +3070,238 @@ object Relational {
           lit(planned > 0 && planned * 2 <= total))
     }),
 
+    // STRING-KEY MANIFEST BLOOMS — the q_snapshot_bloom_delete shape
+    // with a VARCHAR key: the stat pass hashes string keys through the
+    // same SQL xxhash64 (UTF-8 bytes, seed 42) the probe side computes
+    // driver-side, so a 3-URL-style takedown against a price-clustered
+    // table plans at most half the files even though every file spans
+    // ~the whole key RANGE. The three keys pick by RANK of the string
+    // order (both sides identically — no numeric/lexicographic
+    // equivalence assumed), and the oracle recomputes the survivor
+    // aggregate: a wrongly-pruned file leaves a deleted key alive and
+    // fails the hash.
+    "q_snapshot_bloom_delete_str" -> ((s, d) => {
+      val dir = rtDir("snapbfs", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(
+        concat(lit("ord-"),
+          lpad(col("o_orderkey").cast("string"), 12, "0")).as("okey"),
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val nRows = o.count()
+      val nFiles = math.max(4L, (nRows / 2 + 14999) / 15000).toInt
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), dir, "price", nFiles,
+        bloomCols = Seq("okey"))
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), dir, "price", nFiles,
+        bloomCols = Seq("okey"))
+      def kth(m: Long): String = o.select(col("okey").as("k"))
+        .orderBy(col("k")).limit(m.toInt).agg(max(col("k")))
+        .head().getString(0)
+      val keys = s.createDataFrame(Seq(
+        Tuple1(kth(1)), Tuple1(kth(nRows / 2)), Tuple1(kth(nRows))))
+        .toDF("okey")
+      val (deleted, planned, total, _) = graft.sources.SnapshotTable
+        .commitDeletePlanned(s, dir, "okey", keys, "price")
+      require(deleted == 3,
+        s"q_snapshot_bloom_delete_str: expected the 3 picked keys " +
+          s"deleted, got $deleted")
+      require(planned > 0 && planned * 2 <= total,
+        s"q_snapshot_bloom_delete_str: string blooms must confine the " +
+          s"probe to at most half the files, read $planned/$total")
+      val s2 = s.newSession()
+      graft.sources.SnapshotTable.read(s2, dir).agg(
+          count(lit(1)).as("n_total"),
+          sum(col("o_orderkey")).as("keysum"),
+          sum(col("price")).cast("double").as("revenue"))
+        .withColumn("bloom_planned_subset",
+          lit(planned > 0 && planned * 2 <= total))
+    }),
+
+    // CATALYST-PUSHDOWN read of the snapshot table — the DSv2
+    // TableProvider ([[sources.SnapshotTableSource]]): the band
+    // predicate arrives through the optimizer (`load().filter(...)`),
+    // the ScanBuilder's pushed filters drive the same metadata-pyramid
+    // descent as readPrunedCols, and the gate requires the scan to
+    // open a strict subset of files (the planning-evidence hook) at
+    // BOTH the latest version and a versionAsOf time travel. Pushdown
+    // is advisory — every filter stays residual — so the oracle's
+    // recompute from the raw table catches an unsound prune as a lost
+    // row, and a lost pushdown shows up as planned == total here.
+    "q_snapshot_sql_prune" -> ((s, d) => {
+      val dir = rtDir("snapsql", d)
+      snapshotFixture(s, d, dir) // v1 = even keys, v2 = odd keys
+      val s2 = s.newSession()
+      val latest = s2.read.format("graft.sources.SnapshotTableSource")
+        .option("path", dir).load()
+        .filter(col("price") >= lit(100000) && col("price") <= lit(150000))
+        .agg(count(lit(1)).as("n_band"),
+          sum(col("price")).cast("double").as("revenue_band"))
+        .head()
+      val (p1, t1) = (graft.sources.SnapshotTableSource.lastPlanned,
+        graft.sources.SnapshotTableSource.lastTotal)
+      require(p1 > 0 && p1 < t1,
+        s"q_snapshot_sql_prune: pushed band must open a strict subset, " +
+          s"opened $p1/$t1")
+      val v1 = s2.read.format("graft.sources.SnapshotTableSource")
+        .option("path", dir).option("versionAsOf", "1").load()
+        .filter(col("price") >= lit(100000) && col("price") <= lit(150000))
+        .agg(count(lit(1)).as("n_v1"),
+          sum(col("o_orderkey")).as("keysum_v1"))
+        .head()
+      val (p2, t2) = (graft.sources.SnapshotTableSource.lastPlanned,
+        graft.sources.SnapshotTableSource.lastTotal)
+      require(p2 > 0 && p2 < t2 && t2 < t1,
+        s"q_snapshot_sql_prune: travel pushdown must prune v1's " +
+          s"smaller file set, opened $p2/$t2 (latest total $t1)")
+      s2.range(1).select(
+        lit(latest.getLong(0)).as("n_band"),
+        lit(latest.getDouble(1)).as("revenue_band"),
+        lit(v1.getLong(0)).as("n_v1"),
+        lit(v1.getLong(1)).as("keysum_v1"),
+        lit(true).as("pushed_subset"),
+        lit(true).as("travel_pushed_subset"))
+    }),
+
+    // PREDICATE MERGE-ON-READ DELETE — the O(METADATA) retention drop
+    // ([[sources.SnapshotTable.commitDeleteMorPred]]): "drop every row
+    // dated on or before the cutoff" lands as ONE serialized-comparison
+    // snapshot line — the gate requires the commit to write NO new
+    // parquet file at all (stricter than MOR equality's key file) —
+    // applied at read as a sequence-scoped residual filter. A later
+    // append re-inserting pre-cutoff rows survives (the scoping tooth),
+    // time travel still reads the dropped rows, and compactCommit
+    // materializes to the same answer with the refs gone. The oracle
+    // recomputes survivors + re-inserts from the raw table.
+    "q_snapshot_mor_delete_pred" -> ((s, d) => {
+      val dir = rtDir("snappdl", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("odate"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppend(o, dir, "price", 10)
+      val cutoff = java.sql.Date.valueOf("1995-12-31")
+      def nParquet(): Long = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try {
+          val it = st.iterator()
+          var n = 0L
+          while (it.hasNext)
+            if (it.next().getFileName.toString.endsWith(".parquet")) n += 1
+          n
+        } finally st.close()
+      }
+      val before = nParquet()
+      val v2 = graft.sources.SnapshotTable.commitDeleteMorPred(
+        s, dir, "odate", None, Some(cutoff))
+      require(nParquet() == before && v2 == 2,
+        "q_snapshot_mor_delete_pred: a predicate tombstone must write " +
+          "no data or key file")
+      // sequence scoping: re-insert a pre-cutoff band AFTER the drop
+      val reins = o.filter(col("odate") <= lit(cutoff) &&
+          col("o_orderkey") % 11 === 0)
+        .withColumn("price", (col("price") + 13).cast("decimal(18,2)"))
+      graft.sources.SnapshotTable.commitAppend(reins, dir, "price", 2)
+      val s2 = s.newSession()
+      val latest = graft.sources.SnapshotTable.read(s2, dir)
+      val nOld = latest.filter(col("odate") <= lit(cutoff)).count()
+      require(nOld == reins.count(),
+        s"q_snapshot_mor_delete_pred: exactly the re-inserts may sit " +
+          s"before the cutoff, found $nOld")
+      val nV1 = graft.sources.SnapshotTable.read(s2, dir, Some(1)).count()
+      require(nV1 == o.count(),
+        "q_snapshot_mor_delete_pred: time travel lost the dropped rows")
+      val nLatest = latest.count()
+      graft.sources.SnapshotTable.compactCommit(s2, dir, "price",
+        o.count() / 4 + 1)
+      val compactedEq =
+        graft.sources.SnapshotTable.predDeleteRefs(dir).isEmpty &&
+        graft.sources.SnapshotTable.read(s2, dir).count() == nLatest
+      graft.sources.SnapshotTable.read(s2, dir).agg(
+          count(lit(1)).as("n_total"),
+          sum(col("o_orderkey")).as("keysum"),
+          sum(col("price")).cast("double").as("revenue"),
+          sum(when(col("odate") <= lit(cutoff), 1L).otherwise(0L))
+            .as("n_reinserted"))
+        .withColumn("metadata_only_commit", lit(true))
+        .withColumn("travel_intact", lit(true))
+        .withColumn("compacted_equal", lit(compactedEq))
+    }),
+
+    // PARTITION TRANSFORMS + DROP PARTITION — Iceberg-shaped hidden
+    // partitioning ([[sources.SnapshotTable.commitAppendPartitioned]]):
+    // a months(odate) spec in table metadata, every data file holding
+    // exactly ONE month (recorded as a lo==hi `_pt` stat), so the
+    // retention drop of the oldest month is PURE manifest surgery —
+    // the gate requires zero new parquet files and the dropped month's
+    // exact file count leaving the snapshot — while `_pt` pruning
+    // stays strict through the ordinary typed-envelope descent. Time
+    // travel reads the dropped month until vacuum reclaims its files
+    // (required to reclaim at least that many). The oracle recomputes
+    // the post-drop table with the same rank-free month arithmetic
+    // (the MIN month — dense by construction at every scale).
+    "q_snapshot_part_drop" -> ((s, d) => {
+      val dir = rtDir("snappart", d)
+      deleteRecursive(java.nio.file.Paths.get(dir))
+      val o = orders(s, d).select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("odate"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppendPartitioned(o, dir,
+        graft.sources.SnapshotTable.PartitionSpec("months", "odate"))
+      val tm = o.agg(min(year(col("odate")) * 12 + month(col("odate")) - 1))
+        .head().getInt(0).toLong
+      val s2 = s.newSession()
+      val (candM, readM, totalM) = graft.sources.SnapshotTable
+        .readPrunedCol(s2, dir, graft.sources.SnapshotTable.PartCol, tm, tm)
+      require(readM > 0 && readM < totalM,
+        s"q_snapshot_part_drop: _pt pruning must be strict, " +
+          s"read $readM/$totalM")
+      val nMonth = candM.count()
+      def nParquet(): Long = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try {
+          val it = st.iterator()
+          var n = 0L
+          while (it.hasNext)
+            if (it.next().getFileName.toString.endsWith(".parquet")) n += 1
+          n
+        } finally st.close()
+      }
+      val filesBefore = nParquet()
+      val (dropped, files, v2) =
+        graft.sources.SnapshotTable.dropPartition(dir, tm)
+      require(dropped == nMonth && files == readM && v2 == 2,
+        s"q_snapshot_part_drop: drop must retire exactly the month's " +
+          s"$nMonth rows / $readM files, got ($dropped, $files)")
+      require(nParquet() == filesBefore,
+        "q_snapshot_part_drop: dropPartition must write no data file")
+      val nTravel = graft.sources.SnapshotTable
+        .read(s2, dir, Some(1)).count()
+      require(nTravel == o.count(),
+        "q_snapshot_part_drop: time travel lost the dropped month")
+      val latest = graft.sources.SnapshotTable.read(s2, dir)
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("o_orderkey")).as("keysum"),
+          sum(col("price")).cast("double").as("revenue"))
+        .head()
+      val (_, reclaimed) = graft.sources.SnapshotTable
+        .vacuum(dir, keepLast = 1)
+      require(reclaimed >= files,
+        s"q_snapshot_part_drop: vacuum must reclaim the dropped " +
+          s"month's files, got $reclaimed < $files")
+      val nAfterVacuum = graft.sources.SnapshotTable.read(
+        s.newSession(), dir).count()
+      s2.range(1).select(
+        lit(latest.getLong(0)).as("n_total"),
+        lit(latest.getLong(1)).as("keysum"),
+        lit(latest.getDouble(2)).as("revenue"),
+        lit(dropped).as("n_dropped"),
+        lit(true).as("metadata_only_drop"),
+        lit(true).as("pruned_strict"),
+        lit(nAfterVacuum == latest.getLong(0)).as("vacuum_kept_latest"))
+    }),
+
     // MERGE-ON-READ MERGE on the unified snapshot table — the O(batch)
     // upsert ([[sources.SnapshotTable.commitMergeMor]]): the change
     // keys land as an equality-delete tombstone and the change rows
@@ -3031,13 +3316,9 @@ object Relational {
     // tombstone refs dropped.
     "q_snapshot_mor_merge" -> ((s, d) => {
       val dir = rtDir("snapmrm", d)
-      deleteRecursive(java.nio.file.Paths.get(dir))
-      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-        col("o_totalprice").cast("decimal(18,2)").as("price"))
-      graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 0), dir, "price", 8)
-      val vPre = graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 1), dir, "price", 8)
+      snapshotFixture(s, d, dir) // v1 = even keys, v2 = odd keys
+      val o = ordersPrioPrice(s, d)
+      val vPre = 2
       val upd = o.filter(col("o_orderkey") % 10 === 7)
       val changes = upd
         .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
@@ -3191,12 +3472,8 @@ object Relational {
       deleteRecursive(java.nio.file.Paths.get(dir))
       val table = s"$dir/t"
       val view = s"$dir/view"
-      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-        col("o_totalprice").cast("decimal(18,2)").as("price"))
-      graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 0), table, "price", 8)
-      graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 1), table, "price", 8)
+      snapshotFixture(s, d, table) // v1 = even keys, v2 = odd keys
+      val o = ordersPrioPrice(s, d)
       graft.sources.SnapshotTable.commitDelete(s, table, "o_orderkey",
         o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")),
         "price")
@@ -3205,35 +3482,45 @@ object Relational {
             col("o_orderkey") % 97 =!= 3)
           .withColumn("price", (col("price") * 2).cast("decimal(18,2)")),
         "o_orderkey", "price")
-      def drain(): Unit = {
+      // each drain records the versions its batches ANNOUNCED, so one
+      // restart drain carries BOTH teeth: the checkpoint-restored
+      // cursor (nothing below it re-announced) AND the catch-up of a
+      // version committed while the consumer was down
+      def drain(): Seq[Int] = {
+        val announced = scala.collection.mutable.ArrayBuffer[Int]()
         val raw = s.readStream
           .format("graft.sources.SnapshotChangesSource")
           .option("path", table).option("maxVersionsPerTrigger", 1).load()
         graft.streaming.Streams.runWithBatchCommit(raw, s"$dir/ckpt") {
           (b, _) =>
-            Option(b.agg(max(col("version"))).head().get(0))
-              .map(_.asInstanceOf[Int]).foreach { v =>
-                graft.sources.SnapshotTable.maintainAgg(b.sparkSession,
-                  table, view, Seq("o_orderpriority"), Seq("price"), v)
-              }
+            val vs = b.select(col("version")).collect()
+              .map(_.getInt(0)).sorted
+            announced.synchronized { announced ++= vs }
+            vs.lastOption.foreach { v =>
+              graft.sources.SnapshotTable.maintainAgg(b.sparkSession,
+                table, view, Seq("o_orderpriority"), Seq("price"), v)
+            }
         }.awaitTermination()
+        announced.toSeq
       }
-      drain()
-      require(graft.sources.SnapshotTable.maintainedCursor(view) == 4,
-        "q_stream_snapshot_changes: first drain must reach v4")
-      drain() // checkpoint restart: nothing re-announced, cursor fixed
-      require(graft.sources.SnapshotTable.maintainedCursor(view) == 4,
-        "q_stream_snapshot_changes: restart re-announced versions")
-      // a version committed while the consumer is down catches up alone
+      val a1 = drain()
+      require(graft.sources.SnapshotTable.maintainedCursor(view) == 4 &&
+        a1 == Seq(1, 2, 3, 4),
+        s"q_stream_snapshot_changes: first drain must announce 1..4 " +
+          s"one per trigger, got $a1")
+      // a version committed while the consumer is down; the restart
+      // drain must announce ONLY it (checkpoint restored, no replay)
       graft.sources.SnapshotTable.commitAppend(
         o.filter(col("o_orderkey") % 5 === 0).select(
           (-col("o_orderkey") - lit(1L)).as("o_orderkey"),
           col("o_orderpriority"),
           (col("price") + lit(11)).cast("decimal(18,2)").as("price")),
         table, "price", 4)
-      drain()
-      require(graft.sources.SnapshotTable.maintainedCursor(view) == 5,
-        "q_stream_snapshot_changes: catch-up drain must reach v5")
+      val a2 = drain()
+      require(graft.sources.SnapshotTable.maintainedCursor(view) == 5 &&
+        a2 == Seq(5),
+        s"q_stream_snapshot_changes: restart must re-announce nothing " +
+          s"and catch up exactly v5, got $a2")
       val s2 = s.newSession()
       val mv = graft.sources.SnapshotTable.readMaintainedAgg(s2, view)
       val wide = (df: org.apache.spark.sql.DataFrame) =>
@@ -5613,13 +5900,83 @@ object Relational {
       """WITH o AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
         |b AS (SELECT min(k) AS mn, max(k) AS mx FROM o),
-        |m AS (SELECT max(k) AS mid FROM o, b WHERE k <= (mn + mx) // 2),
+        |r AS (SELECT k, row_number() OVER (ORDER BY k) AS rn,
+        |    count(*) OVER () AS n FROM o),
+        |m AS (SELECT max(CASE WHEN rn <= n // 2 THEN k END) AS mid FROM r),
         |cur AS (SELECT k, price FROM o, b, m
         |  WHERE k <> b.mn AND k <> b.mx AND k <> m.mid)
         |SELECT CAST(count(*) AS BIGINT) AS n_total,
         |  CAST(sum(k) AS BIGINT) AS keysum,
         |  CAST(sum(price) AS DOUBLE) AS revenue,
         |  TRUE AS bloom_planned_subset
+        |FROM cur""".stripMargin,
+
+    "q_snapshot_bloom_delete_str" ->
+      """WITH o AS (SELECT
+        |    'ord-' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS okey,
+        |    o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |r AS (SELECT okey, row_number() OVER (ORDER BY okey) AS rn,
+        |    count(*) OVER () AS n FROM o),
+        |m AS (SELECT max(CASE WHEN rn <= 1 THEN okey END) AS k1,
+        |    max(CASE WHEN rn <= n // 2 THEN okey END) AS k2,
+        |    max(okey) AS k3 FROM r),
+        |cur AS (SELECT k, price FROM o, m
+        |  WHERE okey <> m.k1 AND okey <> m.k2 AND okey <> m.k3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(k) AS BIGINT) AS keysum,
+        |  CAST(sum(price) AS DOUBLE) AS revenue,
+        |  TRUE AS bloom_planned_subset
+        |FROM cur""".stripMargin,
+
+    "q_snapshot_sql_prune" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_band,
+        |    CAST(sum(price) AS DOUBLE) AS revenue_band
+        |  FROM o WHERE price BETWEEN 100000 AND 150000),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS n_v1,
+        |    CAST(sum(k) AS BIGINT) AS keysum_v1
+        |  FROM o WHERE k % 2 = 0 AND price BETWEEN 100000 AND 150000)
+        |SELECT b.n_band, b.revenue_band, v.n_v1, v.keysum_v1,
+        |  TRUE AS pushed_subset, TRUE AS travel_pushed_subset
+        |FROM b CROSS JOIN v""".stripMargin,
+
+    "q_snapshot_mor_delete_pred" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_orderdate AS DATE) AS odate,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |cur AS (
+        |  SELECT k, odate, price FROM o WHERE odate > DATE '1995-12-31'
+        |  UNION ALL
+        |  SELECT k, odate, CAST(price + 13 AS DECIMAL(18,2)) AS price
+        |  FROM o WHERE odate <= DATE '1995-12-31' AND k % 11 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(k) AS BIGINT) AS keysum,
+        |  CAST(sum(price) AS DOUBLE) AS revenue,
+        |  CAST(sum(CASE WHEN odate <= DATE '1995-12-31' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_reinserted,
+        |  TRUE AS metadata_only_commit,
+        |  TRUE AS travel_intact,
+        |  TRUE AS compacted_equal
+        |FROM cur""".stripMargin,
+
+    "q_snapshot_part_drop" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_orderdate AS DATE) AS odate,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |t AS (SELECT min(year(odate) * 12 + month(odate) - 1) AS tm
+        |  FROM o),
+        |cur AS (SELECT k, price FROM o, t
+        |  WHERE year(odate) * 12 + month(odate) - 1 <> tm)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(k) AS BIGINT) AS keysum,
+        |  CAST(sum(price) AS DOUBLE) AS revenue,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o, t
+        |    WHERE year(odate) * 12 + month(odate) - 1 = tm) AS n_dropped,
+        |  TRUE AS metadata_only_drop,
+        |  TRUE AS pruned_strict,
+        |  TRUE AS vacuum_kept_latest
         |FROM cur""".stripMargin,
 
     "q_snapshot_mor_merge" ->
