@@ -259,6 +259,7 @@ object ScaleStress {
         graft.queries.Ext.invalidatePairGraph()
         graft.queries.Ext.invalidatePqTrained()
         graft.queries.Relational.invalidateStatCores()
+        graft.queries.Relational.invalidatePrologues()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()

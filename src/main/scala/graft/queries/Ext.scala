@@ -4206,20 +4206,25 @@ object Ext {
     // accounting oracle equals q_dedup_index_delete's — same final
     // index, different (incremental) plumbing.
     "q_snapshot_index_sync" -> ((s, d) => {
-      val tdir = Relational.rtDir("snapist", d)
-      val xdir = Relational.rtDir("snapisx", d)
-      Relational.deleteRecursive(java.nio.file.Paths.get(tdir))
-      Relational.deleteRecursive(java.nio.file.Paths.get(xdir))
+      val dir = Relational.rtDir("snapis", d)
       val all = docsWithNearDups(s, d)
       val corpus = all.filter(col("doc_id") === col("base_id"))
         .select(col("doc_id"), col("text"))
       val batch = all.filter(col("doc_id") =!= col("base_id"))
         .select(col("doc_id"), col("text"))
-      graft.sources.SnapshotTable.commitAppend(corpus, tdir, "doc_id", 8)
-      bandsOf(graft.sources.SnapshotTable.read(s, tdir))
-        .repartition(8, col("band_key"))
-        .sortWithinPartitions(col("band_key"))
-        .write.mode("overwrite").parquet(xdir)
+      // day-1 prologue (corpus commit + initial index build) is pure
+      // deterministic fixture; the gate's teeth are the day-2/3
+      // MAINTENANCE and the rebuild equality below
+      Relational.cachedPrologue("snapis", d, dir) { b =>
+        graft.sources.SnapshotTable.commitAppend(
+          corpus, s"$b/t", "doc_id", 8)
+        bandsOf(graft.sources.SnapshotTable.read(s, s"$b/t"))
+          .repartition(8, col("band_key"))
+          .sortWithinPartitions(col("band_key"))
+          .write.mode("overwrite").parquet(s"$b/x")
+      }
+      val tdir = s"$dir/t"
+      val xdir = s"$dir/x"
       // day 2: append commit; the O(delta) changes feed drives the
       // index append
       graft.sources.SnapshotTable.commitAppend(batch, tdir, "doc_id", 1)

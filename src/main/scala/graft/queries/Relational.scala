@@ -306,39 +306,91 @@ object Relational {
   private val snapBaseLock = new Object
   private val snapBaseBuilt = scala.collection.mutable.Set[String]()
 
+  /** Forget every cached prologue (ScaleStress calls this per
+    * measurement pass — an exponent measured against a cache hit would
+    * hollow out the very pipeline-build cost it exists to measure).
+    */
+  private[graft] def invalidatePrologues(): Unit =
+    snapBaseLock.synchronized { snapBaseBuilt.clear() }
+
+  /** Build-once-per-(process, dataset) immutable PROLOGUE table, copied
+    * to `dir` per call. The general form of the shared-fixture idea:
+    * any gate whose opening state is deterministic table-building (and
+    * proves nothing the first build didn't) registers its builder here
+    * — the first invocation in a process pays the Spark jobs, every
+    * later invocation (the bench's measured and re-measure passes, a
+    * second verify in the same JVM) pays a metadata-sized file copy.
+    * The base is NEVER mutated; gates mutate their copy, so every
+    * tooth still runs against the gate's own table. The lock is
+    * reentrant, so builders may compose other cached prologues.
+    */
+  private[queries] def cachedPrologue(kind: String, d: String,
+      dir: String)(build: String => Unit): Unit = {
+    val base = rtDir(kind + "B", d)
+    snapBaseLock.synchronized {
+      if (!snapBaseBuilt(base)) {
+        deleteRecursive(java.nio.file.Paths.get(base))
+        build(base)
+        snapBaseBuilt += base
+      }
+    }
+    deleteRecursive(java.nio.file.Paths.get(dir))
+    copyRecursive(java.nio.file.Paths.get(base),
+      java.nio.file.Paths.get(dir))
+  }
+
   private[queries] def ordersPrioPrice(s: SparkSession, d: String)
       : DataFrame =
     orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
       col("o_totalprice").cast("decimal(18,2)").as("price"))
 
-  /** The immutable base table: v1 = even keys, v2 = odd keys, both
-    * price-clustered at 8 files. Never mutate it — [[snapshotFixture]]
-    * hands out copies.
+  /** The two status-clustered TxJsonSink commits q_tx_merge and
+    * q_tx_merge_delete both open on — one cached build serves both.
     */
-  private def snapshotBase(s: SparkSession, d: String): String = {
-    val dir = rtDir("snapbase", d)
-    snapBaseLock.synchronized {
-      if (!snapBaseBuilt(dir)) {
-        deleteRecursive(java.nio.file.Paths.get(dir))
-        val o = ordersPrioPrice(s, d)
-        graft.sources.SnapshotTable.commitAppend(
-          o.filter(col("o_orderkey") % 2 === 0), dir, "price", 8)
-        graft.sources.SnapshotTable.commitAppend(
-          o.filter(col("o_orderkey") % 2 === 1), dir, "price", 8)
-        snapBaseBuilt += dir
-      }
+  private def txMergeFixture(s: SparkSession, d: String, base: DataFrame,
+      t: String): Unit =
+    cachedPrologue("txbase", d, t) { b =>
+      Seq(0, 1).foreach(par =>
+        base.filter(col("k").cast("long") % 2 === par)
+          .repartition(6, col("status"))
+          .write.format("graft.sources.TxJsonSink").option("path", b)
+          .mode("append").save())
     }
-    dir
-  }
 
-  /** A fresh mutable COPY of the base fixture at `dir`. */
+  /** A fresh mutable copy of the snapshot base (v1 = even keys, v2 =
+    * odd keys, price-clustered at 8 files) at `dir`.
+    */
   private[queries] def snapshotFixture(s: SparkSession, d: String,
-      dir: String): Unit = {
-    val base = snapshotBase(s, d)
-    deleteRecursive(java.nio.file.Paths.get(dir))
-    copyRecursive(java.nio.file.Paths.get(base),
-      java.nio.file.Paths.get(dir))
-  }
+      dir: String): Unit =
+    cachedPrologue("snap", d, dir) { base =>
+      val o = ordersPrioPrice(s, d)
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), base, "price", 8)
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), base, "price", 8)
+    }
+
+  /** The snapshot base EXTENDED by the shared COW mutations three
+    * gates open on identically: v3 = COW delete of the %97==3 keys,
+    * v4 = COW merge doubling the %10==7 survivors' price. Gates whose
+    * teeth start FROM this four-version history (the changes-feed and
+    * view-maintenance family) copy it instead of re-running two COW
+    * commits per invocation.
+    */
+  private[queries] def snapshotMutatedFixture(s: SparkSession, d: String,
+      dir: String): Unit =
+    cachedPrologue("snapmut", d, dir) { base =>
+      snapshotFixture(s, d, base)
+      val o = ordersPrioPrice(s, d)
+      graft.sources.SnapshotTable.commitDelete(s, base, "o_orderkey",
+        o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")),
+        "price")
+      graft.sources.SnapshotTable.commitMerge(s, base,
+        o.filter(col("o_orderkey") % 10 === 7 &&
+            col("o_orderkey") % 97 =!= 3)
+          .withColumn("price", (col("price") * 2).cast("decimal(18,2)")),
+        "o_orderkey", "price")
+    }
 
   /** Shared ANSI windowed-SQL text (see [[SqlQ3]]'s contract): named
     * WINDOW clause, rank and a running decimal frame, one string
@@ -2013,10 +2065,11 @@ object Relational {
     // skip boolean intact.
     "q_zonemap_delete" -> ((s, d) => {
       val dir = rtDir("zmdel", d)
-      graft.sources.Writers.writeWithZoneMap(
-        orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-          col("o_totalprice").cast("decimal(18,2)").as("price")),
-        dir, "price", 16)
+      cachedPrologue("zmdel", d, dir)(base =>
+        graft.sources.Writers.writeWithZoneMap(
+          orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").cast("decimal(18,2)").as("price")),
+          base, "price", 16))
       val tomb = orders(s, d).filter(col("o_orderkey") % 97 === 3)
         .select(col("o_orderkey"))
       val nTomb = tomb.count()
@@ -2170,10 +2223,11 @@ object Relational {
     // oracle's whole-table filter minus the tombstones.
     "q_zonemap_delete_date" -> ((s, d) => {
       val dir = rtDir("zmdd", d)
-      graft.sources.Writers.writeWithZoneMapString(
-        orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day")),
-        dir, "day", 16)
+      cachedPrologue("zmdd", d, dir)(base =>
+        graft.sources.Writers.writeWithZoneMapString(
+          orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("day")),
+          base, "day", 16))
       val tomb = orders(s, d).filter(col("o_orderkey") % 97 === 3)
         .select(col("o_orderkey"))
       val nTomb = tomb.count()
@@ -2208,8 +2262,9 @@ object Relational {
       val base = orders(s, d).select(col("o_orderkey"),
         datediff(col("o_orderdate"), lit("1995-01-01")).as("day"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
-      graft.sources.Writers.writeZOrderedWithZoneMap(
-        base, dir, "day", "price", 16)
+      cachedPrologue("zzdel", d, dir)(b =>
+        graft.sources.Writers.writeZOrderedWithZoneMap(
+          base, b, "day", "price", 16))
       val tomb = orders(s, d).filter(col("o_orderkey") % 97 === 3)
         .select(col("o_orderkey"))
       val nTomb = tomb.count()
@@ -2542,19 +2597,22 @@ object Relational {
     // which the oracle's band aggregate makes hash-visible).
     "q_snapshot_compact_small" -> ((s, d) => {
       val dir = rtDir("snapcs", d)
-      deleteRecursive(java.nio.file.Paths.get(dir))
       val o = orders(s, d).select(col("o_orderkey"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
-      graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 0), dir, "price", 4)
-      Seq(1, 3, 5).foreach { m =>
+      // prologue: the fragmented 4-commit layout + the era-spanning MOR
+      // delete — deterministic table building, cached per process
+      cachedPrologue("snapcs", d, dir) { base =>
         graft.sources.SnapshotTable.commitAppend(
-          o.filter(col("o_orderkey") % 6 === m), dir, "price", 2)
+          o.filter(col("o_orderkey") % 2 === 0), base, "price", 4)
+        Seq(1, 3, 5).foreach { m =>
+          graft.sources.SnapshotTable.commitAppend(
+            o.filter(col("o_orderkey") % 6 === m), base, "price", 2)
+        }
+        graft.sources.SnapshotTable.commitDeleteMor(s, base, "o_orderkey",
+          o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")))
       }
       // the pre-delete, pre-compaction version the travel read targets
-      val vPre = graft.sources.SnapshotTable.latestVersion(dir).get
-      graft.sources.SnapshotTable.commitDeleteMor(s, dir, "o_orderkey",
-        o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")))
+      val vPre = 4
       val (compacted, carried, v6) = graft.sources.SnapshotTable
         .compactSmallFiles(s, dir, "price", o.count() / 10,
           o.count() / 4 + 1)
@@ -2610,8 +2668,8 @@ object Relational {
     // delta all fail the hash.
     "q_snapshot_incremental_agg" -> ((s, d) => {
       val dir = rtDir("snapmv", d)
-      snapshotFixture(s, d, dir) // v1 = even keys, v2 = odd keys
-      val o = ordersPrioPrice(s, d)
+      // v1 even, v2 odd, v3 COW delete (%97==3), v4 COW merge (%10==7)
+      snapshotMutatedFixture(s, d, dir)
       val s2 = s.newSession()
       def aggOf(df: org.apache.spark.sql.DataFrame) =
         df.groupBy(col("o_orderpriority"))
@@ -2620,14 +2678,6 @@ object Relational {
       // each later version's delta — same three delta shapes as before
       var mv = aggOf(graft.sources.SnapshotTable.read(s2, dir, Some(1)))
         .localCheckpoint()
-      graft.sources.SnapshotTable.commitDelete(s, dir, "o_orderkey",
-        o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")),
-        "price")
-      graft.sources.SnapshotTable.commitMerge(s, dir,
-        o.filter(col("o_orderkey") % 10 === 7 &&
-            col("o_orderkey") % 97 =!= 3)
-          .withColumn("price", (col("price") * 2).cast("decimal(18,2)")),
-        "o_orderkey", "price")
       Seq((1, 2), (2, 3), (3, 4)).foreach { case (a, b) =>
         val (ch, _, _) = graft.sources.SnapshotTable
           .readChanges(s2, dir, a, b)
@@ -2662,10 +2712,10 @@ object Relational {
     // so file skipping composes with them soundly.
     "q_snapshot_mor_delete" -> ((s, d) => {
       val dir = rtDir("snapmor", d)
-      deleteRecursive(java.nio.file.Paths.get(dir))
       val o = orders(s, d).select(col("o_orderkey"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
-      graft.sources.SnapshotTable.commitAppend(o, dir, "price", 12)
+      cachedPrologue("snapmor", d, dir)(base =>
+        graft.sources.SnapshotTable.commitAppend(o, base, "price", 12))
       val (nTomb, _) = graft.sources.SnapshotTable.commitDeleteMor(
         s, dir, "o_orderkey",
         o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")))
@@ -2779,16 +2829,8 @@ object Relational {
     // fail the hash.
     "q_snapshot_changes" -> ((s, d) => {
       val dir = rtDir("snapch", d)
-      snapshotFixture(s, d, dir) // v1 = even keys, v2 = odd keys
-      val o = ordersPrioPrice(s, d)
-      graft.sources.SnapshotTable.commitDelete(s, dir, "o_orderkey",
-        o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")),
-        "price")
-      val upd = o.filter(col("o_orderkey") % 10 === 7 &&
-          col("o_orderkey") % 97 =!= 3)
-        .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
-      graft.sources.SnapshotTable.commitMerge(s, dir, upd,
-        "o_orderkey", "price")
+      // v1 even, v2 odd, v3 COW delete (%97==3), v4 COW merge (%10==7)
+      snapshotMutatedFixture(s, d, dir)
       val s2 = s.newSession()
       val (c12, fr12, tot12) = graft.sources.SnapshotTable
         .readChanges(s2, dir, 1, 2)
@@ -3096,11 +3138,14 @@ object Relational {
       graft.sources.SnapshotTable.commitAppend(
         o.filter(col("o_orderkey") % 2 === 1), dir, "price", nFiles,
         bloomCols = Seq("okey"))
-      def kth(m: Long): String = o.select(col("okey").as("k"))
-        .orderBy(col("k")).limit(m.toInt).agg(max(col("k")))
+      // ranks 1 and n are min/max (one agg pass, no sort); only the
+      // middle key needs the rank selection
+      val mm = o.agg(min(col("okey")), max(col("okey"))).head()
+      val mid = o.select(col("okey").as("k"))
+        .orderBy(col("k")).limit((nRows / 2).toInt).agg(max(col("k")))
         .head().getString(0)
       val keys = s.createDataFrame(Seq(
-        Tuple1(kth(1)), Tuple1(kth(nRows / 2)), Tuple1(kth(nRows))))
+        Tuple1(mm.getString(0)), Tuple1(mid), Tuple1(mm.getString(1))))
         .toDF("okey")
       val (deleted, planned, total, _) = graft.sources.SnapshotTable
         .commitDeletePlanned(s, dir, "okey", keys, "price")
@@ -3384,7 +3429,8 @@ object Relational {
       val table = s"$dir/t"
       val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
-      graft.sources.SnapshotTable.commitAppend(o, table, "price", 8)
+      cachedPrologue("snapuo", d, table)(base =>
+        graft.sources.SnapshotTable.commitAppend(o, base, "price", 8))
       val b0 = o.filter(col("o_orderkey") % 10 === 7)
         .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
       val b1 = o.filter(col("o_orderkey") % 10 === 3)
@@ -3472,16 +3518,9 @@ object Relational {
       deleteRecursive(java.nio.file.Paths.get(dir))
       val table = s"$dir/t"
       val view = s"$dir/view"
-      snapshotFixture(s, d, table) // v1 = even keys, v2 = odd keys
+      // v1 even, v2 odd, v3 COW delete (%97==3), v4 COW merge (%10==7)
+      snapshotMutatedFixture(s, d, table)
       val o = ordersPrioPrice(s, d)
-      graft.sources.SnapshotTable.commitDelete(s, table, "o_orderkey",
-        o.filter(col("o_orderkey") % 97 === 3).select(col("o_orderkey")),
-        "price")
-      graft.sources.SnapshotTable.commitMerge(s, table,
-        o.filter(col("o_orderkey") % 10 === 7 &&
-            col("o_orderkey") % 97 =!= 3)
-          .withColumn("price", (col("price") * 2).cast("decimal(18,2)")),
-        "o_orderkey", "price")
       // each drain records the versions its batches ANNOUNCED, so one
       // restart drain carries BOTH teeth: the checkpoint-restored
       // cursor (nothing below it re-announced) AND the catch-up of a
@@ -3571,12 +3610,12 @@ object Relational {
     // still skipped a strict subset.
     "q_zonemap_append" -> ((s, d) => {
       val dir = rtDir("zma", d)
-      deleteRecursive(java.nio.file.Paths.get(dir))
       val base = orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_totalprice").cast("decimal(18,2)").as("price"))
-      graft.sources.Writers.writeWithZoneMap(
-        base.filter(col("o_orderkey") % 5 < 3), dir, "price", 12)
+      cachedPrologue("zma", d, dir)(b =>
+        graft.sources.Writers.writeWithZoneMap(
+          base.filter(col("o_orderkey") % 5 < 3), b, "price", 12))
       graft.sources.Writers.appendWithZoneMap(
         base.filter(col("o_orderkey") % 5 >= 3), dir, "price", 4)
       val (cand, read, total) =
@@ -3943,14 +3982,7 @@ object Relational {
         col("o_orderstatus").as("status"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
           .cast("string").as("cents"))
-      base.filter(col("k").cast("long") % 2 === 0)
-        .repartition(6, col("status"))
-        .write.format("graft.sources.TxJsonSink").option("path", t)
-        .mode("append").save()
-      base.filter(col("k").cast("long") % 2 === 1)
-        .repartition(6, col("status"))
-        .write.format("graft.sources.TxJsonSink").option("path", t)
-        .mode("append").save()
+      txMergeFixture(s, d, base, t)
       val preVersion = graft.sources.TxJsonSink.manifest(t).get.version
       val fRows = base.filter(col("status") === "F")
       val changes = fRows.select(col("k"), col("status"),
@@ -3997,14 +4029,7 @@ object Relational {
         col("o_orderstatus").as("status"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
           .cast("string").as("cents"))
-      base.filter(col("k").cast("long") % 2 === 0)
-        .repartition(6, col("status"))
-        .write.format("graft.sources.TxJsonSink").option("path", t)
-        .mode("append").save()
-      base.filter(col("k").cast("long") % 2 === 1)
-        .repartition(6, col("status"))
-        .write.format("graft.sources.TxJsonSink").option("path", t)
-        .mode("append").save()
+      txMergeFixture(s, d, base, t)
       val preVersion = graft.sources.TxJsonSink.manifest(t).get.version
       val fEven = base.filter(col("status") === "F" &&
         col("k").cast("long") % 2 === 0)
