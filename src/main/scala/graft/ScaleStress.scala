@@ -209,7 +209,8 @@ object ScaleStress {
     // and string-key blooms — each a planning path whose cost must
     // track the DELTA or the metadata, not the table
     "q_snapshot_sql_prune", "q_snapshot_mor_delete_pred",
-    "q_snapshot_part_drop", "q_snapshot_bloom_delete_str")
+    "q_snapshot_part_drop", "q_snapshot_bloom_delete_str",
+    "q_snapshot_agg_push")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -3209,6 +3209,51 @@ object Relational {
         lit(true).as("travel_pushed_subset"))
     }),
 
+    // METADATA-ONLY AGGREGATES through Catalyst — the DSv2 source's
+    // SupportsPushDownAggregates arm: COUNT(*)/MIN/MAX with no
+    // group-by and no predicate answer from the MANIFEST LINES alone
+    // (zero data files opened — the planning-evidence hook pins it),
+    // the SQL surface of [[sources.SnapshotTable.statsAggCol]]. The
+    // negative arm pins the SOUND fallback: the same aggregate under
+    // a band predicate must DECLINE pushdown (file stats cannot answer
+    // filtered aggregates) and scan normally — same exact answer, just
+    // not metadata-only. The oracle recomputes all seven values from
+    // the raw table, so a stale bound, a sentinel leak, or an unsound
+    // pushdown under the filter all fail the hash.
+    "q_snapshot_agg_push" -> ((s, d) => {
+      val dir = rtDir("snapagg", d)
+      snapshotFixture(s, d, dir) // v1 = even keys, v2 = odd keys
+      val s2 = s.newSession()
+      def src() = s2.read.format("graft.sources.SnapshotTableSource")
+        .option("path", dir).load()
+      val r = src().agg(
+        count(lit(1)).as("n_total"),
+        min(col("price")).as("price_min"),
+        max(col("price")).as("price_max"),
+        min(col("o_orderkey")).as("key_min"),
+        max(col("o_orderkey")).as("key_max"),
+        min(col("o_orderpriority")).as("prio_min")).head()
+      require(graft.sources.SnapshotTableSource.lastAggPushed,
+        "q_snapshot_agg_push: unfiltered COUNT/MIN/MAX must answer " +
+          "from manifest metadata (pushed aggregation)")
+      val band = src()
+        .filter(col("price") >= lit(100000) && col("price") <= lit(150000))
+        .agg(count(lit(1)).as("n_band")).head()
+      require(!graft.sources.SnapshotTableSource.lastAggPushed,
+        "q_snapshot_agg_push: a FILTERED aggregate must decline " +
+          "pushdown and scan — file stats cannot answer it")
+      s2.range(1).select(
+        lit(r.getLong(0)).as("n_total"),
+        lit(r.getDecimal(1).doubleValue).as("price_min"),
+        lit(r.getDecimal(2).doubleValue).as("price_max"),
+        lit(r.getLong(3)).as("key_min"),
+        lit(r.getLong(4)).as("key_max"),
+        lit(r.getString(5)).as("prio_min"),
+        lit(band.getLong(0)).as("n_band"),
+        lit(true).as("agg_pushed"),
+        lit(true).as("filtered_declined"))
+    }),
+
     // PREDICATE MERGE-ON-READ DELETE — the O(METADATA) retention drop
     // ([[sources.SnapshotTable.commitDeleteMorPred]]): "drop every row
     // dated on or before the cutoff" lands as ONE serialized-comparison
@@ -5966,6 +6011,22 @@ object Relational {
         |SELECT b.n_band, b.revenue_band, v.n_v1, v.keysum_v1,
         |  TRUE AS pushed_subset, TRUE AS travel_pushed_subset
         |FROM b CROSS JOIN v""".stripMargin,
+
+    "q_snapshot_agg_push" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price_min,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price_max,
+        |  CAST(min(o_orderkey) AS BIGINT) AS key_min,
+        |  CAST(max(o_orderkey) AS BIGINT) AS key_max,
+        |  min(o_orderpriority) AS prio_min,
+        |  CAST(sum(CASE WHEN CAST(o_totalprice AS DECIMAL(18,2))
+        |      BETWEEN 100000 AND 150000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_band,
+        |  TRUE AS agg_pushed,
+        |  TRUE AS filtered_declined
+        |FROM orders""".stripMargin,
 
     "q_snapshot_mor_delete_pred" ->
       """WITH o AS (SELECT o_orderkey AS k,

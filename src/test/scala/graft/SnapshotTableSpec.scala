@@ -1219,6 +1219,30 @@ class SnapshotTableSpec extends SparkSpec {
         mv.select(col("tag"), col("n"), col("z"))).isEmpty)
   }
 
+  test("DSv2 aggregate pushdown answers COUNT/MIN/MAX from metadata " +
+      "and declines soundly under live tombstones") {
+    val t = Files.createTempDirectory("graft-snapag").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 700), t, "z", 5)
+    def agg() = spark.read.format("graft.sources.SnapshotTableSource")
+      .option("path", t).load()
+      .agg(count(lit(1)), min(col("id")), max(col("id")),
+        min(col("tag")), max(col("z"))).head()
+    val r1 = agg()
+    assert(graft.sources.SnapshotTableSource.lastAggPushed,
+      "unfiltered COUNT/MIN/MAX must answer from manifest metadata")
+    assert(r1.getLong(0) == 700 && r1.getLong(1) == 0 &&
+      r1.getLong(2) == 699 && r1.getString(3) == "p0" &&
+      r1.getDouble(4) == 699.0)
+    // a live tombstone's rows still count in the stats: the pushdown
+    // must DECLINE and the ordinary scan answer exactly
+    SnapshotTable.commitDeleteMor(spark, t, "id",
+      (0L until 10L).toDF("id"))
+    val r2 = agg()
+    assert(!graft.sources.SnapshotTableSource.lastAggPushed,
+      "aggregate pushdown must decline while tombstones are live")
+    assert(r2.getLong(0) == 690 && r2.getLong(1) == 10)
+  }
+
   test("string-key manifest blooms prune scattered string takedowns") {
     val t = Files.createTempDirectory("graft-snapsb").toString + "/t"
     val df = (0 until 3000).map(i =>
