@@ -210,7 +210,13 @@ object ScaleStress {
     // track the DELTA or the metadata, not the table
     "q_snapshot_sql_prune", "q_snapshot_mor_delete_pred",
     "q_snapshot_part_drop", "q_snapshot_bloom_delete_str",
-    "q_snapshot_agg_push")
+    "q_snapshot_agg_push",
+    // round-16 additions: the DSv2 WRITE path (SQL-path append +
+    // abort + exactly-once replay), SQL DML by name (catalog INSERT +
+    // tombstone-routed DELETE), and bloom-probed point/IN lookups
+    // through the Catalyst read path
+    "q_snapshot_sql_write", "q_snapshot_sql_delete",
+    "q_snapshot_sql_point")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -339,6 +339,21 @@ object Relational {
       java.nio.file.Paths.get(dir))
   }
 
+  /** The k-th smallest value of `c` (1-based rank), computed
+    * DISTRIBUTED: a range-partitioned sort + per-partition index
+    * (zipWithIndex = one count pass + a map), then a single-row
+    * lookup — no `orderBy.limit(n/2)` global limit funneling half the
+    * table's keys through one task, no driver-side merge of
+    * per-partition top-k buffers. Works for any orderable column type
+    * (the string-key gates need it too, which rules out
+    * approxQuantile-banded selection).
+    */
+  private def kthSmallest(df: DataFrame, c: String, k: Long): Any = {
+    require(k >= 1, s"kthSmallest: rank $k out of range")
+    df.select(col(c)).orderBy(col(c)).rdd.zipWithIndex()
+      .filter(_._2 == k - 1).map(_._1.get(0)).first()
+  }
+
   private[queries] def ordersPrioPrice(s: SparkSession, d: String)
       : DataFrame =
     orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
@@ -368,6 +383,26 @@ object Relational {
         o.filter(col("o_orderkey") % 2 === 0), base, "price", 8)
       graft.sources.SnapshotTable.commitAppend(
         o.filter(col("o_orderkey") % 2 === 1), base, "price", 8)
+    }
+
+  /** A fresh mutable copy of the BLOOM-carrying snapshot base (v1 =
+    * even keys, v2 = odd keys, price-clustered, xxhash64 manifest
+    * blooms on o_orderkey) at `dir` — shared by the bloom-delete gate
+    * (which mutates its copy) and the SQL point-lookup gate (read-only).
+    */
+  private[queries] def bloomFixture(s: SparkSession, d: String,
+      dir: String): Unit =
+    cachedPrologue("snapbfx", d, dir) { base =>
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val half = o.count() / 2
+      val nFiles = math.max(4L, (half + 14999) / 15000).toInt
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 0), base, "price", nFiles,
+        bloomCols = Seq("o_orderkey"))
+      graft.sources.SnapshotTable.commitAppend(
+        o.filter(col("o_orderkey") % 2 === 1), base, "price", nFiles,
+        bloomCols = Seq("o_orderkey"))
     }
 
   /** The snapshot base EXTENDED by the shared COW mutations three
@@ -2545,7 +2580,7 @@ object Relational {
           graft.streaming.Streams.runWithBatchCommit(raw, s"$dir/ckpt") {
             (b, bid) =>
               graft.sources.SnapshotTable.commitAppendOnce(
-                b, table, "price", 6, bid)
+                b, table, "price", 6, bid, writerId = "ingest")
               ()
           }.awaitTermination()
         }
@@ -3073,26 +3108,20 @@ object Relational {
     // pruned file) would leave a deleted row alive and fail the hash.
     "q_snapshot_bloom_delete" -> ((s, d) => {
       val dir = rtDir("snapbf", d)
-      deleteRecursive(java.nio.file.Paths.get(dir))
+      bloomFixture(s, d, dir)
       val o = orders(s, d).select(col("o_orderkey"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
-      val half = o.count() / 2
-      val nFiles = math.max(4L, (half + 14999) / 15000).toInt
-      graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 0), dir, "price", nFiles,
-        bloomCols = Seq("o_orderkey"))
-      graft.sources.SnapshotTable.commitAppend(
-        o.filter(col("o_orderkey") % 2 === 1), dir, "price", nFiles,
-        bloomCols = Seq("o_orderkey"))
       val r = o.agg(min(col("o_orderkey")), max(col("o_orderkey")),
         count(lit(1))).head()
       val (mn, mx, nRows) = (r.getLong(0), r.getLong(1), r.getLong(2))
       // RANK-based middle key (the n/2-th smallest), matching min/max
       // (ranks 1 and n): a fraction-of-RANGE midpoint can land in a
       // gap of a sparse keyspace and collide with mn — the repo's
-      // convention is rank selection, never range fractions
-      val mid = o.select(col("o_orderkey").as("k")).orderBy(col("k"))
-        .limit((nRows / 2).toInt).agg(max(col("k"))).head().getLong(0)
+      // convention is rank selection, never range fractions. Selected
+      // DISTRIBUTED ([[kthSmallest]]): the old orderBy.limit(n/2)
+      // funneled half the keys through one task at 100x scale.
+      val mid = kthSmallest(o.select(col("o_orderkey").as("k")), "k",
+        nRows / 2).asInstanceOf[Long]
       val keys = s.createDataFrame(
         Seq(Tuple1(mn), Tuple1(mid), Tuple1(mx))).toDF("o_orderkey")
       val (deleted, planned, total, _) = graft.sources.SnapshotTable
@@ -3139,11 +3168,11 @@ object Relational {
         o.filter(col("o_orderkey") % 2 === 1), dir, "price", nFiles,
         bloomCols = Seq("okey"))
       // ranks 1 and n are min/max (one agg pass, no sort); only the
-      // middle key needs the rank selection
+      // middle key needs the rank selection — distributed
+      // ([[kthSmallest]]), not a one-task global limit
       val mm = o.agg(min(col("okey")), max(col("okey"))).head()
-      val mid = o.select(col("okey").as("k"))
-        .orderBy(col("k")).limit((nRows / 2).toInt).agg(max(col("k")))
-        .head().getString(0)
+      val mid = kthSmallest(o.select(col("okey").as("k")), "k",
+        nRows / 2).asInstanceOf[String]
       val keys = s.createDataFrame(Seq(
         Tuple1(mm.getString(0)), Tuple1(mid), Tuple1(mm.getString(1))))
         .toDF("okey")
@@ -3189,6 +3218,23 @@ object Relational {
       require(p1 > 0 && p1 < t1,
         s"q_snapshot_sql_prune: pushed band must open a strict subset, " +
           s"opened $p1/$t1")
+      // the TWO-BAND backfill shape: a disjunction of ranges must plan
+      // as a union of per-band candidate sets (any-disjunct-hits per
+      // file), still a strict subset — the commonest OR a retention
+      // backfill issues, which a conjunctions-only translator reads
+      // whole-table
+      val orBand = s2.read.format("graft.sources.SnapshotTableSource")
+        .option("path", dir).load()
+        .filter((col("price") >= lit(50000) && col("price") <= lit(80000))
+          || (col("price") >= lit(200000) && col("price") <= lit(230000)))
+        .agg(count(lit(1)).as("n_or"),
+          sum(col("price")).cast("double").as("revenue_or"))
+        .head()
+      val (pOr, tOr) = (graft.sources.SnapshotTableSource.lastPlanned,
+        graft.sources.SnapshotTableSource.lastTotal)
+      require(pOr > 0 && pOr < tOr,
+        s"q_snapshot_sql_prune: pushed OR of two bands must open a " +
+          s"strict subset, opened $pOr/$tOr")
       val v1 = s2.read.format("graft.sources.SnapshotTableSource")
         .option("path", dir).option("versionAsOf", "1").load()
         .filter(col("price") >= lit(100000) && col("price") <= lit(150000))
@@ -3203,9 +3249,12 @@ object Relational {
       s2.range(1).select(
         lit(latest.getLong(0)).as("n_band"),
         lit(latest.getDouble(1)).as("revenue_band"),
+        lit(orBand.getLong(0)).as("n_or"),
+        lit(orBand.getDouble(1)).as("revenue_or"),
         lit(v1.getLong(0)).as("n_v1"),
         lit(v1.getLong(1)).as("keysum_v1"),
         lit(true).as("pushed_subset"),
+        lit(true).as("or_pushed_subset"),
         lit(true).as("travel_pushed_subset"))
     }),
 
@@ -3252,6 +3301,220 @@ object Relational {
         lit(band.getLong(0)).as("n_band"),
         lit(true).as("agg_pushed"),
         lit(true).as("filtered_declined"))
+    }),
+
+    // DSv2 WRITE PATH — `df.write.format(...).mode("append")` through
+    // the connector ([[sources.SnapshotTableSource]] SupportsWrite →
+    // V1Write → [[sources.SnapshotTable.commitAppend]]): the SQL-path
+    // append lands as an ordinary claimed commit (new version, prior
+    // manifests carried by reference), an ABORTED write publishes
+    // NOTHING (the mid-job failure arm — version and rows unchanged,
+    // spec'd by require), and the exactly-once foreachBatch shape
+    // (batchId+writerId options → commitAppendOnce) short-circuits its
+    // replay. The pruned read-back must still plan a strict subset, and
+    // the oracle recomputes the union from the raw table — a doubled
+    // replay, a lost abort rollback, or a wrong append all fail the
+    // hash. Appended keys fabricate by NEGATION (collision-free at
+    // every scale replica).
+    "q_snapshot_sql_write" -> ((s, d) => {
+      val dir = rtDir("snapsqlw", d)
+      snapshotFixture(s, d, dir) // v1 = even keys, v2 = odd keys
+      val o = ordersPrioPrice(s, d)
+      val app = o.select((-col("o_orderkey") - 1L).as("o_orderkey"),
+        col("o_orderpriority"),
+        (col("price") + 5).cast("decimal(18,2)").as("price"))
+        .filter(col("o_orderkey") % 3 === 0)
+      app.write.format("graft.sources.SnapshotTableSource")
+        .option("path", dir).option("zcol", "price").option("nFiles", "4")
+        .mode("append").save()
+      require(graft.sources.SnapshotTable.latestVersion(dir).contains(3),
+        "q_snapshot_sql_write: the connector append must land as v3")
+      // ABORT arm: a write whose job fails mid-flight must publish
+      // nothing — same version, same rows, orphans swept by the next
+      // commit (the V1Write body is commitAppend: the pointer never
+      // swings on failure)
+      val poisoned = app.withColumn("price",
+        when(col("o_orderkey") % 7 === 0,
+          raise_error(lit("q_snapshot_sql_write: simulated task failure"))
+            .cast("decimal(18,2)"))
+        .otherwise(col("price")))
+      val aborted =
+        try {
+          poisoned.write.format("graft.sources.SnapshotTableSource")
+            .option("path", dir).option("zcol", "price")
+            .mode("append").save()
+          false
+        } catch { case _: Exception => true }
+      require(aborted &&
+        graft.sources.SnapshotTable.latestVersion(dir).contains(3),
+        "q_snapshot_sql_write: an aborted write must publish nothing")
+      // EXACTLY-ONCE arm: the foreachBatch replay shape through the
+      // connector — same (writerId, batchId) twice, one commit
+      val once = o.filter(col("o_orderkey") % 1000 === 7)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("price") * 3).cast("decimal(18,2)").as("price"))
+      Seq(1, 2).foreach(_ =>
+        once.write.format("graft.sources.SnapshotTableSource")
+          .option("path", dir).option("zcol", "price")
+          .option("batchId", "0").option("writerId", "sqlw")
+          .mode("append").save())
+      require(graft.sources.SnapshotTable.latestVersion(dir).contains(4),
+        "q_snapshot_sql_write: the replayed batch must short-circuit")
+      val s2 = s.newSession()
+      val band = s2.read.format("graft.sources.SnapshotTableSource")
+        .option("path", dir).load()
+        .filter(col("price") >= lit(100000) && col("price") <= lit(150000))
+        .agg(count(lit(1)).as("n_band")).head()
+      val (pb, tb) = (graft.sources.SnapshotTableSource.lastPlanned,
+        graft.sources.SnapshotTableSource.lastTotal)
+      require(pb > 0 && pb < tb,
+        s"q_snapshot_sql_write: post-append pruned read must stay a " +
+          s"strict subset, opened $pb/$tb")
+      graft.sources.SnapshotTable.read(s2, dir).agg(
+          count(lit(1)).as("n_total"),
+          sum(col("o_orderkey")).as("keysum"),
+          sum(col("price")).cast("double").as("revenue"),
+          sum(when(col("o_orderkey") < 0, 1L).otherwise(0L))
+            .as("n_appended"))
+        .withColumn("n_band", lit(band.getLong(0)))
+        .withColumn("abort_published_nothing", lit(true))
+        .withColumn("replay_short_circuited", lit(true))
+        .withColumn("pruned_subset", lit(true))
+    }),
+
+    // SQL DML BY NAME — the [[sources.GraftCatalog]] + SupportsDelete
+    // arm: a TableCatalog maps `gsql.<table>` to a snapshot-table
+    // directory (existence = the committed pointer, no second
+    // metastore), INSERT INTO routes through the same V1Write append,
+    // and DELETE FROM routes the WHERE shape to the right tombstone —
+    // a closed date range lands as a PREDICATE tombstone (required:
+    // ZERO new files — not even a key file), an IN list as an EQUALITY
+    // tombstone (exactly ONE key file), and an untranslatable shape
+    // (strict <) refuses LOUDLY with the table unchanged — deletes must
+    // be exact, so nothing widens. Time travel still reads v1 in full.
+    // The oracle recomputes survivors + the SQL-inserted rows from the
+    // raw table.
+    "q_snapshot_sql_delete" -> ((s, d) => {
+      val base = rtDir("snapsqld", d)
+      deleteRecursive(java.nio.file.Paths.get(base))
+      val dir = s"$base/t"
+      val o = orders(s, d).select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("odate"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.sources.SnapshotTable.commitAppend(o, dir, "price", 10)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gsql.base", base)
+      // INSERT INTO by name: the negated re-inserts land through the
+      // catalog write path as v2
+      s2.sql(("INSERT INTO gsql.t SELECT -o_orderkey - 1 AS o_orderkey," +
+        " CAST(o_orderdate AS DATE) AS odate," +
+        " CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 11" +
+        "   AS DECIMAL(18,2)) AS price" +
+        " FROM parquet.`%s/orders.parquet`" +
+        " WHERE o_orderkey %% 13 = 0").format(d))
+      require(graft.sources.SnapshotTable.latestVersion(dir).contains(2),
+        "q_snapshot_sql_delete: INSERT INTO must land as v2")
+      def nParquet(): Long = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try {
+          val it = st.iterator()
+          var n = 0L
+          while (it.hasNext)
+            if (it.next().getFileName.toString.endsWith(".parquet")) n += 1
+          n
+        } finally st.close()
+      }
+      // predicate DELETE: one snapshot line, zero files of any kind
+      val before = nParquet()
+      s2.sql("DELETE FROM gsql.t WHERE odate <= DATE '1995-12-31'")
+      require(nParquet() == before &&
+        graft.sources.SnapshotTable.latestVersion(dir).contains(3),
+        "q_snapshot_sql_delete: a range DELETE must land as a " +
+          "metadata-only predicate tombstone")
+      // IN DELETE: exactly one staged key file, no data file
+      val survBounds = graft.sources.SnapshotTable.read(s2, dir)
+        .filter(col("o_orderkey") > 0)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val (kLo, kHi) = (survBounds.getLong(0), survBounds.getLong(1))
+      s2.sql(s"DELETE FROM gsql.t WHERE o_orderkey IN ($kLo, $kHi)")
+      require(nParquet() == before + 1 &&
+        graft.sources.SnapshotTable.latestVersion(dir).contains(4),
+        "q_snapshot_sql_delete: an IN DELETE must stage exactly one " +
+          "key file")
+      // an inexact shape refuses loudly, table unchanged
+      val refused =
+        try { s2.sql("DELETE FROM gsql.t WHERE odate < DATE '1997-01-01'")
+          false }
+        catch { case _: Exception => true }
+      require(refused &&
+        graft.sources.SnapshotTable.latestVersion(dir).contains(4),
+        "q_snapshot_sql_delete: a strict-bound DELETE must refuse " +
+          "with the table unchanged")
+      require(graft.sources.SnapshotTable.read(s2, dir, Some(1))
+          .count() == o.count(),
+        "q_snapshot_sql_delete: time travel lost the pre-delete rows")
+      s2.sql("SELECT * FROM gsql.t").agg(
+          count(lit(1)).as("n_total"),
+          sum(col("o_orderkey")).as("keysum"),
+          sum(col("price")).cast("double").as("revenue"),
+          sum(when(col("o_orderkey") < 0, 1L).otherwise(0L))
+            .as("n_inserted"))
+        .withColumn("pred_delete_metadata_only", lit(true))
+        .withColumn("in_delete_one_key_file", lit(true))
+        .withColumn("inexact_refused", lit(true))
+        .withColumn("travel_intact", lit(true))
+    }),
+
+    // POINT/IN LOOKUPS through the Catalyst read path — the manifest
+    // KEY BLOOMS consulted by SQL ([[sources.SnapshotTableSource]]
+    // translating `=`/`IN` to bloom-probing key-set tests): a 3-key
+    // lookup against a price-clustered bloom-carrying table plans at
+    // most HALF the files (min/max bounds alone cannot confine a
+    // scattered-id probe — every file spans ~the full key range), and
+    // a single `=` point probe prunes at least as hard. Keys pick by
+    // RANK (1, n/2, n — distributed selection), the oracle recomputes
+    // the same rows, and pruning stays advisory (all filters residual),
+    // so a bloom false NEGATIVE would surface as a lost row, not a
+    // wrong prune.
+    "q_snapshot_sql_point" -> ((s, d) => {
+      val dir = rtDir("snapsqlp", d)
+      bloomFixture(s, d, dir) // v1 = even, v2 = odd, blooms on key
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val r = o.agg(min(col("o_orderkey")), max(col("o_orderkey")),
+        count(lit(1))).head()
+      val (mn, mx, nRows) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val mid = kthSmallest(o.select(col("o_orderkey").as("k")), "k",
+        nRows / 2).asInstanceOf[Long]
+      val s2 = s.newSession()
+      def src() = s2.read.format("graft.sources.SnapshotTableSource")
+        .option("path", dir).load()
+      val in3 = src().filter(col("o_orderkey").isin(mn, mid, mx))
+        .agg(count(lit(1)).as("n_in"),
+          sum(col("o_orderkey")).as("keysum_in"),
+          sum(col("price")).cast("double").as("revenue_in")).head()
+      val (p1, t1) = (graft.sources.SnapshotTableSource.lastPlanned,
+        graft.sources.SnapshotTableSource.lastTotal)
+      require(p1 > 0 && p1 * 2 <= t1,
+        s"q_snapshot_sql_point: the bloom-probed IN must plan at most " +
+          s"half the files, opened $p1/$t1")
+      val eq = src().filter(col("o_orderkey") === mid)
+        .agg(count(lit(1)).as("n_eq"),
+          sum(col("price")).cast("double").as("revenue_eq")).head()
+      val (p2, t2) = (graft.sources.SnapshotTableSource.lastPlanned,
+        graft.sources.SnapshotTableSource.lastTotal)
+      require(p2 > 0 && p2 * 2 <= t2,
+        s"q_snapshot_sql_point: the point probe must plan at most " +
+          s"half the files, opened $p2/$t2")
+      s2.range(1).select(
+        lit(in3.getLong(0)).as("n_in"),
+        lit(in3.getLong(1)).as("keysum_in"),
+        lit(in3.getDouble(2)).as("revenue_in"),
+        lit(eq.getLong(0)).as("n_eq"),
+        lit(eq.getDouble(1)).as("revenue_eq"),
+        lit(true).as("in_bloom_pruned"),
+        lit(true).as("point_bloom_pruned"))
     }),
 
     // PREDICATE MERGE-ON-READ DELETE — the O(METADATA) retention drop
@@ -3496,7 +3759,8 @@ object Relational {
           graft.streaming.Streams.runWithBatchCommit(raw, s"$dir/ckpt") {
             (b, bid) =>
               graft.sources.SnapshotTable.commitMergeMorOnce(
-                b.sparkSession, table, b, "o_orderkey", "price", 2, bid)
+                b.sparkSession, table, b, "o_orderkey", "price", 2, bid,
+                writerId = "upsert")
               ()
           }.awaitTermination()
         }
@@ -6005,12 +6269,18 @@ object Relational {
         |b AS (SELECT CAST(count(*) AS BIGINT) AS n_band,
         |    CAST(sum(price) AS DOUBLE) AS revenue_band
         |  FROM o WHERE price BETWEEN 100000 AND 150000),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n_or,
+        |    CAST(sum(price) AS DOUBLE) AS revenue_or
+        |  FROM o WHERE price BETWEEN 50000 AND 80000
+        |    OR price BETWEEN 200000 AND 230000),
         |v AS (SELECT CAST(count(*) AS BIGINT) AS n_v1,
         |    CAST(sum(k) AS BIGINT) AS keysum_v1
         |  FROM o WHERE k % 2 = 0 AND price BETWEEN 100000 AND 150000)
-        |SELECT b.n_band, b.revenue_band, v.n_v1, v.keysum_v1,
-        |  TRUE AS pushed_subset, TRUE AS travel_pushed_subset
-        |FROM b CROSS JOIN v""".stripMargin,
+        |SELECT b.n_band, b.revenue_band, r.n_or, r.revenue_or,
+        |  v.n_v1, v.keysum_v1,
+        |  TRUE AS pushed_subset, TRUE AS or_pushed_subset,
+        |  TRUE AS travel_pushed_subset
+        |FROM b CROSS JOIN r CROSS JOIN v""".stripMargin,
 
     "q_snapshot_agg_push" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_total,
@@ -6027,6 +6297,75 @@ object Relational {
         |  TRUE AS agg_pushed,
         |  TRUE AS filtered_declined
         |FROM orders""".stripMargin,
+
+    "q_snapshot_sql_write" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |app AS (SELECT -k - 1 AS k,
+        |    CAST(price + 5 AS DECIMAL(18,2)) AS price
+        |  FROM o WHERE (-k - 1) % 3 = 0),
+        |onc AS (SELECT k, CAST(price * 3 AS DECIMAL(18,2)) AS price
+        |  FROM o WHERE k % 1000 = 7),
+        |cur AS (SELECT k, price FROM o
+        |  UNION ALL SELECT k, price FROM app
+        |  UNION ALL SELECT k, price FROM onc)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(k) AS BIGINT) AS keysum,
+        |  CAST(sum(price) AS DOUBLE) AS revenue,
+        |  CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_appended,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cur
+        |    WHERE price BETWEEN 100000 AND 150000) AS n_band,
+        |  TRUE AS abort_published_nothing,
+        |  TRUE AS replay_short_circuited,
+        |  TRUE AS pruned_subset
+        |FROM cur""".stripMargin,
+
+    "q_snapshot_sql_delete" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_orderdate AS DATE) AS odate,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |ins AS (SELECT -k - 1 AS k, odate,
+        |    CAST(price + 11 AS DECIMAL(18,2)) AS price
+        |  FROM o WHERE k % 13 = 0),
+        |surv AS (SELECT k, odate, price FROM o
+        |    WHERE odate > DATE '1995-12-31'
+        |  UNION ALL SELECT k, odate, price FROM ins
+        |    WHERE odate > DATE '1995-12-31'),
+        |b AS (SELECT min(k) AS klo, max(k) AS khi FROM surv WHERE k > 0),
+        |cur AS (SELECT s.k, s.price FROM surv s, b
+        |  WHERE s.k <> b.klo AND s.k <> b.khi)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(k) AS BIGINT) AS keysum,
+        |  CAST(sum(price) AS DOUBLE) AS revenue,
+        |  CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inserted,
+        |  TRUE AS pred_delete_metadata_only,
+        |  TRUE AS in_delete_one_key_file,
+        |  TRUE AS inexact_refused,
+        |  TRUE AS travel_intact
+        |FROM cur""".stripMargin,
+
+    "q_snapshot_sql_point" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |r AS (SELECT k, row_number() OVER (ORDER BY k) AS rn,
+        |    count(*) OVER () AS n FROM o),
+        |m AS (SELECT max(CASE WHEN rn = 1 THEN k END) AS k1,
+        |    max(CASE WHEN rn = n // 2 THEN k END) AS k2,
+        |    max(CASE WHEN rn = n THEN k END) AS k3 FROM r),
+        |sel AS (SELECT k, price FROM o, m
+        |  WHERE k IN (m.k1, m.k2, m.k3))
+        |SELECT CAST(count(*) AS BIGINT) AS n_in,
+        |  CAST(sum(k) AS BIGINT) AS keysum_in,
+        |  CAST(sum(price) AS DOUBLE) AS revenue_in,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o, m WHERE k = m.k2)
+        |    AS n_eq,
+        |  (SELECT CAST(sum(price) AS DOUBLE) FROM o, m WHERE k = m.k2)
+        |    AS revenue_eq,
+        |  TRUE AS in_bloom_pruned,
+        |  TRUE AS point_bloom_pruned
+        |FROM sel""".stripMargin,
 
     "q_snapshot_mor_delete_pred" ->
       """WITH o AS (SELECT o_orderkey AS k,

@@ -81,6 +81,18 @@ import org.apache.spark.sql.types._
   * still list the replaced files, so every prior version stays
   * readable bit for bit until [[vacuum]] reclaims it.
   */
+/** A changes-feed consumer's cursor points BELOW the vacuum horizon:
+  * the snapshot its incremental fold would diff against no longer
+  * exists. RECOVERY: reset the cursor to 0 and rebuild from the
+  * empty-table baseline — `readChanges(0, latestAnnounced)` needs no
+  * earlier snapshot and replays the whole table as inserts.
+  * [[SnapshotTable.maintainAgg]] performs that reset automatically;
+  * hand-rolled consumers catch this (instead of an opaque require)
+  * and do the same.
+  */
+class SnapshotVacuumedException(msg: String)
+  extends IllegalStateException(msg)
+
 object SnapshotTable {
 
   /** Typed min/max of one column in one data file (or, on a manifest
@@ -208,38 +220,53 @@ object SnapshotTable {
   }
 
   /** The LATEST pointer's payload: (version, batch id of the LAST
-    * STREAMING commit — −1 before any). One file, one ATOMIC_MOVE, so
-    * version AND provenance publish together: that is what makes the
-    * streaming commit exactly-once (see [[commitAppendOnce]]) without
-    * a separate ledger whose write would open a crash window after the
-    * pointer swing. Non-streaming commits CARRY the previous pointer's
-    * batch id forward instead of erasing it: the docs recommend
+    * STREAMING commit — −1 before any, that commit's WRITER id — ""
+    * before any). One file, one ATOMIC_MOVE, so version AND provenance
+    * publish together: that is what makes the streaming commit
+    * exactly-once (see [[commitAppendOnce]]) without a separate ledger
+    * whose write would open a crash window after the pointer swing.
+    * Non-streaming commits CARRY the previous pointer's (batchId,
+    * writerId) forward instead of erasing them: the docs recommend
     * compaction as a standing background job on streamed-into tables,
     * and a compaction landing between a stream crash (after the sink
     * swing, before Spark's checkpoint commit) and the restart must not
     * make the replayed batch commit twice — the provenance survives
     * every interleaved non-streaming commit, exactly like Delta's
-    * per-appId txn versions.
+    * per-appId txn versions. The writer id SCOPES the provenance the
+    * same way Delta's appId does: a brand-new streaming query (fresh
+    * checkpoint, batch ids restarting at 0) attached to a table whose
+    * carried id happens to equal its first batch id must NOT
+    * short-circuit another writer's provenance — that would be silent
+    * data loss, not dedup. Pointers written before the writer-id era
+    * parse with writerId = "" and keep their old (id-only) semantics.
     */
-  private def readPointer(path: String): Option[(Int, Long)] = {
+  private def readPointer(path: String): Option[(Int, Long, String)] = {
     val p = logDir(path).resolve("LATEST")
     if (!Files.exists(p)) None
     else {
       val parts = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
         .trim.split("\\s+")
       Some((parts(0).toInt,
-        if (parts.length > 1) parts(1).toLong else -1L))
+        if (parts.length > 1) parts(1).toLong else -1L,
+        if (parts.length > 2) parts(2) else ""))
     }
   }
 
-  private def swingPointer(path: String, v: Int, batchId: Long): Unit =
-    writeAtomic(logDir(path).resolve("LATEST"), s"$v $batchId")
+  private def swingPointer(path: String, v: Int, batchId: Long,
+      writerId: String = ""): Unit = {
+    require(!writerId.exists(_.isWhitespace),
+      s"writerId must not contain whitespace: '$writerId'")
+    writeAtomic(logDir(path).resolve("LATEST"),
+      if (writerId.isEmpty) s"$v $batchId" else s"$v $batchId $writerId")
+  }
 
-  /** The batch id a NON-streaming commit must carry forward (see
-    * [[readPointer]]) — the previous pointer's, or −1 on a fresh table.
+  /** The (batchId, writerId) a NON-streaming commit must carry forward
+    * (see [[readPointer]]) — the previous pointer's, or (−1, "") on a
+    * fresh table.
     */
-  private def carriedBatchId(prevPtr: Option[(Int, Long)]): Long =
-    prevPtr.map(_._2).getOrElse(-1L)
+  private def carriedBatchId(
+      prevPtr: Option[(Int, Long, String)]): (Long, String) =
+    prevPtr.map(p => (p._2, p._3)).getOrElse((-1L, ""))
 
   /** Latest committed version, resolved through the atomic pointer —
     * None before the first commit.
@@ -310,7 +337,8 @@ object SnapshotTable {
     * (pointer as read, claimed version, claim nonce) with the claim
     * HELD — the caller must release it in a finally.
     */
-  private def claimNext(path: String): (Option[(Int, Long)], Int, String) = {
+  private def claimNext(path: String)
+      : (Option[(Int, Long, String)], Int, String) = {
     while (true) {
       val ptr = readPointer(path)
       val v = ptr.map(_._1).getOrElse(0) + 1
@@ -723,9 +751,7 @@ object SnapshotTable {
     val stage = s"$path/_log/_stage"
     laid.write.mode("overwrite").parquet(stage)
     val stageDir = Paths.get(stage)
-    val parts = Files.list(stageDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("part-"))
-      .toIndexedSeq.sorted
+    val parts = listDirNames(stageDir).filter(_.startsWith("part-")).sorted
     // ownership re-check AFTER the (slow) distributed write, BEFORE the
     // moves that could replace a takeover winner's committed files
     nonce.foreach(n => requireClaimHeld(path, v, n))
@@ -845,7 +871,7 @@ object SnapshotTable {
     * lines, never re-derived. The caller holds the claim on `v`.
     */
   private def appendCore(path: String, v: Int, prev: Option[Int],
-      batchId: Long, laid: DataFrame, zcol: String,
+      prov: (Long, String), laid: DataFrame, zcol: String,
       bloomCols: Seq[String] = Nil, nonce: Option[String] = None): Unit = {
     sweepUncommitted(path, v)
     writeMergedSchema(path, v, prev, laid.schema)
@@ -856,7 +882,15 @@ object SnapshotTable {
     val prevLines = prev.map(p => rawSnapshotLines(path, p)).getOrElse(Nil)
     writeAtomic(logDir(path).resolve(s"v$v"),
       (prevLines :+ refLine(envelope(stats, mName))).mkString("\n"))
-    swingPointer(path, v, batchId)
+    swingPointer(path, v, prov._1, prov._2)
+  }
+
+  /** Pointer swing for non-streaming commits: carry the previous
+    * pointer's (batchId, writerId) provenance forward.
+    */
+  private def swingPointerCarried(path: String, v: Int): Unit = {
+    val (b, w) = carriedBatchId(readPointer(path))
+    swingPointer(path, v, b, w)
   }
 
   /** APPEND commit: new data files + their manifest + a new snapshot
@@ -915,6 +949,51 @@ object SnapshotTable {
 
   private def partSpecPath(path: String) = logDir(path).resolve("part.json")
 
+  /** List a directory's entries with the stream CLOSED on every path —
+    * `Files.list` leaks a directory fd until GC otherwise, and a
+    * standing compactor/ingester on a long-lived driver accumulates
+    * them.
+    */
+  private def listDirNames(dir: java.nio.file.Path): Seq[String] = {
+    val st = Files.list(dir)
+    try st.iterator().asScala.map(_.getFileName.toString).toIndexedSeq
+    finally st.close()
+  }
+
+  /** Record the partition spec ATOMICALLY, first writer wins: the
+    * tmp+move CAS (no REPLACE) is what serializes two concurrent FIRST
+    * partitioned commits with different specs — both then VERIFY the
+    * recorded spec ([[requireSpecIs]]) before any staged-part move, so
+    * the loser aborts instead of committing files whose `_pt` values
+    * were computed under a transform that never became the table's.
+    */
+  private[graft] def recordSpecIfAbsent(path: String, spec: PartitionSpec): Unit = {
+    val p = partSpecPath(path)
+    if (Files.exists(p)) return
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s"part-${newNonce()}.tmp")
+    Files.write(tmp, (s"""{"transform":"${spec.transform}","col":""" +
+      s""""${esc(spec.col)}","n":${spec.n}}""")
+      .getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, p)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp) // a racer recorded first: verify theirs
+    }
+  }
+
+  /** Abort unless the RECORDED spec (immutable once written) matches
+    * this commit's — the in-claim re-validation a lost spec race needs.
+    */
+  private[graft] def requireSpecIs(path: String, spec: PartitionSpec): Unit = {
+    val recorded = readPartitionSpec(path)
+    if (!recorded.contains(spec))
+      throw new java.util.ConcurrentModificationException(
+        s"partition spec race on $path: this commit carries $spec but " +
+          s"the table recorded ${recorded.orNull} — re-plan under the " +
+          "recorded spec")
+  }
+
   def readPartitionSpec(path: String): Option[PartitionSpec] = {
     val p = partSpecPath(path)
     if (!Files.exists(p)) None
@@ -950,19 +1029,30 @@ object SnapshotTable {
       s"unknown partition transform '$other' (days|months|bucket)")
   }
 
-  /** PARTITIONED append: rows land one-file-per-partition-value (the
-    * stage write is partitionBy on the transform value, so the
-    * single-value-per-file invariant holds by construction), each
+  /** PARTITIONED append: every data file holds exactly ONE partition
+    * value (the stage write is partitionBy on the transform value, so
+    * the single-VALUE-per-FILE invariant holds by construction), each
     * file's manifest line carrying `_pt` = that value as an exact
-    * lo==hi stat. The FIRST partitioned commit records the spec in
-    * table metadata; later commits must match it (a table cannot mix
-    * specs — Iceberg's spec-evolution is out of scope and rejected
-    * loudly). Null transform values are rejected: a null has no
-    * partition and would silently escape every drop/prune. Returns
-    * the committed version.
+    * lo==hi stat. `filesPerValue` SALTS the shuffle WITHIN each value
+    * (the [[Writers.writePartitioned]] pattern): without it a daily
+    * ingest into days(ts) — where the whole batch IS one partition
+    * value — funnels through a single task and lands as one giant
+    * unsplittable file; with it up to `filesPerValue` tasks write one
+    * value concurrently, and the manifest invariant is untouched
+    * because it is per-FILE, not per-value. The FIRST partitioned
+    * commit records the spec in table metadata ATOMICALLY
+    * ([[recordSpecIfAbsent]] — tmp+move CAS, first writer wins) and
+    * EVERY commit re-verifies the recorded spec inside its held claim
+    * before any staged file moves: two concurrent first commits with
+    * different specs cannot both land (the loser's `_pt` values were
+    * computed under a transform that never became the table's, and the
+    * per-file single-valued-`_pt` require cannot detect that). Null
+    * transform values are rejected: a null has no partition and would
+    * silently escape every drop/prune. Returns the committed version.
     */
   def commitAppendPartitioned(df: DataFrame, path: String,
-      spec: PartitionSpec): Int = {
+      spec: PartitionSpec, filesPerValue: Int = 1): Int = {
+    require(filesPerValue >= 1, "filesPerValue must be >= 1")
     readPartitionSpec(path).foreach(existing => require(existing == spec,
       s"partition spec mismatch: table has $existing, commit carries " +
         s"$spec - spec evolution is not supported"))
@@ -970,50 +1060,62 @@ object SnapshotTable {
     try {
       sweepUncommitted(path, v)
       writeMergedSchema(path, v, prevPtr.map(_._1), df.schema)
+      // record-or-verify INSIDE the claim: once the CAS settles, the
+      // spec is immutable, so one verification here covers the commit
+      recordSpecIfAbsent(path, spec)
+      requireSpecIs(path, spec)
       val s = df.sparkSession
       val stage = s"$path/_log/_stage"
-      df.withColumn(PartCol, partValueExpr(spec))
-        .repartition(col(PartCol))
-        .write.mode("overwrite").partitionBy(PartCol).parquet(stage)
+      // salt within the partition value so a hot value (a daily ingest's
+      // single day) fans out across filesPerValue tasks instead of one;
+      // the salted shuffle pins an EXPLICIT partition count — the
+      // no-number repartition is AQE-coalescible, and coalescing the
+      // salt combos back into one task would undo exactly the fan-out
+      // the salt exists for
+      val salted = df.withColumn(PartCol, partValueExpr(spec))
+      val laid =
+        if (filesPerValue == 1) salted.repartition(col(PartCol))
+        else {
+          val shuffleN = math.max(filesPerValue,
+            s.conf.get("spark.sql.shuffle.partitions").toInt)
+          salted.repartition(shuffleN, col(PartCol),
+            pmod(hash(df.columns.map(col).toIndexedSeq: _*),
+              lit(filesPerValue)))
+        }
+      laid.write.mode("overwrite").partitionBy(PartCol).parquet(stage)
       val stageDir = Paths.get(stage)
-      val valueDirs = Files.list(stageDir).iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith(s"$PartCol="))
-        .toIndexedSeq.sortBy(_.getFileName.toString)
-      require(!valueDirs.exists(_.getFileName.toString
-          .endsWith("__HIVE_DEFAULT_PARTITION__")),
+      val valueDirs = listDirNames(stageDir)
+        .filter(n => n.startsWith(s"$PartCol=") &&
+          Files.isDirectory(stageDir.resolve(n))).sorted
+      require(!valueDirs.exists(_.endsWith("__HIVE_DEFAULT_PARTITION__")),
         s"commitAppendPartitioned: null ${spec.transform}(${spec.col}) " +
           "values - a null has no partition; filter or backfill first")
       requireClaimHeld(path, v, nonce)
       var i = -1
-      val movedWithVal = valueDirs.flatMap { vd =>
-        val pval = vd.getFileName.toString.stripPrefix(s"$PartCol=").toLong
-        Files.list(vd).iterator().asScala
-          .map(_.getFileName.toString).filter(_.startsWith("part-"))
-          .toIndexedSeq.sorted.map { nm =>
-            i += 1
-            val dst = f"v$v-p$i%05d.parquet"
-            Files.move(vd.resolve(nm), Paths.get(path, dst),
-              StandardCopyOption.ATOMIC_MOVE)
-            (dst, pval)
-          }
+      val movedWithVal = valueDirs.flatMap { vn =>
+        val vd = stageDir.resolve(vn)
+        val pval = vn.stripPrefix(s"$PartCol=").toLong
+        listDirNames(vd).filter(_.startsWith("part-")).sorted.map { nm =>
+          i += 1
+          val dst = f"v$v-p$i%05d.parquet"
+          Files.move(vd.resolve(nm), Paths.get(path, dst),
+            StandardCopyOption.ATOMIC_MOVE)
+          (dst, pval)
+        }
       }
       val valOf = movedWithVal.toMap
       val stats = fileColStats(s, path, movedWithVal.map(_._1), spec.col)
         .map(f => f.copy(cols = f.cols :+ ColStat(PartCol, "l",
           Some(valOf(f.file).toString), Some(valOf(f.file).toString))))
       requireClaimHeld(path, v, nonce)
-      if (readPartitionSpec(path).isEmpty)
-        writeAtomic(partSpecPath(path),
-          s"""{"transform":"${spec.transform}","col":"${esc(spec.col)}"""" +
-            s""","n":${spec.n}}""")
       val mName = s"m-$v.json"
       writeAtomic(logDir(path).resolve(mName), manifestLines(stats))
       val prevLines = prevPtr.map(p => rawSnapshotLines(path, p._1))
         .getOrElse(Nil)
       writeAtomic(logDir(path).resolve(s"v$v"),
         (prevLines :+ refLine(envelope(stats, mName))).mkString("\n"))
-      swingPointer(path, v, carriedBatchId(prevPtr))
+      val (cb, cw) = carriedBatchId(prevPtr)
+      swingPointer(path, v, cb, cw)
       v
     } finally releaseClaim(path, v)
   }
@@ -1086,7 +1188,7 @@ object SnapshotTable {
       readSchema(path, prev).foreach(sc =>
         writeAtomic(schemaPath(path, v), sc.json))
       writeAtomic(logDir(path).resolve(s"v$v"), snapshotLines(carried))
-      swingPointer(path, v, carriedBatchId(readPointer(path)))
+      swingPointerCarried(path, v)
       (rows, filesDropped, v)
     } finally releaseClaim(path, v)
   }
@@ -1110,16 +1212,24 @@ object SnapshotTable {
     * (compaction, COW/MOR rewrites) CARRY the id forward (see
     * [[readPointer]]), so a background OPTIMIZE landing between a
     * stream crash and its restart cannot erase the provenance the
-    * replay check needs. Returns false on the short-circuit.
+    * replay check needs. `writerId` scopes the provenance per STREAM
+    * (Delta's appId): pass the query's checkpoint identity so a
+    * brand-new stream (fresh checkpoint, batch ids restarting at 0)
+    * attached to a table whose carried id equals its first batch id
+    * commits instead of silently short-circuiting — the short-circuit
+    * fires only when BOTH the id and the writer match. The legacy ""
+    * writer keeps pre-writer-id pointers replay-safe for their own
+    * (single, anonymous) stream. Returns false on the short-circuit.
     */
   def commitAppendOnce(df: DataFrame, path: String, zcol: String,
       nFiles: Int, batchId: Long,
-      bloomCols: Seq[String] = Nil): Boolean = {
+      bloomCols: Seq[String] = Nil, writerId: String = ""): Boolean = {
     require(batchId >= 0, "batchId must be >= 0 (-1 marks non-batch commits)")
     val (prevPtr, v, nonce) = claimNext(path)
     try {
-      if (prevPtr.exists(_._2 == batchId)) return false
-      appendCore(path, v, prevPtr.map(_._1), batchId,
+      if (prevPtr.exists(p => p._2 == batchId && p._3 == writerId))
+        return false
+      appendCore(path, v, prevPtr.map(_._1), (batchId, writerId),
         rangeLayout(df, zcol, nFiles), zcol, bloomCols, Some(nonce))
       true
     } finally releaseClaim(path, v)
@@ -1158,7 +1268,7 @@ object SnapshotTable {
       writeAtomic(logDir(path).resolve(mName), manifestLines(newStats))
       writeAtomic(logDir(path).resolve(s"v$v"),
         snapshotLines(Seq(envelope(newStats, mName))))
-      swingPointer(path, v, carriedBatchId(readPointer(path)))
+      swingPointerCarried(path, v)
       (filesBefore, newStats.size, v)
     } finally releaseClaim(path, v)
   }
@@ -1233,7 +1343,7 @@ object SnapshotTable {
         (carried.map(refLine) ++ dels.map(delLine) ++
           pdels.map(predDelLine) :+
           refLine(envelope(newStats, mName))).mkString("\n"))
-      swingPointer(path, v, carriedBatchId(readPointer(path)))
+      swingPointerCarried(path, v)
       (small.size, carriedCount, v)
     } finally releaseClaim(path, v)
   }
@@ -1429,7 +1539,7 @@ object SnapshotTable {
       }
       writeAtomic(logDir(path).resolve(s"v$v"),
         snapshotLines(carried :+ envelope(survStats, mName)))
-      swingPointer(path, v, carriedBatchId(readPointer(path)))
+      swingPointerCarried(path, v)
       (rowsDeleted, planned, total, v)
     } finally releaseClaim(path, v)
   }
@@ -1495,9 +1605,7 @@ object SnapshotTable {
     (if (parts == 1) k.coalesce(1) else k.repartition(parts))
       .write.mode("overwrite").parquet(stage)
     val stageDir = Paths.get(stage)
-    val staged = Files.list(stageDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("part-"))
-      .toIndexedSeq.sorted
+    val staged = listDirNames(stageDir).filter(_.startsWith("part-")).sorted
     val moved = staged.zipWithIndex.map { case (nm, i) =>
       val dst = f"v$v-d$i%05d.parquet"
       Files.move(stageDir.resolve(nm), Paths.get(path, dst),
@@ -1550,7 +1658,7 @@ object SnapshotTable {
       writeAtomic(logDir(path).resolve(s"v$v"),
         (rawSnapshotLines(path, prev) ++ staged.map { case (dst, nk) =>
           delLine(DeleteRef(dst, keyCol, nk, v)) }).mkString("\n"))
-      swingPointer(path, v, carriedBatchId(readPointer(path)))
+      swingPointerCarried(path, v)
       (n, v)
     } finally releaseClaim(path, v)
   }
@@ -1600,7 +1708,7 @@ object SnapshotTable {
       writeAtomic(schemaPath(path, v), sc.json)
       writeAtomic(logDir(path).resolve(s"v$v"),
         (rawSnapshotLines(path, prev) :+ predDelLine(ref)).mkString("\n"))
-      swingPointer(path, v, carriedBatchId(readPointer(path)))
+      swingPointerCarried(path, v)
       v
     } finally releaseClaim(path, v)
   }
@@ -1650,7 +1758,7 @@ object SnapshotTable {
           staged.map { case (dst, nk) =>
             delLine(DeleteRef(dst, key, nk, v)) } :+
           refLine(envelope(stats, mName))).mkString("\n"))
-      swingPointer(path, v, carriedBatchId(readPointer(path)))
+      swingPointerCarried(path, v)
       (n, v)
     } finally releaseClaim(path, v)
   }
@@ -1667,15 +1775,17 @@ object SnapshotTable {
     * The upsert stream must target an EXISTING table (the key column
     * is validated against the committed schema) and be the table's
     * only streaming writer, as with every pointer-provenance sink.
-    * Returns true iff the batch committed.
+    * `writerId` scopes the provenance per stream exactly as in
+    * [[commitAppendOnce]]. Returns true iff the batch committed.
     */
   def commitMergeMorOnce(spark: SparkSession, path: String,
       changes: DataFrame, key: String, zcol: String, nFiles: Int,
-      batchId: Long): Boolean = {
+      batchId: Long, writerId: String = ""): Boolean = {
     require(batchId >= 0, "batchId must be >= 0 (-1 marks non-batch commits)")
     val (prevPtr, v, nonce) = claimNext(path)
     try {
-      if (prevPtr.exists(_._2 == batchId)) return false
+      if (prevPtr.exists(p => p._2 == batchId && p._3 == writerId))
+        return false
       val prev = prevPtr.map(_._1).getOrElse(
         throw new IllegalArgumentException(
           s"commitMergeMorOnce: no committed snapshot in $path — a CDC " +
@@ -1701,7 +1811,7 @@ object SnapshotTable {
           staged.map { case (dst, nk) =>
             delLine(DeleteRef(dst, key, nk, v)) } :+
           refLine(envelope(stats, mName))).mkString("\n"))
-      swingPointer(path, v, batchId)
+      swingPointer(path, v, batchId, writerId)
       true
     } finally releaseClaim(path, v)
   }
@@ -1812,7 +1922,7 @@ object SnapshotTable {
       }
       writeAtomic(logDir(path).resolve(s"v$v"),
         snapshotLines(carried :+ envelope(newStats, mName)))
-      swingPointer(path, v, carriedBatchId(readPointer(path)))
+      swingPointerCarried(path, v)
       (touched.size, (total - touched.size).toInt, planned, total, v)
     } finally releaseClaim(path, v)
   }
@@ -2038,32 +2148,126 @@ object SnapshotTable {
     */
   def planPrunedFiles(path: String, version: Option[Int],
       preds: Seq[(String, Option[Any], Option[Any])])
-      : (Seq[(Int, String)], Long) = {
+      : (Seq[(Int, String)], Long) =
+    planPrunedFilesDnf(path, version, preds.map { case (c, lo, hi) =>
+      PredDnf(Seq(Seq(RangeTest(c, lo, hi)))) })
+
+  // ---- generalized file tests: ranges, key sets, disjunctions --------
+  // The pushdown source's predicate language: a pushed filter compiles
+  // to an OR of ANDs of leaf tests (disjunctive normal form), and a
+  // file survives the conjunction of pushed filters iff EVERY filter
+  // has SOME disjunct all of whose leaves admit the file. RangeTest is
+  // the typed-envelope test planPrunedFiles always ran; InTest is the
+  // point/IN shape, which additionally probes the manifest KEY BLOOMS
+  // — the pruner min/max bounds can never serve for scattered ids on a
+  // value-clustered table (every file spans ~the full key RANGE but
+  // almost no file holds the keys' SET). Soundness is per-leaf: each
+  // leaf only ever drops a file its recorded metadata PROVES cannot
+  // match (bloom false positives only ADD candidates), OR-ing admits a
+  // superset, and unknown shapes never reach the planner — so the
+  // candidate set plus Spark's residual re-evaluation equals a full
+  // scan's answer.
+
+  sealed trait FileTest
+  case class RangeTest(col: String, lo: Option[Any],
+      hi: Option[Any]) extends FileTest
+  case class InTest(col: String, keys: Seq[Any]) extends FileTest
+  /** One pushed predicate in DNF: OR over `disjuncts`, AND within. */
+  case class PredDnf(disjuncts: Seq[Seq[FileTest]])
+
+  /** A leaf compiled against the table's committed tags: canonical
+    * bounds for ranges; sorted canonical keys + xxhash64 probes (the
+    * bloom family both commit paths feed) for key sets. None = the
+    * column has no recorded tag — the leaf cannot prune and compiles
+    * to always-hit.
+    */
+  private sealed trait CompiledTest
+  private case class CRange(col: String, t: String, lo: Option[String],
+      hi: Option[String]) extends CompiledTest
+  private case class CIn(col: String, t: String, sorted: Array[String],
+      hashes: Option[Array[Long]]) extends CompiledTest
+  private case object CAlways extends CompiledTest
+
+  private def compileTest(test: FileTest,
+      tagOf: String => Option[String]): CompiledTest = test match {
+    case RangeTest(c, lo, hi) => tagOf(c) match {
+      case Some(t) => CRange(c, t, lo.map(canonOf(t, _)),
+        hi.map(canonOf(t, _)))
+      case None => CAlways
+    }
+    case InTest(c, keys) => tagOf(c) match {
+      case Some(t) =>
+        val a = keys.iterator.filter(_ != null)
+          .map(v => canonOf(t, v)).toArray
+        scala.util.Sorting.stableSort(a,
+          (x: String, y: String) => cmpCanon(t, x, y) < 0)
+        val hashes = t match {
+          case "l" => Some(a.map(v => xx64(v.toLong)))
+          case "s" => Some(a.map(xx64Str))
+          case _ => None
+        }
+        CIn(c, t, a, hashes)
+      case None => CAlways
+    }
+  }
+
+  private def testHits(ct: CompiledTest, cols: Seq[ColStat],
+      blooms: Seq[(String, String)]): Boolean = ct match {
+    case CAlways => true
+    case CRange(c, t, l, h) => statFor(cols, c) match {
+      case None => true
+      case Some(s) if s.t != t => true
+      case Some(ColStat(_, _, Some(mn), Some(mx))) =>
+        l.forall(lv => cmpCanon(t, mx, lv) >= 0) &&
+          h.forall(hv => cmpCanon(t, mn, hv) <= 0)
+      case Some(ColStat(_, _, None, None)) => false
+      case Some(_) => true
+    }
+    case CIn(c, t, sorted, hashes) =>
+      if (sorted.isEmpty) false // only-null IN set: no row can match
+      else {
+        val boundsHit = statFor(cols, c) match {
+          case None => true
+          case Some(s) if s.t != t => true
+          case Some(ColStat(_, _, Some(mn), Some(mx))) =>
+            anyKeyIn(sorted, t, mn, mx)
+          case Some(ColStat(_, _, None, None)) => false
+          case Some(_) => true
+        }
+        boundsHit && ((blooms.find(_._1 == c), hashes) match {
+          case (Some((_, b64)), Some(hs)) =>
+            try { val bf = readBloom(b64); hs.exists(bf.mightContainLong) }
+            catch { case _: Exception => true } // unreadable: keep
+          case _ => true
+        })
+      }
+  }
+
+  /** [[planPrunedFiles]] over the full predicate language — a
+    * conjunction of DNF predicates (ranges, IN sets, disjunctions) —
+    * with the same pyramid descent: a manifest whose ENVELOPE (typed
+    * bounds + union bloom) fails any predicate carries by exclusion
+    * and never parses; surviving manifests' files test individually.
+    * Returns (pairs, filesTotal).
+    */
+  def planPrunedFilesDnf(path: String, version: Option[Int],
+      preds: Seq[PredDnf]): (Seq[(Int, String)], Long) = {
     val v = version.orElse(latestVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot in $path"))
     val refs = snapshot(path, Some(v))
     val total = refs.map(_.files.toLong).sum
     val sc = readSchema(path, v)
-    val tests = preds.flatMap { case (c, lo, hi) =>
+    def tagOf(c: String): Option[String] =
       sc.flatMap(s => s.fields.find(_.name == c).flatMap(f =>
           colTag(f.dataType)))
         .orElse(refs.flatMap(r => statFor(r.cols, c)).headOption.map(_.t))
-        .map(t => (c, t, lo.map(canonOf(t, _)), hi.map(canonOf(t, _))))
-    }
-    def hits(cols: Seq[ColStat]): Boolean = tests.forall {
-      case (c, t, l, h) => statFor(cols, c) match {
-        case None => true
-        case Some(s) if s.t != t => true
-        case Some(ColStat(_, _, Some(mn), Some(mx))) =>
-          l.forall(lv => cmpCanon(t, mx, lv) >= 0) &&
-            h.forall(hv => cmpCanon(t, mn, hv) <= 0)
-        case Some(ColStat(_, _, None, None)) => false
-        case Some(_) => true
-      }
-    }
-    val hit = refs.filter(r => hits(r.cols))
+    val compiled: Seq[Seq[Seq[CompiledTest]]] = preds.map(_.disjuncts
+      .map(_.map(t => compileTest(t, tagOf))))
+    def hits(cols: Seq[ColStat], blooms: Seq[(String, String)]): Boolean =
+      compiled.forall(_.exists(_.forall(ct => testHits(ct, cols, blooms))))
+    val hit = refs.filter(r => hits(r.cols, r.blooms))
       .flatMap(r => parseManifest(path, r.name)
-        .filter(f => f.rows > 0 && hits(f.cols))
+        .filter(f => f.rows > 0 && hits(f.cols, f.blooms))
         .map(f => (manifestVersion(r.name), s"$path/${f.file}")))
       .sortBy(_._2)
     (hit, total)
@@ -2105,6 +2309,19 @@ object SnapshotTable {
   def statsAggCol(path: String, colName: String,
       version: Option[Int] = None)
       : (Long, Option[(String, String, String)]) = {
+    val (rows, by) = statsAggCols(path, Seq(colName), version)
+    (rows, by(colName))
+  }
+
+  /** [[statsAggCol]] over SEVERAL columns in ONE manifest pass — the
+    * pushed-aggregate planner's shape (one query's MIN/MAX list), so a
+    * million-file table's manifests parse once per query, not once per
+    * aggregate expression. Returns (rowCount, per-column bounds under
+    * [[statsAggCol]]'s contract).
+    */
+  def statsAggCols(path: String, colNames: Seq[String],
+      version: Option[Int] = None)
+      : (Long, Map[String, Option[(String, String, String)]]) = {
     require(deleteRefs(path, version.orElse(latestVersion(path))).isEmpty
         && predDeleteRefs(path,
           version.orElse(latestVersion(path))).isEmpty,
@@ -2114,25 +2331,28 @@ object SnapshotTable {
       .flatMap(r => parseManifest(path, r.name)).filter(_.rows > 0)
     require(stats.nonEmpty, s"statsAggCol: snapshot of $path holds no rows")
     val rows = stats.map(_.rows).sum
-    val per = stats.map(f => statFor(f.cols, colName))
-    val bounds =
-      if (per.exists(_.isEmpty)) None
-      else {
-        val cs = per.map(_.get)
-        val t = cs.head.t
-        if (cs.exists(_.t != t)) None
+    val byCol = colNames.distinct.map { colName =>
+      val per = stats.map(f => statFor(f.cols, colName))
+      val bounds =
+        if (per.exists(_.isEmpty)) None
         else {
-          val bounded = cs.flatMap(s =>
-            for (l <- s.lo; h <- s.hi) yield (l, h))
-          if (bounded.isEmpty) None
-          else Some((t,
-            bounded.map(_._1).reduce((a, b) =>
-              if (cmpCanon(t, a, b) <= 0) a else b),
-            bounded.map(_._2).reduce((a, b) =>
-              if (cmpCanon(t, a, b) >= 0) a else b)))
+          val cs = per.map(_.get)
+          val t = cs.head.t
+          if (cs.exists(_.t != t)) None
+          else {
+            val bounded = cs.flatMap(s =>
+              for (l <- s.lo; h <- s.hi) yield (l, h))
+            if (bounded.isEmpty) None
+            else Some((t,
+              bounded.map(_._1).reduce((a, b) =>
+                if (cmpCanon(t, a, b) <= 0) a else b),
+              bounded.map(_._2).reduce((a, b) =>
+                if (cmpCanon(t, a, b) >= 0) a else b)))
+          }
         }
-      }
-    (rows, bounds)
+      colName -> bounds
+    }.toMap
+    (rows, byCol)
   }
 
   /** CHANGES FEED — the row-level diff between two committed versions,
@@ -2154,6 +2374,16 @@ object SnapshotTable {
       toV: Int): (DataFrame, Long, Long) = {
     require(fromV >= 0 && fromV <= toV,
       s"readChanges: bad version range v$fromV..v$toV")
+    // a vacuumed endpoint gets the DEDICATED exception naming the
+    // recovery (reset to the v0 baseline), not an opaque missing-file
+    // require deep inside snapshot resolution
+    Seq(fromV, toV).filter(_ > 0)
+      .filterNot(v => Files.exists(logDir(path).resolve(s"v$v")))
+      .foreach(v => throw new SnapshotVacuumedException(
+        s"readChanges: snapshot v$v of $path no longer exists " +
+          "(vacuumed) — reset the cursor to 0 and rebuild from the " +
+          "empty-table baseline (readChanges(0, latest) needs no " +
+          "earlier snapshot)"))
     Seq(fromV, toV).filter(_ > 0).foreach(v => require(
       deleteRefs(path, Some(v)).isEmpty &&
         predDeleteRefs(path, Some(v)).isEmpty,
@@ -2279,8 +2509,16 @@ object SnapshotTable {
     */
   def maintainAgg(spark: SparkSession, tablePath: String, viewDir: String,
       groupCols: Seq[String], sumCols: Seq[String], toV: Int): Int = {
-    val cur = maintainedCursor(viewDir)
-    if (toV <= cur) return cur // replayed batch: already applied
+    val cur0 = maintainedCursor(viewDir)
+    if (toV <= cur0) return cur0 // replayed batch: already applied
+    // SELF-HEAL a cursor stranded below the vacuum horizon (the view
+    // fell further behind than the table's retention): its snapshot is
+    // gone, so the O(delta) fold is impossible — rebuild from the v0
+    // empty-table baseline instead of dying on [[SnapshotVacuumedException]]
+    val cur =
+      if (cur0 > 0 &&
+        !Files.exists(logDir(tablePath).resolve(s"v$cur0"))) 0
+      else cur0
     val (ch, _, _) = readChanges(spark, tablePath, cur, toV)
     val mv =
       if (cur == 0) {

@@ -4,13 +4,14 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -57,7 +58,7 @@ class SnapshotTableSource extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val opts = properties.asScala.toMap
     new SnapshotV2Table(pathOf(properties),
-      opts.get("versionAsOf").map(_.toInt), schema)
+      opts.get("versionAsOf").map(_.toInt), schema, opts)
   }
 }
 
@@ -85,32 +86,203 @@ object SnapshotTableSource {
     */
   @volatile var lastAggPushed: Boolean = false
 
-  /** Pushed filters → optional-sided ranges for the pyramid descent.
-    * None = shape not translatable (it still applies as a residual).
+  /** DNF blow-up guard: a filter whose disjunctive normal form exceeds
+    * this many conjunctions is not used for pruning (it still applies
+    * as a residual) — sound, just un-pruned.
     */
-  private[sources] def ranges(f: Filter)
-      : Option[Seq[(String, Option[Any], Option[Any])]] = f match {
-    case sources.EqualTo(a, v) if v != null => Some(Seq((a, Some(v), Some(v))))
-    case sources.GreaterThan(a, v) => Some(Seq((a, Some(v), None)))
-    case sources.GreaterThanOrEqual(a, v) => Some(Seq((a, Some(v), None)))
-    case sources.LessThan(a, v) => Some(Seq((a, None, Some(v))))
-    case sources.LessThanOrEqual(a, v) => Some(Seq((a, None, Some(v))))
-    case sources.IsNotNull(a) => Some(Seq((a, None, None)))
-    case sources.And(l, r) =>
-      for { a <- ranges(l); b <- ranges(r) } yield a ++ b
+  private val DnfCap = 64
+
+  /** Pushed filter → its disjunctive normal form over the planner's
+    * leaf tests ([[SnapshotTable.FileTest]]): ranges (strict
+    * inequalities prune as their closed forms — sound), point/IN key
+    * sets (which additionally probe the manifest blooms), IS NOT NULL
+    * (drops all-null files), conjunctions (an untranslatable conjunct
+    * DROPS — widening is sound), and DISJUNCTIONS (a union of ranges —
+    * the two-band backfill shape — plans as any-disjunct-hits per
+    * file; an untranslatable DISJUNCT kills the whole Or, since
+    * dropping one would narrow the read). None = not translatable; it
+    * still applies as a residual.
+    */
+  private[sources] def toDnf(f: Filter)
+      : Option[Seq[Seq[SnapshotTable.FileTest]]] = f match {
+    case sources.EqualTo(a, v) if v != null =>
+      Some(Seq(Seq(SnapshotTable.InTest(a, Seq(v)))))
+    case sources.In(a, vs) if vs != null && vs.exists(_ != null) =>
+      Some(Seq(Seq(SnapshotTable.InTest(a,
+        vs.toIndexedSeq.filter(_ != null)))))
+    case sources.GreaterThan(a, v) if v != null =>
+      Some(Seq(Seq(SnapshotTable.RangeTest(a, Some(v), None))))
+    case sources.GreaterThanOrEqual(a, v) if v != null =>
+      Some(Seq(Seq(SnapshotTable.RangeTest(a, Some(v), None))))
+    case sources.LessThan(a, v) if v != null =>
+      Some(Seq(Seq(SnapshotTable.RangeTest(a, None, Some(v)))))
+    case sources.LessThanOrEqual(a, v) if v != null =>
+      Some(Seq(Seq(SnapshotTable.RangeTest(a, None, Some(v)))))
+    case sources.IsNotNull(a) =>
+      Some(Seq(Seq(SnapshotTable.RangeTest(a, None, None))))
+    case sources.And(l, r) => (toDnf(l), toDnf(r)) match {
+      case (Some(a), Some(b)) if a.size * b.size <= DnfCap =>
+        Some(for { x <- a; y <- b } yield x ++ y)
+      case (Some(a), None) => Some(a) // drop the untranslatable conjunct
+      case (None, Some(b)) => Some(b)
+      case _ => None
+    }
+    case sources.Or(l, r) => (toDnf(l), toDnf(r)) match {
+      case (Some(a), Some(b)) if a.size + b.size <= DnfCap =>
+        Some(a ++ b)
+      case _ => None // a dropped disjunct would NARROW the read: unsound
+    }
     case _ => None
   }
 }
 
 private[sources] class SnapshotV2Table(path: String, version: Option[Int],
-    schema0: StructType) extends Table with SupportsRead {
+    schema0: StructType, tableOpts: Map[String, String] = Map.empty)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"graft_snapshot($path)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new SnapshotScanBuilder(path, version, schema0)
+
+  // ---- DSv2 WRITE: append through the claim/nonce commit machinery ----
+  // The write is a V1Write (the twin of the read side's V1Scan —
+  // v2-plans/v1-executes): Catalyst routes `df.write.format(...)
+  // .mode("append")` / `INSERT INTO` here, and the InsertableRelation
+  // body delegates to [[SnapshotTable.commitAppend]] — ONE write path
+  // for manual and SQL ingest, with the claim CAS, the stale-lease
+  // nonce, the crash-window sweep and the atomic pointer swing all
+  // inherited rather than re-implemented. A failed job publishes
+  // NOTHING (the pointer never swings; the next commit sweeps the
+  // orphans). Write options: `zcol` (cluster column; default = the
+  // first stat-carrying column), `nFiles` (layout width, default 8),
+  // `bloomCols` (comma-separated manifest-bloom columns), and
+  // `batchId`+`writerId` for the exactly-once foreachBatch shape
+  // (routes to [[SnapshotTable.commitAppendOnce]]).
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty,
+      "graft-snapshot: a versionAsOf table is a time-travel READ — " +
+        "writes target the latest version only")
+    val opts = tableOpts ++ info.options.asScala
+    new WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame,
+                  overwrite: Boolean): Unit = {
+                require(!overwrite, "graft-snapshot: overwrite is not " +
+                  "supported — append, or DELETE then append")
+                val zcol = opts.getOrElse("zcol",
+                  data.schema.fields
+                    .find(f => SnapshotTable.colTag(f.dataType).nonEmpty)
+                    .map(_.name).getOrElse(throw new
+                      IllegalArgumentException("graft-snapshot: no " +
+                        "stat-carrying column to cluster on — pass " +
+                        "option(\"zcol\", ...)")))
+                val nFiles = opts.getOrElse("nFiles", "8").toInt
+                val blooms = opts.get("bloomCols").toSeq
+                  .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+                opts.get("batchId") match {
+                  case Some(bid) =>
+                    SnapshotTable.commitAppendOnce(data, path, zcol,
+                      nFiles, bid.toLong, blooms,
+                      opts.getOrElse("writerId", ""))
+                  case None =>
+                    SnapshotTable.commitAppend(data, path, zcol, nFiles,
+                      blooms)
+                }
+              }
+            }
+        }
+    }
+  }
+
+  // ---- SQL DELETE: route predicate shapes to the MOR tombstones ------
+  // `DELETE FROM <catalog table> WHERE ...` arrives as a conjunction of
+  // translated filters. Range shapes (closed bounds on ONE stat-carrying
+  // column) land as a predicate tombstone ([[SnapshotTable
+  // .commitDeleteMorPred]] — one snapshot line, zero files written);
+  // point/IN shapes as an equality tombstone ([[SnapshotTable
+  // .commitDeleteMor]] — one key file). DELETEs must be EXACT — unlike
+  // scan pruning nothing may widen — so strict bounds (<, >) refuse
+  // loudly (the tombstone format records closed ranges; `<= x` and
+  // BETWEEN are the supported retention shapes) rather than silently
+  // over- or under-deleting, and an un-translatable WHERE refuses with
+  // the rewrite APIs named. Time travel keeps reading the pre-delete
+  // versions; `canDeleteWhere` is the honest capability answer Spark
+  // checks first.
+
+  private sealed trait DeletePlan
+  private case class KeysDelete(col: String, keys: Seq[Any])
+    extends DeletePlan
+  private case class RangeDelete(col: String, lo: Option[Any],
+      hi: Option[Any]) extends DeletePlan
+
+  private def planDelete(filters: Array[Filter]): Option[DeletePlan] = {
+    if (filters.isEmpty) return None // DELETE-all: refuse, use a rewrite
+    // IsNotNull(c) alongside bounds on c is redundant for a delete
+    // (null never matches a range or key predicate and always survives)
+    val real = filters.filterNot(_.isInstanceOf[sources.IsNotNull])
+    if (real.isEmpty) return None
+    val cols = real.flatMap(_.references).distinct
+    if (cols.length != 1) return None // one-column shapes only
+    real match {
+      case Array(sources.EqualTo(c, v)) if v != null =>
+        Some(KeysDelete(c, Seq(v)))
+      case Array(sources.In(c, vs))
+          if vs != null && vs.nonEmpty && !vs.contains(null) =>
+        Some(KeysDelete(c, vs.toIndexedSeq))
+      case _ =>
+        // a conjunction of closed bounds on one column → [lo, hi]
+        var lo: Option[Any] = None
+        var hi: Option[Any] = None
+        val ok = real.forall {
+          case sources.GreaterThanOrEqual(_, v)
+              if v != null && lo.isEmpty => lo = Some(v); true
+          case sources.LessThanOrEqual(_, v)
+              if v != null && hi.isEmpty => hi = Some(v); true
+          case sources.EqualTo(_, v) if v != null &&
+              lo.isEmpty && hi.isEmpty =>
+            lo = Some(v); hi = Some(v); true
+          case _ => false // strict bounds / repeats / other shapes
+        }
+        if (ok && (lo.nonEmpty || hi.nonEmpty))
+          Some(RangeDelete(cols.head, lo, hi))
+        else None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version.isEmpty && planDelete(filters).nonEmpty
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version.isEmpty,
+      "graft-snapshot: a versionAsOf table is a time-travel READ — " +
+        "deletes target the latest version only")
+    val spark = SparkSession.active
+    planDelete(filters) match {
+      case Some(RangeDelete(c, lo, hi)) =>
+        SnapshotTable.commitDeleteMorPred(spark, path, c, lo, hi)
+      case Some(KeysDelete(c, keys)) =>
+        val field = schema0.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-snapshot: DELETE on unknown column '$c'"))
+        val keysDf = spark.createDataFrame(
+          keys.map(Row(_)).asJava, StructType(Seq(field.copy(
+            nullable = false))))
+        SnapshotTable.commitDeleteMor(spark, path, c, keysDf)
+      case None => throw new IllegalArgumentException(
+        "graft-snapshot: DELETE supports one-column shapes — `col = x`," +
+          " `col IN (...)`, and CLOSED ranges (`col >= a AND col <= b`," +
+          " `col <= b`, BETWEEN); for anything else use the rewrite" +
+          " APIs (commitDelete / commitDeleteMorPred)")
+    }
+  }
 }
 
 private[sources] class SnapshotScanBuilder(path: String,
@@ -122,7 +294,7 @@ private[sources] class SnapshotScanBuilder(path: String,
   private var aggResult: Option[(StructType, Row)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => SnapshotTableSource.ranges(f).nonEmpty)
+    pushed = filters.filter(f => SnapshotTableSource.toDnf(f).nonEmpty)
     filters // every filter stays residual: pruning is advisory, sound
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -178,25 +350,32 @@ private[sources] class SnapshotScanBuilder(path: String,
         .getOrElse(return None)
       if (SnapshotTable.deleteRefs(path, Some(v)).nonEmpty ||
         SnapshotTable.predDeleteRefs(path, Some(v)).nonEmpty) return None
+      // ONE manifest pass serves every MIN/MAX column and the count —
+      // the per-expression statsAggCol calls would re-parse the whole
+      // manifest list once per aggregate on a million-file table
+      val wanted = agg.aggregateExpressions.toIndexedSeq.flatMap {
+        case m: Min => singleName(m.column)
+        case m: Max => singleName(m.column)
+        case _ => Nil
+      }
+      val (rows, boundsOf) = SnapshotTable.statsAggCols(path, wanted,
+        Some(v))
       val cells = agg.aggregateExpressions.toIndexedSeq.map {
         case _: CountStar =>
-          val (rows, _, _) = SnapshotTable.statsAgg(path, Some(v))
           Some((StructField("count(*)", LongType, nullable = false),
             java.lang.Long.valueOf(rows)))
         case m: Min => singleName(m.column).flatMap { c =>
           val dt = schema0.fields.find(_.name == c).map(_.dataType)
             .getOrElse(return None)
-          SnapshotTable.statsAggCol(path, c, Some(v))._2.map {
-            case (t, lo, _) => (StructField(s"min($c)", dt),
-              externalOf(t, lo, dt))
+          boundsOf(c).map { case (t, lo, _) =>
+            (StructField(s"min($c)", dt), externalOf(t, lo, dt))
           }
         }
         case m: Max => singleName(m.column).flatMap { c =>
           val dt = schema0.fields.find(_.name == c).map(_.dataType)
             .getOrElse(return None)
-          SnapshotTable.statsAggCol(path, c, Some(v))._2.map {
-            case (t, _, hi) => (StructField(s"max($c)", dt),
-              externalOf(t, hi, dt))
+          boundsOf(c).map { case (t, _, hi) =>
+            (StructField(s"max($c)", dt), externalOf(t, hi, dt))
           }
         }
         case _ => None // any other function: the ordinary scan answers
@@ -207,11 +386,24 @@ private[sources] class SnapshotScanBuilder(path: String,
     } catch { case _: Exception => None } // empty/stat-less: decline
   }
 
+  // Spark calls supportCompletePushDown then pushAggregation with the
+  // same Aggregation — memoize so the metadata aggregation plans once
+  private var aggMemo: Option[(Aggregation, Option[(StructType, Row)])] =
+    None
+  private def planAggMemo(agg: Aggregation): Option[(StructType, Row)] =
+    aggMemo match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = planAgg(agg)
+        aggMemo = Some((agg, r))
+        r
+    }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    planAgg(agg).nonEmpty
+    planAggMemo(agg).nonEmpty
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val planned = planAgg(agg)
+    val planned = planAggMemo(agg)
     aggResult = planned
     planned.nonEmpty
   }
@@ -259,9 +451,10 @@ private[sources] class SnapshotV1Scan(path: String, version: Option[Int],
       override def schema: StructType = required
       override def buildScan(): RDD[Row] = {
         val preds = pushed.toIndexedSeq
-          .flatMap(SnapshotTableSource.ranges).flatten
+          .flatMap(SnapshotTableSource.toDnf)
+          .map(SnapshotTable.PredDnf(_))
         val (pairs, total) =
-          SnapshotTable.planPrunedFiles(path, version, preds)
+          SnapshotTable.planPrunedFilesDnf(path, version, preds)
         SnapshotTableSource.lastAggPushed = false
         SnapshotTableSource.lastPlanned = pairs.size.toLong
         SnapshotTableSource.lastTotal = total

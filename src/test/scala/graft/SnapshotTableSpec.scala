@@ -1261,4 +1261,92 @@ class SnapshotTableSpec extends SparkSpec {
     assert(left.filter(col("k").isin("key000000", "key001499",
       "key002999")).count() == 0)
   }
+
+  test("partitioned append salts within a hot value: filesPerValue " +
+      "tasks write one partition, every file still single-valued") {
+    val t = Files.createTempDirectory("graft-snapsal").toString + "/t"
+    // ONE partition value (a daily ingest's single day): without the
+    // salt this funnels through one task and lands as one giant file
+    val df = (0 until 900).map(i =>
+      (i.toLong, java.sql.Date.valueOf("2024-03-15"), i.toDouble))
+      .toDF("id", "d", "z")
+    val spec = SnapshotTable.PartitionSpec("days", "d")
+    SnapshotTable.commitAppendPartitioned(df, t, spec, filesPerValue = 3)
+    val nFiles = SnapshotTable.snapshot(t).map(_.files).sum
+    assert(nFiles >= 2,
+      s"a hot value must fan out across salted tasks, got $nFiles file")
+    // the manifest invariant is per-FILE, not per-value: every salted
+    // file carries the exact lo==hi _pt stat (dropPartition require()s
+    // it on every live file), so the drop still retires them all
+    val day = java.time.LocalDate.of(2024, 3, 15).toEpochDay
+    val (dropped, filesDropped, _) = SnapshotTable.dropPartition(t, day)
+    assert(dropped == 900 && filesDropped == nFiles,
+      s"drop must retire all $nFiles salted files, got $filesDropped")
+    assert(SnapshotTable.read(spark, t).count() == 0)
+  }
+
+  test("partition spec records atomically, first writer wins; the " +
+      "in-claim verification aborts a lost spec race cleanly") {
+    val t = Files.createTempDirectory("graft-snapsr").toString + "/t"
+    Files.createDirectories(Paths.get(t))
+    val specA = SnapshotTable.PartitionSpec("months", "d")
+    val specB = SnapshotTable.PartitionSpec("days", "d")
+    SnapshotTable.recordSpecIfAbsent(t, specA)
+    // the loser's CAS is a no-op — first writer's spec is the table's
+    SnapshotTable.recordSpecIfAbsent(t, specB)
+    assert(SnapshotTable.readPartitionSpec(t).contains(specA))
+    // and its in-claim verification aborts instead of committing files
+    // whose _pt was computed under a transform that never landed
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.requireSpecIs(t, specB)
+    }
+    SnapshotTable.requireSpecIs(t, specA) // the winner passes
+  }
+
+  test("streaming provenance is scoped per writer: a fresh stream's " +
+      "batch 0 commits instead of short-circuiting on a stale id") {
+    val t = Files.createTempDirectory("graft-snapwid").toString + "/t"
+    // stream A commits batch 0, then its replay short-circuits
+    assert(SnapshotTable.commitAppendOnce(rows(0 until 100), t, "z", 2,
+      batchId = 0L, writerId = "streamA"))
+    assert(!SnapshotTable.commitAppendOnce(rows(0 until 100), t, "z", 2,
+      batchId = 0L, writerId = "streamA"))
+    assert(SnapshotTable.read(spark, t).count() == 100)
+    // a BRAND-NEW stream (fresh checkpoint, ids restarting at 0) must
+    // NOT be deduped against stream A's provenance — that would be
+    // silent data loss, not replay protection
+    assert(SnapshotTable.commitAppendOnce(rows(100 until 150), t, "z", 2,
+      batchId = 0L, writerId = "streamB"))
+    assert(SnapshotTable.read(spark, t).count() == 150)
+    // a non-streaming commit carries BOTH id and writer forward, so
+    // stream B's replay of batch 0 still short-circuits after it
+    SnapshotTable.compactCommit(spark, t, "z", 1000)
+    assert(!SnapshotTable.commitAppendOnce(rows(100 until 150), t, "z", 2,
+      batchId = 0L, writerId = "streamB"))
+    assert(SnapshotTable.read(spark, t).count() == 150)
+  }
+
+  test("a changes consumer stranded below the vacuum horizon gets the " +
+      "dedicated exception; maintainAgg self-heals from the baseline") {
+    val t = Files.createTempDirectory("graft-snapvh").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 300), t, "z", 3)   // v1
+    val view = Files.createTempDirectory("graft-snapvw").toString + "/mv"
+    assert(SnapshotTable.maintainAgg(spark, t, view,
+      Seq("tag"), Seq("z"), 1) == 1)
+    SnapshotTable.commitAppend(rows(300 until 500), t, "z", 2) // v2
+    SnapshotTable.commitAppend(rows(500 until 600), t, "z", 1) // v3
+    SnapshotTable.vacuum(t, keepLast = 1) // v1, v2 gone — cursor 1 stranded
+    // hand-rolled consumers get the NAMED recovery, not an opaque require
+    intercept[graft.sources.SnapshotVacuumedException] {
+      SnapshotTable.readChanges(spark, t, 1, 3)
+    }
+    // maintainAgg resets to the v0 baseline and rebuilds exactly
+    assert(SnapshotTable.maintainAgg(spark, t, view,
+      Seq("tag"), Seq("z"), 3) == 3)
+    val mv = SnapshotTable.readMaintainedAgg(spark, view)
+    val expect = SnapshotTable.read(spark, t).groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("z"))
+    assert(mv.orderBy(col("tag")).collect().toSeq ==
+      expect.orderBy(col("tag")).collect().toSeq)
+  }
 }
