@@ -216,7 +216,7 @@ object ScaleStress {
     // tombstone-routed DELETE), and bloom-probed point/IN lookups
     // through the Catalyst read path
     "q_snapshot_sql_write", "q_snapshot_sql_delete",
-    "q_snapshot_sql_point")
+    "q_snapshot_sql_point", "q_snapshot_join_prune")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -3517,6 +3517,44 @@ object Relational {
         lit(true).as("point_bloom_pruned"))
     }),
 
+    // LIBRARY-LEVEL RUNTIME FILTERING — the dim-filtered star join over
+    // a snapshot fact table ([[sources.SnapshotTable.readKeyedPruned]]):
+    // the dim side's key set drives the SAME bounds+bloom pyramid
+    // descent the planned rewrites use, at READ time — a 3-row dim
+    // joined against a price-clustered fact opens at most HALF the
+    // fact's files (require()d; min/max bounds alone cannot confine
+    // scattered ids), which is exactly the file subset DSv2's
+    // SupportsRuntimeFiltering would buy (the hook itself never fires
+    // on a V1Scan — BASELINE.md r16 ledger documents the boundary).
+    // The oracle recomputes the join from the raw table, so a wrongly
+    // pruned file surfaces as a lost join row.
+    "q_snapshot_join_prune" -> ((s, d) => {
+      val dir = rtDir("snapjp", d)
+      bloomFixture(s, d, dir) // v1 = even, v2 = odd, blooms on key
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val r = o.agg(min(col("o_orderkey")), max(col("o_orderkey")),
+        count(lit(1))).head()
+      val (mn, mx, nRows) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val mid = kthSmallest(o.select(col("o_orderkey").as("k")), "k",
+        nRows / 2).asInstanceOf[Long]
+      val dim = s.createDataFrame(
+        Seq((mn, 1L), (mid, 2L), (mx, 3L))).toDF("o_orderkey", "w")
+      val s2 = s.newSession()
+      val (cand, read, total) = graft.sources.SnapshotTable
+        .readKeyedPruned(s2, dir, "o_orderkey",
+          dim.select(col("o_orderkey")))
+      require(read > 0 && read * 2 <= total,
+        s"q_snapshot_join_prune: the keyed probe must open at most " +
+          s"half the fact files, opened $read/$total")
+      cand.join(broadcast(dim), Seq("o_orderkey"))
+        .agg(count(lit(1)).as("n_join"),
+          sum(col("o_orderkey")).as("keysum_join"),
+          sum(col("price")).cast("double").as("revenue_join"),
+          sum(col("w")).as("wsum"))
+        .withColumn("join_pruned_subset", lit(true))
+    }),
+
     // PREDICATE MERGE-ON-READ DELETE — the O(METADATA) retention drop
     // ([[sources.SnapshotTable.commitDeleteMorPred]]): "drop every row
     // dated on or before the cutoff" lands as ONE serialized-comparison
@@ -6366,6 +6404,25 @@ object Relational {
         |  TRUE AS in_bloom_pruned,
         |  TRUE AS point_bloom_pruned
         |FROM sel""".stripMargin,
+
+    "q_snapshot_join_prune" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |r AS (SELECT k, row_number() OVER (ORDER BY k) AS rn,
+        |    count(*) OVER () AS n FROM o),
+        |m AS (SELECT max(CASE WHEN rn = 1 THEN k END) AS k1,
+        |    max(CASE WHEN rn = n // 2 THEN k END) AS k2,
+        |    max(CASE WHEN rn = n THEN k END) AS k3 FROM r),
+        |dim AS (SELECT k1 AS k, CAST(1 AS BIGINT) AS w FROM m
+        |  UNION ALL SELECT k2, CAST(2 AS BIGINT) FROM m
+        |  UNION ALL SELECT k3, CAST(3 AS BIGINT) FROM m),
+        |j AS (SELECT o.k, o.price, dim.w FROM o JOIN dim ON o.k = dim.k)
+        |SELECT CAST(count(*) AS BIGINT) AS n_join,
+        |  CAST(sum(k) AS BIGINT) AS keysum_join,
+        |  CAST(sum(price) AS DOUBLE) AS revenue_join,
+        |  CAST(sum(w) AS BIGINT) AS wsum,
+        |  TRUE AS join_pruned_subset
+        |FROM j""".stripMargin,
 
     "q_snapshot_mor_delete_pred" ->
       """WITH o AS (SELECT o_orderkey AS k,

@@ -78,6 +78,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new SnapshotV2Table(p, None, SnapshotTableSource.schemaOf(p, None))
   }
 
+  /** `VERSION AS OF <v>` — SQL time travel by snapshot version: the
+    * resolved table reads that version's manifests bit for bit (and
+    * refuses writes/deletes, like every versionAsOf table).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    if (!exists(p)) throw new NoSuchTableException(ident)
+    val v =
+      try version.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            "graft-catalog: VERSION AS OF takes the integer snapshot " +
+              s"version, got '$version'")
+      }
+    new SnapshotV2Table(p, Some(v),
+      SnapshotTableSource.schemaOf(p, Some(v)))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     base match {
       case None => Array.empty

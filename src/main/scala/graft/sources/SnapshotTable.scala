@@ -2137,6 +2137,46 @@ object SnapshotTable {
     (df, hit.length.toLong, total)
   }
 
+  /** KEYED pruned read — the files a KEY-SET probe must open, planned
+    * through the same bounds+bloom pyramid descent the planned
+    * rewrites use, on the READ side: the library-level form of DSv2
+    * runtime filtering for the dim-filtered star join over a snapshot
+    * fact table (the deliberate V1Scan execution boundary keeps
+    * BatchScanExec's SupportsRuntimeFiltering hook out of reach — the
+    * scan would forfeit the single tombstone-applying read path and
+    * vectorized parquet to gain it). `collectKeyCap` bounds the
+    * exact-value plan, `broadcastKeyCap` the probe broadcast, exactly
+    * as in [[commitDeletePlanned]]. Sound like every prune here: a
+    * file drops only when its recorded bounds OR its key bloom prove
+    * no planned key can be present (bloom false positives only ADD
+    * candidates), so candidates + the caller's join equal a full
+    * scan's join. Returns (candidates, filesRead, filesTotal).
+    */
+  def readKeyedPruned(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame, version: Option[Int] = None,
+      collectKeyCap: Int = CollectKeyCapDefault,
+      broadcastKeyCap: Long = BroadcastKeyCapDefault)
+      : (DataFrame, Long, Long) = {
+    val v = version.orElse(latestVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $path"))
+    val plan = planKeys(keys, keyCol, collectKeyCap, broadcastKeyCap)
+    val refs = snapshot(path, Some(v))
+    val total = refs.map(_.files.toLong).sum
+    val hit = refs
+      .filter(r => boundsHitKeys(statFor(r.cols, keyCol), plan) &&
+        bloomHitsKeys(r.blooms, keyCol, plan))
+      .flatMap(r => parseManifest(path, r.name)
+        .filter(f => f.rows > 0 &&
+          boundsHitKeys(statFor(f.cols, keyCol), plan) &&
+          bloomHitsKeys(f.blooms, keyCol, plan))
+        .map(f => (manifestVersion(r.name), s"$path/${f.file}")))
+      .sortBy(_._2)
+    val df =
+      if (hit.nonEmpty) readApplying(spark, path, v, hit)
+      else read(spark, path, Some(v)).filter(lit(false))
+    (df, hit.length.toLong, total)
+  }
+
   /** Plan the (manifestVersion, filePath) pairs surviving a
     * conjunction of OPTIONAL-sided range predicates — the planning
     * half of [[readPrunedCols]] exposed for the Catalyst-pushdown

@@ -107,6 +107,9 @@ object SnapshotTableSource {
       : Option[Seq[Seq[SnapshotTable.FileTest]]] = f match {
     case sources.EqualTo(a, v) if v != null =>
       Some(Seq(Seq(SnapshotTable.InTest(a, Seq(v)))))
+    case sources.EqualNullSafe(a, v) if v != null =>
+      // `<=>` with a non-null literal matches exactly the rows = v
+      Some(Seq(Seq(SnapshotTable.InTest(a, Seq(v)))))
     case sources.In(a, vs) if vs != null && vs.exists(_ != null) =>
       Some(Seq(Seq(SnapshotTable.InTest(a,
         vs.toIndexedSeq.filter(_ != null)))))

@@ -41,9 +41,12 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gt.ns.t").head.getLong(0)
       == 898)
     // the catalog is a NAME layer: the direct path sees the same table,
-    // and time travel still reads the pre-delete version in full
+    // and time travel still reads the pre-delete version in full —
+    // both by API and by SQL `VERSION AS OF`
     val path = s"$base/ns/t"
     assert(SnapshotTable.read(spark, path, Some(2)).count() == 1000)
+    assert(spark.sql("SELECT count(*) FROM gt.ns.t VERSION AS OF 2")
+      .head.getLong(0) == 1000)
     // an inexact delete shape refuses loudly, table unchanged
     intercept[Exception] {
       spark.sql("DELETE FROM gt.ns.t WHERE z < 500")
