@@ -216,7 +216,8 @@ object ScaleStress {
     // tombstone-routed DELETE), and bloom-probed point/IN lookups
     // through the Catalyst read path
     "q_snapshot_sql_write", "q_snapshot_sql_delete",
-    "q_snapshot_sql_point", "q_snapshot_join_prune")
+    "q_snapshot_sql_point", "q_snapshot_join_prune",
+    "q_snapshot_runtime_filter")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

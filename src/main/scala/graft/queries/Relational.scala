@@ -390,7 +390,7 @@ object Relational {
     * blooms on o_orderkey) at `dir` — shared by the bloom-delete gate
     * (which mutates its copy) and the SQL point-lookup gate (read-only).
     */
-  private[queries] def bloomFixture(s: SparkSession, d: String,
+  private[graft] def bloomFixture(s: SparkSession, d: String,
       dir: String): Unit =
     cachedPrologue("snapbfx", d, dir) { base =>
       val o = orders(s, d).select(col("o_orderkey"),
@@ -3555,6 +3555,60 @@ object Relational {
         .withColumn("join_pruned_subset", lit(true))
     }),
 
+    // RUNTIME FILTERING proper — the NATIVE DSv2 batch scan
+    // ([[sources.SnapshotTableSource]] `nativeScan` option): a real
+    // Batch over the pyramid-planned files (Spark's own vectorized
+    // parquet readers underneath), which is what lets
+    // SupportsRuntimeFiltering FIRE — a broadcast join's build-side
+    // key set reaches the scan AT EXECUTION TIME, the file plan
+    // re-runs with the keys as a bloom-probing InTest, and the
+    // dim-filtered star join opens ≤ half the fact files (require()d)
+    // with `dynamicpruning` pinned in the executed plan. Decoy dim
+    // rows are filtered build-side (the DPP-selectivity shape), keys
+    // pick by distributed rank, and the oracle recomputes the join.
+    "q_snapshot_runtime_filter" -> ((s, d) => {
+      val dir = rtDir("snaprtf", d)
+      bloomFixture(s, d, dir) // v1 = even, v2 = odd, blooms on key
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val r = o.agg(min(col("o_orderkey")), max(col("o_orderkey")),
+        count(lit(1))).head()
+      val (mn, mx, nRows) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val mid = kthSmallest(o.select(col("o_orderkey").as("k")), "k",
+        nRows / 2).asInstanceOf[Long]
+      val dimDir = rtDir("snaprtfd", d)
+      deleteRecursive(java.nio.file.Paths.get(dimDir))
+      s.createDataFrame(Seq((mn, 1L), (mid, 2L), (mx, 3L),
+          (-5L, 4L), (-6L, 5L))).toDF("want", "w")
+        .write.mode("overwrite").parquet(dimDir)
+      val s2 = s.newSession()
+      val dim = s2.read.parquet(dimDir).filter(col("want") >= 0)
+      val fact = s2.read.format("graft.sources.SnapshotTableSource")
+        .option("path", dir).option("nativeScan", "true").load()
+      val joined = fact.join(broadcast(dim),
+        col("o_orderkey") === col("want"))
+      val res = joined.agg(count(lit(1)).as("n_join"),
+        sum(col("o_orderkey")).as("keysum_join"),
+        sum(col("price")).cast("double").as("revenue_join"),
+        sum(col("w")).as("wsum")).head()
+      val (p, t) = (graft.sources.SnapshotTableSource.lastPlanned,
+        graft.sources.SnapshotTableSource.lastTotal)
+      require(p > 0 && p * 2 <= t,
+        s"q_snapshot_runtime_filter: the runtime filter must confine " +
+          s"the fact scan to at most half the files, opened $p/$t")
+      require(joined.queryExecution.executedPlan.toString
+          .toLowerCase.contains("dynamicpruning"),
+        "q_snapshot_runtime_filter: expected a dynamicpruning subquery " +
+          "on the fact scan")
+      s2.range(1).select(
+        lit(res.getLong(0)).as("n_join"),
+        lit(res.getLong(1)).as("keysum_join"),
+        lit(res.getDouble(2)).as("revenue_join"),
+        lit(res.getLong(3)).as("wsum"),
+        lit(true).as("runtime_filtered_subset"),
+        lit(true).as("dynamic_pruning_planned"))
+    }),
+
     // PREDICATE MERGE-ON-READ DELETE — the O(METADATA) retention drop
     // ([[sources.SnapshotTable.commitDeleteMorPred]]): "drop every row
     // dated on or before the cutoff" lands as ONE serialized-comparison
@@ -6422,6 +6476,26 @@ object Relational {
         |  CAST(sum(price) AS DOUBLE) AS revenue_join,
         |  CAST(sum(w) AS BIGINT) AS wsum,
         |  TRUE AS join_pruned_subset
+        |FROM j""".stripMargin,
+
+    "q_snapshot_runtime_filter" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |r AS (SELECT k, row_number() OVER (ORDER BY k) AS rn,
+        |    count(*) OVER () AS n FROM o),
+        |m AS (SELECT max(CASE WHEN rn = 1 THEN k END) AS k1,
+        |    max(CASE WHEN rn = n // 2 THEN k END) AS k2,
+        |    max(CASE WHEN rn = n THEN k END) AS k3 FROM r),
+        |dim AS (SELECT k1 AS k, CAST(1 AS BIGINT) AS w FROM m
+        |  UNION ALL SELECT k2, CAST(2 AS BIGINT) FROM m
+        |  UNION ALL SELECT k3, CAST(3 AS BIGINT) FROM m),
+        |j AS (SELECT o.k, o.price, dim.w FROM o JOIN dim ON o.k = dim.k)
+        |SELECT CAST(count(*) AS BIGINT) AS n_join,
+        |  CAST(sum(k) AS BIGINT) AS keysum_join,
+        |  CAST(sum(price) AS DOUBLE) AS revenue_join,
+        |  CAST(sum(w) AS BIGINT) AS wsum,
+        |  TRUE AS runtime_filtered_subset,
+        |  TRUE AS dynamic_pruning_planned
         |FROM j""".stripMargin,
 
     "q_snapshot_mor_delete_pred" ->

@@ -3,17 +3,22 @@ package graft.sources
 import java.util
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.paths.SparkPath
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 
 /** The [[SnapshotTable]] as a PLANNER-INTEGRATED read: a DSv2
   * `TableProvider` whose `ScanBuilder` receives Catalyst's pushed
@@ -149,7 +154,8 @@ private[sources] class SnapshotV2Table(path: String, version: Option[Int],
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
-    new SnapshotScanBuilder(path, version, schema0)
+    new SnapshotScanBuilder(path, version, schema0,
+      tableOpts ++ options.asScala)
 
   // ---- DSv2 WRITE: append through the claim/nonce commit machinery ----
   // The write is a V1Write (the twin of the read side's V1Scan —
@@ -289,7 +295,8 @@ private[sources] class SnapshotV2Table(path: String, version: Option[Int],
 }
 
 private[sources] class SnapshotScanBuilder(path: String,
-    version: Option[Int], schema0: StructType) extends ScanBuilder
+    version: Option[Int], schema0: StructType,
+    opts: Map[String, String] = Map.empty) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var required: StructType = schema0
@@ -413,7 +420,24 @@ private[sources] class SnapshotScanBuilder(path: String,
 
   override def build(): Scan = aggResult match {
     case Some((sc, row)) => new SnapshotAggScan(path, sc, row)
-    case None => new SnapshotV1Scan(path, version, required, pushed)
+    case None =>
+      // the NATIVE batch scan (opt-in): a real DSv2 Batch whose
+      // partitions are the planned files, which is what lets
+      // SupportsRuntimeFiltering fire (Spark consults the hook only on
+      // BatchScanExec — never on the V1 execution path). Eligible only
+      // while the snapshot carries no tombstones: the MOR anti-join /
+      // residual-filter read NEEDS the DataFrame path, so tombstoned
+      // tables silently keep the (always-correct) V1 scan.
+      val nativeOk = opts.get("nativeScan").exists(_.toBoolean) && {
+        val v = version.orElse(SnapshotTable.latestVersion(path))
+        v.exists(vv => SnapshotTable.deleteRefs(path, Some(vv)).isEmpty &&
+          SnapshotTable.predDeleteRefs(path, Some(vv)).isEmpty &&
+          SnapshotTable.readSchema(path, vv).nonEmpty)
+      }
+      if (nativeOk)
+        new SnapshotBatchScan(path, version,
+          SnapshotTableSource.schemaOf(path, version), required, pushed)
+      else new SnapshotV1Scan(path, version, required, pushed)
   }
 }
 
@@ -470,4 +494,147 @@ private[sources] class SnapshotV1Scan(path: String, version: Option[Int],
         pruned.rdd
       }
     }.asInstanceOf[T]
+}
+
+/** The NATIVE DSv2 batch scan (opt-in via `option("nativeScan","true")`,
+  * tombstone-free snapshots only): a real `Batch` whose input
+  * partitions are the pyramid-planned data files and whose readers are
+  * Spark's own parquet reader (vectorized when the schema supports it,
+  * with the pushed filters applied as parquet row-group predicates) —
+  * the path that removes the V1Scan execution boundary and, crucially,
+  * lets `SupportsRuntimeFiltering` FIRE: Spark consults the hook only
+  * on BatchScanExec, so a broadcast join's build-side key set reaches
+  * `filter()` at execution time, the file plan re-runs with the keys
+  * as an [[SnapshotTable.InTest]] (bounds + manifest blooms), and the
+  * dim-filtered star join opens only the files that can hold the dim
+  * keys — dynamic partition pruning semantics on a value-clustered
+  * table with no partition columns at all.
+  *
+  * Soundness is the planner's, unchanged: planning only ever DROPS a
+  * file whose recorded metadata proves no surviving predicate can
+  * match, every pushed filter stays residual above the scan, and the
+  * runtime filter itself is a superset-safe hint (Spark re-applies the
+  * join). Re-planning memoizes on the runtime-filter state, so the
+  * planning-time call and the post-filter execution call each resolve
+  * once ([[PagedApiScan]]'s memo pattern).
+  */
+private[sources] class SnapshotBatchScan(path: String,
+    version: Option[Int], dataSchema: StructType, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch
+    with SupportsRuntimeFiltering {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val preds = pushed.mkString(", ")
+    s"graft-snapshot-native $path" +
+      s"${version.map(v => s"@v$v").getOrElse("")}" +
+      (if (preds.isEmpty) "" else s" pushed=[$preds]")
+  }
+
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    required.fields
+      .filter(f => SnapshotTable.colTag(f.dataType).nonEmpty)
+      .map(f => Expressions.column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters
+
+  // memoized on the runtime-filter state: planning's call (no runtime
+  // filters yet) and execution's re-plan (after filter()) each resolve
+  // the file list exactly once
+  private var memo: Option[(Seq[Filter], Array[InputPartition])] = None
+
+  override def planInputPartitions(): Array[InputPartition] =
+    synchronized {
+      val key = (pushed ++ runtime).toIndexedSeq
+      memo match {
+        case Some((k, p)) if k == key => p
+        case _ =>
+          val preds = key.flatMap(SnapshotTableSource.toDnf)
+            .map(SnapshotTable.PredDnf(_))
+          val (pairs, total) =
+            SnapshotTable.planPrunedFilesDnf(path, version, preds)
+          SnapshotTableSource.lastAggPushed = false
+          SnapshotTableSource.lastPlanned = pairs.size.toLong
+          SnapshotTableSource.lastTotal = total
+          val ps: Array[InputPartition] = pairs.map { case (_, fp) =>
+            val len = java.nio.file.Files.size(
+              java.nio.file.Paths.get(fp))
+            SnapshotFilePartition(fp, len): InputPartition
+          }.toArray
+          memo = Some((key, ps))
+          ps
+      }
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val fmt = new ParquetFileFormat()
+    val columnar = fmt.supportBatch(spark, required)
+    // row-group pruning from the statically pushed filters; residuals
+    // above the scan keep correctness regardless. RETURNING_BATCH tells
+    // the built reader which element type to emit — it MUST agree with
+    // supportColumnarReads (ColumnarBatch when vectorized, InternalRow
+    // otherwise)
+    val readFunc = fmt.buildReaderWithPartitionValues(
+      spark, dataSchema, new StructType(), required,
+      pushed.toIndexedSeq,
+      Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> columnar.toString),
+      spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    new SnapshotFileReaderFactory(readFunc, columnar)
+  }
+}
+
+private[sources] case class SnapshotFilePartition(file: String,
+    length: Long) extends InputPartition
+
+/** Wraps Spark's parquet read function as a DSv2 reader factory: when
+  * the schema supports vectorized reading the iterator's elements ARE
+  * ColumnarBatches (Spark's internal convention) and the factory
+  * declares columnar support so BatchScanExec consumes them at full
+  * speed; otherwise plain InternalRows.
+  */
+private[sources] class SnapshotFileReaderFactory(
+    read: PartitionedFile => Iterator[InternalRow], columnar: Boolean)
+    extends PartitionReaderFactory {
+
+  private def asFile(p: InputPartition): PartitionedFile = {
+    val sp = p.asInstanceOf[SnapshotFilePartition]
+    PartitionedFile(InternalRow.empty,
+      SparkPath.fromPathString(sp.file), 0L, sp.length,
+      Array.empty[String], 0L, sp.length)
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val it = read(asFile(p))
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        it.hasNext && { cur = it.next(); true }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val it = read(asFile(p))
+    new PartitionReader[ColumnarBatch] {
+      private var cur: ColumnarBatch = _
+      override def next(): Boolean =
+        it.hasNext && {
+          cur = it.next().asInstanceOf[ColumnarBatch]; true
+        }
+      override def get(): ColumnarBatch = cur
+      override def close(): Unit = ()
+    }
+  }
 }

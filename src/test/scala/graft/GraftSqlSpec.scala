@@ -84,6 +84,57 @@ class GraftSqlSpec extends SparkSpec {
       == 500)
   }
 
+  test("native batch scan: parity with the V1 path, pushed-band " +
+      "pruning, and a silent fallback while tombstones are live") {
+    val t = Files.createTempDirectory("graft-nsc").toString + "/t"
+    SnapshotTable.commitAppend(rows(0 until 1200), t, "z", 8)
+    def src(native: Boolean) = spark.read
+      .format("graft.sources.SnapshotTableSource")
+      .option("path", t).option("nativeScan", native.toString).load()
+    // parity: same rows, same aggregates
+    val a = src(native = true).agg(count(lit(1)), sum(col("id")),
+      sum(col("z"))).head()
+    val b = src(native = false).agg(count(lit(1)), sum(col("id")),
+      sum(col("z"))).head()
+    assert(a == b && a.getLong(0) == 1200)
+    // pushed band plans a strict subset through the native partitions
+    val band = src(native = true)
+      .filter(col("z") >= 100 && col("z") <= 220)
+    assert(band.count() == 121)
+    val (p, tot) = (graft.sources.SnapshotTableSource.lastPlanned,
+      graft.sources.SnapshotTableSource.lastTotal)
+    assert(p > 0 && p < tot, s"native scan must prune: $p/$tot")
+    // a live tombstone silently falls back to the (always-correct) V1
+    // read — the anti-join path the native partitions cannot express
+    SnapshotTable.commitDeleteMor(spark, t, "id",
+      (0L until 100L).toDF("id"))
+    assert(src(native = true).count() == 1100)
+  }
+
+  test("runtime filtering fires on the native scan: a broadcast join's " +
+      "build-side keys prune fact files at execution time") {
+    val t = Files.createTempDirectory("graft-nrf").toString + "/t"
+    // scatter ids across a z-clustered table so only blooms/keys can
+    // confine a key probe; blooms recorded on the id column
+    val df = (0 until 3000).map(i => (i.toLong, (i % 600).toDouble))
+      .toDF("id", "z")
+    SnapshotTable.commitAppend(df, t, "z", 10, bloomCols = Seq("id"))
+    val dimDir = Files.createTempDirectory("graft-nrfd").toString
+    Seq((7L, 1L), (1499L, 2L), (2993L, 3L), (-5L, 4L), (-6L, 5L))
+      .toDF("want", "w").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("want") > 0)
+    val fact = spark.read.format("graft.sources.SnapshotTableSource")
+      .option("path", t).option("nativeScan", "true").load()
+    val joined = fact.join(broadcast(dim), col("id") === col("want"))
+    assert(joined.count() == 3)
+    val (p, tot) = (graft.sources.SnapshotTableSource.lastPlanned,
+      graft.sources.SnapshotTableSource.lastTotal)
+    assert(p > 0 && p * 2 <= tot,
+      s"runtime filter did not confine the fact scan: $p/$tot")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2000))
+  }
+
   test("IN and OR pushdown plan strict file subsets through the " +
       "Catalyst read path") {
     val t = Files.createTempDirectory("graft-sqlr").toString + "/t"
