@@ -761,8 +761,157 @@ object SnapshotTable {
         StandardCopyOption.ATOMIC_MOVE)
       dst
     }
-    fileColStats(s, path, moved, zcol, bloomCols)
+    collectFileStats(s, path, moved, zcol, bloomCols, laid.schema)
   }
+
+  /** Stats dispatcher: per-file manifest stats from the parquet FOOTERS
+    * the write just produced (O(files) driver metadata reads, no Spark
+    * job, no second pass over the data) whenever every stat column's
+    * footer statistic is exactly decodable and no bloom is requested;
+    * otherwise the one-job scan [[fileColStats]]. At the 100 TB design
+    * point this is the difference between an ingest that writes W bytes
+    * and one that writes W then READS W back to learn what it wrote —
+    * the Iceberg/Delta shape is stats-from-the-writer's-own-footers,
+    * and the values here are bit-identical by construction (verified
+    * column-by-column in SnapshotTableSpec against the scan path).
+    */
+  private def collectFileStats(s: SparkSession, path: String,
+      names: Seq[String], zcol: String, bloomCols: Seq[String],
+      schema: StructType): Seq[FileStat] =
+    if (bloomCols.nonEmpty) fileColStats(s, path, names, zcol, bloomCols)
+    else footerColStats(s, path, names, zcol, schema)
+      .getOrElse(fileColStats(s, path, names, zcol, bloomCols))
+
+  /** Footer tags whose min/max round-trip EXACTLY to the canonical
+    * forms the scan path records: integral (INT32/64), decimal
+    * (unscaled INT32/64/binary + declared scale), string (un-truncated
+    * UTF-8 binary under parquet's unsigned order = [[cmpCanon]]'s), and
+    * date (INT32 epoch day). Deliberately NOT doubles (parquet widens
+    * ±0.0 bounds conservatively, so the footer value can differ from
+    * the scanned min/max) and NOT timestamps (Spark's default INT96
+    * carries no usable stats) — schemas holding either fall back to the
+    * scan, trading speed for the exactness the manifests are gated on.
+    */
+  private def footerExactTag(t: String): Boolean =
+    t == "l" || t == "dec" || t == "s" || t == "dt"
+
+  /** Per-file stats decoded from parquet footers — None when ANY
+    * column of ANY file lacks an exactly-decodable statistic (missing
+    * chunk stats, truncated/oversized binary bounds, unexpected
+    * physical type), in which case the caller runs the scan. False
+    * "unusable" only costs the fallback job; a wrong decode is ruled
+    * out by taking only bit-exact representations.
+    */
+  private def footerColStats(s: SparkSession, path: String,
+      names: Seq[String], zcol: String,
+      schema: StructType): Option[Seq[FileStat]] = {
+    val fields = schema.fields.toIndexedSeq
+      .flatMap(f => colTag(f.dataType).map(t => (f.name, f.dataType, t)))
+    if (!fields.forall { case (_, _, t) => footerExactTag(t) }) return None
+    val conf = s.sparkContext.hadoopConfiguration
+    // plain-path files open through java.nio (LocalInputFile): the
+    // Hadoop LocalFileSystem wrapper CRC-checksums every read, which
+    // measured ~30 ms per footer — as slow as the scan job this path
+    // exists to remove; scheme-carrying paths keep the Hadoop route
+    def inputFile(p: String): org.apache.parquet.io.InputFile =
+      if (p.contains("://") && !p.startsWith("file://"))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf)
+      else new org.apache.parquet.io.LocalInputFile(
+        Paths.get(p.stripPrefix("file://")))
+    def decode(t: String, dt: DataType, raw: Any): Option[String] =
+      (t, raw) match {
+        case ("l", n: java.lang.Integer) => Some(n.longValue.toString)
+        case ("l", n: java.lang.Long) => Some(n.toString)
+        case ("dt", n: java.lang.Integer) => Some(n.toString)
+        case ("dec", n: java.lang.Integer) =>
+          Some(java.math.BigDecimal.valueOf(n.longValue,
+            dt.asInstanceOf[DecimalType].scale).toPlainString)
+        case ("dec", n: java.lang.Long) =>
+          Some(java.math.BigDecimal.valueOf(n.longValue,
+            dt.asInstanceOf[DecimalType].scale).toPlainString)
+        case ("dec", b: org.apache.parquet.io.api.Binary) =>
+          Some(new java.math.BigDecimal(
+            new java.math.BigInteger(b.getBytes),
+            dt.asInstanceOf[DecimalType].scale).toPlainString)
+        case ("s", b: org.apache.parquet.io.api.Binary) =>
+          Some(new String(b.getBytes, StandardCharsets.UTF_8))
+        case _ => None
+      }
+    try {
+      // footers read CONCURRENTLY (driver metadata I/O, one small read
+      // per file) — the Iceberg manifest-read shape; order of the
+      // returned stats stays names.sorted regardless of completion order
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, math.max(1, names.size)))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try Some(scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(names.sorted.toList)(n =>
+          scala.concurrent.Future(footerStatOne(path, n, zcol, fields,
+            inputFile, decode))),
+        scala.concurrent.duration.Duration.Inf))
+      finally pool.shutdown()
+    } catch { case FooterUnusable => None }
+  }
+
+  private def footerStatOne(path: String, n: String, zcol: String,
+      fields: IndexedSeq[(String, DataType, String)],
+      inputFile: String => org.apache.parquet.io.InputFile,
+      decode: (String, DataType, Any) => Option[String]): FileStat = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      inputFile(s"$path/$n"))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toIndexedSeq
+      val rows = blocks.map(_.getRowCount).sum
+      if (rows == 0L)
+        FileStat(n, Double.MaxValue, -Double.MaxValue, 0L, Nil)
+      else {
+        val cols = fields.map { case (cName, dt, t) =>
+          var lo: Option[String] = None
+          var hi: Option[String] = None
+          blocks.foreach { b =>
+            val chunk = b.getColumns.asScala
+              .find(_.getPath.toDotString == cName)
+              .getOrElse(throw FooterUnusable)
+            val st = chunk.getStatistics
+            if (st == null) throw FooterUnusable
+            else if (st.hasNonNullValue) {
+              val mn = decode(t, dt, st.genericGetMin)
+                .getOrElse(throw FooterUnusable)
+              val mx = decode(t, dt, st.genericGetMax)
+                .getOrElse(throw FooterUnusable)
+              lo = Some(lo.filter(cmpCanon(t, _, mn) <= 0)
+                .getOrElse(mn))
+              hi = Some(hi.filter(cmpCanon(t, _, mx) >= 0)
+                .getOrElse(mx))
+            } else if (!(st.isNumNullsSet &&
+                st.getNumNulls == b.getRowCount))
+              // can't tell "all null" from "stats dropped": scan
+              throw FooterUnusable
+          }
+          ColStat(cName, t, lo, hi)
+        }
+        val (zmn, zmx) = legacyZ(cols, zcol)
+        FileStat(n, zmn, zmx, rows, cols)
+      }
+    } finally reader.close()
+  }
+
+  private object FooterUnusable
+    extends RuntimeException("footer stats unusable")
+      with scala.util.control.NoStackTrace
+
+  /** Test hook: BOTH stat paths over the same committed files —
+    * SnapshotTableSpec pins the footer decode bit-identical to the
+    * scan (manifest values are oracle-gated downstream, so "close" is
+    * not good enough).
+    */
+  private[graft] def statPathsForTest(s: SparkSession, path: String,
+      names: Seq[String], zcol: String, schema: StructType)
+      : (Option[Seq[FileStat]], Seq[FileStat]) =
+    (footerColStats(s, path, names, zcol, schema),
+      fileColStats(s, path, names, zcol, Nil))
 
   /** Expected distinct keys per file for the manifest blooms — sizes
     * the sketch (Spark's 2-arg bloom_agg allocates items×8 bits, ~2%
@@ -1104,7 +1253,8 @@ object SnapshotTable {
         }
       }
       val valOf = movedWithVal.toMap
-      val stats = fileColStats(s, path, movedWithVal.map(_._1), spec.col)
+      val stats = collectFileStats(s, path, movedWithVal.map(_._1),
+          spec.col, Nil, df.schema)
         .map(f => f.copy(cols = f.cols :+ ColStat(PartCol, "l",
           Some(valOf(f.file).toString), Some(valOf(f.file).toString))))
       requireClaimHeld(path, v, nonce)

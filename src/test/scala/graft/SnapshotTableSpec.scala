@@ -1349,4 +1349,46 @@ class SnapshotTableSpec extends SparkSpec {
     assert(mv.orderBy(col("tag")).collect().toSeq ==
       expect.orderBy(col("tag")).collect().toSeq)
   }
+
+  test("footer-decoded manifest stats are bit-identical to the scan " +
+      "path across types, nulls, all-null columns and empty files") {
+    import scala.jdk.CollectionConverters._
+    val t = Files.createTempDirectory("graft-snapfs").toString + "/t"
+    // long key, decimal (incl. negatives crossing 0), string (incl.
+    // non-ASCII so UTF-8 byte order matters), date, a nullable string
+    // with real nulls, an ALL-null decimal — plus an empty staged file
+    // (3 rows ranged into 8 partitions leaves empty parts)
+    val df = spark.range(0, 200).toDF("k")
+      .select(col("k"),
+        ((col("k") - 100) / 100.0).cast("decimal(18,2)").as("price"),
+        concat(lit("naïve-"), col("k")).as("s"),
+        date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+          col("k").cast("int")).as("d"),
+        when(col("k") % 3 === 0, concat(lit("t"), col("k")))
+          .otherwise(lit(null)).cast("string").as("maybe"),
+        lit(null).cast("decimal(10,4)").as("void"))
+    SnapshotTable.commitAppend(df, t, "k", 4)
+    SnapshotTable.commitAppend(df.limit(3), t, "k", 8) // empty files
+    val names = Files.list(Paths.get(t)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .toSeq.sorted
+    assert(names.nonEmpty)
+    val (footer, scan) =
+      SnapshotTable.statPathsForTest(spark, t, names, "k", df.schema)
+    assert(footer.isDefined, "fast path must engage for l/dec/s/dt")
+    assert(footer.get == scan,
+      s"footer stats diverged from scan:\n${footer.get}\nvs\n$scan")
+    // a schema carrying a double column must DECLINE the fast path
+    // (parquet widens ±0.0 bounds; exactness over speed)
+    val dbl = df.withColumn("x", col("k").cast("double") * 0.5)
+    val t2 = Files.createTempDirectory("graft-snapfs2").toString + "/t"
+    SnapshotTable.commitAppend(dbl, t2, "k", 2)
+    val names2 = Files.list(Paths.get(t2)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .toSeq.sorted
+    val (f2, s2) =
+      SnapshotTable.statPathsForTest(spark, t2, names2, "k", dbl.schema)
+    assert(f2.isEmpty, "double columns must fall back to the scan")
+    assert(s2.nonEmpty)
+  }
 }
