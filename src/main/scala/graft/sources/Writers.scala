@@ -534,7 +534,23 @@ object Writers {
     * scheme prefix differently, full-URI equality would silently
     * mismatch.
     */
-  private[sources] def fileStats(s: SparkSession, path: String,
+  private[graft] def fileStats(s: SparkSession, path: String,
+      paths: Seq[String], zcol: String): DataFrame = {
+    import s.implicits._
+    val files = if (paths.isEmpty)
+      s.read.parquet(path).inputFiles.toIndexedSeq else paths.toIndexedSeq
+    footerBounds(files, Seq(zcol), numeric = true).map { rows =>
+      rows.map { case (f, n, bs) =>
+        val (mn, mx) = bs.head
+          .map { case (a, b) => (a.asInstanceOf[Double],
+            b.asInstanceOf[Double]) }
+          .getOrElse((Double.MaxValue, -Double.MaxValue))
+        (f, mn, mx, n)
+      }.toDF("file", "z_min", "z_max", "n_rows")
+    }.getOrElse(scanFileStats(s, path, paths, zcol))
+  }
+
+  private[graft] def scanFileStats(s: SparkSession, path: String,
       paths: Seq[String], zcol: String): DataFrame = {
     import s.implicits._
     val src = if (paths.isEmpty) s.read.parquet(path)
@@ -555,6 +571,123 @@ object Writers {
         coalesce(col("_zmx"), lit(-Double.MaxValue)).as("z_max"),
         coalesce(col("_nr"), lit(0L)).as("n_rows"))
   }
+
+  // ---- footer-decoded file stats (the production writer shape the
+  // fileStats docstring promises: bounds from the files' own parquet
+  // footers, no second read pass over data just written) --------------
+
+  /** Per-file (file, rows, per-column Option[(lo, hi)]) decoded from
+    * parquet FOOTERS — one small driver metadata read per file instead
+    * of a Spark scan job over data the caller typically just wrote.
+    * None when any file/column lacks an exactly-decodable statistic
+    * (missing/dropped chunk stats, non-local scheme, unsupported
+    * physical type, float/double physical storage — parquet widens
+    * ±0.0 bounds so footer values can differ from a scan's); the
+    * caller then falls back to the scan, trading speed for exactness.
+    * `numeric = true` decodes to Double exactly as the scan's
+    * CAST(.. AS DOUBLE) (long→toDouble, decimal→BigDecimal.doubleValue
+    * — both monotone, so per-file min/max commute with the cast);
+    * `numeric = false` decodes UTF8 binary to String (parquet's
+    * unsigned byte order = Spark's UTF8String order, so footer min/max
+    * ARE the scan's).
+    */
+  private def footerBounds(files: Seq[String], cols: Seq[String],
+      numeric: Boolean)
+      : Option[Seq[(String, Long, IndexedSeq[Option[(Any, Any)]])]] = {
+    import scala.jdk.CollectionConverters._
+    def localPath(p: String): java.nio.file.Path =
+      if (p.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(p))
+      else if (!p.contains(":")) java.nio.file.Paths.get(p)
+      else throw FooterUnusable // non-local scheme: scan handles it
+    def decode(pt: org.apache.parquet.schema.PrimitiveType,
+        v: Any): Any = {
+      import org.apache.parquet.schema.LogicalTypeAnnotation._
+      val ann = pt.getLogicalTypeAnnotation
+      if (numeric) ann match {
+        case d: DecimalLogicalTypeAnnotation =>
+          val bd = v match {
+            case n: java.lang.Integer =>
+              java.math.BigDecimal.valueOf(n.longValue, d.getScale)
+            case n: java.lang.Long =>
+              java.math.BigDecimal.valueOf(n.longValue, d.getScale)
+            case b: org.apache.parquet.io.api.Binary =>
+              new java.math.BigDecimal(
+                new java.math.BigInteger(b.getBytes), d.getScale)
+            case _ => throw FooterUnusable
+          }
+          bd.doubleValue
+        case a if a == null || (a.isInstanceOf[IntLogicalTypeAnnotation] &&
+            a.asInstanceOf[IntLogicalTypeAnnotation].isSigned) => v match {
+          case n: java.lang.Integer => n.doubleValue
+          case n: java.lang.Long => n.doubleValue
+          case _ => throw FooterUnusable
+        }
+        case _ => throw FooterUnusable
+      } else ann match {
+        case _: StringLogicalTypeAnnotation => v match {
+          case b: org.apache.parquet.io.api.Binary =>
+            new String(b.getBytes, java.nio.charset.StandardCharsets.UTF_8)
+          case _ => throw FooterUnusable
+        }
+        case _ => throw FooterUnusable
+      }
+    }
+    def one(f: String): (String, Long, IndexedSeq[Option[(Any, Any)]]) = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        new org.apache.parquet.io.LocalInputFile(localPath(f)))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toIndexedSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val bounds = cols.toIndexedSeq.map { c =>
+          var acc: Option[(Any, Any)] = None
+          blocks.foreach { b =>
+            val chunk = b.getColumns.asScala
+              .find(_.getPath.toDotString == c)
+              .getOrElse(throw FooterUnusable)
+            val st = chunk.getStatistics
+            if (st == null) throw FooterUnusable
+            else if (st.hasNonNullValue) {
+              val mn = decode(chunk.getPrimitiveType, st.genericGetMin)
+              val mx = decode(chunk.getPrimitiveType, st.genericGetMax)
+              acc = Some(acc.map { case (a, b2) =>
+                (if (lt(mn, a)) mn else a, if (lt(b2, mx)) mx else b2)
+              }.getOrElse((mn, mx)))
+            } else if (!(st.isNumNullsSet &&
+                st.getNumNulls == b.getRowCount))
+              throw FooterUnusable // "stats dropped" vs "all null"
+          }
+          acc
+        }
+        (f, rows, bounds)
+      } finally reader.close()
+    }
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Double, y: java.lang.Double) => x < y
+      case (x: String, y: String) =>
+        // UTF-8 byte order — the order parquet recorded the bounds in
+        // and the order Spark's UTF8String min/max would use
+        val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        java.util.Arrays.compareUnsigned(xb, yb) < 0
+      case _ => throw FooterUnusable
+    }
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, math.max(1, files.size)))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try Some(scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(files.toList)(f =>
+          scala.concurrent.Future(one(f))),
+        scala.concurrent.duration.Duration.Inf))
+      finally pool.shutdown()
+    } catch { case FooterUnusable => None }
+  }
+
+  private object FooterUnusable
+    extends RuntimeException("footer stats unusable")
+      with scala.util.control.NoStackTrace
 
   /** Bucket id for a z_min under the table's fixed (origin, width) —
     * values outside the creation-time range land in out-of-range
@@ -750,7 +883,24 @@ object Writers {
     * left-join and zero-row sentinel discipline (all four bounds
     * sentinel, so no finite 2-D probe box selects an empty file).
     */
-  private def fileStats2(s: SparkSession, path: String,
+  private[graft] def fileStats2(s: SparkSession, path: String,
+      paths: Seq[String], c1: String, c2: String): DataFrame = {
+    import s.implicits._
+    val files = if (paths.isEmpty)
+      s.read.parquet(path).inputFiles.toIndexedSeq else paths.toIndexedSeq
+    footerBounds(files, Seq(c1, c2), numeric = true).map { rows =>
+      rows.map { case (f, n, bs) =>
+        def d(i: Int) = bs(i)
+          .map { case (a, b) => (a.asInstanceOf[Double],
+            b.asInstanceOf[Double]) }
+          .getOrElse((Double.MaxValue, -Double.MaxValue))
+        val ((a1, b1), (a2, b2)) = (d(0), d(1))
+        (f, a1, b1, a2, b2, n)
+      }.toDF("file", "z1_min", "z1_max", "z2_min", "z2_max", "n_rows")
+    }.getOrElse(scanFileStats2(s, path, paths, c1, c2))
+  }
+
+  private[graft] def scanFileStats2(s: SparkSession, path: String,
       paths: Seq[String], c1: String, c2: String): DataFrame = {
     import s.implicits._
     val src = if (paths.isEmpty) s.read.parquet(path)
@@ -956,7 +1106,23 @@ object Writers {
   /** [[fileStats]] with STRING bounds — lexicographic min/max, same
     * listing left-join and zero-row sentinel discipline.
     */
-  private def fileStatsString(s: SparkSession, path: String,
+  private[graft] def fileStatsString(s: SparkSession, path: String,
+      paths: Seq[String], zcol: String): DataFrame = {
+    import s.implicits._
+    val files = if (paths.isEmpty)
+      s.read.parquet(path).inputFiles.toIndexedSeq else paths.toIndexedSeq
+    footerBounds(files, Seq(zcol), numeric = false).map { rows =>
+      rows.map { case (f, n, bs) =>
+        val (mn, mx) = bs.head
+          .map { case (a, b) => (a.asInstanceOf[String],
+            b.asInstanceOf[String]) }
+          .getOrElse((StrSentinelLo, StrSentinelHi))
+        (f, mn, mx, n)
+      }.toDF("file", "z_min", "z_max", "n_rows")
+    }.getOrElse(scanFileStatsString(s, path, paths, zcol))
+  }
+
+  private[graft] def scanFileStatsString(s: SparkSession, path: String,
       paths: Seq[String], zcol: String): DataFrame = {
     import s.implicits._
     val src = if (paths.isEmpty) s.read.parquet(path)

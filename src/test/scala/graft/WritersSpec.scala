@@ -677,4 +677,39 @@ class WritersSpec extends SparkSpec {
     val (_, readH, totalH) = Writers.readZonePruned(spark, out, -10.0, -1.0)
     assert(readH == 0 && totalH == 17)
   }
+
+  test("footer-decoded zone-map stats are value-identical to the scan " +
+      "path: numeric (long/decimal), two-column, and string bounds") {
+    val dir = Files.createTempDirectory("graft-wfs").toString
+    val df = spark.range(0, 500).toDF("k")
+      .select(col("k"),
+        ((col("k") - 250) / 10.0).cast("decimal(18,3)").as("price"),
+        concat(lit("grp-"), (col("k") % 37)).as("tag"),
+        when(col("k") % 5 === 0, concat(lit("u"), col("k")))
+          .otherwise(lit(null)).cast("string").as("maybe"))
+    df.repartition(6).write.mode("overwrite").parquet(dir)
+    def sortRows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy(col("file")).collect().toSeq
+    // numeric, decimal zcol
+    assert(sortRows(Writers.fileStats(spark, dir, Nil, "price")) ==
+      sortRows(Writers.scanFileStats(spark, dir, Nil, "price")))
+    // numeric, long zcol
+    assert(sortRows(Writers.fileStats(spark, dir, Nil, "k")) ==
+      sortRows(Writers.scanFileStats(spark, dir, Nil, "k")))
+    // two-column bounds
+    assert(sortRows(Writers.fileStats2(spark, dir, Nil, "k", "price")) ==
+      sortRows(Writers.scanFileStats2(spark, dir, Nil, "k", "price")))
+    // string bounds, incl. a nulls-carrying column
+    assert(sortRows(Writers.fileStatsString(spark, dir, Nil, "tag")) ==
+      sortRows(Writers.scanFileStatsString(spark, dir, Nil, "tag")))
+    assert(sortRows(Writers.fileStatsString(spark, dir, Nil, "maybe")) ==
+      sortRows(Writers.scanFileStatsString(spark, dir, Nil, "maybe")))
+    // a DOUBLE zcol must decline the fast path yet return scan-exact
+    // values (parquet widens ±0.0 double bounds — exactness first)
+    val ddir = Files.createTempDirectory("graft-wfsd").toString
+    df.withColumn("x", col("k").cast("double") - 250.0)
+      .repartition(3).write.mode("overwrite").parquet(ddir)
+    assert(sortRows(Writers.fileStats(spark, ddir, Nil, "x")) ==
+      sortRows(Writers.scanFileStats(spark, ddir, Nil, "x")))
+  }
 }
