@@ -4931,16 +4931,27 @@ object Ext {
         pqSubDist(col("qv"), col("v"), j)).reduce(_ + _)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("dist"), col("vec_id"))
-      val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), distX.as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= AnnK)
-        .select(col("q_id"), col("vec_id")).localCheckpoint()
+      // the exact top-5 and the multi-width Lloyd fit are independent
+      // job chains over the same checkpointed inputs — overlap them
+      // (guide §2.6) so the exact pass's tasks back-fill the fit's
+      // collect-bound idle cores; values of both are unchanged
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val exactF = scala.concurrent.Future {
+        e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), distX.as("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= AnnK)
+          .select(col("q_id"), col("vec_id")).localCheckpoint()
+      }(ec)
       // ALL widths train, encode, and probe in ONE keyed chain
       val init = PqSweepKs.map(k =>
         pqInitBook(s, d, k).withColumn("kw", lit(k)))
         .reduce(_ unionByName _)
       val book = pqLloydMulti(sub, init)
+      val exact = try scala.concurrent.Await.result(exactF,
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
       val long = sub.join(broadcast(book), Seq("j"))
         .groupBy(col("kw"), col("vec_id"), col("j"))
         .agg(min(struct(pqSubDist8("").as("d"), col("cid").as("c")))
@@ -5075,8 +5086,24 @@ object Ext {
           lit(fromDisk).as("probe_from_disk"),
           lit(probeMatch).as("probe_match"))
       }
-      arm("stable", 0.0).unionByName(arm("drift", PqRefitDelta))
-        .orderBy(col("arm"))
+      // the two decision arms are INDEPENDENT job chains (separate
+      // dirs, separate fresh sessions, shared inputs all checkpointed
+      // or memoized above) of many small driver-latency-bound actions —
+      // run them as concurrent jobs (guide §2.6: overlap independent
+      // jobs so one arm's task tails back-fill the other's idle cores).
+      // Each arm's computation and the combined row set are unchanged.
+      pqTrainedCodes(s, d) // memoize BEFORE racing arms (TrieMap's
+      // getOrElseUpdate would let both arms pay the encode)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val fa = scala.concurrent.Future(arm("stable", 0.0))(ec)
+        val fb = scala.concurrent.Future(arm("drift", PqRefitDelta))(ec)
+        val inf = scala.concurrent.duration.Duration.Inf
+        scala.concurrent.Await.result(fa, inf)
+          .unionByName(scala.concurrent.Await.result(fb, inf))
+          .orderBy(col("arm"))
+      } finally pool.shutdown()
     }),
 
     // Bigram conditional-probability table (the n-gram LM building
