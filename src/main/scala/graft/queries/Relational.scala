@@ -339,6 +339,19 @@ object Relational {
       java.nio.file.Paths.get(dir))
   }
 
+  /** Bag (multiset) equality of two same-schema relations in ONE job:
+    * union with a ±1 side tag, group by every column, and require every
+    * group's signed count to cancel — one shuffle over a+b and one
+    * action, where the double-exceptAll idiom it replaces shuffled both
+    * sides twice and ran two actions for the same boolean.
+    */
+  private[queries] def bagEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toIndexedSeq.map(col)
+    a.withColumn("_s", lit(1L)).unionByName(b.withColumn("_s", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col("_s")).as("_d"))
+      .filter(col("_d") =!= 0L).isEmpty
+  }
+
   /** The k-th smallest value of `c` (1-based rank), computed
     * DISTRIBUTED: a range-partitioned sort + per-partition index
     * (zipWithIndex = one count pass + a map), then a single-row
@@ -2724,8 +2737,7 @@ object Relational {
         df.select(col("o_orderpriority"), col("n"),
           col("price").cast("decimal(38,2)").as("price"))
       val fresh = wide(aggOf(graft.sources.SnapshotTable.read(s2, dir)))
-      require(wide(mv).exceptAll(fresh).isEmpty &&
-        fresh.exceptAll(wide(mv)).isEmpty,
+      require(bagEqual(wide(mv), fresh),
         "q_snapshot_incremental_agg: maintained view diverged from " +
           "the recompute")
       mv.select(col("o_orderpriority"), col("n"),
@@ -3860,10 +3872,13 @@ object Relational {
         drainOnce() // restored offsets: no batch, no re-commit
         val s2 = s.newSession()
         val nInserts = o.filter(col("o_orderkey") % 5 === 0).count()
+        val nOrders = o.count()
+        // counted once: no commit lands between here and the
+        // compaction below, so this IS the pre-compaction row count
+        val nLatest = graft.sources.SnapshotTable.read(s2, table).count()
         val upsertedOnce =
           graft.sources.SnapshotTable.latestVersion(table).contains(3) &&
-          graft.sources.SnapshotTable.read(s2, table).count() ==
-            o.count() + nInserts
+          nLatest == nOrders + nInserts
         require(graft.sources.SnapshotTable.snapshot(table, Some(3))
             .map(_.name) ==
           graft.sources.SnapshotTable.snapshot(table, Some(1))
@@ -3886,9 +3901,8 @@ object Relational {
           .filter(col("price").between(lit(100000), lit(150000)))
           .agg(count(lit(1)).as("n_travel"),
             sum(col("price")).cast("double").as("revenue_travel"))
-        val nLatest = graft.sources.SnapshotTable.read(s2, table).count()
         graft.sources.SnapshotTable.compactCommit(s2, table, "price",
-          o.count() / 4 + 1)
+          nOrders / 4 + 1)
         val compactedEq =
           graft.sources.SnapshotTable.deleteRefs(table).isEmpty &&
           graft.sources.SnapshotTable.read(s2, table).count() == nLatest
@@ -3969,8 +3983,7 @@ object Relational {
       val fresh = wide(graft.sources.SnapshotTable.read(s2, table)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(col("price")).as("price")))
-      require(wide(mv).exceptAll(fresh).isEmpty &&
-        fresh.exceptAll(wide(mv)).isEmpty,
+      require(bagEqual(wide(mv), fresh),
         "q_stream_snapshot_changes: maintained view diverged from " +
           "the recompute")
       mv.select(col("o_orderpriority"), col("n"),
