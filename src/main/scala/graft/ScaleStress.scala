@@ -266,6 +266,7 @@ object ScaleStress {
         // hollow out the exponent
         graft.queries.Ext.invalidatePairGraph()
         graft.queries.Ext.invalidatePqTrained()
+        graft.queries.Ext.invalidateIvfAssign()
         graft.queries.Relational.invalidateStatCores()
         graft.queries.Relational.invalidatePrologues()
         val t0 = System.nanoTime()

@@ -954,6 +954,25 @@ object Ext {
   private def ivfAssign(s: SparkSession, d: String): DataFrame =
     ivfCells(ivfScoredCells(s, d))
 
+  /** [[ivfAssign]] memoized per (session, sfDir) — the [[pairMemo]]
+    * pattern: a dozen semantic/IVF gates open on the same deterministic
+    * medoid assignment (a broadcast join + per-vector window over the
+    * embeddings) and each used to recompute it inline. Checkpointed
+    * once per suite; ScaleStress invalidates per pass so scaling runs
+    * still price the full assignment.
+    */
+  private val ivfAssignMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
+  private def ivfAssignCk(s: SparkSession, d: String): DataFrame =
+    ivfAssignMemo.getOrElseUpdate((s, d),
+      ivfAssign(s, d).localCheckpoint())
+
+  private[graft] def invalidateIvfAssign(): Unit = {
+    ivfAssignMemo.values.foreach(_.unpersist(blocking = false))
+    ivfAssignMemo.clear()
+  }
+
   /** embeddings plus ε-shifted copies of the first 20 vectors at
     * vec_id+1000000 — the synthetic "today's batch" for the incremental
     * semantic-dedup form, mirrored exactly by the oracle (shift applied
@@ -1236,7 +1255,7 @@ object Ext {
     * to the query's cell.
     */
   private def annIvfTopK(s: SparkSession, d: String): DataFrame = {
-    val assigned = ivfAssign(s, d)
+    val assigned = ivfAssignCk(s, d)
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("q_cell"))
@@ -1686,7 +1705,7 @@ object Ext {
     // variant stays as the semantics reference and the saturation
     // measurement (the q_dedup_hamming / hamming64 pairing).
     "q_dedup_semantic" -> ((s, d) => {
-      val assigned = ivfAssign(s, d).localCheckpoint()
+      val assigned = ivfAssignCk(s, d)
       val dropped = semanticExactDropped(assigned)
         .withColumn("is_dup", lit(true))
       assigned.select(col("vec_id"), col("cell"))
@@ -1721,7 +1740,7 @@ object Ext {
     // '0', so a silently-clamped layout would hash-diverge instead of
     // failing loudly).
     "q_dedup_semantic_scaled" -> ((s, d) => {
-      val assigned = ivfAssign(s, d).localCheckpoint()
+      val assigned = ivfAssignCk(s, d)
       val dropped =
         semanticScaledDropped(assigned, SemBands, SemStride, SemMaxBits)
           .withColumn("is_dup", lit(true))
@@ -1745,7 +1764,7 @@ object Ext {
     // every window inside the vector, enforced by the helper's dim
     // guard.
     "q_dedup_semantic_sweep" -> ((s, d) => {
-      val assigned = ivfAssign(s, d).localCheckpoint()
+      val assigned = ivfAssignCk(s, d)
       val ex = semanticExactDropped(assigned)
         .withColumn("de", lit(true)).localCheckpoint()
       val perCfg = (1 to 4).map { b =>
@@ -1778,7 +1797,7 @@ object Ext {
     // Readout per new vector: match count, first (min-id) corpus match,
     // is_dup — the accept/reject decision a crawl pipeline applies.
     "q_dedup_semantic_incremental" -> ((s, d) => {
-      val corpus = ivfAssign(s, d).localCheckpoint()
+      val corpus = ivfAssignCk(s, d)
       val bitsRow = semanticBitsRow(corpus, SemBands, SemStride, SemMaxBits)
       semanticBatchProbe(
         semanticBandify(corpus, bitsRow, SemBands, SemStride),
@@ -1805,7 +1824,7 @@ object Ext {
       // fresh-session disk probe and the maintenance append — run on
       // this gate's own copy
       Relational.cachedPrologue("sidx", d, dir) { b =>
-        val corpus = ivfAssign(s, d).localCheckpoint()
+        val corpus = ivfAssignCk(s, d)
         val bitsRow =
           semanticBitsRow(corpus, SemBands, SemStride, SemMaxBits)
         semanticBandify(corpus, bitsRow, SemBands, SemStride)
@@ -1862,7 +1881,7 @@ object Ext {
       // fixture; the streaming build/maintain teeth run on this
       // gate's own copy (the copy starts with no stream dir)
       Relational.cachedPrologue("ssidxm", d, base) { b =>
-        val corpus = ivfAssign(s, d).localCheckpoint()
+        val corpus = ivfAssignCk(s, d)
         semanticBitsRow(corpus, SemBands, SemStride, SemMaxBits)
           .coalesce(1).write.mode("overwrite").parquet(s"$b/bits")
         semanticReps(s, d).coalesce(1)
@@ -1926,7 +1945,7 @@ object Ext {
     // boolean, the before/after widths, the index row count, and the
     // probe readout per arm.
     "q_dedup_semantic_rebits" -> ((s, d) => {
-      val corpus = ivfAssign(s, d).localCheckpoint()
+      val corpus = ivfAssignCk(s, d)
       val nCreate = corpus.count()
       val bits0 = semanticBitsRow(corpus, SemBands, SemStride, SemMaxBits)
         .head.getInt(0)
@@ -2016,7 +2035,7 @@ object Ext {
     "q_stream_semantic_rebits" -> ((s, d) => {
       val base = Relational.rtDir("ssrb", d)
       Relational.deleteRecursive(java.nio.file.Paths.get(base))
-      val corpus = ivfAssign(s, d).localCheckpoint()
+      val corpus = ivfAssignCk(s, d)
       val nCreate = corpus.count()
       semanticBitsRow(corpus, SemBands, SemStride, SemMaxBits)
         .coalesce(1).write.mode("overwrite").parquet(s"$base/bits")
@@ -2513,7 +2532,7 @@ object Ext {
       val cellsT = e.join(assignedT, Seq("vec_id"))
         .select(col("vec_id"), col("v"), col("nrm"),
           col("cluster").as("cell"))
-      val cellsM = ivfAssign(s, d)
+      val cellsM = ivfAssignCk(s, d)
       val q = e.filter(col("vec_id") < PqProbeN)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"))
@@ -4566,7 +4585,7 @@ object Ext {
     // and codebook share ONE medoid rep set, so index maintenance is a
     // single broadcast relation.
     "q_pq_ivf_adc" -> ((s, d) => {
-      val assigned = ivfAssign(s, d).localCheckpoint()
+      val assigned = ivfAssignCk(s, d)
       val codes = pqAssign(s, d)
       val reps = pqReps(s, d)
       val withWords = (0 until PqM).foldLeft(codes) { (df, j) =>
@@ -4646,7 +4665,7 @@ object Ext {
     // makes the trained book a drop-in for the full index, not just
     // the flat scan.
     "q_pq_ivf_adc_trained" -> ((s, d) => {
-      val assigned = ivfAssign(s, d).localCheckpoint()
+      val assigned = ivfAssignCk(s, d)
       val book = pqTrainedBook(s, d)
       val withWords = (0 until PqM)
         .foldLeft(pqTrainedCodes(s, d)) { (df, j) =>
