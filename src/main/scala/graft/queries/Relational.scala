@@ -2085,10 +2085,13 @@ object Relational {
     // files (WritersSpec covers the zero-candidate path's empty scan).
     "q_zonemap_prune" -> ((s, d) => {
       val dir = rtDir("zmap", d)
-      graft.sources.Writers.writeWithZoneMap(
-        orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-          col("o_totalprice").cast("decimal(18,2)").as("price")),
-        dir, "price", 16)
+      // identical build to q_zonemap_delete's prologue — ONE cached
+      // base ("zmdel") serves both gates' copies
+      cachedPrologue("zmdel", d, dir)(b =>
+        graft.sources.Writers.writeWithZoneMap(
+          orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice").cast("decimal(18,2)").as("price")),
+          b, "price", 16))
       val (cand, read, total) =
         graft.sources.Writers.readZonePruned(s, dir, 100000.0, 150000.0)
       cand.filter(col("price").between(lit(100000), lit(150000)))
@@ -2212,10 +2215,13 @@ object Relational {
     // and `skipped` pins a strict non-empty file subset.
     "q_zonemap_string" -> ((s, d) => {
       val dir = rtDir("zms", d)
-      graft.sources.Writers.writeWithZoneMapString(
-        customer(s, d).select(col("c_custkey"), col("c_name"),
-          col("c_mktsegment")),
-        dir, "c_name", 12)
+      // deterministic build fixture; the pruned-read teeth run on the
+      // gate's own copy
+      cachedPrologue("zms", d, dir)(b =>
+        graft.sources.Writers.writeWithZoneMapString(
+          customer(s, d).select(col("c_custkey"), col("c_name"),
+            col("c_mktsegment")),
+          b, "c_name", 12))
       val (lo, hi) = ("Customer#000000020", "Customer#000000090")
       val (cand, read, total) =
         graft.sources.Writers.readZonePrunedString(s, dir, lo, hi)
@@ -2241,10 +2247,13 @@ object Relational {
     // zone map unchanged — one quarter's probe over a date-sorted table.
     "q_zonemap_date" -> ((s, d) => {
       val dir = rtDir("zmd", d)
-      graft.sources.Writers.writeWithZoneMapString(
-        orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day")),
-        dir, "day", 16)
+      // identical build to q_zonemap_delete_date's prologue — ONE
+      // cached base ("zmdd") serves both gates' copies
+      cachedPrologue("zmdd", d, dir)(b =>
+        graft.sources.Writers.writeWithZoneMapString(
+          orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("day")),
+          b, "day", 16))
       val (lo, hi) = ("1996-01-01", "1996-03-31")
       val (cand, read, total) =
         graft.sources.Writers.readZonePrunedString(s, dir, lo, hi)
@@ -4141,8 +4150,11 @@ object Relational {
       val base = orders(s, d).select(col("o_orderkey"),
         datediff(col("o_orderdate"), lit("1995-01-01")).as("day"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
-      graft.sources.Writers.writeZOrderedWithZoneMap(
-        base, dir, "day", "price", 16)
+      // identical build to q_zonemap_delete_zorder's prologue — ONE
+      // cached base ("zzdel") serves both gates' copies
+      cachedPrologue("zzdel", d, dir)(b =>
+        graft.sources.Writers.writeZOrderedWithZoneMap(
+          base, b, "day", "price", 16))
       val inf = Double.MaxValue
       val (dayDf, dayRead, total) = graft.sources.Writers
         .readZonePruned2(s, dir, 365.0, 546.0, -inf, inf)
@@ -4173,11 +4185,15 @@ object Relational {
     // an engine that can't prove rows survive it can't run one.
     "q_compact_roundtrip" -> ((s, d) => {
       val dir = rtDir("cmp", d)
-      orders(s, d)
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice").cast("decimal(18,2)").as("price"))
-        .repartition(50)
-        .write.mode("overwrite").parquet(dir)
+      // the fragmented opening layout is deterministic fixture; the
+      // teeth — the compaction swap and the aggregate equality — run
+      // on the gate's own copy
+      cachedPrologue("cmp", d, dir)(b =>
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"))
+          .repartition(50)
+          .write.mode("overwrite").parquet(b))
       val (_, before) = graft.sources.Writers.compact(s, dir, 5000L)
       val after = s.read.parquet(dir)
       val filesAfter = after.inputFiles.length
