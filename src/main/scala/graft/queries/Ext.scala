@@ -2009,8 +2009,21 @@ object Ext {
           (if (p.isNullAt(3)) lit(null).cast("long")
            else lit(p.getLong(3))).as("probe_first"))
       }
-      arm("growth", 4).unionByName(arm("stable", 0))
-        .orderBy(col("arm"))
+      // the two decision arms are independent job chains over shared
+      // checkpointed/memoized inputs — overlap them (guide §2.6, the
+      // q_pq_refit_gate move); each arm's rows are unchanged
+      locally {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val fg = scala.concurrent.Future(arm("growth", 4))(ec)
+          val fs = scala.concurrent.Future(arm("stable", 0))(ec)
+          val inf = scala.concurrent.duration.Duration.Inf
+          scala.concurrent.Await.result(fg, inf)
+            .unionByName(scala.concurrent.Await.result(fs, inf))
+            .orderBy(col("arm"))
+        } finally pool.shutdown()
+      }
     }),
 
     // STREAMING UPKEEP + DRIFT POLICY AS ONE LIFECYCLE — the
@@ -2034,13 +2047,17 @@ object Ext {
     // and that the width table really changed mid-stream.
     "q_stream_semantic_rebits" -> ((s, d) => {
       val base = Relational.rtDir("ssrb", d)
-      Relational.deleteRecursive(java.nio.file.Paths.get(base))
       val corpus = ivfAssignCk(s, d)
       val nCreate = corpus.count()
-      semanticBitsRow(corpus, SemBands, SemStride, SemMaxBits)
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/bits")
-      semanticReps(s, d).coalesce(1)
-        .write.mode("overwrite").parquet(s"$base/reps")
+      // bits+reps build is IDENTICAL to the streaming-maintain gate's
+      // prologue — ONE cached base ("ssidxm") serves both copies
+      Relational.cachedPrologue("ssidxm", d, base) { b =>
+        val c = ivfAssignCk(s, d)
+        semanticBitsRow(c, SemBands, SemStride, SemMaxBits)
+          .coalesce(1).write.mode("overwrite").parquet(s"$b/bits")
+        semanticReps(s, d).coalesce(1)
+          .write.mode("overwrite").parquet(s"$b/reps")
+      }
       val repsL = s.read.parquet(s"$base/reps").collect()
         .map(r => (r.getLong(0),
           r.getSeq[Double](1).toArray, r.getDouble(2)))
