@@ -869,6 +869,38 @@ object Ext {
         .cast("double") / count(lit(1)), 6).as("m"))
       .head.getDouble(0)
 
+  /** The (decimal sum, count) components of [[pqMseTotal]] for SEVERAL
+    * disjoint-keyed relations in ONE job, keyed by a `_g` tag column —
+    * per-tag values identical to running pqMseTotal's first two
+    * aggregations per relation (the (vec_id, j) argmin groups are
+    * untouched by the extra key), and because the decimal sums are
+    * exact, tag sums ADD to the union's sum, so a consumer derives the
+    * mixed-relation MSE without a second corpus-scale job.
+    */
+  private def pqMseSums(tagged: DataFrame, book: DataFrame)
+      : Map[Int, (java.math.BigDecimal, Long)] =
+    tagged.join(broadcast(book), Seq("j"))
+      .groupBy(col("_g"), col("vec_id"), col("j"))
+      .agg(min(pqSubDist8("")).as("d2"))
+      .groupBy(col("_g"))
+      .agg(sum(round(col("d2"), 6).cast(DecimalType(18, 6))).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getDecimal(1), r.getLong(2))).toMap
+
+  /** Driver-side twin of [[pqMseTotal]]'s final expression — EXACTLY
+    * Spark's round(sum.cast(double)/count, 6): decimal→double via
+    * BigDecimal.doubleValue (Decimal.toDouble's path), double
+    * division, then Catalyst Round's HALF_UP setScale over the
+    * decimal-string form of the double. Bit-exact by construction, so
+    * MSEs combined from per-relation decimal sums hash-match the
+    * single-relation jobs they replace (the oracle recomputes the same
+    * values independently — "close" would fail the gate).
+    */
+  private def pqMseOf(s: java.math.BigDecimal, n: Long): Double =
+    java.math.BigDecimal.valueOf(s.doubleValue / n)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
   private def pqAssignTrained(s: SparkSession, d: String,
       book: DataFrame): DataFrame =
     pqEncode(embeddings(s, d).select(col("vec_id"),
@@ -5110,10 +5142,18 @@ object Ext {
           .select((-col("vec_id") - lit(1L)).as("vec_id") +:
             col("j") +: shifted: _*)
           .localCheckpoint()
-        val mseBatch = pqMseTotal(subB, book)
+        // batch and mixed MSE from ONE tagged job: batch vec_ids are
+        // negated so corpus/batch (vec_id, j) groups are disjoint and
+        // the exact decimal sums ADD — pqMseOf reproduces the Spark
+        // expression bit for bit (oracle-gated values)
+        val sums = pqMseSums(
+          sub.withColumn("_g", lit(0))
+            .unionByName(subB.withColumn("_g", lit(1))), book)
+        val ((sC, nC), (sB, nB)) = (sums(0), sums(1))
+        val mseBatch = pqMseOf(sB, nB)
         val refit = mseBatch > PqRefitThr * mseTrain
         val subAll = sub.unionByName(subB)
-        val mseMixed = pqMseTotal(subAll, book)
+        val mseMixed = pqMseOf(sC.add(sB), nC + nB)
         val (book2, codesMem, mseAfter) =
           if (refit) {
             val b2 = pqLloyd(subAll.localCheckpoint(), book)
