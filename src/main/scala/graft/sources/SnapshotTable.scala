@@ -1762,16 +1762,17 @@ object SnapshotTable {
         StandardCopyOption.ATOMIC_MOVE)
       dst
     }
-    // per-file key counts in one pass; drop empty round-robin leftovers
-    val byFile = spark.read.parquet(moved.map(m => s"$path/$m"): _*)
-      .groupBy(substring_index(input_file_name(), "/", -1).as("_f"))
-      .agg(count(lit(1)).as("_n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-file key counts from the staged files' own FOOTERS (row
+    // counts are schema-independent and exact — no decode caveats, so
+    // no scan fallback needed); drop empty round-robin leftovers
     moved.flatMap { m =>
-      byFile.get(m) match {
-        case Some(rows) if rows > 0 => Some((m, rows))
-        case _ => Files.deleteIfExists(Paths.get(path, m)); None
-      }
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        new org.apache.parquet.io.LocalInputFile(Paths.get(path, m)))
+      val rows =
+        try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      if (rows > 0) Some((m, rows))
+      else { Files.deleteIfExists(Paths.get(path, m)); None }
     }
   }
 
